@@ -1,0 +1,209 @@
+"""Geometry kernel tests.
+
+Truth tables vendored from the reference SparkSQL relationship suite
+(geomesa-spark-sql/src/test/.../SparkSQLSpatialRelationshipsTest.scala:31-396):
+the exact WKT fixtures and expected name-sets per predicate, plus measures.
+"""
+
+import numpy as np
+import pytest
+
+from geomesa_spark.geom import (
+    LineString,
+    Point,
+    Polygon,
+    area,
+    centroid,
+    closest_point,
+    contains,
+    covers,
+    crosses,
+    disjoint,
+    distance,
+    distance_sphere,
+    distance_spheroid,
+    equals,
+    intersects,
+    length,
+    length_sphere,
+    overlaps,
+    pip_rings,
+    points_in_polygon,
+    relate,
+    relate_bool,
+    touches,
+    within,
+    wkb_read,
+    wkb_write,
+    wkt_read,
+    wkt_write,
+)
+
+BOX_REF = "POLYGON((0  0,  0 10, 10 10, 10  0,  0  0))"
+LINE_REF = "LINESTRING(0 10, 0 -10)"
+
+POINTS = {
+    "int": "POINT(5 5)",
+    "edge": "POINT(0 5)",
+    "corner": "POINT(0 0)",
+    "ext": "POINT(-5 0)",
+}
+LINES = {
+    "touches": "LINESTRING(0 0, 1 0)",
+    "crosses": "LINESTRING(-1 0, 1 0)",
+    "disjoint": "LINESTRING(1 0, 2 0)",
+}
+BOXES = {
+    "int": "POLYGON(( 1  1,  1  2,  2  2,  2  1,  1  1))",
+    "intEdge": "POLYGON(( 0  1,  0  2,  1  2,  1  1,  0  1))",
+    "overlap": "POLYGON((-1  1, -1  2,  1  2,  1  1, -1  1))",
+    "extEdge": "POLYGON((-1  1, -1  2,  0  2,  0  1, -1  1))",
+    "ext": "POLYGON((-2  1, -2  2, -1  2, -1  1, -2  1))",
+    "corner": "POLYGON((-1 -1, -1  0,  0  0,  0 -1, -1 -1))",
+}
+
+
+def g(wkt):
+    return wkt_read(wkt)
+
+
+def names_matching(pred, ref_wkt, table, flip=False):
+    ref = g(ref_wkt)
+    out = []
+    for name, wkt in table.items():
+        other = g(wkt)
+        ok = pred(other, ref) if flip else pred(ref, other)
+        if ok:
+            out.append(name)
+    return sorted(out)
+
+
+class TestWkbWkt:
+    @pytest.mark.parametrize("wkt", [
+        "POINT (5 5)",
+        "LINESTRING (0 10, 0 -10)",
+        "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0))",
+        "POLYGON ((0 0, 0 10, 10 10, 10 0, 0 0), (2 2, 2 4, 4 4, 4 2, 2 2))",
+        "MULTIPOINT ((1 1), (2 2))",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+        "MULTIPOLYGON (((0 0, 0 1, 1 1, 1 0, 0 0)), ((5 5, 5 6, 6 6, 6 5, 5 5)))",
+        "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 1))",
+    ])
+    def test_roundtrip(self, wkt):
+        geom = wkt_read(wkt)
+        assert wkt_write(wkb_read(wkb_write(geom))) == wkt_write(geom)
+
+
+class TestDE9IMTruthTables:
+    def test_contains(self):
+        assert names_matching(contains, BOX_REF, POINTS) == ["int"]
+        assert names_matching(contains, BOX_REF, BOXES) == ["int", "intEdge"]
+
+    def test_covers(self):
+        assert names_matching(covers, BOX_REF, POINTS) == ["corner", "edge", "int"]
+        assert names_matching(covers, BOX_REF, BOXES) == ["int", "intEdge"]
+
+    def test_crosses(self):
+        assert names_matching(crosses, LINE_REF, LINES) == ["crosses"]
+
+    def test_disjoint(self):
+        assert names_matching(disjoint, BOX_REF, POINTS) == ["ext"]
+        assert names_matching(disjoint, BOX_REF, BOXES) == ["ext"]
+
+    def test_equals(self):
+        assert equals(g("POINT(0 0)"), g(POINTS["corner"]))
+        assert not equals(g("POINT(0 0)"), g(POINTS["edge"]))
+        assert equals(g("LINESTRING(0 0, 1 1)"), g("LINESTRING(1 1, 0 0)"))
+        assert equals(g(BOX_REF), g("POLYGON((10 0, 10 10, 0 10, 0 0, 10 0))"))
+
+    def test_intersects(self):
+        assert names_matching(intersects, BOX_REF, POINTS) == ["corner", "edge", "int"]
+        assert names_matching(intersects, BOX_REF, BOXES) == sorted(
+            ["int", "intEdge", "overlap", "extEdge", "corner"])
+
+    def test_overlaps(self):
+        assert names_matching(overlaps, BOX_REF, POINTS) == []
+        assert names_matching(overlaps, BOX_REF, BOXES) == ["overlap"]
+
+    def test_touches(self):
+        assert names_matching(touches, BOX_REF, POINTS) == ["corner", "edge"]
+        assert names_matching(touches, BOX_REF, BOXES) == ["corner", "extEdge"]
+        assert touches(g(LINE_REF), g(LINES["touches"]))
+        assert not touches(g(LINE_REF), g(LINES["crosses"]))
+        assert not touches(g(LINE_REF), g(LINES["disjoint"]))
+
+    def test_within(self):
+        assert names_matching(within, BOX_REF, POINTS, flip=True) == ["int"]
+        assert names_matching(within, BOX_REF, BOXES, flip=True) == ["int", "intEdge"]
+
+    def test_relate(self):
+        m = relate(g("LINESTRING(1 2, 3 4)"), g("LINESTRING(5 6, 7 8)"))
+        assert m == "FF1FF0102"
+        assert relate_bool(g("LINESTRING(1 2, 3 4)"), g("LINESTRING(5 6, 7 8)"), "FF*FF****")
+
+
+class TestMeasures:
+    def test_area(self):
+        assert area(g(BOX_REF)) == 100.0
+        assert area(g("POLYGON((0 50, 0 60, 10 60, 10 50, 0 50))")) == 100.0
+
+    def test_centroid(self):
+        c = centroid(g(BOX_REF))
+        assert (c.x, c.y) == (5.0, 5.0)
+
+    def test_closest_point(self):
+        cp = closest_point(g(BOX_REF), g("POINT(15 5)"))
+        assert (cp.x, cp.y) == (10.0, 5.0)
+
+    def test_distance(self):
+        assert distance(g("POINT(0 0)"), g("POINT(10 0)")) == 10.0
+        assert distance(g(BOX_REF), g("POINT(15 5)")) == 5.0
+        # intersecting -> 0
+        assert distance(g(BOX_REF), g("POINT(5 5)")) == 0.0
+
+    def test_distance_spheroid(self):
+        d = distance_spheroid(g("POINT(0 0)"), g("POINT(10 0)"))
+        assert abs(d - 1113194.0) <= 1.0  # reference asserts +-1 m
+
+    def test_distance_sphere(self):
+        d = distance_sphere(g("POINT(0 0)"), g("POINT(10 0)"))
+        # haversine on mean sphere: 10 deg at equator
+        assert abs(d - 10 * np.pi / 180 * 6371008.7714) < 1.0
+
+    def test_length(self):
+        assert length(g("LINESTRING(0 0, 10 0)")) == 10.0
+        assert length(g(BOX_REF)) == 40.0  # perimeter
+
+    def test_length_sphere(self):
+        l = length_sphere(g("LINESTRING(0 0, 10 0)"))
+        assert abs(l - 10 * np.pi / 180 * 6371008.7714) < 1.0
+
+
+class TestVectorizedPIP:
+    def test_matches_scalar_relate(self):
+        rng = np.random.RandomState(7)
+        shell = np.array([[0, 0], [0, 10], [10, 10], [10, 0], [0, 0]], dtype=float)
+        px = rng.uniform(-5, 15, 500)
+        py = rng.uniform(-5, 15, 500)
+        loc = pip_rings(px, py, [shell])
+        inside = (px > 0) & (px < 10) & (py > 0) & (py < 10)
+        on_b = ((px == 0) | (px == 10)) & (py >= 0) & (py <= 10)
+        on_b |= ((py == 0) | (py == 10)) & (px >= 0) & (px <= 10)
+        expected = np.where(on_b, 0, np.where(inside, 1, -1))
+        assert np.array_equal(loc, expected)
+
+    def test_boundary_and_holes(self):
+        shell = np.array([[0, 0], [0, 10], [10, 10], [10, 0], [0, 0]], dtype=float)
+        hole = np.array([[4, 4], [4, 6], [6, 6], [6, 4], [4, 4]], dtype=float)
+        px = np.array([5.0, 2.0, 4.0, 0.0, -1.0])
+        py = np.array([5.0, 2.0, 5.0, 5.0, 5.0])
+        loc = pip_rings(px, py, [shell, hole])
+        # center is inside the hole -> outside; (4,5) on hole edge -> boundary
+        assert list(loc) == [-1, 1, 0, 0, -1]
+
+    def test_nonconvex(self):
+        # L-shaped polygon
+        shell = np.array([[0, 0], [4, 0], [4, 2], [2, 2], [2, 4], [0, 4], [0, 0]], dtype=float)
+        px = np.array([1.0, 3.0, 3.0, 1.0])
+        py = np.array([1.0, 1.0, 3.0, 3.0])
+        assert list(pip_rings(px, py, [shell])) == [1, 1, -1, 1]
