@@ -1,0 +1,127 @@
+"""SQL-surface tests: the reference SparkSQL relationship suite run through
+our registered UDFs (SparkSQLSpatialRelationshipsTest.scala:88-396 style —
+direct st_* calls in spark.sql, truth tables, null-in/null-out)."""
+
+import pytest
+
+BOX_REF = "POLYGON((0 0, 0 10, 10 10, 10 0, 0 0))"
+LINE_REF = "LINESTRING(0 10, 0 -10)"
+
+
+def q1(spark, sql):
+    return spark.sql(sql).collect()[0][0]
+
+
+def direct(spark, f, g1, g2):
+    return q1(spark, f"select {f}(st_geomFromWKT('{g1}'), st_geomFromWKT('{g2}'))")
+
+
+@pytest.mark.usefixtures("spark")
+class TestRelationsSQL:
+    def test_contains_direct(self, spark):
+        assert direct(spark, "st_contains", BOX_REF, "POINT(5 5)") is True
+        assert direct(spark, "st_contains", BOX_REF, "POINT(0 5)") is False
+        assert direct(spark, "st_contains", BOX_REF, "POINT(0 0)") is False
+        assert direct(spark, "st_contains", BOX_REF, "POINT(-5 0)") is False
+        assert direct(spark, "st_contains", BOX_REF, "POLYGON((0 1, 0 2, 1 2, 1 1, 0 1))") is True
+        assert direct(spark, "st_contains", BOX_REF, "POLYGON((-1 1, -1 2, 1 2, 1 1, -1 1))") is False
+
+    def test_covers_touches(self, spark):
+        assert direct(spark, "st_covers", BOX_REF, "POINT(0 5)") is True
+        assert direct(spark, "st_covers", BOX_REF, "POINT(0 0)") is True
+        assert direct(spark, "st_touches", BOX_REF, "POLYGON((-1 1, -1 2, 0 2, 0 1, -1 1))") is True
+        assert direct(spark, "st_touches", BOX_REF, "POLYGON((0 1, 0 2, 1 2, 1 1, 0 1))") is False
+
+    def test_crosses_intersects(self, spark):
+        assert direct(spark, "st_crosses", LINE_REF, "LINESTRING(-1 0, 1 0)") is True
+        assert direct(spark, "st_crosses", LINE_REF, "LINESTRING(0 0, 1 0)") is False
+        assert direct(spark, "st_intersects", BOX_REF, "POLYGON((-1 -1, -1 0, 0 0, 0 -1, -1 -1))") is True
+        assert direct(spark, "st_disjoint", BOX_REF, "POLYGON((-2 1, -2 2, -1 2, -1 1, -2 1))") is True
+
+    def test_equals(self, spark):
+        assert direct(spark, "st_equals", "LINESTRING(0 0, 1 1)", "LINESTRING(1 1, 0 0)") is True
+        assert direct(spark, "st_equals", BOX_REF, "POLYGON((10 0, 10 10, 0 10, 0 0, 10 0))") is True
+
+    def test_relate(self, spark):
+        m = direct(spark, "st_relate", "LINESTRING(1 2, 3 4)", "LINESTRING(5 6, 7 8)")
+        assert m == "FF1FF0102"
+        r = q1(spark, "select st_relateBool(st_geomFromWKT('LINESTRING(1 2, 3 4)'), "
+                      "st_geomFromWKT('LINESTRING(5 6, 7 8)'), 'FF*FF****')")
+        assert r is True
+
+    def test_null_in_null_out(self, spark):
+        for f in ("st_contains", "st_covers", "st_crosses", "st_disjoint", "st_equals",
+                  "st_intersects", "st_overlaps", "st_touches", "st_within", "st_relate"):
+            assert q1(spark, f"select {f}(null, null)") is None
+        assert q1(spark, "select st_area(null)") is None
+        assert q1(spark, "select st_centroid(null)") is None
+        assert q1(spark, "select st_distance(null, null)") is None
+
+    def test_truth_table_where_clause(self, spark):
+        rows = spark.sql(
+            "with t as (select name, st_geomFromWKT(wkt) as geom from values "
+            "('int', 'POINT(5 5)'), ('edge', 'POINT(0 5)'), "
+            "('corner', 'POINT(0 0)'), ('ext', 'POINT(-5 0)') as v(name, wkt)) "
+            f"select name from t where st_covers(st_geomFromWKT('{BOX_REF}'), geom)"
+        ).collect()
+        assert sorted(r.name for r in rows) == ["corner", "edge", "int"]
+
+
+class TestMeasuresSQL:
+    def test_area_length(self, spark):
+        assert q1(spark, f"select st_area(st_geomFromWKT('{BOX_REF}'))") == 100.0
+        assert q1(spark, f"select st_length(st_geomFromWKT('{BOX_REF}'))") == 40.0
+        assert q1(spark, "select st_length(st_geomFromWKT('LINESTRING(0 0, 10 0)'))") == 10.0
+
+    def test_centroid_closestpoint(self, spark):
+        wkt = q1(spark, f"select st_asText(st_centroid(st_geomFromWKT('{BOX_REF}')))")
+        assert wkt == "POINT (5 5)"
+        wkt = q1(spark, f"select st_asText(st_closestPoint(st_geomFromWKT('{BOX_REF}'), "
+                        "st_geomFromWKT('POINT(15 5)')))")
+        assert wkt == "POINT (10 5)"
+
+    def test_distances(self, spark):
+        assert q1(spark, "select st_distance(st_geomFromWKT('POINT(0 0)'), st_geomFromWKT('POINT(10 0)'))") == 10.0
+        d = q1(spark, "select st_distanceSpheroid(st_geomFromWKT('POINT(0 0)'), st_geomFromWKT('POINT(10 0)'))")
+        assert abs(d - 1113194.0) <= 1.0
+
+    def test_makepoint_xy(self, spark):
+        assert q1(spark, "select st_x(st_makePoint(1.5, 2.5))") == 1.5
+        assert q1(spark, "select st_y(st_point(1.5, 2.5))") == 2.5
+        assert q1(spark, "select st_x(st_geomFromWKT('LINESTRING(0 0, 1 1)'))") is None
+
+    def test_geohash(self, spark):
+        gh = q1(spark, "select st_geoHash(st_makePoint(-5.6, 42.6), 25)")
+        assert gh == "ezs42"
+
+    def test_constructors(self, spark):
+        assert q1(spark, "select st_asText(st_makeBBOX(0, 0, 2, 2))") == \
+            "POLYGON ((0 0, 0 2, 2 2, 2 0, 0 0))"
+        assert q1(spark, "select st_asText(st_geomFromGeoJSON('{\"type\":\"Point\",\"coordinates\":[1,2]}'))") == \
+            "POINT (1 2)"
+
+    def test_accessors(self, spark):
+        assert q1(spark, f"select st_geometryType(st_geomFromWKT('{BOX_REF}'))") == "Polygon"
+        assert q1(spark, f"select st_dimension(st_geomFromWKT('{BOX_REF}'))") == 2
+        assert q1(spark, f"select st_numPoints(st_geomFromWKT('{BOX_REF}'))") == 5
+        assert q1(spark, "select st_asText(st_pointN(st_geomFromWKT('LINESTRING(0 0, 1 1, 2 2)'), -1))") == \
+            "POINT (2 2)"
+        assert q1(spark, "select st_isClosed(st_geomFromWKT('LINESTRING(0 0, 1 1)'))") is False
+
+    def test_dwithin(self, spark):
+        # ~111 km per degree at the equator
+        assert q1(spark, "select st_dwithin(st_makePoint(0,0), st_makePoint(1,0), 120000)") is True
+        assert q1(spark, "select st_dwithin(st_makePoint(0,0), st_makePoint(1,0), 100000)") is False
+
+    def test_buffer_point(self, spark):
+        # 100km buffer around (0,0) must contain a point 50km east
+        r = q1(spark, "select st_contains(st_bufferPoint(st_makePoint(0,0), 100000), "
+                      "st_makePoint(0.449, 0))")
+        assert r is True
+
+    def test_aggregate_distance_window(self, spark):
+        # pattern from SparkSQLDataTest.scala:649-667
+        df = spark.sql(
+            "select st_aggregateDistanceSphere(array(st_makePoint(0,0), st_makePoint(1,0))) as d")
+        d = df.collect()[0].d
+        assert abs(d - 111195.0) < 100
