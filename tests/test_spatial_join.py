@@ -1,0 +1,126 @@
+"""Spatial-join equivalence: cell-cover prefilter + refine must produce the
+exact row set of a brute-force oracle (the reference asserts count equality
+for 999 points x 999 polys, SparkSQLDataTest.scala:404-458; we assert the
+full pair set on seeded data)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.geom.kernels import pip_rings
+from geomesa_spark.operators.spatial_join import pip_join, spatial_join
+from geomesa_spark.sources.pages import generate_pages, generate_polys, geoparse, page_coords
+
+N_PAGES = 400
+N_POLYS = 150
+
+
+@pytest.fixture(scope="module")
+def pages_points(spark):
+    pts = geoparse(generate_pages(spark, N_PAGES, partitions=4))
+    return pts.select("url", "lon", "lat").cache()
+
+
+@pytest.fixture(scope="module")
+def polys(spark):
+    return generate_polys(spark, N_POLYS).cache()
+
+
+def brute_force_pairs(points_pd, polys_pd, strict: bool):
+    """Oracle: vectorized PIP per polygon over ALL points."""
+    px = points_pd["lon"].to_numpy()
+    py = points_pd["lat"].to_numpy()
+    urls = points_pd["url"].to_numpy()
+    pairs = set()
+    for _, row in polys_pd.iterrows():
+        ring = np.array([
+            [row.xmin, row.ymin], [row.xmin, row.ymax],
+            [row.xmax, row.ymax], [row.xmax, row.ymin], [row.xmin, row.ymin],
+        ])
+        loc = pip_rings(px, py, [ring])
+        hit = (loc == 1) if strict else (loc >= 0)
+        for u in urls[hit]:
+            pairs.add((u, row.poly_id))
+    return pairs
+
+
+class TestPipJoin:
+    def test_contains_matches_bruteforce(self, spark, pages_points, polys):
+        joined = pip_join(pages_points, polys, "lon", "lat", "geom",
+                          predicate="st_contains")
+        got = {(r.url, r.poly_id) for r in joined.select("url", "poly_id").collect()}
+        expected = brute_force_pairs(pages_points.toPandas(), polys.toPandas(), strict=True)
+        assert got == expected
+        assert len(expected) > 0  # fixture sanity: joins actually happen
+
+    def test_covers_matches_bruteforce(self, spark, pages_points, polys):
+        joined = pip_join(pages_points, polys, "lon", "lat", "geom",
+                          predicate="st_covers")
+        got = {(r.url, r.poly_id) for r in joined.select("url", "poly_id").collect()}
+        expected = brute_force_pairs(pages_points.toPandas(), polys.toPandas(), strict=False)
+        assert got == expected
+
+    def test_salted_join_same_rowset(self, spark, pages_points, polys):
+        joined = pip_join(pages_points, polys, "lon", "lat", "geom",
+                          predicate="st_contains", salt=4)
+        got = {(r.url, r.poly_id) for r in joined.select("url", "poly_id").collect()}
+        expected = brute_force_pairs(pages_points.toPandas(), polys.toPandas(), strict=True)
+        assert got == expected
+
+    def test_broadcast_join_same_rowset(self, spark, pages_points, polys):
+        joined = pip_join(pages_points, polys, "lon", "lat", "geom",
+                          predicate="st_contains", broadcast_polys=True)
+        got = {(r.url, r.poly_id) for r in joined.select("url", "poly_id").collect()}
+        expected = brute_force_pairs(pages_points.toPandas(), polys.toPandas(), strict=True)
+        assert got == expected
+
+
+class TestGeneralSpatialJoin:
+    def test_poly_poly_intersects(self, spark, polys):
+        a = polys.select(F.col("poly_id").alias("lid"), F.col("geom").alias("lgeom"),
+                         "xmin", "ymin", "xmax", "ymax").limit(60).cache()
+        b = polys.select(F.col("poly_id").alias("rid"), F.col("geom").alias("rgeom")) \
+                 .filter(F.col("rid") >= 60).cache()
+        joined = spatial_join(a, b, "st_intersects", left_geom="lgeom", right_geom="rgeom",
+                              left_id="lid", right_id="rid")
+        got = {(r.lid, r.rid) for r in joined.select("lid", "rid").collect()}
+
+        ap = a.toPandas()
+        bp = polys.filter(F.col("poly_id") >= 60).toPandas()
+        expected = set()
+        for _, l in ap.iterrows():
+            for _, r in bp.iterrows():
+                if (l.xmin <= r.xmax and r.xmin <= l.xmax
+                        and l.ymin <= r.ymax and r.ymin <= l.ymax):
+                    expected.add((l.lid, r.poly_id))
+        assert got == expected
+        assert len(expected) > 0
+
+
+class TestDeterminism:
+    def test_pages_deterministic(self, spark):
+        a = generate_pages(spark, 50).orderBy("url").toPandas()
+        b = generate_pages(spark, 50).orderBy("url").toPandas()
+        assert (a["text"] == b["text"]).all()
+        assert (a["url"] == b["url"]).all()
+
+    def test_geoparse_pure_function_of_text(self, spark):
+        pts = geoparse(generate_pages(spark, 100)).toPandas()
+        # re-parse offline: regex of text must equal the emitted lon/lat
+        import re
+
+        for _, r in pts.iterrows():
+            m = re.search(r"located at (-?\d+\.\d+), (-?\d+\.\d+)", r.text)
+            assert float(m.group(2)) == r.lon
+            assert float(m.group(1)) == r.lat
+
+    def test_hot_cell_skew_present(self, spark):
+        ids = np.arange(5000)
+        lon, lat = page_coords(ids)
+        # 80% of points should fall near the 20 urban centers
+        from geomesa_spark.sources.pages import URBAN_CENTERS
+
+        d = np.min(np.hypot(lon[:, None] - URBAN_CENTERS[None, :, 0],
+                            lat[:, None] - URBAN_CENTERS[None, :, 1]), axis=1)
+        frac_hot = float(np.mean(d < 0.2))
+        assert 0.75 < frac_hot < 0.85
