@@ -1,38 +1,569 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: flagship entry + per-operator queries + DuckDB oracles.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises a real engine operator
+(geomesa_spark.operators.*) on the driver testdata; the matching
+``oracle_sql()`` string recomputes the same result in DuckDB with
+arithmetic both engines evaluate bit-identically (see
+geomesa_spark/sources/tpch_geo.py for the shared derivations).
+Geometry-bearing layers are derived deterministically from the TPC-H-ish
+keys (the converter-ingest pattern: geometry is a pure function of source
+columns). Non-SQL-expressible operators (MinHash/SimHash banding, LSH ANN,
+polygon rasterization, streaming) are registered without an oracle ->
+rows-only checks.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np  # noqa: F401  (pUDF type-hint resolution)
+import pandas as pd  # noqa: F401
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from geomesa_spark.sources import tpch_geo as tg
+
+
+# ---------------------------------------------------------------------------
+# derived layers (Spark side)
+
+def _t(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cust_points(spark, sf_dir):
+    return _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        tg.point_lon("c_custkey").alias("lon"),
+        tg.point_lat("c_custkey").alias("lat"))
+
+
+def _supp_points(spark, sf_dir):
+    s = tg.SUPP
+    return _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        tg.point_lon("s_suppkey", s["mlon"], s["olon"]).alias("lon"),
+        tg.point_lat("s_suppkey", s["mlat"], s["olat"]).alias("lat"))
+
+
+def _nation_rects(spark, sf_dir, with_wkb=True):
+    xmin, ymin, xmax, ymax = tg.rect_cols("n_nationkey")
+    df = _t(spark, sf_dir, "nation").select("n_nationkey", xmin, ymin, xmax, ymax)
+    if with_wkb:
+        mk = tg.rect_wkb_udf()
+        df = df.withColumn("geom", mk("xmin", "ymin", "xmax", "ymax"))
+    return df
+
+
+def _region_rects(spark, sf_dir, with_wkb=True):
+    xmin, ymin, xmax, ymax = tg.rect_cols("r_regionkey", **tg.REGION_RECT)
+    df = _t(spark, sf_dir, "region").select("r_regionkey", xmin, ymin, xmax, ymax)
+    if with_wkb:
+        mk = tg.rect_wkb_udf()
+        df = df.withColumn("geom", mk("xmin", "ymin", "xmax", "ymax"))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# derived layers (oracle side; identical arithmetic)
+
+_CUST_SQL = (f"SELECT c_custkey, {tg.sql_point_lon('c_custkey')} AS lon, "
+             f"{tg.sql_point_lat('c_custkey')} AS lat FROM customer")
+_s = tg.SUPP
+_SUPP_SQL = (f"SELECT s_suppkey, {tg.sql_point_lon('s_suppkey', _s['mlon'], _s['olon'])} AS lon, "
+             f"{tg.sql_point_lat('s_suppkey', _s['mlat'], _s['olat'])} AS lat FROM supplier")
+_nx0, _ny0, _nx1, _ny1 = tg.sql_rect_exprs("n_nationkey")
+_NATION_SQL = (f"SELECT n_nationkey, {_nx0} AS xmin, {_ny0} AS ymin, "
+               f"{_nx1} AS xmax, {_ny1} AS ymax FROM nation")
+_rx0, _ry0, _rx1, _ry1 = tg.sql_rect_exprs("r_regionkey", **tg.REGION_RECT)
+_REGION_SQL = (f"SELECT r_regionkey, {_rx0} AS xmin, {_ry0} AS ymin, "
+               f"{_rx1} AS xmax, {_ry1} AS ymax FROM region")
+_q = tg.QRY
+_QPTS_SQL = (f"SELECT n_nationkey AS qid, {tg.sql_point_lon('n_nationkey', _q['mlon'], _q['olon'])} AS qx, "
+             f"{tg.sql_point_lat('n_nationkey', _q['mlat'], _q['olat'])} AS qy FROM nation")
+_e = tg.EVT
+_EVT_SQL = (f"SELECT event_id, user_id, ts, {tg.sql_point_lon('event_id', _e['mlon'], _e['olon'])} AS lon, "
+            f"{tg.sql_point_lat('event_id', _e['mlat'], _e['olat'])} AS lat FROM events")
+
+
+# ---------------------------------------------------------------------------
+# queries
+
+def q_pip_contains(spark, sf_dir):
+    from geomesa_spark.operators.spatial_join import pip_join
+
+    pts = _cust_points(spark, sf_dir)
+    polys = _nation_rects(spark, sf_dir)
+    out = pip_join(pts, polys, "lon", "lat", "geom",
+                   predicate="st_contains", broadcast_polys=True)
+    return out.select("c_custkey", "n_nationkey")
+
+
+def q_pip_intersects(spark, sf_dir):
+    from geomesa_spark.operators.spatial_join import pip_join
+
+    pts = _supp_points(spark, sf_dir)
+    polys = _region_rects(spark, sf_dir)
+    out = pip_join(pts, polys, "lon", "lat", "geom",
+                   predicate="st_intersects", broadcast_polys=True)
+    return out.select("s_suppkey", "r_regionkey")
+
+
+def q_rect_intersects(spark, sf_dir):
+    from geomesa_spark.operators.spatial_join import spatial_join
+
+    l = _nation_rects(spark, sf_dir).select("n_nationkey", "geom")
+    r = (_region_rects(spark, sf_dir).select("r_regionkey", "geom")
+         .withColumnRenamed("geom", "rgeom"))
+    out = spatial_join(l, r, "st_intersects", left_geom="geom", right_geom="rgeom",
+                       left_id="n_nationkey", right_id="r_regionkey",
+                       broadcast_right=True)
+    return out.select("n_nationkey", "r_regionkey")
+
+
+def q_dwithin_deg(spark, sf_dir):
+    from geomesa_spark.operators.spatial_join import dwithin_join_points
+
+    c = _cust_points(spark, sf_dir)
+    s = (_supp_points(spark, sf_dir)
+         .withColumnRenamed("lon", "slon").withColumnRenamed("lat", "slat"))
+    out = dwithin_join_points(c, s, 2.0, "lon", "lat", "slon", "slat",
+                              metric="degrees", broadcast_right=True)
+    return out.select("c_custkey", "s_suppkey")
+
+
+def q_knn(spark, sf_dir):
+    from geomesa_spark.operators.knn import knn_join
+
+    q = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("qid"),
+        tg.point_lon("n_nationkey", _q["mlon"], _q["olon"]).alias("qx"),
+        tg.point_lat("n_nationkey", _q["mlat"], _q["olat"]).alias("qy"))
+    d = _cust_points(spark, sf_dir)
+    out = knn_join(q, d, k=5, query_id="qid", qx="qx", qy="qy",
+                   dx="lon", dy="lat", data_id="c_custkey",
+                   metric="degrees", initial_radius=20.0, max_radius=90.0,
+                   max_rounds=4)
+    return out.select("qid", "c_custkey", "rank")
+
+
+def q_z2_cells(spark, sf_dir):
+    from geomesa_spark.operators.spatial_join import cell_of_points
+
+    cell = cell_of_points(8)
+    pts = _cust_points(spark, sf_dir)
+    return (pts.withColumn("cell", cell("lon", "lat"))
+               .groupBy("cell").agg(F.count("*").alias("n")))
+
+
+def q_geohash(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql.types import StringType
+
+    from geomesa_spark.curves.geohash import geohash_encode
+
+    @F.pandas_udf(StringType())
+    def gh(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(geohash_encode(lon.to_numpy(), lat.to_numpy(), 30))
+
+    pts = _cust_points(spark, sf_dir)
+    return (pts.withColumn("gh", gh("lon", "lat"))
+               .groupBy("gh").agg(F.count("*").alias("n")))
+
+
+def q_tile_density(spark, sf_dir):
+    from geomesa_spark.operators.tiling import density_points
+
+    pts = _cust_points(spark, sf_dir)
+    return density_points(pts, "lon", "lat", -180.0, -90.0, 180.0, 90.0, 360, 180)
+
+
+def q_extent(spark, sf_dir):
+    pts = _cust_points(spark, sf_dir)
+    return pts.agg(F.min("lon").alias("xmin"), F.min("lat").alias("ymin"),
+                   F.max("lon").alias("xmax"), F.max("lat").alias("ymax"))
+
+
+def q_dedup_exact(spark, sf_dir):
+    from geomesa_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+def q_text_stats(spark, sf_dir):
+    from geomesa_spark.operators.text import text_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    s = text_stats(docs, "doc_id", "text")
+    return s.select("doc_id",
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+                    F.col("n_punct").cast("long").alias("n_punct"),
+                    F.col("n_digit").cast("long").alias("n_digit"),
+                    "mean_word_len_x100")
+
+
+def q_quality(spark, sf_dir):
+    from geomesa_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    qs = quality_score(docs, "doc_id", "text")
+    return qs.select("doc_id", "len_ok", "wlen_ok", "punct_ok", "rep_ok",
+                     F.col("quality_score").cast("long").alias("quality_score"))
+
+
+def q_token_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+    return (toks.groupBy("token").agg(F.count("*").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("token").asc()).limit(20))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from geomesa_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+
+
+def q_ann_cosine(spark, sf_dir):
+    from geomesa_spark.operators.ann import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"), "embedding")
+    out = cosine_topk(q, emb, k=5, query_id="qid", query_vec="embedding",
+                      corpus_id="vec_id", corpus_vec="embedding")
+    return out.select("qid", "vec_id", "rank")
+
+
+def q_events_topk(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id").agg(F.count("*").alias("n"))
+              .orderBy(F.col("n").desc(), F.col("user_id").asc()).limit(10))
+
+
+def q_track_last(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (ev.withColumn("__rn__", F.row_number().over(w))
+              .filter(F.col("__rn__") == 1)
+              .select("user_id", "event_id"))
+
+
+def q_longest_legs(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    nxt_id = F.lead("event_id").over(w)
+    nxt_lon = F.lead("lon").over(w)
+    nxt_lat = F.lead("lat").over(w)
+    legs = (ev.withColumn("next_event_id", nxt_id)
+              .withColumn("dist", F.sqrt((F.col("lon") - nxt_lon) * (F.col("lon") - nxt_lon)
+                                         + (F.col("lat") - nxt_lat) * (F.col("lat") - nxt_lat)))
+              .filter(F.col("next_event_id").isNotNull()))
+    return (legs.orderBy(F.col("dist").desc(), F.col("user_id").asc(), F.col("event_id").asc())
+                .limit(20)
+                .select("user_id", "event_id", "next_event_id", "dist"))
+
+
+def q_sampling(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(F.col("user_id") % 20 == 0).select("event_id", "user_id", "event_type")
+
+
+def q_unique_vals(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(F.count("*").alias("n"))
+
+
+def q_stats_minmax(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.unix_timestamp(F.min("ts")).alias("min_ts_epoch"),
+        F.unix_timestamp(F.max("ts")).alias("max_ts_epoch"))
+
+
+# --- rows-only (non-SQL-expressible) ---------------------------------------
+
+def q_minhash_pairs(spark, sf_dir):
+    from geomesa_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.2)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from geomesa_spark.operators.dedup import simhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=8)
+
+
+def q_lsh_ann(spark, sf_dir):
+    from geomesa_spark.operators.ann import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"),
+                                                F.col("embedding").alias("qvec"))
+    return lsh_topk(q, emb, k=5, dim=64)
+
+
+def q_density_poly(spark, sf_dir):
+    from geomesa_spark.operators.tiling import density
+
+    polys = _nation_rects(spark, sf_dir)
+    return density(polys, "geom", -180.0, -90.0, 180.0, 90.0, 360, 180)
+
+
+def q_fingerprint(spark, sf_dir):
+    from geomesa_spark.operators.text import fingerprint_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = fingerprint_udf()
+    return docs.select("doc_id", fp("text").alias("fingerprint"))
+
+
+def q_langid(spark, sf_dir):
+    from geomesa_spark.operators.text import langid_udf
+
+    docs = _t(spark, sf_dir, "documents")
+    lid = langid_udf()
+    return (docs.withColumn("lang_pred", lid("text"))
+                .groupBy("lang_pred").agg(F.count("*").alias("n")))
+
+
+def q_xz2_cells(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql.types import LongType
+
+    from geomesa_spark.curves.xz2 import XZ2SFC
+
+    sfc = XZ2SFC(12)
+
+    @F.pandas_udf(LongType())
+    def xz2(xmin: pd.Series, ymin: pd.Series, xmax: pd.Series, ymax: pd.Series) -> pd.Series:
+        import numpy as np
+        return pd.Series(sfc.index(xmin.to_numpy(), ymin.to_numpy(),
+                                   xmax.to_numpy(), ymax.to_numpy()))
+
+    rects = _nation_rects(spark, sf_dir, with_wkb=False)
+    return rects.select("n_nationkey", xz2("xmin", "ymin", "xmax", "ymax").alias("xz2"))
+
+
+def q_multimodal_feats(spark, sf_dir):
+    from geomesa_spark.operators.multimodal import decode_image_features
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"))
+    feats = decode_image_features(docs, dim=16, fake=True)
+    return feats.select("media_id", F.size("features").alias("dim"))
+
+
+def q_geoparse_pages(spark, sf_dir):
+    from geomesa_spark.sources.pages import generate_pages, geoparse
+
+    pages = generate_pages(spark, 2000, partitions=8)
+    pts = geoparse(pages)
+    return pts.groupBy("lang").agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# driver contract
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: point-in-polygon spatial join at sf0.001."""
+    return q_pip_contains(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "pip_contains": q_pip_contains,
+        "pip_intersects": q_pip_intersects,
+        "rect_intersects": q_rect_intersects,
+        "dwithin_deg": q_dwithin_deg,
+        "knn": q_knn,
+        "z2_cells": q_z2_cells,
+        "geohash": q_geohash,
+        "tile_density": q_tile_density,
+        "extent": q_extent,
+        "dedup_exact": q_dedup_exact,
+        "text_stats": q_text_stats,
+        "quality": q_quality,
+        "token_topk": q_token_topk,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine": q_ann_cosine,
+        "events_topk": q_events_topk,
+        "track_last": q_track_last,
+        "longest_legs": q_longest_legs,
+        "sampling": q_sampling,
+        "unique_vals": q_unique_vals,
+        "stats_minmax": q_stats_minmax,
+        # rows-only (no SQL equivalent)
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_ann": q_lsh_ann,
+        "density_poly": q_density_poly,
+        "fingerprint": q_fingerprint,
+        "langid": q_langid,
+        "xz2_cells": q_xz2_cells,
+        "multimodal_feats": q_multimodal_feats,
+        "geoparse_pages": q_geoparse_pages,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    z2 = tg.sql_z2_cell("lon", "lat", 8)
+    gh = tg.sql_geohash("lon", "lat", 6)
+    ti = tg.sql_tile("lon", "-180.0", 1.0, 360)
+    tj = tg.sql_tile("lat", "-90.0", 1.0, 180)
+    grams = ("list_distinct(list_transform(range(0, greatest(len(words) - 3, 0) + 1), "
+             "i -> array_to_string(words[i+1:i+3], ' ')))")
+    return {
+        "pip_contains": f"""
+            WITH pts AS ({_CUST_SQL}), rects AS ({_NATION_SQL})
+            SELECT p.c_custkey, r.n_nationkey FROM pts p, rects r
+            WHERE p.lon > r.xmin AND p.lon < r.xmax AND p.lat > r.ymin AND p.lat < r.ymax
+        """,
+        "pip_intersects": f"""
+            WITH pts AS ({_SUPP_SQL}), rects AS ({_REGION_SQL})
+            SELECT p.s_suppkey, r.r_regionkey FROM pts p, rects r
+            WHERE p.lon >= r.xmin AND p.lon <= r.xmax AND p.lat >= r.ymin AND p.lat <= r.ymax
+        """,
+        "rect_intersects": f"""
+            WITH a AS ({_NATION_SQL}), b AS ({_REGION_SQL})
+            SELECT a.n_nationkey, b.r_regionkey FROM a, b
+            WHERE a.xmin <= b.xmax AND b.xmin <= a.xmax AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+        """,
+        "dwithin_deg": f"""
+            WITH c AS ({_CUST_SQL}), s AS ({_SUPP_SQL})
+            SELECT c.c_custkey, s.s_suppkey FROM c, s
+            WHERE sqrt((c.lon - s.lon) * (c.lon - s.lon) + (c.lat - s.lat) * (c.lat - s.lat)) < 2.0
+        """,
+        "knn": f"""
+            WITH q AS ({_QPTS_SQL}), c AS ({_CUST_SQL})
+            SELECT qid, c_custkey, CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY sqrt((qx - lon) * (qx - lon) + (qy - lat) * (qy - lat)) ASC,
+                         c_custkey ASC) AS INTEGER) AS rank
+            FROM q, c QUALIFY rank <= 5
+        """,
+        "z2_cells": f"""
+            WITH pts AS ({_CUST_SQL})
+            SELECT {z2} AS cell, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1
+        """,
+        "geohash": f"""
+            WITH pts AS ({_CUST_SQL})
+            SELECT {gh} AS gh, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1
+        """,
+        "tile_density": f"""
+            WITH pts AS ({_CUST_SQL})
+            SELECT CAST({ti} AS INTEGER) AS i, CAST({tj} AS INTEGER) AS j,
+                   CAST(count(*) AS DOUBLE) AS weight
+            FROM pts GROUP BY 1, 2
+        """,
+        "extent": f"""
+            WITH pts AS ({_CUST_SQL})
+            SELECT min(lon) AS xmin, min(lat) AS ymin, max(lon) AS xmax, max(lat) AS ymax FROM pts
+        """,
+        "dedup_exact": """
+            SELECT sha256(text) AS content_hash, min(doc_id) AS keep_id,
+                   CAST(count(*) AS BIGINT) AS dup_count
+            FROM documents GROUP BY 1
+        """,
+        "text_stats": r"""
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct_tokens,
+                   CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS BIGINT) AS n_punct,
+                   CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+                   CAST(floor((length(text) - (length(text) - length(regexp_replace(text, '\s', '', 'g')))) * 100
+                        / len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS mean_word_len_x100
+            FROM documents
+        """,
+        "quality": r"""
+            WITH s AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                     len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct,
+                     length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+                     length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_nonspace
+              FROM documents)
+            SELECT doc_id,
+                   n_tokens >= 20 AS len_ok,
+                   floor(n_nonspace * 100 / n_tokens) <= 1200 AS wlen_ok,
+                   n_punct * 10 <= n_chars * 3 AS punct_ok,
+                   n_distinct * 4 >= n_tokens AS rep_ok,
+                   CAST((CASE WHEN n_tokens >= 20 THEN 25 ELSE 0 END)
+                      + (CASE WHEN floor(n_nonspace * 100 / n_tokens) <= 1200 THEN 25 ELSE 0 END)
+                      + (CASE WHEN n_punct * 10 <= n_chars * 3 THEN 25 ELSE 0 END)
+                      + (CASE WHEN n_distinct * 4 >= n_tokens THEN 25 ELSE 0 END) AS BIGINT) AS quality_score
+            FROM s
+        """,
+        "token_topk": r"""
+            SELECT token, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
+            GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20
+        """,
+        "ngram_jaccard": rf"""
+            WITH g AS (
+              SELECT doc_id, {grams} AS grams
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents))
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                     / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.12
+        """,
+        "ann_cosine": """
+            SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+                   CAST(row_number() OVER (PARTITION BY q.vec_id
+                        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+                                 c.vec_id ASC) AS INTEGER) AS rank
+            FROM embeddings q, embeddings c
+            WHERE q.vec_id < 10 QUALIFY rank <= 5
+        """,
+        "events_topk": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
+            GROUP BY 1 ORDER BY n DESC, user_id ASC LIMIT 10
+        """,
+        "track_last": """
+            SELECT user_id, event_id FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "longest_legs": f"""
+            WITH e AS ({_EVT_SQL}),
+            legs AS (
+              SELECT user_id, event_id,
+                     lead(event_id) OVER w AS next_event_id,
+                     sqrt((lon - lead(lon) OVER w) * (lon - lead(lon) OVER w)
+                        + (lat - lead(lat) OVER w) * (lat - lead(lat) OVER w)) AS dist
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+            SELECT user_id, event_id, next_event_id, dist FROM legs
+            WHERE next_event_id IS NOT NULL
+            ORDER BY dist DESC, user_id ASC, event_id ASC LIMIT 20
+        """,
+        "sampling": """
+            SELECT event_id, user_id, event_type FROM events WHERE user_id % 20 = 0
+        """,
+        "unique_vals": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1
+        """,
+        "stats_minmax": """
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   min(value) AS min_value, max(value) AS max_value,
+                   CAST(epoch(min(ts)) AS BIGINT) AS min_ts_epoch,
+                   CAST(epoch(max(ts)) AS BIGINT) AS max_ts_epoch
+            FROM events
+        """,
+    }

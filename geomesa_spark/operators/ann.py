@@ -1,0 +1,146 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+- ``cosine_topk``: exact brute-force baseline. The query matrix is
+  broadcast; each Arrow batch of the corpus does ONE numpy matmul and
+  emits only its per-query local top-k, so the final exact window sees
+  ~(#queries * k * #partitions) rows regardless of corpus size. This is
+  the map-side-combine shape of the reference's server-side aggregation
+  scans (geomesa-index-api iterators/AggregatingScan.scala).
+- ``cosine_topk_sql``: the same computation as pure built-in HOF
+  expressions (aggregate/zip_with) — slower per-row but fully
+  SQL-expressible (used for DuckDB oracle checks).
+- ``lsh_topk``: random-hyperplane LSH. Corpus vectors hash to sign-bit
+  band buckets; queries probe their buckets; exact cosine refine on the
+  candidates. Recall < 1 by design; the scale path when the corpus
+  can't be fully scanned per query batch.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, LongType, StructField, StructType,
+)
+
+__all__ = ["cosine_topk", "cosine_topk_sql", "lsh_topk", "cosine_sim_col"]
+
+
+def cosine_sim_col(a, b) -> F.Column:
+    """Built-in cosine similarity between two array<float/double> columns.
+
+    Sequential left-to-right double accumulation (matches DuckDB's
+    list_cosine_similarity evaluation order).
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(F.zip_with(ad, bd, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.aggregate(F.transform(ad, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    nb = F.aggregate(F.transform(bd, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    return dot / F.sqrt(na * nb)
+
+
+_CAND_SCHEMA = StructType([
+    StructField("qid", LongType()),
+    StructField("vec_id", LongType()),
+    StructField("sim", DoubleType()),
+])
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                query_id: str = "qid", query_vec: str = "embedding",
+                corpus_id: str = "vec_id", corpus_vec: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors per query. Returns (qid, vec_id, sim, rank)."""
+    qrows = queries.select(F.col(query_id).cast("long"), query_vec).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([r[1] for r in qrows], dtype=np.float64)
+    qnorm = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((qids, qnorm))
+
+    def topk_per_batch(iterator):
+        ids_b, qn = bq.value
+        for pdf in iterator:
+            cids = pdf[corpus_id].to_numpy(np.int64)
+            cmat = np.array(list(pdf[corpus_vec]), dtype=np.float64)
+            cn = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+            sims = qn @ cn.T  # (nq, nc)
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            rows = {
+                "qid": np.repeat(ids_b, kk),
+                "vec_id": cids[idx].ravel(),
+                "sim": np.take_along_axis(sims, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(rows)
+
+    cand = corpus.select(corpus_id, corpus_vec).mapInPandas(topk_per_batch, _CAND_SCHEMA)
+    win = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(win))
+                .filter(F.col("rank") <= k))
+
+
+def cosine_topk_sql(queries: DataFrame, corpus: DataFrame, k: int,
+                    query_id: str = "qid", query_vec: str = "qvec",
+                    corpus_id: str = "vec_id", corpus_vec: str = "embedding") -> DataFrame:
+    """Exact top-k via built-in expressions only (broadcast cross join)."""
+    q = queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("__qv__"))
+    c = corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv__"))
+    joined = c.crossJoin(F.broadcast(q))
+    sim = cosine_sim_col("__qv__", "__cv__")
+    win = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (joined.withColumn("sim", sim)
+                  .withColumn("rank", F.row_number().over(win))
+                  .filter(F.col("rank") <= k)
+                  .select("qid", "vec_id", "sim", "rank"))
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
+             dim: int, n_bits: int = 16, bands: int = 4, seed: int = 42,
+             query_id: str = "qid", query_vec: str = "qvec",
+             corpus_id: str = "vec_id", corpus_vec: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH top-k: bucket join + exact cosine refine."""
+    planes = _hyperplanes(dim, n_bits, seed)
+    bits_per_band = n_bits // bands
+    sc = corpus.sparkSession.sparkContext
+    bp = sc.broadcast(planes)
+
+    def bucket_udf():
+        @F.pandas_udf(ArrayType(LongType()))
+        def buckets(vecs: pd.Series) -> pd.Series:
+            pl = bp.value
+            mat = np.array(list(vecs), dtype=np.float64)
+            signs = (mat @ pl.T) >= 0  # (n, n_bits)
+            weights = (1 << np.arange(bits_per_band, dtype=np.int64))
+            out = []
+            for row in signs:
+                bs = []
+                for b in range(bands):
+                    chunk = row[b * bits_per_band:(b + 1) * bits_per_band]
+                    bs.append(int((chunk * weights).sum()) + (b << 32))
+                out.append(bs)
+            return pd.Series(out, dtype=object)
+        return buckets
+
+    bu = bucket_udf()
+    c = (corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv__"))
+               .withColumn("__bucket__", F.explode(bu(F.col("__cv__")))))
+    q = (queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("__qv__"))
+                .withColumn("__bucket__", F.explode(bu(F.col("__qv__")))))
+    cand = (c.join(F.broadcast(q), on="__bucket__")
+             .dropDuplicates(["qid", "vec_id"]))
+    sim = cosine_sim_col("__qv__", "__cv__")
+    win = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (cand.withColumn("sim", sim)
+                .withColumn("rank", F.row_number().over(win))
+                .filter(F.col("rank") <= k)
+                .select("qid", "vec_id", "sim", "rank"))

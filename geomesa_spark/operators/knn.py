@@ -1,0 +1,137 @@
+"""Grid-partitioned k-nearest-neighbors with border expansion.
+
+Re-expresses the reference KNN process
+(geomesa-process/.../query/KNearestNeighborSearchProcess.scala:39-591) as
+iterative DataFrame rounds:
+
+- Round: each live query point covers the cells of its current search-disk
+  bbox (the reference's expanding window query, :425-432); candidates come
+  from an equi-join on the data points' Z2 cell, distances computed
+  vectorized, kept iff <= radius.
+- Expansion (border re-join): queries with < k in-radius neighbors grow
+  their radius by the reference's Liu/Lim/Ng density rule (:292-302):
+  ``r*2`` when nothing was found, else ``max(r, sqrt(k / (pi*density)))``
+  where density = found / (pi*r^2); capped at ``max_radius``. The re-join
+  re-queries the whole disk and dedupes on (query, neighbor) — equivalent
+  row set to the reference's ring-shaped re-query (Envelope.minus:498-520).
+- Final: exact top-k per query via window ``row_number() over (partition
+  by qid order by dist, neighbor id)`` — the reference's fixed-k
+  farthest-replacement array (:314-399) as a declarative window.
+
+Scale shape: the query side is tiny (thousands) and broadcast; the data
+side keeps its one-cell-per-point key so each round is a broadcast join
+pruned to the covered cells — no data-side shuffle at any round. The only
+shuffle is the final window over candidate rows (#queries * ~k rows).
+
+Metrics: 'degrees' (cartesian, matches st_distance) or 'sphere'
+(haversine meters, matches st_distanceSphere).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .spatial_join import DEFAULT_LEVEL, cell_of_points, cells_of_bbox_arrays
+
+EARTH_RADIUS_M = 6371008.7714  # mean radius; matches measures.distance_sphere
+
+
+def _dist_expr(qx, qy, px, py, metric: str):
+    if metric == "degrees":
+        return F.sqrt((qx - px) * (qx - px) + (qy - py) * (qy - py))
+    if metric == "sphere":
+        lat1, lat2 = F.radians(qy), F.radians(py)
+        dlat = (lat2 - lat1) / 2
+        dlon = (F.radians(px) - F.radians(qx)) / 2
+        a = F.sin(dlat) ** 2 + F.cos(lat1) * F.cos(lat2) * F.sin(dlon) ** 2
+        return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+    raise ValueError(metric)
+
+
+def _query_cells(queries, qx: str, qy: str, radius_col: str, level: int,
+                 metric: str):
+    """Explode each query to the Z2 cells covering its search-disk bbox."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def cover(x: pd.Series, y: pd.Series, r: pd.Series) -> pd.Series:
+        xs = x.to_numpy(np.float64)
+        ys = y.to_numpy(np.float64)
+        rs = r.to_numpy(np.float64)
+        if metric == "sphere":  # meters -> worst-case degrees
+            rdeg = rs / 111_320.0 / np.maximum(np.cos(np.radians(np.clip(np.abs(ys), 0, 89.0))), 1e-6)
+        else:
+            rdeg = rs
+        cells = cells_of_bbox_arrays(xs - rdeg, ys - rdeg, xs + rdeg, ys + rdeg, level)
+        return pd.Series(cells, dtype=object)
+
+    return queries.withColumn("__cells__", cover(F.col(qx), F.col(qy), F.col(radius_col)))
+
+
+def knn_join(
+    queries: DataFrame,
+    data: DataFrame,
+    k: int,
+    query_id: str = "qid",
+    qx: str = "qx",
+    qy: str = "qy",
+    dx: str = "lon",
+    dy: str = "lat",
+    data_id: str = "did",
+    metric: str = "degrees",
+    initial_radius: float = 1.0,
+    max_radius: float = 50.0,
+    max_rounds: int = 4,
+    level: int = DEFAULT_LEVEL,
+) -> DataFrame:
+    """k nearest data points per query point.
+
+    Returns (all query cols, all data cols, dist, rank 1..k). Deterministic
+    tie-break on (dist, data_id).
+    """
+    spark = queries.sparkSession
+    dcell = cell_of_points(level)
+    data_c = data.withColumn("__cell__", dcell(F.col(dx), F.col(dy)))
+
+    live = queries.withColumn("__r__", F.lit(float(initial_radius)))
+    all_cand = None
+    for rnd in range(max_rounds):
+        qc = _query_cells(live, qx, qy, "__r__", level, metric)
+        qe = qc.withColumn("__cell__", F.explode("__cells__")).drop("__cells__")
+        dist = _dist_expr(F.col(qx), F.col(qy), F.col(dx), F.col(dy), metric)
+        cand = (
+            F.broadcast(qe).join(data_c, on="__cell__", how="inner")
+             .withColumn("dist", dist)
+             .filter(F.col("dist") <= F.col("__r__"))
+             .drop("__cell__")
+        )
+        all_cand = cand if all_cand is None else all_cand.unionByName(cand)
+        if rnd == max_rounds - 1:
+            break
+        # which queries still need expansion?
+        counts = (cand.groupBy(query_id).agg(F.count("*").alias("__n__"),
+                                             F.max("__r__").alias("__r__")))
+        need = (live.join(counts.select(query_id, "__n__"), on=query_id, how="left")
+                    .fillna({"__n__": 0})
+                    .filter(F.col("__n__") < k))
+        if need.isEmpty():
+            break
+        # Liu/Lim/Ng radius update (KNearestNeighborSearchProcess.scala:292-302)
+        new_r = F.when(F.col("__n__") == 0, F.col("__r__") * 2).otherwise(
+            F.greatest(
+                F.col("__r__") * 1.2,
+                F.sqrt(F.lit(float(k)) / (F.lit(math.pi) * (F.col("__n__") /
+                       (F.lit(math.pi) * F.col("__r__") * F.col("__r__"))))),
+            ))
+        live = (need.withColumn("__r__", F.least(new_r, F.lit(float(max_radius))))
+                    .drop("__n__"))
+
+    dedup = all_cand.dropDuplicates([query_id, data_id])
+    win = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(data_id).asc())
+    return (dedup.withColumn("rank", F.row_number().over(win))
+                 .filter(F.col("rank") <= k)
+                 .drop("__r__"))

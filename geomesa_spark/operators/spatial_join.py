@@ -183,6 +183,55 @@ def pip_join(
     return out.drop("__cell__", "__salt__") if salt else out.drop("__cell__")
 
 
+def dwithin_join_points(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    lx: str, ly: str, rx: str, ry: str,
+    metric: str = "degrees",
+    level: int = DEFAULT_LEVEL,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Point x point distance join: pairs with dist(l, r) < radius.
+
+    The proximity-join analog (geomesa-process ProximitySearchProcess.scala:25,
+    CQL DWITHIN semantics GeometryProcessing.scala:143-146): the right side
+    explodes to the Z2 cells covering its radius-expanded bbox, the left
+    keeps its single point cell — equi-join prefilter, exact vectorized
+    distance refine. metric 'degrees' = cartesian (st_distance), 'sphere' =
+    haversine meters (st_distanceSphere two-stage accept).
+    """
+    from pyspark.sql.types import ArrayType
+
+    cell_pt = cell_of_points(level)
+    if metric == "sphere":
+        expand = radius / 111_320.0 * 1.5
+    else:
+        expand = radius
+
+    @pandas_udf(ArrayType(LongType()))
+    def cover_pt(x: pd.Series, y: pd.Series) -> pd.Series:
+        xs = x.to_numpy(np.float64)
+        ys = y.to_numpy(np.float64)
+        return pd.Series(
+            cells_of_bbox_arrays(xs - expand, ys - expand, xs + expand, ys + expand, level),
+            dtype=object)
+
+    l = left.withColumn("__cell__", cell_pt(F.col(lx), F.col(ly)))
+    r = right.withColumn("__cell__", F.explode(cover_pt(F.col(rx), F.col(ry))))
+    rr = F.broadcast(r) if broadcast_right else r
+    cand = l.join(rr, on="__cell__", how="inner").drop("__cell__")
+
+    if metric == "degrees":
+        dist = F.sqrt((F.col(lx) - F.col(rx)) ** 2 + (F.col(ly) - F.col(ry)) ** 2)
+    else:
+        la1, la2 = F.radians(F.col(ly)), F.radians(F.col(ry))
+        a = (F.sin((la2 - la1) / 2) ** 2
+             + F.cos(la1) * F.cos(la2) * F.sin((F.radians(F.col(rx)) - F.radians(F.col(lx))) / 2) ** 2)
+        dist = F.lit(2.0 * 6371008.7714) * F.asin(F.sqrt(a))
+    return cand.withColumn("dist", dist).filter(F.col("dist") < radius)
+
+
 def _geom_refine_udf(predicate: str, meters: float | None = None):
     """General candidate refine with the exact DE-9IM kernel per pair."""
     pred_fn = {

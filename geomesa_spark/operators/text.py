@@ -1,0 +1,147 @@
+"""Text analysis for training-data pipelines: language ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything that CAN be a built-in Spark expression IS one (token/char
+stats, quality ratios run inside whole-stage codegen); only the n-gram
+language model and the rolling-hash fingerprint use Arrow-batched numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.types import LongType, StringType
+
+__all__ = [
+    "token_count", "approx_bpe_tokens", "text_stats", "quality_score",
+    "langid_udf", "fingerprint_udf",
+]
+
+
+def token_count(col) -> Column:
+    """Whitespace token count (built-in, codegen'd)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+# A BPE-ish tokenizer proxy: words + digits + punctuation runs; ~GPT-2 regex
+# shape, counts matches without materializing them.
+_BPE_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def approx_bpe_tokens(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(_BPE_RE), 0))
+
+
+def text_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc stats: chars, tokens, distinct tokens, punct/digit counts,
+    mean word length (x100, integer — exact in any engine)."""
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    n_tokens = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    n_chars = F.length(t)
+    n_punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    n_space = n_chars - F.length(F.regexp_replace(t, r"\s", ""))
+    mean_wlen_x100 = F.floor((n_chars - n_space) * 100 / n_tokens)
+    return df.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
+        n_punct.alias("n_punct"),
+        n_digit.alias("n_digit"),
+        mean_wlen_x100.cast("long").alias("mean_word_len_x100"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str, text_col: str,
+                  min_tokens: int = 20, max_mean_wlen: float = 12.0,
+                  max_punct_ratio: float = 0.3) -> DataFrame:
+    """Gopher-style quality gates as boolean columns + a 0-100 score.
+
+    All built-in expressions; the score is integer-valued so results are
+    engine-exact.
+    """
+    s = text_stats(df, id_col, text_col)
+    len_ok = (F.col("n_tokens") >= min_tokens)
+    wlen_ok = (F.col("mean_word_len_x100") <= int(max_mean_wlen * 100))
+    punct_ok = (F.col("n_punct") * 10 <= F.col("n_chars") * int(max_punct_ratio * 10))
+    rep_ok = (F.col("n_distinct_tokens") * 4 >= F.col("n_tokens"))  # <=4x repetition
+    score = (len_ok.cast("int") * 25 + wlen_ok.cast("int") * 25
+             + punct_ok.cast("int") * 25 + rep_ok.cast("int") * 25)
+    return s.select(
+        id_col,
+        len_ok.alias("len_ok"), wlen_ok.alias("wlen_ok"),
+        punct_ok.alias("punct_ok"), rep_ok.alias("rep_ok"),
+        score.alias("quality_score"),
+    )
+
+
+# --- language ID -----------------------------------------------------------
+
+# character-trigram profiles (top discriminative trigrams per language,
+# public knowledge: derived from common stopword shapes)
+_LANG_PROFILES = {
+    "en": [" th", "the", "he ", " an", "and", "nd ", " of", "of ", "ing", "ng ",
+           " to", "to ", " in", "ion", " is"],
+    "de": ["er ", " de", "der", "ie ", "die", " un", "und", "nd ", "ch ", "sch",
+           "ein", " ei", "en ", "ung", " da"],
+    "fr": [" de", "de ", " le", "le ", "es ", "ent", " la", "la ", "ion", " et",
+           "et ", " pa", "que", " qu", "ais"],
+    "es": [" de", "de ", " la", "la ", "os ", " el", "el ", "ión", " en", "en ",
+           "ent", " qu", "que", "ado", " co"],
+    "pt": [" de", "de ", " a ", "ão ", "os ", " o ", "ar ", " co", "ent", " qu",
+           "que", "da ", " da", "em ", " em"],
+}
+
+
+def langid_udf(default: str = "und"):
+    """pandas UDF: text -> predicted language code by trigram-profile vote.
+
+    Deterministic: score = number of profile trigram occurrences, argmax
+    with lexicographic tie-break; 'und' when no profile scores > 0.
+    """
+    langs = sorted(_LANG_PROFILES)
+
+    @F.pandas_udf(StringType())
+    def langid(texts: pd.Series) -> pd.Series:
+        low = texts.fillna("").str.lower()
+        scores = np.zeros((len(low), len(langs)), dtype=np.int64)
+        for li, lang in enumerate(langs):
+            for tri in _LANG_PROFILES[lang]:
+                scores[:, li] += low.str.count(__import__("re").escape(tri)).to_numpy()
+        best = scores.argmax(axis=1)
+        out = np.array(langs, dtype=object)[best]
+        out[scores.max(axis=1) == 0] = default
+        out[texts.isna().to_numpy()] = None
+        return pd.Series(out)
+
+    return langid
+
+
+def fingerprint_udf(window: int = 0, mod: int = (1 << 61) - 1, base: int = 257):
+    """pandas UDF: text -> 63-bit rolling polynomial hash fingerprint.
+
+    fingerprint(t) = sum(base^(n-1-i) * byte_i) mod p over utf-8 bytes —
+    a Rabin-Karp content fingerprint; byte-identical text -> identical
+    fingerprint (the corpus per-row invariant check).
+    """
+
+    @F.pandas_udf(LongType())
+    def fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            h = 0
+            for b in t.encode():
+                h = (h * base + b) % mod
+            out.append(h)
+        return pd.Series(out, dtype=object)
+
+    return fp

@@ -1,0 +1,279 @@
+"""Raster<->vector tiling: density grids with deterministic tile assignment.
+
+Ports the reference density/heatmap surface as DataFrame ops:
+
+- ``GridSnap``: snap coordinates to grid indices — exact semantics of
+  geomesa-utils .../geotools/GridSnap.scala:60-82 (out-of-envelope -> -1,
+  upper edge clamps to size-1, floor((x-min)/d) otherwise).
+- ``bresenham_cells``: GridSnap.bresenhamLine:94-126 exact port (first cell
+  included, ``take(delta)`` semantics — the segment's end cell is produced
+  by the NEXT segment, matching RenderingGrid's line walker).
+- ``render_*``: RenderingGrid.scala:43-221 — point/line/polygon rendering
+  into a sparse (i, j) -> weight map, including the last-pixel dedup for
+  line strings and the snapped-vertex polygon fill (AWT fillPolygon
+  equivalent: even-odd rule over pixel centers of the vertex-snapped
+  integer polygon) and >360-degree envelope x-translation (:299-330).
+- ``density(df, ...)``: the distributed operator — rasterize each geometry
+  in an Arrow-batched pandas UDF, explode, ``groupBy(i, j).sum(weight)``.
+  This is exactly the reference's partial+final DensityScan shape
+  (geomesa-index-api .../iterators/DensityScan.scala:94-105: per-scan
+  partial grids, client-side merge): Spark's partial aggregation does the
+  per-partition combine map-side, the shuffle moves only (i, j, partial)
+  triples, never rows.
+- ``density_points(df, xcol, ycol, ...)``: zero-Python fast path for point
+  layers — tile indices via built-in floor/when expressions, stays inside
+  whole-stage codegen. At 10^12 rows this is the hot path; the output is
+  at most w*h rows regardless of input size.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, IntegerType, StructField, StructType,
+)
+
+from ..geom.wkb import Geometry, Point, Polygon, wkb_read
+
+__all__ = [
+    "GridSnap", "bresenham_cells", "render_geometry",
+    "density", "density_points",
+]
+
+
+class GridSnap:
+    """Exact port of the reference GridSnap (GridSnap.scala:23-82)."""
+
+    def __init__(self, xmin: float, ymin: float, xmax: float, ymax: float,
+                 x_size: int, y_size: int):
+        self.xmin, self.ymin, self.xmax, self.ymax = (
+            float(xmin), float(ymin), float(xmax), float(ymax))
+        self.x_size, self.y_size = int(x_size), int(y_size)
+        self.dx = (self.xmax - self.xmin) / self.x_size
+        self.dy = (self.ymax - self.ymin) / self.y_size
+        self.x_offset = self.xmin + self.dx / 2
+        self.y_offset = self.ymin + self.dy / 2
+        # wide envelopes (>360 deg) replicate x pixels every 360 deg
+        self.wide = (self.xmax - self.xmin) > 360.0
+
+    def x(self, i): return self.x_offset + self.dx * i
+    def y(self, j): return self.y_offset + self.dy * j
+
+    def i(self, x) -> np.ndarray:
+        """Vectorized column index; -1 outside the envelope."""
+        x = np.asarray(x, dtype=np.float64)
+        idx = np.floor((x - self.xmin) / self.dx).astype(np.int64)
+        idx = np.minimum(idx, self.x_size - 1)
+        return np.where((x < self.xmin) | (x > self.xmax), -1, idx)
+
+    def j(self, y) -> np.ndarray:
+        y = np.asarray(y, dtype=np.float64)
+        idx = np.floor((y - self.ymin) / self.dy).astype(np.int64)
+        idx = np.minimum(idx, self.y_size - 1)
+        return np.where((y < self.ymin) | (y > self.ymax), -1, idx)
+
+    def translate(self, x: float) -> list[int]:
+        """All i-indices for x, replicated across 360-deg copies when the
+        envelope spans more than the world (RenderingGrid.scala:299-330)."""
+        if not self.wide:
+            i = int(self.i(x))
+            return [] if i == -1 else [i]
+        out = []
+        # shift x into [xmin, xmin+360) then step by 360
+        t = x
+        while t > self.xmin + 360.0:
+            t -= 360.0
+        while t < self.xmin:
+            t += 360.0
+        while t <= self.xmax:
+            i = int(self.i(t))
+            if i != -1:
+                out.append(i)
+            t += 360.0
+        return out
+
+
+def bresenham_cells(i0: int, j0: int, i1: int, j1: int) -> list[tuple[int, int]]:
+    """GridSnap.bresenhamLine:94-126 exact port (take(delta) semantics)."""
+    dx_, dy_ = abs(i1 - i0), abs(j1 - j0)
+    if dx_ == 0 and dy_ == 0:
+        return [(i0, j0)]
+    sx = 1 if i0 < i1 else -1
+    sy = 1 if j0 < j1 else -1
+    out = []
+    x, y = i0, j0
+    if dx_ > dy_:
+        derr = dy_ / dx_
+        err = 0.0
+        for _ in range(dx_):
+            out.append((x, y))
+            err += derr
+            if err >= 0.5:
+                err -= 1.0
+                x, y = x + sx, y + sy
+            else:
+                x = x + sx
+    else:
+        derr = dx_ / dy_
+        err = 0.0
+        for _ in range(dy_):
+            out.append((x, y))
+            err += derr
+            if err >= 0.5:
+                err -= 1.0
+                x, y = x + sx, y + sy
+            else:
+                y = y + sy
+    return out
+
+
+def _fill_snapped_polygon(ii: np.ndarray, jj: np.ndarray) -> list[tuple[int, int]]:
+    """Even-odd fill of the vertex-snapped integer polygon over pixel centers.
+
+    Equivalent of RenderingGrid.scala:190-206's AWT
+    ``graphics.fillPolygon(xPoints, yPoints, n)`` on a binary raster: the
+    ring vertices are first snapped to grid indices, a pixel (i, j) is lit
+    iff its center (i+0.5, j+0.5) is inside the snapped polygon under the
+    even-odd rule.
+    """
+    if len(ii) < 3:
+        return []
+    imin, imax = int(ii.min()), int(ii.max())
+    jmin, jmax = int(jj.min()), int(jj.max())
+    xs = ii.astype(np.float64)
+    ys = jj.astype(np.float64)
+    out = []
+    x0, x1 = xs, np.roll(xs, -1)
+    y0, y1 = ys, np.roll(ys, -1)
+    for j in range(jmin, jmax + 1):
+        cy = j + 0.5
+        crossing = (y0 <= cy) != (y1 <= cy)
+        if not np.any(crossing):
+            continue
+        xc = x0[crossing] + (cy - y0[crossing]) * (x1[crossing] - x0[crossing]) / (y1[crossing] - y0[crossing])
+        centers = np.arange(imin, imax + 1) + 0.5
+        inside = (xc[None, :] > centers[:, None]).sum(axis=1) % 2 == 1
+        for k in np.where(inside)[0]:
+            out.append((imin + int(k), j))
+    return out
+
+
+def render_geometry(geom: Geometry, grid: GridSnap,
+                    last: tuple[int, int] | None = None) -> list[tuple[int, int]]:
+    """Cells touched by a geometry — RenderingGrid.render semantics.
+
+    Returns cell list WITH multiplicity (a cell crossed twice by a line
+    counts twice, matching the reference's ``pixels(i, j) += weight``).
+    """
+    from ..geom.wkb import LineString, MultiLineString, MultiPoint, MultiPolygon, GeometryCollection
+
+    cells: list[tuple[int, int]] = []
+    if isinstance(geom, Point):
+        j = int(grid.j(geom.y))
+        if j != -1:
+            for i in grid.translate(geom.x):
+                cells.append((i, j))
+    elif isinstance(geom, MultiPoint):
+        for p in geom.geoms:
+            cells.extend(render_geometry(p, grid))
+    elif isinstance(geom, LineString):
+        pts = geom.coords
+        i_n, j_n = (-1, -1) if last is None else last
+        for n in range(1, len(pts)):
+            p0, p1 = pts[n - 1], pts[n]
+            i0s, j0 = grid.translate(p0[0]), int(grid.j(p0[1]))
+            i1s, j1 = grid.translate(p1[0]), int(grid.j(p1[1]))
+            if not i0s or j0 == -1 or not i1s or j1 == -1:
+                continue  # clip path: reference intersects with envelope
+            line = bresenham_cells(i0s[0], j0, i1s[0], j1)
+            iF, jF = line[0]
+            if (iF, jF) != (i_n, j_n):
+                for i0n in i0s:
+                    cells.append((iF - i0s[0] + i0n, jF))
+            for (ci, cj) in line[1:]:
+                for i0n in i0s:
+                    cells.append((ci - i0s[0] + i0n, cj))
+            i_n, j_n = line[-1]
+        # reference's walker leaves the final vertex cell to the next
+        # segment; the line's true last vertex cell is line[-1] already
+    elif isinstance(geom, MultiLineString):
+        for g in geom.geoms:
+            cells.extend(render_geometry(g, grid))
+    elif isinstance(geom, Polygon):
+        ring = geom.rings[0]
+        ii = np.array([grid.translate(x)[0] if grid.translate(x) else -1 for x in ring[:, 0]])
+        jj = grid.j(ring[:, 1])
+        if np.any(ii == -1) or np.any(jj == -1):
+            # not fully inside the grid: reference clips polygon∩envelope;
+            # approximate by clamping the snap (documented deviation)
+            ii = np.where(ii == -1, np.clip(ii, 0, grid.x_size - 1), ii)
+            jj = np.where(jj == -1,
+                          grid.j(np.clip(ring[:, 1], grid.ymin, grid.ymax)), jj)
+        cells.extend(_fill_snapped_polygon(np.asarray(ii[:-1]), np.asarray(jj[:-1])))
+    elif isinstance(geom, (MultiPolygon, GeometryCollection)):
+        for g in geom.geoms:
+            cells.extend(render_geometry(g, grid))
+    return cells
+
+
+_CELL_TYPE = ArrayType(StructType([
+    StructField("i", IntegerType()), StructField("j", IntegerType()),
+]))
+
+
+def rasterize_udf(xmin: float, ymin: float, xmax: float, ymax: float,
+                  w: int, h: int):
+    """pandas UDF: WKB -> array<struct<i,j>> of touched cells."""
+    grid = GridSnap(xmin, ymin, xmax, ymax, w, h)
+
+    @F.pandas_udf(_CELL_TYPE)
+    def rasterize(s: pd.Series) -> pd.Series:
+        out = []
+        for v in s:
+            if v is None:
+                out.append(None)
+            else:
+                out.append([{"i": int(i), "j": int(j)}
+                            for (i, j) in render_geometry(wkb_read(bytes(v)), grid)])
+        return pd.Series(out, dtype=object)
+
+    return rasterize
+
+
+def density(df: DataFrame, geom_col: str,
+            xmin: float, ymin: float, xmax: float, ymax: float,
+            w: int, h: int, weight_col: str | None = None) -> DataFrame:
+    """Density grid over WKB geometries -> (i, j, weight)."""
+    weight = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    cells = rasterize_udf(xmin, ymin, xmax, ymax, w, h)
+    exploded = (
+        df.withColumn("__w__", weight)
+          .withColumn("__c__", F.explode(cells(F.col(geom_col))))
+          .select(F.col("__c__.i").alias("i"), F.col("__c__.j").alias("j"), "__w__")
+    )
+    return (exploded.groupBy("i", "j")
+            .agg(F.sum("__w__").alias("weight"))
+            .filter((F.col("i") >= 0) & (F.col("j") >= 0)))
+
+
+def density_points(df: DataFrame, xcol: str, ycol: str,
+                   xmin: float, ymin: float, xmax: float, ymax: float,
+                   w: int, h: int, weight_col: str | None = None) -> DataFrame:
+    """Pure-JVM density for point layers (no Python on the hot path).
+
+    Same GridSnap assignment expressed with built-in expressions; rows
+    outside the envelope are dropped (the reference's -1 cells).
+    """
+    dx = (xmax - xmin) / w
+    dy = (ymax - ymin) / h
+    i = F.least(F.floor((F.col(xcol) - xmin) / dx), F.lit(w - 1)).cast("int")
+    j = F.least(F.floor((F.col(ycol) - ymin) / dy), F.lit(h - 1)).cast("int")
+    weight = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    return (
+        df.filter((F.col(xcol) >= xmin) & (F.col(xcol) <= xmax)
+                  & (F.col(ycol) >= ymin) & (F.col(ycol) <= ymax))
+          .select(i.alias("i"), j.alias("j"), weight.alias("__w__"))
+          .groupBy("i", "j").agg(F.sum("__w__").alias("weight"))
+    )
