@@ -31,6 +31,10 @@ def get_spark(app: str = "geomesa_spark", cpus: str | int = "*",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # big Arrow batches: vectorized refine kernels group candidates by
+        # polygon — 10k-row default batches leave ~50-point groups where
+        # numpy per-call overhead dominates; 256k rows amortizes it
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", "8g")
     )

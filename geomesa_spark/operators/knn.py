@@ -35,7 +35,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .spatial_join import DEFAULT_LEVEL, cell_of_points, cells_of_bbox_arrays
+from .spatial_join import DEFAULT_LEVEL, cell_expr_of_points, cells_of_bbox_arrays
 
 EARTH_RADIUS_M = 6371008.7714  # mean radius; matches measures.distance_sphere
 
@@ -94,8 +94,7 @@ def knn_join(
     tie-break on (dist, data_id).
     """
     spark = queries.sparkSession
-    dcell = cell_of_points(level)
-    data_c = data.withColumn("__cell__", dcell(F.col(dx), F.col(dy)))
+    data_c = data.withColumn("__cell__", cell_expr_of_points(dx, dy, level))
 
     live = queries.withColumn("__r__", F.lit(float(initial_radius)))
     all_cand = None

@@ -33,7 +33,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, BooleanType, LongType
+from pyspark.sql.types import (
+    ArrayType, BooleanType, LongType, StructField, StructType,
+)
 
 from ..curves.zorder import z2_encode
 from ..curves.norm import normalized_lat, normalized_lon
@@ -46,6 +48,33 @@ DEFAULT_LEVEL = 8  # 2^8 x 2^8 world grid; cells ~1.4 x 0.7 degrees
 
 _LON = normalized_lon(31)
 _LAT = normalized_lat(31)
+
+
+def cell_expr_of_points(x, y, level: int = DEFAULT_LEVEL):
+    """Pure-JVM Column: (x, y) -> Z2 cell id at ``level``.
+
+    Bit-identical to :func:`cell_of_points` (same floor-normalization and
+    interleave as the numpy kernel / Z2.scala:58-78) but expressed with
+    built-in floor/shift/mask expressions, so the 10^12-row point side of a
+    join never crosses the Arrow boundary — the cell key stays inside
+    whole-stage codegen.
+    """
+    x = F.col(x) if isinstance(x, str) else x
+    y = F.col(y) if isinstance(y, str) else y
+    cx = F.greatest(F.least(x, F.lit(180.0)), F.lit(-180.0))
+    cy = F.greatest(F.least(y, F.lit(90.0)), F.lit(-90.0))
+    ix = F.least(F.floor((cx + 180.0) * (2147483648.0 / 360.0)),
+                 F.lit((1 << 31) - 1)).cast("long")
+    iy = F.least(F.floor((cy + 90.0) * (2147483648.0 / 180.0)),
+                 F.lit((1 << 31) - 1)).cast("long")
+    ixl = F.shiftright(ix, 31 - level)
+    iyl = F.shiftright(iy, 31 - level)
+    cell = F.lit(0).cast("long")
+    for b in range(level):
+        cell = (cell
+                + F.shiftleft(F.shiftright(ixl, b).bitwiseAND(F.lit(1)), 2 * b)
+                + F.shiftleft(F.shiftright(iyl, b).bitwiseAND(F.lit(1)), 2 * b + 1))
+    return cell
 
 
 def cell_of_points(level: int = DEFAULT_LEVEL):
@@ -108,33 +137,123 @@ def cells_of_geom(level: int = DEFAULT_LEVEL, expand_deg: float = 0.0):
     return cover
 
 
-def _pip_refine_udf(predicate: str):
-    """Refine candidates: vectorized PIP per distinct polygon in the batch."""
+def _is_axis_rect(geom) -> tuple | None:
+    """(xmin, ymin, xmax, ymax) if geom is an axis-aligned rectangle ring."""
+    if not isinstance(geom, Polygon) or len(geom.rings) != 1:
+        return None
+    r = geom.rings[0]
+    if len(r) != 5:
+        return None
+    e = geom.envelope()
+    xs = set(float(v) for v in r[:, 0])
+    ys = set(float(v) for v in r[:, 1])
+    if xs == {e[0], e[2]} and ys == {e[1], e[3]}:
+        return e
+    return None
+
+
+_CELL_FLAG_TYPE = ArrayType(StructType([
+    StructField("c", LongType()), StructField("full", BooleanType()),
+]))
+
+
+def cells_of_geom_flagged(level: int = DEFAULT_LEVEL):
+    """pandas UDF: WKB -> array<struct<c, full>> covering cells.
+
+    ``full`` marks cells whose bbox lies strictly inside the geometry —
+    every point in such a cell satisfies contains/within/intersects/covers
+    without the exact kernel. This is the reference's loose-bbox /
+    useFullFilter optimization (Z2IndexKeySpace.scala:129-141: skip exact
+    re-check for rectangular predicates) generalized to per-cell flags.
+    Currently detects axis-aligned rectangles (the reference's rectangular
+    query-window case); other geometries get full=False everywhere.
+    """
+    shift = 31 - level
+
+    @pandas_udf(_CELL_FLAG_TYPE)
+    def cover(s: pd.Series) -> pd.Series:
+        out = []
+        for v in s:
+            if v is None:
+                out.append(None)
+                continue
+            g = wkb_read(bytes(v))
+            e = g.envelope()
+            cells = cells_of_bbox_arrays(
+                np.array([e[0]]), np.array([e[1]]), np.array([e[2]]), np.array([e[3]]),
+                level)[0]
+            rect = _is_axis_rect(g)
+            if rect is None:
+                out.append([{"c": c, "full": False} for c in cells])
+                continue
+            arr = np.array(cells, dtype=np.int64)
+            from ..curves.zorder import z2_decode
+            ix, iy = z2_decode(arr)
+            sx = 360.0 / (1 << level)
+            sy = 180.0 / (1 << level)
+            cx0 = -180.0 + ix * sx
+            cy0 = -90.0 + iy * sy
+            # 1e-9 deg margin >> the ~1e-13 deg fp window of the floor
+            # normalization, so a boundary-misassigned point can never be
+            # wrongly fast-accepted
+            full = ((cx0 > rect[0] + 1e-9) & (cx0 + sx < rect[2] - 1e-9)
+                    & (cy0 > rect[1] + 1e-9) & (cy0 + sy < rect[3] - 1e-9))
+            out.append([{"c": int(c), "full": bool(f)} for c, f in zip(arr, full)])
+        return pd.Series(out, dtype=object)
+
+    return cover
+
+
+def _pip_refine_udf(predicate: str, with_flag: bool = False):
+    """Refine candidates: vectorized PIP per distinct polygon in the batch.
+
+    Sort-based grouping (argsort on factorized polygon codes) keeps the
+    batch cost O(n log n) instead of O(uniques * n); rows whose cell was
+    flagged fully-contained bypass the kernel entirely.
+    """
     accept_inside_only = predicate in ("st_contains", "st_within")
 
-    @pandas_udf(BooleanType())
-    def refine(x: pd.Series, y: pd.Series, poly_wkb: pd.Series) -> pd.Series:
-        xs = x.to_numpy(dtype=np.float64)
-        ys = y.to_numpy(dtype=np.float64)
+    def _refine_arrays(xs, ys, poly_wkb, full=None) -> np.ndarray:
         out = np.zeros(len(xs), dtype=bool)
-        # group candidate points by polygon (polygons repeat across candidates)
         codes, uniques = pd.factorize(poly_wkb)
+        todo = np.arange(len(xs)) if full is None else np.where(~full)[0]
+        if full is not None:
+            out[full] = True
+        if len(todo) == 0:
+            return out
+        sub = codes[todo]
+        order = todo[np.argsort(sub, kind="stable")]
+        sorted_codes = codes[order]
+        starts = np.searchsorted(sorted_codes, np.arange(len(uniques)))
+        ends = np.append(starts[1:], len(sorted_codes))
         for u_idx, wkb in enumerate(uniques):
-            sel = codes == u_idx
-            if wkb is None or not np.any(sel):
+            idx = order[starts[u_idx]:ends[u_idx]]
+            if wkb is None or len(idx) == 0:
                 continue
             geom = wkb_read(bytes(wkb))
             rings = geom.rings if isinstance(geom, Polygon) else None
             if rings is not None:
-                loc = K.pip_rings(xs[sel], ys[sel], rings)
-                out[sel] = (loc == 1) if accept_inside_only else (loc >= 0)
+                loc = K.pip_rings(xs[idx], ys[idx], rings)
+                out[idx] = (loc == 1) if accept_inside_only else (loc >= 0)
             else:
                 # non-polygon right side: exact kernel per pair (rare path)
                 fn = K.contains if accept_inside_only else K.intersects
-                idx = np.where(sel)[0]
                 for i in idx:
                     out[i] = fn(geom, Point(xs[i], ys[i]))
-        return pd.Series(out)
+        return out
+
+    if with_flag:
+        @pandas_udf(BooleanType())
+        def refine(x: pd.Series, y: pd.Series, poly_wkb: pd.Series,
+                   full: pd.Series) -> pd.Series:
+            return pd.Series(_refine_arrays(
+                x.to_numpy(np.float64), y.to_numpy(np.float64), poly_wkb,
+                full.fillna(False).to_numpy(bool)))
+    else:
+        @pandas_udf(BooleanType())
+        def refine(x: pd.Series, y: pd.Series, poly_wkb: pd.Series) -> pd.Series:
+            return pd.Series(_refine_arrays(
+                x.to_numpy(np.float64), y.to_numpy(np.float64), poly_wkb))
 
     return refine
 
@@ -146,7 +265,7 @@ def pip_join(
     point_y: str,
     poly_geom: str,
     predicate: str = "st_contains",
-    level: int = DEFAULT_LEVEL,
+    level: int = 10,
     broadcast_polys: bool | None = None,
     salt: int | None = None,
 ) -> DataFrame:
@@ -157,30 +276,117 @@ def pip_join(
     (for points these differ only in boundary handling).
 
     Each point hits exactly one cell -> no pair dedup shuffle needed.
-    """
-    cell_pt = cell_of_points(level)
-    cover = cells_of_geom(level)
 
-    pts = points.withColumn("__cell__", cell_pt(F.col(point_x), F.col(point_y)))
-    pls = polys.withColumn("__cells__", cover(F.col(poly_geom))) \
-               .withColumn("__cell__", F.explode("__cells__")) \
-               .drop("__cells__")
+    Broadcast path (small polygon side): the join ships only a polygon id
+    + containment flag; geometries reach the Python refine workers once,
+    via a Spark broadcast dict — never per candidate row. Interior-cell
+    candidates (full=true) bypass Python entirely; only boundary-cell
+    candidates cross the Arrow boundary. This is the shape that scales:
+    Arrow traffic ~25 bytes/candidate instead of the full WKB.
+    """
+    cover = cells_of_geom_flagged(level)
+    pts = points.withColumn("__cell__", cell_expr_of_points(point_x, point_y, level))
 
     if salt and salt > 1:
-        pts = pts.withColumn("__salt__", F.pmod(F.xxhash64(F.col(point_x), F.col(point_y)), F.lit(salt)))
-        pls = pls.withColumn("__salt__", F.explode(F.array([F.lit(i) for i in range(salt)])))
+        salt_pt = F.pmod(F.xxhash64(F.col(point_x), F.col(point_y)), F.lit(salt))
+        salt_pl = F.explode(F.array([F.lit(i) for i in range(salt)]))
         join_keys = ["__cell__", "__salt__"]
+        pts = pts.withColumn("__salt__", salt_pt)
     else:
         join_keys = ["__cell__"]
 
-    if broadcast_polys is None:
-        broadcast_polys = False
-    right = F.broadcast(pls) if broadcast_polys else pls
+    if broadcast_polys:
+        spark = points.sparkSession
+        pls = polys.withColumn("__pid__", F.xxhash64(F.col(poly_geom)))
+        pmap = {r[0]: bytes(r[1])
+                for r in pls.select("__pid__", poly_geom).distinct().collect()}
+        bmap = spark.sparkContext.broadcast(pmap)
+        pls_k = (pls.withColumn("__cf__", F.explode(cover(F.col(poly_geom))))
+                    .withColumn("__cell__", F.col("__cf__.c"))
+                    .withColumn("__full__", F.col("__cf__.full"))
+                    .drop("__cf__", poly_geom))
+        if salt and salt > 1:
+            pls_k = pls_k.withColumn("__salt__", salt_pl)
+        cand = pts.join(F.broadcast(pls_k), on=join_keys, how="inner")
+        # plan-time pruning: the interior branch only exists when some
+        # polygon can emit full cells (axis-rects today); skip the extra
+        # join pass otherwise
+        any_rect = any(_is_axis_rect(wkb_read(w)) is not None for w in pmap.values())
+        refine = _pip_refine_by_pid_udf(predicate, bmap)
+        if any_rect:
+            interior = cand.filter(F.col("__full__"))
+            boundary = (cand.filter(~F.col("__full__"))
+                            .filter(refine(F.col(point_x), F.col(point_y), F.col("__pid__"))))
+            out = interior.unionByName(boundary)
+        else:
+            out = cand.filter(refine(F.col(point_x), F.col(point_y), F.col("__pid__")))
+        geoms = pls.select("__pid__", poly_geom).distinct()
+        out = (out.join(F.broadcast(geoms), on="__pid__", how="inner")
+                  .drop("__pid__", "__full__"))
+        return out.drop("__cell__", "__salt__") if salt else out.drop("__cell__")
 
-    cand = pts.join(right, on=join_keys, how="inner")
-    refine = _pip_refine_udf(predicate)
-    out = cand.filter(refine(F.col(point_x), F.col(point_y), F.col(poly_geom)))
+    pls = (polys.withColumn("__cf__", F.explode(cover(F.col(poly_geom))))
+                .withColumn("__cell__", F.col("__cf__.c"))
+                .withColumn("__full__", F.col("__cf__.full"))
+                .drop("__cf__"))
+    if salt and salt > 1:
+        pls = pls.withColumn("__salt__", salt_pl)
+
+    cand = pts.join(pls, on=join_keys, how="inner")
+    refine = _pip_refine_udf(predicate, with_flag=True)
+    out = cand.filter(refine(F.col(point_x), F.col(point_y), F.col(poly_geom),
+                             F.col("__full__")))
+    out = out.drop("__full__")
     return out.drop("__cell__", "__salt__") if salt else out.drop("__cell__")
+
+
+def _pip_refine_by_pid_udf(predicate: str, bmap):
+    """Refine via broadcast polygon dict (pid -> WKB): Arrow ships only ids.
+
+    Rectangles refine with four vectorized comparisons; general polygons
+    with the PIP rings kernel; other geometries with the exact DE-9IM
+    kernel per pair.
+    """
+    accept_inside_only = predicate in ("st_contains", "st_within")
+
+    @pandas_udf(BooleanType())
+    def refine(x: pd.Series, y: pd.Series, pid: pd.Series) -> pd.Series:
+        xs = x.to_numpy(np.float64)
+        ys = y.to_numpy(np.float64)
+        out = np.zeros(len(xs), dtype=bool)
+        codes, uniques = pd.factorize(pid)
+        order = np.argsort(codes, kind="stable")
+        sorted_codes = codes[order]
+        starts = np.searchsorted(sorted_codes, np.arange(len(uniques)))
+        ends = np.append(starts[1:], len(sorted_codes))
+        pmap = bmap.value
+        for u_idx, p in enumerate(uniques):
+            idx = order[starts[u_idx]:ends[u_idx]]
+            if len(idx) == 0:
+                continue
+            wkb = pmap.get(p)
+            if wkb is None:
+                continue
+            geom = wkb_read(wkb)
+            rect = _is_axis_rect(geom)
+            if rect is not None:
+                px, py = xs[idx], ys[idx]
+                if accept_inside_only:
+                    out[idx] = ((px > rect[0]) & (px < rect[2])
+                                & (py > rect[1]) & (py < rect[3]))
+                else:
+                    out[idx] = ((px >= rect[0]) & (px <= rect[2])
+                                & (py >= rect[1]) & (py <= rect[3]))
+            elif isinstance(geom, Polygon):
+                loc = K.pip_rings(xs[idx], ys[idx], geom.rings)
+                out[idx] = (loc == 1) if accept_inside_only else (loc >= 0)
+            else:
+                fn = K.contains if accept_inside_only else K.intersects
+                for i in idx:
+                    out[i] = fn(geom, Point(xs[i], ys[i]))
+        return pd.Series(out)
+
+    return refine
 
 
 def dwithin_join_points(
@@ -203,7 +409,6 @@ def dwithin_join_points(
     """
     from pyspark.sql.types import ArrayType
 
-    cell_pt = cell_of_points(level)
     if metric == "sphere":
         expand = radius / 111_320.0 * 1.5
     else:
@@ -217,7 +422,7 @@ def dwithin_join_points(
             cells_of_bbox_arrays(xs - expand, ys - expand, xs + expand, ys + expand, level),
             dtype=object)
 
-    l = left.withColumn("__cell__", cell_pt(F.col(lx), F.col(ly)))
+    l = left.withColumn("__cell__", cell_expr_of_points(lx, ly, level))
     r = right.withColumn("__cell__", F.explode(cover_pt(F.col(rx), F.col(ry))))
     rr = F.broadcast(r) if broadcast_right else r
     cand = l.join(rr, on="__cell__", how="inner").drop("__cell__")

@@ -94,18 +94,20 @@ def generate_pages(spark, n: int, partitions: int | None = None) -> DataFrame:
         for pdf in iterator:
             ids = pdf["id"].to_numpy(dtype=np.int64)
             lon, lat = page_coords(ids)
-            urls = pd.Series(ids).map(lambda i: f"https://site{i % 997}.example/{i}")
+            ids_s = pd.Series(ids).astype(str)
+            urls = "https://site" + pd.Series(ids % 997).astype(str) + ".example/" + ids_s
             ts = 1704067200000 + (ids * 37_000) % (365 * 86_400_000)
             lang = LANGS[(_mix(ids, 9) % np.uint64(len(LANGS))).astype(np.int64)]
-            lat_s = pd.Series(lat).map(lambda v: f"{v:.5f}")
-            lon_s = pd.Series(lon).map(lambda v: f"{v:.5f}")
-            filler = pd.Series(_mix(ids, 10)).map(lambda v: format(int(v), "016x"))
+            # C-level formatting (np.char.mod) — identical output to f"{v:.5f}"
+            lat_s = pd.Series(np.char.mod("%.5f", lat))
+            lon_s = pd.Series(np.char.mod("%.5f", lon))
+            filler = pd.Series(np.char.mod("%016x", _mix(ids, 10)))
             text = (
-                "page " + pd.Series(ids).astype(str)
+                "page " + ids_s
                 + " located at " + lat_s + ", " + lon_s
                 + " token " + filler
             )
-            html = ("<html><body>" + text + "</body></html>").map(lambda s: s.encode())
+            html = ("<html><body>" + text + "</body></html>").str.encode("utf-8")
             yield pd.DataFrame({
                 "url": urls, "warc_ts": ts, "html": html, "text": text, "lang": lang,
             })
@@ -113,6 +115,31 @@ def generate_pages(spark, n: int, partitions: int | None = None) -> DataFrame:
     rng = spark.range(0, n, numPartitions=partitions or max(1, n // 250_000) or 1)
     df = rng.mapInPandas(gen, schema=_PAGE_SCHEMA)
     return df.withColumn("warc_ts", (F.col("warc_ts") / 1000).cast("timestamp"))
+
+
+_POINT_SCHEMA = StructType([
+    StructField("page_id", LongType()),
+    StructField("lon", DoubleType()),
+    StructField("lat", DoubleType()),
+])
+
+
+def generate_points(spark, n: int, partitions: int | None = None) -> DataFrame:
+    """The geoparsed-points layer directly (numpy-only, no string building).
+
+    Produces exactly the (lon, lat) a generate_pages -> geoparse pipeline
+    yields for the same ids (page_coords is the shared kernel), so join
+    benchmarks measure the join, not corpus string formatting.
+    """
+
+    def gen(iterator):
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            lon, lat = page_coords(ids)
+            yield pd.DataFrame({"page_id": ids, "lon": lon, "lat": lat})
+
+    rng = spark.range(0, n, numPartitions=partitions or max(1, n // 250_000))
+    return rng.mapInPandas(gen, schema=_POINT_SCHEMA)
 
 
 _GEO_RE = r"located at (-?\d+\.\d+), (-?\d+\.\d+)"
@@ -125,16 +152,22 @@ def geoparse(pages: DataFrame, text_col: str = "text") -> DataFrame:
     mention are dropped. Stays fully vectorized (pandas C regex).
     """
 
-    @pandas_udf(DoubleType())
-    def parse_lat(s: pd.Series) -> pd.Series:
-        return pd.to_numeric(s.str.extract(_GEO_RE, expand=True)[0], errors="coerce")
+    coord_schema = StructType([
+        StructField("lat", DoubleType()), StructField("lon", DoubleType()),
+    ])
 
-    @pandas_udf(DoubleType())
-    def parse_lon(s: pd.Series) -> pd.Series:
-        return pd.to_numeric(s.str.extract(_GEO_RE, expand=True)[1], errors="coerce")
+    @pandas_udf(coord_schema)
+    def parse_coords(s: pd.Series) -> pd.DataFrame:
+        ext = s.str.extract(_GEO_RE, expand=True)  # single C-regex pass
+        return pd.DataFrame({
+            "lat": pd.to_numeric(ext[0], errors="coerce"),
+            "lon": pd.to_numeric(ext[1], errors="coerce"),
+        })
 
-    out = pages.withColumn("lat", parse_lat(F.col(text_col))) \
-               .withColumn("lon", parse_lon(F.col(text_col)))
+    out = (pages.withColumn("__coords__", parse_coords(F.col(text_col)))
+                .withColumn("lat", F.col("__coords__.lat"))
+                .withColumn("lon", F.col("__coords__.lon"))
+                .drop("__coords__"))
     return out.filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
 
 
@@ -178,5 +211,46 @@ def generate_polys(spark, n: int, seed_salt: int = 77) -> DataFrame:
                 "poly_id": pdf["id"].to_numpy(), "xmin": xmin, "ymin": ymin,
                 "xmax": xmax, "ymax": ymax, "geom": wkbs,
             })
+
+    return spark.range(0, n, numPartitions=max(1, n // 100_000) or 1).mapInPandas(gen, schema=schema)
+
+
+def generate_circle_polys(spark, n: int, n_vertices: int = 24,
+                          seed_salt: int = 78) -> DataFrame:
+    """Seeded convex n-gon polygons (circle approximations).
+
+    Same center/size distribution as generate_polys but non-rectangular,
+    so spatial joins exercise the exact PIP kernel on every candidate —
+    the compute-bound benchmark shape.
+    """
+    schema = StructType([
+        StructField("poly_id", LongType()),
+        StructField("geom", BinaryType()),
+    ])
+    ang = np.linspace(0.0, 2.0 * np.pi, n_vertices, endpoint=False)
+
+    def gen(iterator):
+        from ..geom.wkb import Polygon, wkb_write
+
+        for pdf in iterator:
+            ids = pdf["id"].to_numpy(dtype=np.int64) + seed_salt * 1_000_003
+            urban = _uniform(ids, 15) < 0.5
+            cidx = (_mix(ids, 16) % np.uint64(len(URBAN_CENTERS))).astype(np.int64)
+            x = np.where(urban,
+                         URBAN_CENTERS[cidx, 0] + (_uniform(ids, 11) - 0.5) * 2.0,
+                         _uniform(ids, 11) * 360.0 - 180.0)
+            y = np.where(urban,
+                         URBAN_CENTERS[cidx, 1] + (_uniform(ids, 12) - 0.5) * 1.0,
+                         _uniform(ids, 12) * 180.0 - 90.0)
+            w = _uniform(ids, 13) * 1.5 + 0.05
+            h = _uniform(ids, 14) * 0.5 + 0.05
+            wkbs = []
+            for xi, yi, wi, hi in zip(x, y, w, h):
+                ring = np.empty((n_vertices + 1, 2))
+                ring[:-1, 0] = xi + np.cos(ang) * wi
+                ring[:-1, 1] = yi + np.sin(ang) * hi
+                ring[-1] = ring[0]
+                wkbs.append(wkb_write(Polygon(ring)))
+            yield pd.DataFrame({"poly_id": pdf["id"].to_numpy(), "geom": wkbs})
 
     return spark.range(0, n, numPartitions=max(1, n // 100_000) or 1).mapInPandas(gen, schema=schema)
