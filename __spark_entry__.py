@@ -290,7 +290,94 @@ def q_stats_minmax(spark, sf_dir):
         F.unix_timestamp(F.max("ts")).alias("max_ts_epoch"))
 
 
+def q_z3_cells(spark, sf_dir):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from geomesa_spark.curves.sfc import Z3SFC
+
+    sfc = Z3SFC("week")
+    level = 5
+    shift = 3 * (21 - level)
+
+    schema = StructType([StructField("bin", LongType()), StructField("cell", LongType())])
+
+    @F.pandas_udf(schema)
+    def z3(lon: pd.Series, lat: pd.Series, secs: pd.Series) -> pd.DataFrame:
+        bins, z = sfc.index_millis(lon.to_numpy(np.float64), lat.to_numpy(np.float64),
+                                   secs.to_numpy(np.int64) * 1000, lenient=True)
+        return pd.DataFrame({"bin": bins, "cell": np.asarray(z) >> shift})
+
+    ev = _t(spark, sf_dir, "events").select(
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"),
+        F.unix_timestamp("ts").alias("secs"))
+    out = ev.withColumn("__bz__", z3("lon", "lat", "secs"))
+    return (out.select(F.col("__bz__.bin").alias("bin"), F.col("__bz__.cell").alias("cell"))
+               .groupBy("bin", "cell").agg(F.count("*").alias("n")))
+
+
+def q_point2point(spark, sf_dir):
+    from geomesa_spark.operators.aggregates import point2point
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.round(tg.point_lon("event_id", _e["mlon"], _e["olon"]) * 100.0).cast("long").alias("ix"),
+        F.round(tg.point_lat("event_id", _e["mlat"], _e["olat"]) * 100.0).cast("long").alias("iy"))
+    return point2point(ev, "user_id", ["ts", "event_id"], x="ix", y="iy")
+
+
+def q_dwithin_sphere(spark, sf_dir):
+    from geomesa_spark.operators.spatial_join import dwithin_join_points
+
+    c = _cust_points(spark, sf_dir)
+    s = (_supp_points(spark, sf_dir)
+         .withColumnRenamed("lon", "slon").withColumnRenamed("lat", "slat"))
+    out = dwithin_join_points(c, s, 250_000.0, "lon", "lat", "slon", "slat",
+                              metric="sphere", broadcast_right=True)
+    return out.select("c_custkey", "s_suppkey")
+
+
+def q_bin_export(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.col("user_id").alias("track_id"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).cast("float").alias("lat"),
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).cast("float").alias("lon"),
+        F.unix_timestamp("ts").alias("dtg"))
+
+
+def q_value_hist(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.floor(F.col("value") / 10.0).alias("bucket"))
+              .agg(F.count("*").alias("n")))
+
+
+def q_sql_functions(spark, sf_dir):
+    from geomesa_spark.functions import register_functions
+
+    register_functions(spark)
+    _cust_points(spark, sf_dir).createOrReplaceTempView("__pts__")
+    return spark.sql("""
+        SELECT c_custkey,
+               st_x(st_makePoint(lon, lat)) AS x32,
+               st_y(st_makePoint(lon, lat)) AS y32,
+               st_geoHash(st_makePoint(lon, lat), 20) AS gh
+        FROM __pts__
+    """)
+
+
 # --- rows-only (non-SQL-expressible) ---------------------------------------
+
+
+def q_convex_hull(spark, sf_dir):
+    from geomesa_spark.operators.aggregates import convex_hull_points
+
+    c = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        tg.point_lon("c_custkey").alias("lon"),
+        tg.point_lat("c_custkey").alias("lat"))
+    hulls = convex_hull_points(c, "c_mktsegment")
+    return hulls.select("group", "n_hull")
 
 def q_minhash_pairs(spark, sf_dir):
     from geomesa_spark.operators.dedup import minhash_dedup_pairs
@@ -406,7 +493,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sampling": q_sampling,
         "unique_vals": q_unique_vals,
         "stats_minmax": q_stats_minmax,
+        "z3_cells": q_z3_cells,
+        "point2point": q_point2point,
+        "dwithin_sphere": q_dwithin_sphere,
+        "bin_export": q_bin_export,
+        "value_hist": q_value_hist,
+        "sql_functions": q_sql_functions,
         # rows-only (no SQL equivalent)
+        "convex_hull": q_convex_hull,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann": q_lsh_ann,
@@ -419,9 +513,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _sql_z3_cell(level: int = 5) -> str:
+    """SQL mirror of Z3SFC.index_millis at week period, coarse level."""
+    it = f"(CAST(floor(CAST(e % 604800 AS DOUBLE) * (2097152.0 / 604800.0)) AS BIGINT) >> {21 - level})"
+    ix = f"(CAST(floor((lon + 180.0) * (2097152.0 / 360.0)) AS BIGINT) >> {21 - level})"
+    iy = f"(CAST(floor((lat + 90.0) * (2097152.0 / 180.0)) AS BIGINT) >> {21 - level})"
+    terms = []
+    for b in range(level):
+        terms.append(f"((({ix} >> {b}) & 1) << {3 * b})")
+        terms.append(f"((({iy} >> {b}) & 1) << {3 * b + 1})")
+        terms.append(f"((({it} >> {b}) & 1) << {3 * b + 2})")
+    return "(" + " + ".join(terms) + ")"
+
+
 def oracle_sql() -> dict[str, str]:
     z2 = tg.sql_z2_cell("lon", "lat", 8)
     gh = tg.sql_geohash("lon", "lat", 6)
+    gh4 = tg.sql_geohash("lon", "lat", 4)
     ti = tg.sql_tile("lon", "-180.0", 1.0, 360)
     tj = tg.sql_tile("lat", "-90.0", 1.0, 180)
     grams = ("list_distinct(list_transform(range(0, greatest(len(words) - 3, 0) + 1), "
@@ -565,5 +673,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(epoch(min(ts)) AS BIGINT) AS min_ts_epoch,
                    CAST(epoch(max(ts)) AS BIGINT) AS max_ts_epoch
             FROM events
+        """,
+        "z3_cells": f"""
+            WITH e AS (SELECT {tg.sql_point_lon('event_id', _e['mlon'], _e['olon'])} AS lon,
+                              {tg.sql_point_lat('event_id', _e['mlat'], _e['olat'])} AS lat,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS e FROM events)
+            SELECT e // 604800 AS bin, {_sql_z3_cell(5)} AS cell,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM e GROUP BY 1, 2
+        """,
+        "point2point": f"""
+            WITH e AS ({_EVT_SQL})
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+                   string_agg(CAST(round(lon * 100.0) AS BIGINT) || ' ' ||
+                              CAST(round(lat * 100.0) AS BIGINT), ','
+                              ORDER BY ts, event_id) AS line
+            FROM e GROUP BY user_id
+        """,
+        # radians spelled as x / 180.0 * pi() to mirror Java Math.toRadians
+        "dwithin_sphere": f"""
+            WITH c AS ({_CUST_SQL}), s AS ({_SUPP_SQL}),
+            r AS (SELECT c.c_custkey, s.s_suppkey,
+                         c.lat / 180.0 * pi() AS la1, s.lat / 180.0 * pi() AS la2,
+                         c.lon / 180.0 * pi() AS lo1, s.lon / 180.0 * pi() AS lo2
+                  FROM c, s)
+            SELECT c_custkey, s_suppkey FROM r
+            WHERE 2.0 * 6371008.7714 * asin(sqrt(
+                sin((la2 - la1) / 2) * sin((la2 - la1) / 2)
+              + cos(la1) * cos(la2) * sin((lo2 - lo1) / 2) * sin((lo2 - lo1) / 2)
+            )) < 250000.0
+        """,
+        "bin_export": f"""
+            SELECT user_id AS track_id,
+                   CAST({tg.sql_point_lat('event_id', _e['mlat'], _e['olat'])} AS REAL) AS lat,
+                   CAST({tg.sql_point_lon('event_id', _e['mlon'], _e['olon'])} AS REAL) AS lon,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS dtg
+            FROM events
+        """,
+        "value_hist": """
+            SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
+        "sql_functions": f"""
+            WITH pts AS ({_CUST_SQL})
+            SELECT c_custkey, CAST(lon AS REAL) AS x32, CAST(lat AS REAL) AS y32,
+                   {gh4} AS gh
+            FROM pts
         """,
     }

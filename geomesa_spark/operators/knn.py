@@ -35,7 +35,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .spatial_join import DEFAULT_LEVEL, cell_expr_of_points, cells_of_bbox_arrays
+from .spatial_join import (
+    DEFAULT_LEVEL, cell_expr_of_points, cells_of_bbox_arrays,
+    cells_of_disk_arrays, sphere_expand_degrees,
+)
 
 EARTH_RADIUS_M = 6371008.7714  # mean radius; matches measures.distance_sphere
 
@@ -47,7 +50,7 @@ def _dist_expr(qx, qy, px, py, metric: str):
         lat1, lat2 = F.radians(qy), F.radians(py)
         dlat = (lat2 - lat1) / 2
         dlon = (F.radians(px) - F.radians(qx)) / 2
-        a = F.sin(dlat) ** 2 + F.cos(lat1) * F.cos(lat2) * F.sin(dlon) ** 2
+        a = F.sin(dlat) * F.sin(dlat) + F.cos(lat1) * F.cos(lat2) * F.sin(dlon) * F.sin(dlon)
         return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
     raise ValueError(metric)
 
@@ -62,11 +65,11 @@ def _query_cells(queries, qx: str, qy: str, radius_col: str, level: int,
         xs = x.to_numpy(np.float64)
         ys = y.to_numpy(np.float64)
         rs = r.to_numpy(np.float64)
-        if metric == "sphere":  # meters -> worst-case degrees
-            rdeg = rs / 111_320.0 / np.maximum(np.cos(np.radians(np.clip(np.abs(ys), 0, 89.0))), 1e-6)
+        if metric == "sphere":  # meters -> conservative per-dim degrees
+            rlon, rlat = sphere_expand_degrees(ys, rs)
         else:
-            rdeg = rs
-        cells = cells_of_bbox_arrays(xs - rdeg, ys - rdeg, xs + rdeg, ys + rdeg, level)
+            rlat = rlon = rs
+        cells = cells_of_disk_arrays(xs, ys, rlon, rlat, level)
         return pd.Series(cells, dtype=object)
 
     return queries.withColumn("__cells__", cover(F.col(qx), F.col(qy), F.col(radius_col)))

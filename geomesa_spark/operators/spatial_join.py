@@ -112,6 +112,48 @@ def cells_of_bbox_arrays(xmin, ymin, xmax, ymax, level: int):
     return out
 
 
+def cells_of_disk_arrays(xs, ys, rlon, rlat, level: int):
+    """Covering cells of per-point expanded bboxes WITH antimeridian wrap.
+
+    A window crossing the +-180 line splits into two windows (the
+    reference's IDL handling, FilterHelper.addWayPointsToBBOX /
+    st_antimeridianSafeGeom semantics); cell lists are merged per row.
+    """
+    base = cells_of_bbox_arrays(xs - rlon, ys - rlat, xs + rlon, ys + rlat, level)
+    lo = xs - rlon
+    hi = xs + rlon
+    wrap_lo = lo < -180.0
+    wrap_hi = hi > 180.0
+    if np.any(wrap_lo):
+        idx = np.where(wrap_lo)[0]
+        extra = cells_of_bbox_arrays(lo[idx] + 360.0, (ys - rlat)[idx],
+                                     np.full(len(idx), 180.0), (ys + rlat)[idx], level)
+        for k, i in enumerate(idx):
+            base[i] = sorted(set(base[i]) | set(extra[k]))
+    if np.any(wrap_hi):
+        idx = np.where(wrap_hi)[0]
+        extra = cells_of_bbox_arrays(np.full(len(idx), -180.0), (ys - rlat)[idx],
+                                     hi[idx] - 360.0, (ys + rlat)[idx], level)
+        for k, i in enumerate(idx):
+            base[i] = sorted(set(base[i]) | set(extra[k]))
+    return base
+
+
+def sphere_expand_degrees(ys, radius_m):
+    """Conservative meters -> per-dim degree expansion at each latitude.
+
+    radius_m may be a scalar or a per-row array. The longitude expansion
+    is evaluated at the radius-expanded latitude so the cover is a true
+    superset of the spherical disk.
+    """
+    ys = np.asarray(ys, dtype=np.float64)
+    r = np.broadcast_to(np.asarray(radius_m, dtype=np.float64), ys.shape)
+    rlat = r / 110_540.0
+    phi = np.clip(np.abs(ys) + rlat, 0.0, 89.9)
+    rlon = r / (111_320.0 * np.cos(np.radians(phi)))
+    return rlon, rlat
+
+
 def cells_of_geom(level: int = DEFAULT_LEVEL, expand_deg: float = 0.0):
     """pandas UDF: WKB geometry -> array of covering cell ids (bbox cover)."""
 
@@ -409,18 +451,16 @@ def dwithin_join_points(
     """
     from pyspark.sql.types import ArrayType
 
-    if metric == "sphere":
-        expand = radius / 111_320.0 * 1.5
-    else:
-        expand = radius
-
     @pandas_udf(ArrayType(LongType()))
     def cover_pt(x: pd.Series, y: pd.Series) -> pd.Series:
         xs = x.to_numpy(np.float64)
         ys = y.to_numpy(np.float64)
-        return pd.Series(
-            cells_of_bbox_arrays(xs - expand, ys - expand, xs + expand, ys + expand, level),
-            dtype=object)
+        if metric == "sphere":
+            rlon, rlat = sphere_expand_degrees(ys, radius)
+        else:
+            rlon = rlat = np.full_like(xs, radius)
+        return pd.Series(cells_of_disk_arrays(xs, ys, rlon, rlat, level),
+                         dtype=object)
 
     l = left.withColumn("__cell__", cell_expr_of_points(lx, ly, level))
     r = right.withColumn("__cell__", F.explode(cover_pt(F.col(rx), F.col(ry))))
@@ -428,11 +468,13 @@ def dwithin_join_points(
     cand = l.join(rr, on="__cell__", how="inner").drop("__cell__")
 
     if metric == "degrees":
-        dist = F.sqrt((F.col(lx) - F.col(rx)) ** 2 + (F.col(ly) - F.col(ry)) ** 2)
+        dist = F.sqrt((F.col(lx) - F.col(rx)) * (F.col(lx) - F.col(rx))
+                      + (F.col(ly) - F.col(ry)) * (F.col(ly) - F.col(ry)))
     else:
         la1, la2 = F.radians(F.col(ly)), F.radians(F.col(ry))
-        a = (F.sin((la2 - la1) / 2) ** 2
-             + F.cos(la1) * F.cos(la2) * F.sin((F.radians(F.col(rx)) - F.radians(F.col(lx))) / 2) ** 2)
+        sd = F.sin((la2 - la1) / 2)
+        sl = F.sin((F.radians(F.col(rx)) - F.radians(F.col(lx))) / 2)
+        a = sd * sd + F.cos(la1) * F.cos(la2) * sl * sl
         dist = F.lit(2.0 * 6371008.7714) * F.asin(F.sqrt(a))
     return cand.withColumn("dist", dist).filter(F.col("dist") < radius)
 
