@@ -1,0 +1,120 @@
+"""Streaming feature cache: upsert-by-id with event-time ordering + TTL.
+
+Re-expresses the reference Kafka datastore's live view (SURVEY.md §2.9)
+as Structured Streaming:
+
+- KafkaFeatureCache upsert-by-feature-id, latest state wins
+  (geomesa-kafka .../index/KafkaFeatureCache.scala:24-31),
+- event-time ordering — stale updates (older event time than the
+  current state) are rejected (KafkaDataStoreParams.scala:227-276),
+- TTL expiry (KafkaDataStoreParams.scala:208-226) via state timeout,
+- deletes as tombstone rows (null geometry).
+
+Implementation: ``applyInPandasWithState`` keyed by feature id. Each
+micro-batch updates per-id state {lon, lat, ts}; output rows are the
+current live state after the batch. Downstream spatial ops (cell join
+against a polygon set, windowed density) consume the emitted updates —
+the per-micro-batch analog of the reference's spatially-indexed cache.
+
+``windowed_density`` is the watermarked tumbling-window tile count —
+streaming raster aggregation with late-data handling (not in the
+reference, which has no windowed aggregation; included because any
+100 TB ingest pipeline needs it).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+__all__ = ["upsert_cache", "windowed_density"]
+
+_STATE_SCHEMA = "ts LONG, lon DOUBLE, lat DOUBLE"
+_OUT_SCHEMA = StructType([
+    StructField("feature_id", StringType()),
+    StructField("ts", LongType()),
+    StructField("lon", DoubleType()),
+    StructField("lat", DoubleType()),
+    StructField("op", StringType()),     # upsert | reject_stale | delete
+])
+
+
+def upsert_cache(updates: DataFrame, ttl_ms: int | None = None,
+                 id_col: str = "feature_id", ts_col: str = "ts",
+                 x_col: str = "lon", y_col: str = "lat") -> DataFrame:
+    """updates (streaming) -> live-state change feed.
+
+    Emits one row per input update: op='upsert' when it advanced the
+    state, 'reject_stale' when an older event arrived after a newer one
+    (event-time ordering), 'delete' for tombstones (null lon).
+    """
+
+    def update_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (fid,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        cur_ts = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            # arrival order preserved: the cache applies messages as they
+            # come and rejects those with stale event time (the reference's
+            # message-time vs event-time distinction)
+            for _, row in pdf.iterrows():
+                ts = int(row[ts_col])
+                if row[x_col] is None or pd.isna(row[x_col]):
+                    if state.exists:
+                        state.remove()
+                    cur_ts = None
+                    out.append((fid, ts, None, None, "delete"))
+                    continue
+                if cur_ts is not None and ts < cur_ts:
+                    out.append((fid, ts, float(row[x_col]), float(row[y_col]),
+                                "reject_stale"))
+                    continue
+                cur_ts = ts
+                state.update((ts, float(row[x_col]), float(row[y_col])))
+                out.append((fid, ts, float(row[x_col]), float(row[y_col]), "upsert"))
+        if state.exists and ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(out, columns=["feature_id", "ts", "lon", "lat", "op"])
+
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+               else GroupStateTimeout.NoTimeout)
+    keyed = updates.select(
+        F.col(id_col).alias("feature_id"),
+        F.col(ts_col).cast("long").alias(ts_col) if ts_col != "ts" else F.col("ts").cast("long"),
+        F.col(x_col), F.col(y_col))
+    return (keyed.groupBy("feature_id")
+                 .applyInPandasWithState(update_fn, _OUT_SCHEMA, _STATE_SCHEMA,
+                                         "append", timeout))
+
+
+def windowed_density(points: DataFrame, window: str = "1 minute",
+                     watermark: str = "2 minutes",
+                     ts_col: str = "event_time",
+                     x_col: str = "lon", y_col: str = "lat",
+                     xmin: float = -180.0, ymin: float = -90.0,
+                     xmax: float = 180.0, ymax: float = 90.0,
+                     w: int = 360, h: int = 180) -> DataFrame:
+    """Streaming tile density: tumbling event-time windows + watermark.
+
+    Same GridSnap tile assignment as the batch operator, all built-in
+    expressions — late rows beyond the watermark are dropped by Spark.
+    """
+    dx = (xmax - xmin) / w
+    dy = (ymax - ymin) / h
+    i = F.least(F.floor((F.col(x_col) - xmin) / dx), F.lit(w - 1)).cast("int")
+    j = F.least(F.floor((F.col(y_col) - ymin) / dy), F.lit(h - 1)).cast("int")
+    return (points.withWatermark(ts_col, watermark)
+            .filter((F.col(x_col) >= xmin) & (F.col(x_col) <= xmax)
+                    & (F.col(y_col) >= ymin) & (F.col(y_col) <= ymax))
+            .groupBy(F.window(F.col(ts_col), window).alias("win"),
+                     i.alias("i"), j.alias("j"))
+            .agg(F.count("*").alias("weight")))

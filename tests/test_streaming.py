@@ -1,0 +1,83 @@
+"""Structured Streaming: upsert cache semantics + windowed density."""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+from geomesa_spark.streaming.upsert import upsert_cache, windowed_density
+
+_IN_SCHEMA = StructType([
+    StructField("feature_id", StringType()),
+    StructField("ts", LongType()),
+    StructField("lon", DoubleType()),
+    StructField("lat", DoubleType()),
+])
+
+
+def _write_batch(path, rows, name):
+    with open(os.path.join(path, f"{name}.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_upsert_cache_event_time_ordering(spark, tmp_path):
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    _write_batch(src, [
+        {"feature_id": "a", "ts": 100, "lon": 1.0, "lat": 2.0},
+        {"feature_id": "a", "ts": 300, "lon": 3.0, "lat": 4.0},
+        {"feature_id": "a", "ts": 200, "lon": 9.0, "lat": 9.0},  # stale
+        {"feature_id": "b", "ts": 100, "lon": 5.0, "lat": 6.0},
+        {"feature_id": "b", "ts": 150, "lon": None, "lat": None},  # delete
+    ], "b0")
+
+    stream = (spark.readStream.schema(_IN_SCHEMA).json(src))
+    out = upsert_cache(stream)
+    q = (out.writeStream.format("memory").queryName("upserts")
+            .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    rows = {(r["feature_id"], r["ts"]): r["op"]
+            for r in spark.sql("select * from upserts").collect()}
+    assert rows[("a", 100)] == "upsert"
+    assert rows[("a", 300)] == "upsert"
+    assert rows[("a", 200)] == "reject_stale"  # event-time ordering
+    assert rows[("b", 100)] == "upsert"
+    assert rows[("b", 150)] == "delete"
+
+
+def test_windowed_density_stream(spark, tmp_path):
+    src = str(tmp_path / "src2")
+    os.makedirs(src)
+    base = "2024-01-01T00:00:"
+    _write_batch(src, [
+        {"feature_id": "x", "ts": f"{base}05", "lon": 10.5, "lat": 20.5},
+        {"feature_id": "y", "ts": f"{base}10", "lon": 10.7, "lat": 20.9},
+        {"feature_id": "z", "ts": f"{base}50", "lon": -170.2, "lat": -33.0},
+    ], "b0")
+    schema = StructType([
+        StructField("feature_id", StringType()),
+        StructField("ts", StringType()),
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+    ])
+    stream = (spark.readStream.schema(schema).json(src)
+                   .withColumn("event_time", F.to_timestamp("ts")))
+    dens = windowed_density(stream, window="1 minute")
+    # complete mode: append would hold windows until the watermark passes,
+    # which never happens in a single availableNow batch
+    q = (dens.writeStream.format("memory").queryName("dens")
+             .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["i"], r["j"]): r["weight"] for r in spark.sql("select * from dens").collect()}
+    # both (10.x, 20.x) points share the 1-deg tile (190, 110)
+    assert got[(190, 110)] == 2
+    assert got[(9, 57)] == 1
