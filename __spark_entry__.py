@@ -444,6 +444,42 @@ def q_xz2_cells(spark, sf_dir):
     return rects.select("n_nationkey", xz2("xmin", "ymin", "xmax", "ymax").alias("xz2"))
 
 
+def q_xz3_cells(spark, sf_dir):
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from geomesa_spark.curves.xz3 import XZ3SFC
+
+    sfc = XZ3SFC(12, "week")
+    schema = StructType([StructField("bin", LongType()), StructField("xz3", LongType())])
+
+    @F.pandas_udf(schema)
+    def xz3(lon: pd.Series, lat: pd.Series, secs: pd.Series) -> pd.DataFrame:
+        bins, xz = sfc.index_binned(lon.to_numpy(np.float64),
+                                    lat.to_numpy(np.float64),
+                                    secs.to_numpy(np.int64) * 1000)
+        return pd.DataFrame({"bin": bins, "xz3": xz})
+
+    ev = _t(spark, sf_dir, "events").select(
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"),
+        F.unix_timestamp("ts").alias("secs"))
+    out = ev.withColumn("__bx__", xz3("lon", "lat", "secs"))
+    return (out.select(F.col("__bx__.bin").alias("bin"), F.col("__bx__.xz3").alias("xz3"))
+               .groupBy("bin").agg(F.count("*").alias("n"),
+                                   F.countDistinct("xz3").alias("n_cells")))
+
+
+def q_sketches(spark, sf_dir):
+    """Mergeable-sketch stats surface (Stat DSL analog): approximate
+    distinct, quantiles, frequency sketch."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.9, 0.99]).alias("value_quantiles"),
+        F.length(F.count_min_sketch("event_type", F.lit(0.01), F.lit(0.95),
+                                    F.lit(42))).alias("cms_bytes"))
+
+
 def q_multimodal_feats(spark, sf_dir):
     from geomesa_spark.operators.multimodal import decode_image_features
 
@@ -508,6 +544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": q_fingerprint,
         "langid": q_langid,
         "xz2_cells": q_xz2_cells,
+        "xz3_cells": q_xz3_cells,
+        "sketches": q_sketches,
         "multimodal_feats": q_multimodal_feats,
         "geoparse_pages": q_geoparse_pages,
     }
