@@ -366,6 +366,20 @@ def q_sql_functions(spark, sf_dir):
     """)
 
 
+def q_tube_select(spark, sf_dir):
+    from geomesa_spark.operators.tube import tube_select
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"),
+        F.unix_timestamp("ts").alias("secs"))
+    track = ev.filter(F.col("user_id") == 0).select("lon", "lat", "secs")
+    out = tube_select(track, ev, meters=1_000_000.0, window_s=259_200,
+                      data_id="event_id")
+    return out.select("event_id")
+
+
 # --- rows-only (non-SQL-expressible) ---------------------------------------
 
 
@@ -535,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bin_export": q_bin_export,
         "value_hist": q_value_hist,
         "sql_functions": q_sql_functions,
+        "tube_select": q_tube_select,
         # rows-only (no SQL equivalent)
         "convex_hull": q_convex_hull,
         "minhash_pairs": q_minhash_pairs,
@@ -758,5 +773,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, CAST(lon AS REAL) AS x32, CAST(lat AS REAL) AS y32,
                    {gh4} AS gh
             FROM pts
+        """,
+        "tube_select": f"""
+            WITH e AS (SELECT event_id, user_id,
+                              {tg.sql_point_lon('event_id', _e['mlon'], _e['olon'])} AS lon,
+                              {tg.sql_point_lat('event_id', _e['mlat'], _e['olat'])} AS lat,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events),
+            t AS (SELECT lon, lat, secs FROM e WHERE user_id = 0),
+            r AS (SELECT d.event_id,
+                         d.lat / 180.0 * pi() AS la1, t.lat / 180.0 * pi() AS la2,
+                         d.lon / 180.0 * pi() AS lo1, t.lon / 180.0 * pi() AS lo2,
+                         abs(d.secs - t.secs) AS dt
+                  FROM e d, t)
+            SELECT DISTINCT event_id FROM r
+            WHERE dt <= 259200
+              AND 2.0 * 6371008.7714 * asin(sqrt(
+                    sin((la2 - la1) / 2) * sin((la2 - la1) / 2)
+                  + cos(la1) * cos(la2) * sin((lo2 - lo1) / 2) * sin((lo2 - lo1) / 2)
+                  )) < 1000000.0
         """,
     }

@@ -1,0 +1,75 @@
+"""Export sinks: GeoJSON, CSV/TSV, parquet, BIN-packed tracks, arrow.
+
+The reference's export surface (geomesa-tools .../export/ExportFormat
+.scala:64-110; GeoJSON DataFrame export geomesa-spark-sql/
+GeoJSONExtensions.scala:27-45) as thin writers over DataFrames. Formats
+that Spark writes natively (parquet/csv/json/orc) pass through; GeoJSON
+builds the feature JSON with built-in expressions (no Python); BIN packs
+the reference's 16-byte track records.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["to_geojson_df", "write_geojson", "write_csv", "write_parquet",
+           "bin_records", "write_bin"]
+
+
+def to_geojson_df(df: DataFrame, x: str = "lon", y: str = "lat",
+                  id_col: str | None = None, props: list[str] | None = None) -> DataFrame:
+    """Add a ``geojson`` string column: point Feature per row (built-ins only)."""
+    props = props or []
+    prop_struct = F.to_json(F.struct(*[F.col(p) for p in props])) if props else F.lit("{}")
+    feature = F.concat(
+        F.lit('{"type":"Feature"'),
+        (F.concat(F.lit(',"id":"'), F.col(id_col).cast("string"), F.lit('"'))
+         if id_col else F.lit("")),
+        F.lit(',"geometry":{"type":"Point","coordinates":['),
+        F.col(x).cast("string"), F.lit(","), F.col(y).cast("string"),
+        F.lit(']},"properties":'), prop_struct, F.lit("}"),
+    )
+    return df.withColumn("geojson", feature)
+
+
+def write_geojson(df: DataFrame, path: str, **kw) -> None:
+    to_geojson_df(df, **kw).select("geojson").write.mode("overwrite").text(path)
+
+
+def write_csv(df: DataFrame, path: str, sep: str = ",") -> None:
+    df.write.mode("overwrite").option("header", True).option("sep", sep).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def bin_records(df: DataFrame, track_col: str, x: str = "lon", y: str = "lat",
+                ts_col: str = "dtg") -> DataFrame:
+    """16-byte packed record per row: (trackId:int32, lat:f32, lon:f32,
+    dtg-seconds:int32) — the reference BIN format
+    (geomesa-utils .../bin/BinaryOutputEncoder.scala:81-175)."""
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def pack(track: pd.Series, lat: pd.Series, lon: pd.Series,
+             dtg: pd.Series) -> pd.Series:
+        out = []
+        for t, la, lo, d in zip(track, lat, lon, dtg):
+            out.append(struct.pack("<iffi", int(t) & 0x7FFFFFFF, float(la),
+                                   float(lo), int(d) & 0x7FFFFFFF))
+        return pd.Series(out)
+
+    return df.select(pack(F.col(track_col), F.col(y), F.col(x),
+                          F.col(ts_col)).alias("bin"))
+
+
+def write_bin(df: DataFrame, path: str, **kw) -> None:
+    """Write packed BIN rows as parquet (one binary column)."""
+    bin_records(df, **kw).write.mode("overwrite").parquet(path)

@@ -382,6 +382,27 @@ def pip_join(
     return out.drop("__cell__", "__salt__") if salt else out.drop("__cell__")
 
 
+def recommend_salt(points: DataFrame, x: str, y: str,
+                   level: int = DEFAULT_LEVEL, max_salt: int = 64,
+                   sample_rows: int = 1_000_000) -> int:
+    """Pick a salt factor from the observed per-cell histogram.
+
+    The explicit analog of the reference's shard byte (ShardStrategy
+    .scala:42-83, default 4): salt so the hottest cell splits into chunks
+    no larger than ~4x the mean cell population. Computed on a bounded
+    sample; the same histogram is persisted per stage by
+    plans.checkpoint (cell_histogram) so production runs can reuse it
+    without a rescan. AQE skew-join remains the runtime backstop.
+    """
+    cells = points.select(cell_expr_of_points(x, y, level).alias("c")).limit(sample_rows)
+    hist = cells.groupBy("c").count()
+    row = hist.agg(F.max("count").alias("mx"), F.avg("count").alias("avg")).collect()[0]
+    if row["avg"] is None or row["avg"] == 0:
+        return 1
+    salt = int(row["mx"] / (4.0 * row["avg"])) + 1
+    return max(1, min(max_salt, salt))
+
+
 def _pip_refine_by_pid_udf(predicate: str, bmap):
     """Refine via broadcast polygon dict (pid -> WKB): Arrow ships only ids.
 

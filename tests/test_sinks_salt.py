@@ -1,0 +1,49 @@
+"""Export sinks + histogram-driven salt recommendation."""
+
+from __future__ import annotations
+
+import json
+import struct
+
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators.sinks import bin_records, to_geojson_df, write_geojson
+from geomesa_spark.operators.spatial_join import recommend_salt
+from geomesa_spark.sources.pages import generate_points
+
+
+def test_geojson_rows(spark, tmp_path):
+    pts = generate_points(spark, 100, partitions=2)
+    gj = to_geojson_df(pts, id_col="page_id", props=["page_id"])
+    row = gj.filter(F.col("page_id") == 5).collect()[0]
+    parsed = json.loads(row["geojson"])
+    assert parsed["type"] == "Feature"
+    assert parsed["geometry"]["type"] == "Point"
+    assert parsed["properties"]["page_id"] == 5
+    assert abs(parsed["geometry"]["coordinates"][0] - row["lon"]) < 1e-9
+
+    out = str(tmp_path / "gj")
+    write_geojson(pts, out, id_col="page_id")
+    lines = spark.read.text(out).count()
+    assert lines == 100
+
+
+def test_bin_records_pack(spark):
+    df = spark.createDataFrame([(7, 10.5, -20.25, 1700000000)],
+                               "track long, lat double, lon double, dtg long")
+    b = bin_records(df, "track", x="lon", y="lat", ts_col="dtg").collect()[0]["bin"]
+    t, la, lo, d = struct.unpack("<iffi", bytes(b))
+    assert (t, d) == (7, 1700000000)
+    assert abs(la - 10.5) < 1e-6 and abs(lo + 20.25) < 1e-6
+
+
+def test_recommend_salt_detects_hot_cells(spark):
+    # the seeded corpus is 80% concentrated in 20 urban cells -> skewed
+    pts = generate_points(spark, 50_000, partitions=4)
+    salt = recommend_salt(pts, "lon", "lat", level=8, sample_rows=50_000)
+    assert salt > 1  # hot cells found
+    # uniform layer -> no salting needed
+    uni = spark.range(50_000).select(
+        (F.rand(seed=1) * 360 - 180).alias("lon"),
+        (F.rand(seed=2) * 180 - 90).alias("lat"))
+    assert recommend_salt(uni, "lon", "lat", level=4) <= 2
