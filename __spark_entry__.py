@@ -393,6 +393,16 @@ def q_convex_hull(spark, sf_dir):
     hulls = convex_hull_points(c, "c_mktsegment")
     return hulls.select("group", "n_hull")
 
+def q_ngram_dedup_fast(spark, sf_dir):
+    """High-threshold near-dup join with PPJoin prefix filtering (the
+    realistic web-dedup configuration; exact, no false negatives)."""
+    from geomesa_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8,
+                               prefix_filter=True)
+
+
 def q_minhash_pairs(spark, sf_dir):
     from geomesa_spark.operators.dedup import minhash_dedup_pairs
 
@@ -552,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tube_select": q_tube_select,
         # rows-only (no SQL equivalent)
         "convex_hull": q_convex_hull,
+        "ngram_dedup_fast": q_ngram_dedup_fast,
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann": q_lsh_ann,

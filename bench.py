@@ -38,7 +38,7 @@ SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") == "1"
 HEADLINE = [
     "pip_contains", "pip_intersects", "rect_intersects", "dwithin_deg",
     "knn", "z2_cells", "geohash", "tile_density", "dedup_exact",
-    "ngram_jaccard", "ann_cosine", "minhash_pairs", "token_topk",
+    "ngram_dedup_fast", "ann_cosine", "minhash_pairs", "token_topk",
 ]
 
 

@@ -62,11 +62,12 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 def minhash_signature_udf(num_hashes: int = 64, shingle_k: int = 3, seed: int = 42):
     """pandas UDF: text -> array<long> minhash signature.
 
-    Universal hashing h_i(x) = (a_i*x + b_i) mod p (p = 2^61-1), seeded.
+    Multiply-shift universal hashing: h_i(x) = (a_i * x) with odd a_i over
+    uint64 wraparound — fully vectorized (no arbitrary-precision ints),
+    the standard fast MinHash family.
     """
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, MERSENNE, size=num_hashes, dtype=np.int64).astype(object)
-    b = rng.randint(0, MERSENNE, size=num_hashes, dtype=np.int64).astype(object)
+    a = (rng.randint(0, 1 << 62, size=num_hashes).astype(np.uint64) << np.uint64(1)) | np.uint64(1)
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(texts: pd.Series) -> pd.Series:
@@ -75,13 +76,12 @@ def minhash_signature_udf(num_hashes: int = 64, shingle_k: int = 3, seed: int = 
             if t is None:
                 out.append(None)
                 continue
-            sh = _shingle_hashes(t, shingle_k).astype(object)  # python ints: exact mod
+            sh = _shingle_hashes(t, shingle_k)
             if len(sh) == 0:
                 out.append([0] * num_hashes)
                 continue
-            # (num_hashes x n_shingles) exact integer arithmetic via object dtype
-            vals = (a[:, None] * sh[None, :] + b[:, None]) % MERSENNE
-            out.append([int(v) for v in vals.min(axis=1)])
+            vals = a[:, None] * sh[None, :]  # uint64 wraparound
+            out.append((vals.min(axis=1).astype(np.int64)).tolist())
         return pd.Series(out, dtype=object)
 
     return sig
@@ -178,13 +178,21 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
-                        n: int = 3, threshold: float = 0.5) -> DataFrame:
+                        n: int = 3, threshold: float = 0.5,
+                        prefix_filter: bool = False) -> DataFrame:
     """Exact n-gram (word) Jaccard similarity join via inverted index.
 
     Classic exact algorithm: explode distinct shingles, self-join on the
     shingle (the shuffle key is the shingle hash), count common shingles
     per pair, jaccard = common / (|A| + |B| - common). Returns
     (id_a < id_b, jaccard). All built-in expressions, no Python.
+
+    prefix_filter=True applies the PPJoin-style prefix filter (exact, no
+    false negatives): shingles sort by a global canonical order and only
+    the first ``n_i - ceil(t * n_i) + 1`` per document enter the inverted
+    index; candidate pairs then verify the true jaccard via an
+    array_intersect join-back. Dramatically fewer candidates for high
+    thresholds — the scale path; pointless below t ~ 0.5.
     """
     words = F.split(F.col(text_col), r"\s+")
     grams = F.array_distinct(F.transform(
@@ -192,6 +200,31 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
     base = df.select(F.col(id_col).alias("__id__"), grams.alias("__g__")) \
              .withColumn("__n__", F.size("__g__"))
+
+    if prefix_filter:
+        hashed = base.withColumn("__h__", F.array_sort(
+            F.transform("__g__", lambda g: F.xxhash64(g))))
+        prefix_len = (F.col("__n__")
+                      - F.ceil(F.col("__n__") * F.lit(float(threshold))).cast("int")
+                      + F.lit(1))
+        ex = (hashed.select("__id__", "__n__", "__h__",
+                            F.explode(F.slice("__h__", 1, prefix_len)).alias("__gram__")))
+        l = ex.select(F.col("__id__").alias("id_a"), "__gram__")
+        r = ex.select(F.col("__id__").alias("id_b"), "__gram__")
+        cand = (l.join(r, on="__gram__").filter(F.col("id_a") < F.col("id_b"))
+                 .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]))
+        ga = hashed.select(F.col("__id__").alias("id_a"),
+                           F.col("__h__").alias("__ha__"), F.col("__n__").alias("__na__"))
+        gb = hashed.select(F.col("__id__").alias("id_b"),
+                           F.col("__h__").alias("__hb__"), F.col("__n__").alias("__nb__"))
+        verified = (cand.join(ga, on="id_a").join(gb, on="id_b")
+                        .withColumn("__common__",
+                                    F.size(F.array_intersect("__ha__", "__hb__"))))
+        jac = F.col("__common__") / (F.col("__na__") + F.col("__nb__") - F.col("__common__"))
+        return (verified.withColumn("jaccard", jac)
+                        .filter(F.col("jaccard") >= threshold)
+                        .select("id_a", "id_b", "jaccard"))
+
     ex = base.select("__id__", "__n__",
                      F.explode("__g__").alias("__gram__")) \
              .withColumn("__gram__", F.xxhash64("__gram__"))
