@@ -493,6 +493,21 @@ def q_xz3_cells(spark, sf_dir):
                                    F.countDistinct("xz3").alias("n_cells")))
 
 
+def q_s2_cells(spark, sf_dir):
+    from pyspark.sql.types import LongType
+
+    from geomesa_spark.curves.s2 import cell_id_from_lonlat
+
+    @F.pandas_udf(LongType())
+    def s2(lon: pd.Series, lat: pd.Series) -> pd.Series:
+        return pd.Series(cell_id_from_lonlat(lon.to_numpy(np.float64),
+                                             lat.to_numpy(np.float64), level=8))
+
+    pts = _cust_points(spark, sf_dir)
+    return (pts.withColumn("s2_cell", s2("lon", "lat"))
+               .groupBy("s2_cell").agg(F.count("*").alias("n")))
+
+
 def q_sketches(spark, sf_dir):
     """Mergeable-sketch stats surface (Stat DSL analog): approximate
     distinct, quantiles, frequency sketch."""
@@ -571,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "xz2_cells": q_xz2_cells,
         "xz3_cells": q_xz3_cells,
+        "s2_cells": q_s2_cells,
         "sketches": q_sketches,
         "multimodal_feats": q_multimodal_feats,
         "geoparse_pages": q_geoparse_pages,

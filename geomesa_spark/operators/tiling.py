@@ -258,6 +258,31 @@ def density(df: DataFrame, geom_col: str,
             .filter((F.col("i") >= 0) & (F.col("j") >= 0)))
 
 
+def heatmap(grid_df: DataFrame, w: int, h: int, radius_px: int = 10) -> np.ndarray:
+    """Gaussian-smoothed surface from a density grid — the reference's
+    client-side final step (geomesa-process DensityProcess.scala:55-137,
+    GeoTools HeatmapSurface): the distributed part is the sparse
+    (i, j, weight) aggregation; the kernel smooth runs on the collected
+    grid (at most w*h values regardless of input size).
+
+    Returns an (h, w) float array (row j, col i).
+    """
+    surface = np.zeros((h, w), dtype=np.float64)
+    for r in grid_df.select("i", "j", "weight").collect():
+        if 0 <= r["i"] < w and 0 <= r["j"] < h:
+            surface[r["j"], r["i"]] = r["weight"]
+    if radius_px <= 0:
+        return surface
+    sigma = radius_px / 3.0
+    half = radius_px
+    xk = np.arange(-half, half + 1, dtype=np.float64)
+    kernel = np.exp(-(xk * xk) / (2 * sigma * sigma))
+    kernel /= kernel.sum()
+    # separable convolution, zero-padded edges
+    tmp = np.apply_along_axis(lambda row: np.convolve(row, kernel, mode="same"), 1, surface)
+    return np.apply_along_axis(lambda col: np.convolve(col, kernel, mode="same"), 0, tmp)
+
+
 def density_points(df: DataFrame, xcol: str, ycol: str,
                    xmin: float, ymin: float, xmax: float, ymax: float,
                    w: int, h: int, weight_col: str | None = None) -> DataFrame:

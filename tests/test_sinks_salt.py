@@ -47,3 +47,16 @@ def test_recommend_salt_detects_hot_cells(spark):
         (F.rand(seed=1) * 360 - 180).alias("lon"),
         (F.rand(seed=2) * 180 - 90).alias("lat"))
     assert recommend_salt(uni, "lon", "lat", level=4) <= 2
+
+
+def test_heatmap_smooth(spark):
+    from geomesa_spark.operators.tiling import density_points, heatmap
+
+    pts = generate_points(spark, 5_000, partitions=2)
+    grid = density_points(pts, "lon", "lat", -180.0, -90.0, 180.0, 90.0, 360, 180)
+    surf = heatmap(grid, 360, 180, radius_px=5)
+    assert surf.shape == (180, 360)
+    # mass approximately preserved away from edges; hot cells spread
+    raw_total = sum(r["weight"] for r in grid.collect())
+    assert 0.7 * raw_total < surf.sum() <= raw_total + 1e-6
+    assert (surf > 0).sum() > grid.count()  # smoothing spreads support
