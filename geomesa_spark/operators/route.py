@@ -1,0 +1,92 @@
+"""Route search: features along a route, heading-matched.
+
+The reference RouteSearchProcess (geomesa-process/.../RouteSearchProcess
+.scala:36) returns point features within a buffer of a route line whose
+heading attribute is within a tolerance of the local route azimuth
+(either direction). Re-expressed:
+
+- the route (small) splits into segments; each segment explodes to the
+  Z2 cells covering its buffered bbox, carrying the segment azimuth,
+- data points key by cell (JVM expression), broadcast equi-join,
+- refine: exact point-to-segment distance (vectorized) + circular
+  heading difference <= tolerance (mod 180: a track along the route in
+  either direction matches, the reference's bidirectional flag).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+from .spatial_join import DEFAULT_LEVEL, cell_expr_of_points, cells_of_disk_arrays
+
+__all__ = ["route_search"]
+
+
+def route_search(
+    route: DataFrame,
+    data: DataFrame,
+    buffer_deg: float,
+    heading_tol: float = 45.0,
+    rx: str = "lon", ry: str = "lat", order_col: str = "seq",
+    dx: str = "lon", dy: str = "lat", heading_col: str = "heading",
+    data_id: str = "event_id",
+    level: int = DEFAULT_LEVEL,
+    bidirectional: bool = True,
+) -> DataFrame:
+    """Data points within ``buffer_deg`` of the route whose heading is
+    within ``heading_tol`` degrees of the local segment azimuth.
+
+    ``route`` is an ordered point table (order_col ascending defines the
+    line). Returns distinct matching data rows.
+    """
+    from pyspark.sql import Window
+
+    win = Window.orderBy(F.col(order_col))
+    segs = (route.select(
+                F.col(rx).alias("__x0__"), F.col(ry).alias("__y0__"),
+                F.lead(rx).over(win).alias("__x1__"),
+                F.lead(ry).over(win).alias("__y1__"))
+            .filter(F.col("__x1__").isNotNull()))
+    # segment azimuth in degrees from north, [0, 360)
+    az = (F.degrees(F.atan2(F.col("__x1__") - F.col("__x0__"),
+                            F.col("__y1__") - F.col("__y0__"))) + 360.0) % 360.0
+    segs = segs.withColumn("__az__", az)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def seg_cells(x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series) -> pd.Series:
+        cx = (x0.to_numpy(np.float64) + x1.to_numpy(np.float64)) / 2
+        cy = (y0.to_numpy(np.float64) + y1.to_numpy(np.float64)) / 2
+        half_x = np.abs(x1.to_numpy(np.float64) - x0.to_numpy(np.float64)) / 2 + buffer_deg
+        half_y = np.abs(y1.to_numpy(np.float64) - y0.to_numpy(np.float64)) / 2 + buffer_deg
+        return pd.Series(cells_of_disk_arrays(cx, cy, half_x, half_y, level),
+                         dtype=object)
+
+    segs_k = segs.withColumn("__cell__", F.explode(
+        seg_cells("__x0__", "__y0__", "__x1__", "__y1__")))
+
+    d = data.withColumn("__cell__", cell_expr_of_points(dx, dy, level))
+    cand = d.join(F.broadcast(segs_k), on="__cell__", how="inner")
+
+    # exact point-to-segment distance (cartesian degrees), vectorized expr:
+    # project the point on the segment, clamp t to [0,1]
+    px, py = F.col(dx), F.col(dy)
+    sx, sy = F.col("__x0__"), F.col("__y0__")
+    ex, ey = F.col("__x1__"), F.col("__y1__")
+    vx, vy = ex - sx, ey - sy
+    seg_len2 = vx * vx + vy * vy
+    t = F.when(seg_len2 > 0, ((px - sx) * vx + (py - sy) * vy) / seg_len2) \
+         .otherwise(F.lit(0.0))
+    tc = F.greatest(F.least(t, F.lit(1.0)), F.lit(0.0))
+    cx_, cy_ = sx + tc * vx, sy + tc * vy
+    dist = F.sqrt((px - cx_) * (px - cx_) + (py - cy_) * (py - cy_))
+
+    diff = F.abs(F.col(heading_col) - F.col("__az__")) % 360.0
+    diff = F.least(diff, 360.0 - diff)
+    if bidirectional:
+        diff = F.least(diff, F.abs(diff - 180.0))
+    hits = cand.filter((dist <= buffer_deg) & (diff <= heading_tol))
+    return (hits.dropDuplicates([data_id])
+                .drop("__x0__", "__y0__", "__x1__", "__y1__", "__az__", "__cell__"))

@@ -1,0 +1,76 @@
+"""Route search: heading-matched proximity along a route."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators.route import route_search
+
+
+@pytest.fixture()
+def route(spark):
+    # eastward route along the equator: (0,0) -> (10,0)
+    return spark.createDataFrame(
+        [(i, float(i * 2), 0.0) for i in range(6)], "seq long, lon double, lat double")
+
+
+def test_route_search_heading_filter(spark, route):
+    data = spark.createDataFrame([
+        (1, 5.0, 0.05, 90.0),    # near route, heading east -> match
+        (2, 5.0, 0.05, 270.0),   # heading west -> match (bidirectional)
+        (3, 5.0, 0.05, 0.0),     # heading north -> no match
+        (4, 5.0, 5.0, 90.0),     # far from route -> no match
+        (5, 9.9, -0.08, 100.0),  # near, heading ~east -> match
+    ], "event_id long, lon double, lat double, heading double")
+    out = route_search(route, data, buffer_deg=0.2, heading_tol=30.0)
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == [1, 2, 5]
+
+
+def test_route_search_unidirectional(spark, route):
+    data = spark.createDataFrame([
+        (1, 5.0, 0.05, 90.0),
+        (2, 5.0, 0.05, 270.0),
+    ], "event_id long, lon double, lat double, heading double")
+    out = route_search(route, data, buffer_deg=0.2, heading_tol=30.0,
+                       bidirectional=False)
+    ids = sorted(r["event_id"] for r in out.collect())
+    assert ids == [1]
+
+
+def test_route_search_brute_force_equivalence(spark):
+    # random route + random data: cell-join result == brute-force oracle
+    rng = np.random.RandomState(3)
+    rpts = [(i, float(x), float(y)) for i, (x, y) in enumerate(
+        zip(np.cumsum(rng.uniform(0.5, 2, 10)) - 10, rng.uniform(-2, 2, 10)))]
+    route = spark.createDataFrame(rpts, "seq long, lon double, lat double")
+    d = [(i, float(rng.uniform(-12, 12)), float(rng.uniform(-4, 4)),
+          float(rng.uniform(0, 360))) for i in range(500)]
+    data = spark.createDataFrame(d, "event_id long, lon double, lat double, heading double")
+
+    got = sorted(r["event_id"] for r in
+                 route_search(route, data, buffer_deg=0.5, heading_tol=60.0).collect())
+
+    # brute force oracle in numpy
+    segs = [(rpts[i][1], rpts[i][2], rpts[i + 1][1], rpts[i + 1][2])
+            for i in range(len(rpts) - 1)]
+    want = []
+    for (eid, px, py, hd) in d:
+        ok = False
+        for (x0, y0, x1, y1) in segs:
+            vx, vy = x1 - x0, y1 - y0
+            L2 = vx * vx + vy * vy
+            t = 0.0 if L2 == 0 else max(0.0, min(1.0, ((px - x0) * vx + (py - y0) * vy) / L2))
+            dist = np.hypot(px - (x0 + t * vx), py - (y0 + t * vy))
+            az = (np.degrees(np.arctan2(vx, vy)) + 360.0) % 360.0
+            diff = abs(hd - az) % 360.0
+            diff = min(diff, 360.0 - diff)
+            diff = min(diff, abs(diff - 180.0))
+            if dist <= 0.5 and diff <= 60.0:
+                ok = True
+                break
+        if ok:
+            want.append(eid)
+    assert got == sorted(want)
