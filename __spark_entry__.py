@@ -426,6 +426,15 @@ def q_lsh_ann(spark, sf_dir):
     return lsh_topk(q, emb, k=5, dim=64)
 
 
+def q_ivf_ann(spark, sf_dir):
+    from geomesa_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"),
+                                                F.col("embedding").alias("qvec"))
+    return ivf_topk(q, emb, k=5, n_centroids=8, n_probe=3)
+
+
 def q_density_poly(spark, sf_dir):
     from geomesa_spark.operators.tiling import density
 
@@ -532,7 +541,7 @@ def q_multimodal_feats(spark, sf_dir):
 def q_geoparse_pages(spark, sf_dir):
     from geomesa_spark.sources.pages import generate_pages, geoparse
 
-    pages = generate_pages(spark, 2000, partitions=8)
+    pages = generate_pages(spark, 2000, partitions=8, place_mentions=True)
     pts = geoparse(pages)
     return pts.groupBy("lang").agg(F.count("*").alias("n"))
 
@@ -581,6 +590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "density_poly": q_density_poly,
         "fingerprint": q_fingerprint,
         "langid": q_langid,

@@ -24,7 +24,7 @@ from pyspark.sql.types import (
     ArrayType, DoubleType, LongType, StructField, StructType,
 )
 
-__all__ = ["cosine_topk", "cosine_topk_sql", "lsh_topk", "cosine_sim_col"]
+__all__ = ["cosine_topk", "cosine_topk_sql", "lsh_topk", "ivf_topk", "cosine_sim_col"]
 
 
 def cosine_sim_col(a, b) -> F.Column:
@@ -97,6 +97,67 @@ def cosine_topk_sql(queries: DataFrame, corpus: DataFrame, k: int,
                   .withColumn("rank", F.row_number().over(win))
                   .filter(F.col("rank") <= k)
                   .select("qid", "vec_id", "sim", "rank"))
+
+
+def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
+             n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
+             train_sample: int = 10_000,
+             query_id: str = "qid", query_vec: str = "qvec",
+             corpus_id: str = "vec_id", corpus_vec: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) ANN: coarse k-means centroids partition the
+    corpus; each query probes its ``n_probe`` nearest centroid lists and
+    refines exact cosine there.
+
+    Training is a driver-side mini k-means over a bounded sample (the
+    standard IVF recipe); assignment and probing are vectorized pUDFs.
+    Recall grows with n_probe (n_probe == n_centroids -> exact).
+    """
+    sample = np.array([r[0] for r in
+                       corpus.select(corpus_vec).limit(train_sample).collect()],
+                      dtype=np.float64)
+    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+    rng = np.random.RandomState(seed)
+    cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                             replace=False)].copy()
+    for _ in range(10):  # mini k-means (cosine = dot on normalized vectors)
+        assign = (sample @ cent.T).argmax(axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = sample[m].mean(axis=0)
+                cent[c] = v / np.linalg.norm(v)
+    bc = corpus.sparkSession.sparkContext.broadcast(cent)
+
+    def list_of(vecs: pd.Series, top: int) -> pd.Series:
+        mat = np.array(list(vecs), dtype=np.float64)
+        mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+        sims = mat @ bc.value.T
+        if top == 1:
+            return pd.Series(sims.argmax(axis=1).astype(np.int64))
+        idx = np.argsort(-sims, axis=1)[:, :top]
+        return pd.Series([row.tolist() for row in idx.astype(np.int64)], dtype=object)
+
+    from pyspark.sql.types import LongType
+
+    @F.pandas_udf(LongType())
+    def assign_one(vecs: pd.Series) -> pd.Series:
+        return list_of(vecs, 1)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probe_lists(vecs: pd.Series) -> pd.Series:
+        return list_of(vecs, n_probe)
+
+    c = (corpus.select(F.col(corpus_id).alias("vec_id"), F.col(corpus_vec).alias("__cv__"))
+               .withColumn("__list__", assign_one(F.col("__cv__"))))
+    q = (queries.select(F.col(query_id).alias("qid"), F.col(query_vec).alias("__qv__"))
+                .withColumn("__list__", F.explode(probe_lists(F.col("__qv__")))))
+    cand = c.join(F.broadcast(q), on="__list__")
+    sim = cosine_sim_col("__qv__", "__cv__")
+    win = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    return (cand.withColumn("sim", sim)
+                .withColumn("rank", F.row_number().over(win))
+                .filter(F.col("rank") <= k)
+                .select("qid", "vec_id", "sim", "rank"))
 
 
 def _hyperplanes(dim: int, n_bits: int, seed: int) -> np.ndarray:

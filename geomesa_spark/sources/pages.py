@@ -44,6 +44,17 @@ URBAN_CENTERS = np.array([
 LANGS = np.array(["en", "de", "fr", "es", "pt", "zh"])
 SEED = 42
 
+# gazetteer: place name -> URBAN_CENTERS index (geoparse resolves mentions
+# to the city center; deterministic, part of the per-row invariant)
+CITY_NAMES = [
+    "NewYork", "Paris", "Tokyo", "London", "Beijing", "Delhi", "SaoPaulo",
+    "Cairo", "Sydney", "MexicoCity", "Mumbai", "Moscow", "Seoul", "Chicago",
+    "LosAngeles", "Singapore", "Istanbul", "HongKong", "BuenosAires",
+    "CapeTown",
+]
+GAZETTEER = {name: (float(URBAN_CENTERS[i, 0]), float(URBAN_CENTERS[i, 1]))
+             for i, name in enumerate(CITY_NAMES)}
+
 
 def _mix(ids: np.ndarray, salt: int) -> np.ndarray:
     """Deterministic 64-bit mix (splitmix64) of id+salt — the only RNG used."""
@@ -87,8 +98,15 @@ _PAGE_SCHEMA = StructType([
 ])
 
 
-def generate_pages(spark, n: int, partitions: int | None = None) -> DataFrame:
-    """Seeded web-pages table of n rows; deterministic per id."""
+def generate_pages(spark, n: int, partitions: int | None = None,
+                   place_mentions: bool = False) -> DataFrame:
+    """Seeded web-pages table of n rows; deterministic per id.
+
+    place_mentions=True makes ~10% of pages reference a gazetteer city
+    name ("located in NewYork") instead of literal coordinates; geoparse
+    resolves them through the broadcast gazetteer. Off by default so the
+    generate_points fast path stays bit-identical to the parse output.
+    """
 
     def gen(iterator):
         for pdf in iterator:
@@ -107,6 +125,13 @@ def generate_pages(spark, n: int, partitions: int | None = None) -> DataFrame:
                 + " located at " + lat_s + ", " + lon_s
                 + " token " + filler
             )
+            if place_mentions:
+                is_place = (_mix(ids, 20) % np.uint64(10)) == 0
+                city_idx = (_mix(ids, 21) % np.uint64(len(CITY_NAMES))).astype(np.int64)
+                cities = pd.Series(np.array(CITY_NAMES, dtype=object)[city_idx])
+                place_text = ("page " + ids_s + " located in " + cities
+                              + " token " + filler)
+                text = text.where(~pd.Series(is_place), place_text)
             html = ("<html><body>" + text + "</body></html>").str.encode("utf-8")
             yield pd.DataFrame({
                 "url": urls, "warc_ts": ts, "html": html, "text": text, "lang": lang,
@@ -143,6 +168,7 @@ def generate_points(spark, n: int, partitions: int | None = None) -> DataFrame:
 
 
 _GEO_RE = r"located at (-?\d+\.\d+), (-?\d+\.\d+)"
+_PLACE_RE = r"located in (\w+)"
 
 
 def geoparse(pages: DataFrame, text_col: str = "text") -> DataFrame:
@@ -159,10 +185,19 @@ def geoparse(pages: DataFrame, text_col: str = "text") -> DataFrame:
     @pandas_udf(coord_schema)
     def parse_coords(s: pd.Series) -> pd.DataFrame:
         ext = s.str.extract(_GEO_RE, expand=True)  # single C-regex pass
-        return pd.DataFrame({
-            "lat": pd.to_numeric(ext[0], errors="coerce"),
-            "lon": pd.to_numeric(ext[1], errors="coerce"),
-        })
+        lat = pd.to_numeric(ext[0], errors="coerce")
+        lon = pd.to_numeric(ext[1], errors="coerce")
+        miss = lat.isna()
+        if miss.any():
+            # place-mention resolution through the gazetteer
+            places = s[miss].str.extract(_PLACE_RE, expand=True)[0]
+            lon = lon.copy()
+            lat = lat.copy()
+            lon[miss] = places.map(lambda c: GAZETTEER.get(c, (np.nan, np.nan))[0]
+                                   if isinstance(c, str) else np.nan)
+            lat[miss] = places.map(lambda c: GAZETTEER.get(c, (np.nan, np.nan))[1]
+                                   if isinstance(c, str) else np.nan)
+        return pd.DataFrame({"lat": lat, "lon": lon})
 
     out = (pages.withColumn("__coords__", parse_coords(F.col(text_col)))
                 .withColumn("lat", F.col("__coords__.lat"))

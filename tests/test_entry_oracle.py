@@ -79,3 +79,23 @@ def test_rows_only_runs(spark, name):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_ivf_recall(spark):
+    """IVF with n_probe=n_centroids must equal exact top-k; fewer probes
+    keep decent recall."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.ann import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"),
+                                                F.col("embedding").alias("qvec"))
+    exact = {(r["qid"], r["vec_id"]) for r in
+             cosine_topk(q.withColumnRenamed("qvec", "embedding"), emb, k=5).collect()}
+    full = {(r["qid"], r["vec_id"]) for r in
+            ivf_topk(q, emb, k=5, n_centroids=8, n_probe=8).collect()}
+    assert full == exact
+    approx = {(r["qid"], r["vec_id"]) for r in
+              ivf_topk(q, emb, k=5, n_centroids=8, n_probe=2).collect()}
+    assert len(approx & exact) / len(exact) >= 0.6

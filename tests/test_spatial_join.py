@@ -124,3 +124,25 @@ class TestDeterminism:
                             lat[:, None] - URBAN_CENTERS[None, :, 1]), axis=1)
         frac_hot = float(np.mean(d < 0.2))
         assert 0.75 < frac_hot < 0.85
+
+
+def test_geoparse_place_mentions(spark):
+    from geomesa_spark.sources.pages import GAZETTEER, generate_pages, geoparse
+    from pyspark.sql import functions as F
+
+    pages = generate_pages(spark, 5000, partitions=4, place_mentions=True)
+    pts = geoparse(pages)
+    # nothing dropped: every page resolves via coords or gazetteer
+    assert pts.count() == 5000
+    placed = pts.filter(F.col("text").contains("located in"))
+    n_placed = placed.count()
+    assert 300 < n_placed < 700  # ~10%
+    # resolved coordinates are exactly gazetteer city centers
+    centers = {(lon, lat) for lon, lat in GAZETTEER.values()}
+    for r in placed.limit(20).collect():
+        assert (r["lon"], r["lat"]) in centers
+    # determinism: same text -> same geometry (per-row invariant)
+    again = geoparse(generate_pages(spark, 5000, partitions=2, place_mentions=True))
+    a = sorted((r["url"], r["lon"], r["lat"]) for r in pts.collect())
+    b = sorted((r["url"], r["lon"], r["lat"]) for r in again.collect())
+    assert a == b
