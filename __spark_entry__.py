@@ -811,6 +811,19 @@ def oracle_sql() -> dict[str, str]:
                    {gh4} AS gh
             FROM pts
         """,
+        # rect polygons: AWT even-odd center fill == half-open snapped
+        # cell ranges [snap(min), snap(max)) per axis
+        "density_poly": f"""
+            WITH r AS (SELECT CAST(floor((({_nx0}) + 180.0) / 1.0) AS BIGINT) AS i0,
+                              CAST(floor((({_nx1}) + 180.0) / 1.0) AS BIGINT) AS i1,
+                              CAST(floor((({_ny0}) + 90.0) / 1.0) AS BIGINT) AS j0,
+                              CAST(floor((({_ny1}) + 90.0) / 1.0) AS BIGINT) AS j1
+                       FROM nation)
+            SELECT CAST(i AS INTEGER) AS i, CAST(j AS INTEGER) AS j,
+                   CAST(count(*) AS DOUBLE) AS weight
+            FROM r, unnest(range(i0, i1)) AS t(i), unnest(range(j0, j1)) AS t2(j)
+            GROUP BY 1, 2
+        """,
         "tube_select": f"""
             WITH e AS (SELECT event_id, user_id,
                               {tg.sql_point_lon('event_id', _e['mlon'], _e['olon'])} AS lon,
