@@ -366,6 +366,56 @@ def q_sql_functions(spark, sf_dir):
     """)
 
 
+def q_attr_join(spark, sf_dir):
+    """Attribute join (JoinProcess analog): customers in nations that
+    have a high-balance supplier — left-semi by attribute values."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") > 5000.0)
+    return (c.join(s.select("s_nationkey").distinct(),
+                   c.c_nationkey == F.col("s_nationkey"), "left_semi")
+             .select("c_custkey", "c_nationkey"))
+
+
+def q_date_offset(spark, sf_dir):
+    """DateOffsetProcess analog: shift event times by +7 days."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_id",
+                     (F.unix_timestamp("ts") + 7 * 86400).alias("ts_plus7d_epoch"))
+
+
+def q_tile_density_weighted(spark, sf_dir):
+    from geomesa_spark.operators.tiling import density_points
+
+    pts = _t(spark, sf_dir, "customer").select(
+        tg.point_lon("c_custkey").alias("lon"),
+        tg.point_lat("c_custkey").alias("lat"),
+        (F.col("c_custkey") % 7 + 1).alias("w"))
+    return density_points(pts, "lon", "lat", -180.0, -90.0, 180.0, 90.0,
+                          360, 180, weight_col="w")
+
+
+def q_hash_attr(spark, sf_dir):
+    """HashAttributeProcess analog: bucketHash(value, modulo)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.withColumn("bucket", F.pmod(F.xxhash64("event_type"), F.lit(16)))
+              .groupBy("bucket").agg(F.count("*").alias("n")))
+
+
+def q_knn_sphere(spark, sf_dir):
+    from geomesa_spark.operators.knn import knn_join
+
+    q = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("qid"),
+        tg.point_lon("n_nationkey", _q["mlon"], _q["olon"]).alias("qx"),
+        tg.point_lat("n_nationkey", _q["mlat"], _q["olat"]).alias("qy"))
+    d = _cust_points(spark, sf_dir)
+    out = knn_join(q, d, k=3, query_id="qid", qx="qx", qy="qy",
+                   dx="lon", dy="lat", data_id="c_custkey",
+                   metric="sphere", initial_radius=2_000_000.0,
+                   max_radius=9_000_000.0, max_rounds=4)
+    return out.select("qid", "c_custkey", "rank")
+
+
 def q_tube_select(spark, sf_dir):
     from geomesa_spark.operators.tube import tube_select
 
@@ -584,7 +634,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "value_hist": q_value_hist,
         "sql_functions": q_sql_functions,
         "tube_select": q_tube_select,
+        "attr_join": q_attr_join,
+        "date_offset": q_date_offset,
+        "tile_density_weighted": q_tile_density_weighted,
         # rows-only (no SQL equivalent)
+        "hash_attr": q_hash_attr,
+        "knn_sphere": q_knn_sphere,
         "convex_hull": q_convex_hull,
         "ngram_dedup_fast": q_ngram_dedup_fast,
         "minhash_pairs": q_minhash_pairs,
@@ -810,6 +865,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, CAST(lon AS REAL) AS x32, CAST(lat AS REAL) AS y32,
                    {gh4} AS gh
             FROM pts
+        """,
+        "attr_join": """
+            SELECT c_custkey, c_nationkey FROM customer
+            WHERE c_nationkey IN (SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000.0)
+        """,
+        "date_offset": """
+            SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) + 604800 AS ts_plus7d_epoch
+            FROM events
+        """,
+        "tile_density_weighted": f"""
+            WITH pts AS (SELECT {tg.sql_point_lon('c_custkey')} AS lon,
+                                {tg.sql_point_lat('c_custkey')} AS lat,
+                                c_custkey % 7 + 1 AS w FROM customer)
+            SELECT CAST({tg.sql_tile('lon', '-180.0', 1.0, 360)} AS INTEGER) AS i,
+                   CAST({tg.sql_tile('lat', '-90.0', 1.0, 180)} AS INTEGER) AS j,
+                   CAST(sum(w) AS DOUBLE) AS weight
+            FROM pts GROUP BY 1, 2
         """,
         # rect polygons: AWT even-odd center fill == half-open snapped
         # cell ranges [snap(min), snap(max)) per axis
