@@ -81,3 +81,35 @@ def test_windowed_density_stream(spark, tmp_path):
     # both (10.x, 20.x) points share the 1-deg tile (190, 110)
     assert got[(190, 110)] == 2
     assert got[(9, 57)] == 1
+
+
+def test_lambda_store_merge_persist(spark, tmp_path):
+    from geomesa_spark.streaming.lambda_store import LambdaStore
+
+    path = str(tmp_path / "lambda")
+    store = LambdaStore(spark, path)
+
+    batch1 = spark.createDataFrame(
+        [("a", 100, 1.0), ("b", 100, 2.0)], "feature_id string, ts long, lon double")
+    store.persist(batch1)
+
+    # transient newer update for a, tombstone for b, new c
+    transient = spark.createDataFrame(
+        [("a", 200, 9.0), ("b", 300, None), ("c", 150, 3.0)],
+        "feature_id string, ts long, lon double")
+    view = {r["feature_id"]: (r["ts"], r["lon"])
+            for r in store.merged_view(transient).collect()}
+    assert view == {"a": (200, 9.0), "c": (150, 3.0)}  # b tombstoned
+
+    # persisting folds + compacts: persistent-only view now matches
+    store.persist(transient)
+    view2 = {r["feature_id"]: (r["ts"], r["lon"])
+             for r in store.merged_view().collect()}
+    assert view2 == view
+
+    # stale transient update loses to the persisted newer state
+    stale = spark.createDataFrame([("a", 150, 0.0)],
+                                  "feature_id string, ts long, lon double")
+    view3 = {r["feature_id"]: (r["ts"], r["lon"])
+             for r in store.merged_view(stale).collect()}
+    assert view3["a"] == (200, 9.0)
