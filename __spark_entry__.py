@@ -395,9 +395,15 @@ def q_tile_density_weighted(spark, sf_dir):
 
 
 def q_hash_attr(spark, sf_dir):
-    """HashAttributeProcess analog: bucketHash(value, modulo)."""
+    """HashAttributeProcess analog: bucketHash(value, modulo).
+
+    Bucket = digest mod 16 = last hex nibble of sha256 — a hash both
+    engines compute byte-identically (the reference's murmur bucket is
+    JVM-only), so the bucketing is oracle-checked.
+    """
     ev = _t(spark, sf_dir, "events")
-    return (ev.withColumn("bucket", F.pmod(F.xxhash64("event_type"), F.lit(16)))
+    bucket = F.conv(F.substring(F.sha2(F.col("event_type"), 256), 64, 1), 16, 10).cast("long")
+    return (ev.withColumn("bucket", bucket)
               .groupBy("bucket").agg(F.count("*").alias("n")))
 
 
@@ -434,14 +440,30 @@ def q_tube_select(spark, sf_dir):
 
 
 def q_convex_hull(spark, sf_dir):
+    """st_convexhull UDAF analog (partial+final hulls). The hull vertex
+    set on a deterministic sample is oracle-checked against the O(n^3)
+    SQL hull-edge characterization (an edge is on the hull iff every
+    other point lies strictly on one side of it)."""
     from geomesa_spark.operators.aggregates import convex_hull_points
 
-    c = _t(spark, sf_dir, "customer").select(
-        "c_mktsegment",
-        tg.point_lon("c_custkey").alias("lon"),
-        tg.point_lat("c_custkey").alias("lat"))
+    # deterministic sub-lattice jitter: the synthetic points sit on a
+    # 0.01-degree grid, so exact collinear triples on the hull are common
+    # and the strict-turn chain vs the SQL edge test would disagree on
+    # which collinear point is a "vertex"; +key%p * 1e-7 (identical
+    # arithmetic in both engines) breaks the degeneracy without moving
+    # the hull.
+    c = (_t(spark, sf_dir, "customer")
+         .filter(F.col("c_custkey") % 20 == 0)
+         .select("c_mktsegment",
+                 (tg.point_lon("c_custkey")
+                  + (F.col("c_custkey") % 1009) * 1.0e-7).alias("lon"),
+                 (tg.point_lat("c_custkey")
+                  + (F.col("c_custkey") % 997) * 1.0e-7).alias("lat")))
     hulls = convex_hull_points(c, "c_mktsegment")
-    return hulls.select("group", "n_hull")
+    v = hulls.select(F.col("group").alias("seg"),
+                     F.explode(F.arrays_zip("hull_x", "hull_y")).alias("v"))
+    return v.select("seg", F.col("v.hull_x").alias("lon"),
+                    F.col("v.hull_y").alias("lat"))
 
 def q_ngram_dedup_fast(spark, sf_dir):
     """High-threshold near-dup join with PPJoin prefix filtering (the
@@ -579,13 +601,18 @@ def q_sketches(spark, sf_dir):
 
 
 def q_multimodal_feats(spark, sf_dir):
-    from geomesa_spark.operators.multimodal import decode_image_features
+    """Multimodal plumbing: binary content -> mapInPandas feature vector
+    (deterministic fake decoder) + JVM-side metadata. The feature-array
+    shape and byte-length metadata are oracle-checked."""
+    from geomesa_spark.operators.multimodal import decode_image_features, media_metadata
 
     docs = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("content"))
+    meta = media_metadata(docs).select("media_id", "n_bytes")
     feats = decode_image_features(docs, dim=16, fake=True)
-    return feats.select("media_id", F.size("features").alias("dim"))
+    return (feats.join(meta, "media_id")
+                 .select("media_id", F.size("features").alias("dim"), "n_bytes"))
 
 
 def q_geoparse_pages(spark, sf_dir):
@@ -637,25 +664,149 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attr_join": q_attr_join,
         "date_offset": q_date_offset,
         "tile_density_weighted": q_tile_density_weighted,
-        # rows-only (no SQL equivalent)
         "hash_attr": q_hash_attr,
         "knn_sphere": q_knn_sphere,
         "convex_hull": q_convex_hull,
         "ngram_dedup_fast": q_ngram_dedup_fast,
-        "minhash_pairs": q_minhash_pairs,
-        "simhash_pairs": q_simhash_pairs,
-        "lsh_ann": q_lsh_ann,
-        "ivf_ann": q_ivf_ann,
         "density_poly": q_density_poly,
         "fingerprint": q_fingerprint,
         "langid": q_langid,
         "xz2_cells": q_xz2_cells,
         "xz3_cells": q_xz3_cells,
+        "multimodal_feats": q_multimodal_feats,
+        # rows-only (no SQL equivalent: banded/seeded hashing, Hilbert
+        # curve, approximate sketches, self-generated corpus)
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "s2_cells": q_s2_cells,
         "sketches": q_sketches,
-        "multimodal_feats": q_multimodal_feats,
         "geoparse_pages": q_geoparse_pages,
     }
+
+
+def _sql_xz2_nation() -> str:
+    """DuckDB mirror of XZ2SFC(12).index over the nation rects.
+
+    The engine's iterative quadtree walk (curves/xz2.py) is equivalent to
+    bit tests: at level i the quadrant is floor(v * 2^(i+1)) % 2 per axis
+    (exact — midpoints are dyadic, scaling by powers of two is lossless).
+    """
+    g = 12
+    terms = []
+    for i in range(g):
+        qx = f"(CAST(floor(nx0 * {float(1 << (i + 1))!r}) AS BIGINT) % 2)"
+        qy = f"(CAST(floor(ny0 * {float(1 << (i + 1))!r}) AS BIGINT) % 2)"
+        coef = (4 ** (g - i) - 1) // 3
+        terms.append(f"(CASE WHEN {i} < len THEN 1 + ({qx} + 2 * {qy}) * {coef} ELSE 0 END)")
+    cs = " + ".join(terms)
+    return f"""
+        WITH r AS ({_NATION_SQL}),
+        n AS (SELECT n_nationkey,
+                     (xmin + 180.0) / 360.0 AS nx0, (ymin + 90.0) / 180.0 AS ny0,
+                     (xmax + 180.0) / 360.0 AS nx1, (ymax + 90.0) / 180.0 AS ny1
+              FROM r),
+        l AS (SELECT *, CAST(floor(ln(greatest(nx1 - nx0, ny1 - ny0)) / ln(0.5)) AS BIGINT) AS l1
+              FROM n),
+        w AS (SELECT *, power(0.5, CAST(l1 + 1 AS DOUBLE)) AS w2 FROM l),
+        lv AS (SELECT n_nationkey, nx0, ny0,
+                      CASE WHEN l1 >= {g} THEN {g}
+                           WHEN nx1 <= floor(nx0 / w2) * w2 + 2 * w2
+                            AND ny1 <= floor(ny0 / w2) * w2 + 2 * w2 THEN l1 + 1
+                           ELSE l1 END AS len
+               FROM w)
+        SELECT n_nationkey, CAST({cs} AS BIGINT) AS xz2 FROM lv
+    """
+
+
+def _sql_xz3_events() -> str:
+    """DuckDB mirror of XZ3SFC(12, week).index_binned over point events:
+    point boxes have max_dim 0 so the sequence length is always g; the
+    octant at level i is the (x, y, t) bit triple (same dyadic-exactness
+    argument as _sql_xz2_nation)."""
+    g = 12
+    terms = [str(g)]  # the "+1" per level
+    for i in range(g):
+        bx = f"(CAST(floor(nx * {float(1 << (i + 1))!r}) AS BIGINT) % 2)"
+        by = f"(CAST(floor(ny * {float(1 << (i + 1))!r}) AS BIGINT) % 2)"
+        bt = f"(CAST(floor(nt * {float(1 << (i + 1))!r}) AS BIGINT) % 2)"
+        coef = (8 ** (g - i) - 1) // 7
+        terms.append(f"({bx} + 2 * {by} + 4 * {bt}) * {coef}")
+    cs = " + ".join(terms)
+    return f"""
+        WITH e AS (SELECT {tg.sql_point_lon('event_id', _e['mlon'], _e['olon'])} AS lon,
+                          {tg.sql_point_lat('event_id', _e['mlat'], _e['olat'])} AS lat,
+                          CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events),
+        n AS (SELECT secs // 604800 AS bin,
+                     (lon + 180.0) / 360.0 AS nx, (lat + 90.0) / 180.0 AS ny,
+                     CAST(secs % 604800 AS DOUBLE) / 604800.0 AS nt
+              FROM e)
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(DISTINCT {cs}) AS BIGINT) AS n_cells
+        FROM n GROUP BY bin
+    """
+
+
+def _sql_langid() -> str:
+    """DuckDB mirror of the trigram-profile language vote: per-language
+    score = non-overlapping trigram occurrence count (replace-length
+    trick == pandas str.count), argmax with lexicographic tie-break."""
+    from geomesa_spark.operators.text import _LANG_PROFILES
+
+    branches = []
+    for lang in sorted(_LANG_PROFILES):
+        diffs = " + ".join(
+            f"(length(low) - length(replace(low, '{tri}', '')))"
+            for tri in _LANG_PROFILES[lang])
+        branches.append(f"SELECT doc_id, '{lang}' AS lang, ({diffs}) AS score FROM d")
+    union = " UNION ALL ".join(branches)
+    return f"""
+        WITH d AS (SELECT doc_id, lower(text) AS low FROM documents),
+        s AS ({union}),
+        b AS (SELECT doc_id, lang, score,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn,
+                     max(score) OVER (PARTITION BY doc_id) AS mx
+              FROM s)
+        SELECT CASE WHEN mx = 0 THEN 'und' ELSE lang END AS lang_pred,
+               CAST(count(*) AS BIGINT) AS n
+        FROM b WHERE rn = 1 GROUP BY 1
+    """
+
+
+_FP_MOD = (1 << 61) - 1
+
+_SQL_FINGERPRINT = f"""
+    WITH RECURSIVE pw(k, v) AS (
+      SELECT 0, CAST(1 AS HUGEINT)
+      UNION ALL
+      SELECT k + 1, (v * 257) % {_FP_MOD} FROM pw
+      WHERE k < (SELECT max(length(text)) FROM documents)
+    ),
+    ch AS (SELECT doc_id, length(text) AS n, i,
+                  ascii(substr(text, CAST(i AS INTEGER), 1)) AS b
+           FROM documents, unnest(range(1, length(text) + 1)) AS t(i))
+    SELECT ch.doc_id,
+           CAST(sum(CAST(ch.b AS HUGEINT) * pw.v) % {_FP_MOD} AS BIGINT) AS fingerprint
+    FROM ch JOIN pw ON pw.k = ch.n - ch.i
+    GROUP BY ch.doc_id
+"""
+
+
+def _sql_ngram_jaccard(threshold: float) -> str:
+    grams = ("list_distinct(list_transform(range(0, greatest(len(words) - 3, 0) + 1), "
+             "i -> array_to_string(words[i+1:i+3], ' ')))")
+    return rf"""
+        WITH g AS (
+          SELECT doc_id, {grams} AS grams
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= {threshold}
+    """
 
 
 def _sql_z3_cell(level: int = 5) -> str:
@@ -677,8 +828,6 @@ def oracle_sql() -> dict[str, str]:
     gh4 = tg.sql_geohash("lon", "lat", 4)
     ti = tg.sql_tile("lon", "-180.0", 1.0, 360)
     tj = tg.sql_tile("lat", "-90.0", 1.0, 180)
-    grams = ("list_distinct(list_transform(range(0, greatest(len(words) - 3, 0) + 1), "
-             "i -> array_to_string(words[i+1:i+3], ' ')))")
     return {
         "pip_contains": f"""
             WITH pts AS ({_CUST_SQL}), rects AS ({_NATION_SQL})
@@ -766,17 +915,10 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
             GROUP BY 1 ORDER BY n DESC, token ASC LIMIT 20
         """,
-        "ngram_jaccard": rf"""
-            WITH g AS (
-              SELECT doc_id, {grams} AS grams
-              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words FROM documents))
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                     / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
-            FROM g a JOIN g b ON a.doc_id < b.doc_id
-            WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                     / (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.12
-        """,
+        "ngram_jaccard": _sql_ngram_jaccard(0.12),
+        # same exact algorithm, high threshold + PPJoin prefix filter
+        # (exact, no false negatives) -> same oracle shape
+        "ngram_dedup_fast": _sql_ngram_jaccard(0.8),
         "ann_cosine": """
             SELECT q.vec_id AS qid, c.vec_id AS vec_id,
                    CAST(row_number() OVER (PARTITION BY q.vec_id
@@ -914,4 +1056,50 @@ def oracle_sql() -> dict[str, str]:
                   + cos(la1) * cos(la2) * sin((lo2 - lo1) / 2) * sin((lo2 - lo1) / 2)
                   )) < 1000000.0
         """,
+        "hash_attr": """
+            SELECT CAST(strpos('0123456789abcdef', substr(sha256(event_type), 64, 1)) - 1
+                        AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        """,
+        "knn_sphere": f"""
+            WITH q AS ({_QPTS_SQL}), c AS ({_CUST_SQL}),
+            r AS (SELECT qid, c_custkey,
+                         qy / 180.0 * pi() AS la1, lat / 180.0 * pi() AS la2,
+                         qx / 180.0 * pi() AS lo1, lon / 180.0 * pi() AS lo2
+                  FROM q, c)
+            SELECT qid, c_custkey, CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY 2.0 * 6371008.7714 * asin(sqrt(
+                    sin((la2 - la1) / 2) * sin((la2 - la1) / 2)
+                  + cos(la1) * cos(la2) * sin((lo2 - lo1) / 2) * sin((lo2 - lo1) / 2))) ASC,
+                         c_custkey ASC) AS INTEGER) AS rank
+            FROM r QUALIFY rank <= 3
+        """,
+        "convex_hull": f"""
+            WITH p AS (SELECT c_mktsegment AS seg,
+                              {tg.sql_point_lon('c_custkey')} + (c_custkey % 1009) * 1.0e-7 AS lon,
+                              {tg.sql_point_lat('c_custkey')} + (c_custkey % 997) * 1.0e-7 AS lat
+                       FROM customer WHERE c_custkey % 20 = 0)
+            SELECT DISTINCT a.seg, a.lon, a.lat
+            FROM p a JOIN p b ON a.seg = b.seg AND (a.lon <> b.lon OR a.lat <> b.lat)
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p c WHERE c.seg = a.seg
+                AND (c.lon <> a.lon OR c.lat <> a.lat)
+                AND (c.lon <> b.lon OR c.lat <> b.lat)
+                AND (b.lon - a.lon) * (c.lat - a.lat)
+                  - (b.lat - a.lat) * (c.lon - a.lon) >= 0)
+            UNION
+            SELECT DISTINCT seg, lon, lat FROM p a
+            WHERE NOT EXISTS (SELECT 1 FROM p b WHERE b.seg = a.seg
+                              AND (b.lon <> a.lon OR b.lat <> a.lat))
+        """,
+        "fingerprint": _SQL_FINGERPRINT,
+        "langid": _sql_langid(),
+        "multimodal_feats": """
+            SELECT doc_id AS media_id, 16 AS dim,
+                   CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+            FROM documents
+        """,
+        "xz2_cells": _sql_xz2_nation(),
+        "xz3_cells": _sql_xz3_events(),
     }
