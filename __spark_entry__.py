@@ -30,6 +30,15 @@ def _t(spark, sf_dir, name):
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark, sf_dir):
+    """documents table, spread across the cluster: the testdata scale
+    factors write one small parquet file -> one input partition, which
+    would serialize every per-doc operator; real corpora arrive in many
+    files and skip this step."""
+    return _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism)
+
+
 def _cust_points(spark, sf_dir):
     return _t(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -193,7 +202,7 @@ def q_dedup_exact(spark, sf_dir):
 def q_text_stats(spark, sf_dir):
     from geomesa_spark.operators.text import text_stats
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     s = text_stats(docs, "doc_id", "text")
     return s.select("doc_id",
                     F.col("n_chars").cast("long").alias("n_chars"),
@@ -207,7 +216,7 @@ def q_text_stats(spark, sf_dir):
 def q_quality(spark, sf_dir):
     from geomesa_spark.operators.text import quality_score
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     qs = quality_score(docs, "doc_id", "text")
     return qs.select("doc_id", "len_ok", "wlen_ok", "punct_ok", "rep_ok",
                      F.col("quality_score").cast("long").alias("quality_score"))
@@ -223,7 +232,7 @@ def q_token_topk(spark, sf_dir):
 def q_ngram_jaccard(spark, sf_dir):
     from geomesa_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
 
 
@@ -470,22 +479,22 @@ def q_ngram_dedup_fast(spark, sf_dir):
     realistic web-dedup configuration; exact, no false negatives)."""
     from geomesa_spark.operators.dedup import ngram_jaccard_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8,
-                               prefix_filter=True)
+                               prefix_filter=True, broadcast_verify=True)
 
 
 def q_minhash_pairs(spark, sf_dir):
     from geomesa_spark.operators.dedup import minhash_dedup_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.2)
 
 
 def q_simhash_pairs(spark, sf_dir):
     from geomesa_spark.operators.dedup import simhash_dedup_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=8)
 
 
@@ -517,7 +526,7 @@ def q_density_poly(spark, sf_dir):
 def q_fingerprint(spark, sf_dir):
     from geomesa_spark.operators.text import fingerprint_udf
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     fp = fingerprint_udf()
     return docs.select("doc_id", fp("text").alias("fingerprint"))
 
@@ -525,7 +534,7 @@ def q_fingerprint(spark, sf_dir):
 def q_langid(spark, sf_dir):
     from geomesa_spark.operators.text import langid_udf
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     lid = langid_udf()
     return (docs.withColumn("lang_pred", lid("text"))
                 .groupBy("lang_pred").agg(F.count("*").alias("n")))
@@ -606,7 +615,7 @@ def q_multimodal_feats(spark, sf_dir):
     shape and byte-length metadata are oracle-checked."""
     from geomesa_spark.operators.multimodal import decode_image_features, media_metadata
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _docs(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"),
         F.encode("text", "utf-8").alias("content"))
     meta = media_metadata(docs).select("media_id", "n_bytes")

@@ -42,21 +42,104 @@ def exact_dedup(df: DataFrame, id_col: str, *content_cols: str) -> DataFrame:
               .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count")))
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Distinct 64-bit hashes of the k-word shingles of ``text``."""
-    words = text.split()
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else [""]
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_MIX = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F),
+        np.uint64(0x165667B19E3779F9))
+_EMPTY_DOC_HASH = np.uint64(0x27D4EB2F165667C5)
+
+
+def _fnv1a_batch(words: np.ndarray) -> np.ndarray:
+    """Vectorized FNV-1a over an object array of strings: one pass per
+    byte POSITION (max word length), not per byte — zero per-row Python."""
+    if len(words) == 0:
+        return np.empty(0, dtype=np.uint64)
+    enc = np.char.encode(words.astype(str), "utf-8")
+    padded = enc.astype(np.bytes_)  # S{maxlen}, NUL-padded
+    width = padded.dtype.itemsize
+    mat = padded.view(np.uint8).reshape(len(words), width)
+    h = np.full(len(words), _FNV_OFFSET, dtype=np.uint64)
+    for j in range(width):
+        col = mat[:, j]
+        live = col != 0
+        if not live.any():
+            break
+        h[live] = (h[live] ^ col[live].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
+def _batch_shingles(texts: pd.Series, k: int):
+    """All texts of an Arrow batch -> (per-doc-distinct shingle hashes
+    concatenated, per-doc segment starts, doc count, null mask).
+
+    Fully vectorized: pandas ``factorize`` dedups words C-side, FNV-1a
+    hashes each distinct word once (per-position passes), k-word shingle
+    hashes are a strided multiply-xor mix, per-doc distinct via lexsort.
+    Every doc contributes >= 1 shingle (empty docs get a constant), so
+    ``reduceat`` segments are never empty.
+    """
+    nulls = texts.isna().to_numpy()
+    word_lists = [([] if t is None else t.split()) for t in texts]
+    wc = np.array([len(w) for w in word_lists], dtype=np.int64)
+    ndocs = len(word_lists)
+    flat = np.array([w for ws in word_lists for w in ws], dtype=object)
+
+    if len(flat):
+        codes, uniques = pd.factorize(flat)
+        W = _fnv1a_batch(np.asarray(uniques, dtype=object))[codes]
     else:
-        shingles = [" ".join(words[i:i + k]) for i in range(len(words) - k + 1)]
-    # FNV-1a over utf-8 bytes, vectorized enough for short shingles
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, s in enumerate(shingles):
-        h = np.uint64(0xCBF29CE484222325)
-        for b in s.encode():
-            h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
-        out[i] = h
-    return np.unique(out)
+        W = np.empty(0, dtype=np.uint64)
+
+    wstart = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(wc, out=wstart[1:])
+    doc_of_word = np.repeat(np.arange(ndocs), wc)
+
+    out_counts = np.where(wc >= k, wc - k + 1, 1)
+    out_start = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(out_counts, out=out_start[1:])
+    sh_all = np.empty(out_start[-1], dtype=np.uint64)
+
+    # full k-windows (window entirely inside one doc)
+    if len(W) >= k:
+        mix = W[:len(W) - k + 1] * _MIX[0]
+        for j in range(1, k):
+            mix = mix ^ (W[j:len(W) - k + 1 + j] * _MIX[min(j, len(_MIX) - 1)])
+        mix = mix * _FNV_PRIME
+        p = np.arange(len(W) - k + 1)
+        d = doc_of_word[p]
+        valid = d == doc_of_word[p + k - 1]
+        pv, dv = p[valid], d[valid]
+        sh_all[out_start[dv] + (pv - wstart[dv])] = mix[valid]
+
+    # short docs (0 < wc < k): xor-mix of all their words; empty: constant
+    short = np.where((wc > 0) & (wc < k))[0]
+    for di in short:  # rare path: docs with fewer than k words
+        seg = W[wstart[di]:wstart[di + 1]] * _MIX[0]
+        v = np.uint64(0)
+        for x in seg:
+            v ^= x
+        sh_all[out_start[di]] = v * _FNV_PRIME
+    empty = np.where(wc == 0)[0]
+    if len(empty):
+        sh_all[out_start[empty]] = _EMPTY_DOC_HASH
+
+    # per-doc distinct (sorted within doc)
+    doc_of_sh = np.repeat(np.arange(ndocs), out_counts)
+    order = np.lexsort((sh_all, doc_of_sh))
+    ds, ss = doc_of_sh[order], sh_all[order]
+    keep = np.ones(len(ss), dtype=bool)
+    keep[1:] = (ds[1:] != ds[:-1]) | (ss[1:] != ss[:-1])
+    ss, ds = ss[keep], ds[keep]
+    kept_counts = np.bincount(ds, minlength=ndocs)
+    starts = np.zeros(ndocs + 1, dtype=np.int64)
+    np.cumsum(kept_counts, out=starts[1:])
+    return ss, starts, ndocs, nulls
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Single-doc helper (tests/tools): distinct shingle hashes."""
+    ss, starts, _, _ = _batch_shingles(pd.Series([text]), k)
+    return ss[starts[0]:starts[1]]
 
 
 def minhash_signature_udf(num_hashes: int = 64, shingle_k: int = 3, seed: int = 42):
@@ -71,17 +154,12 @@ def minhash_signature_udf(num_hashes: int = 64, shingle_k: int = 3, seed: int = 
 
     @F.pandas_udf(ArrayType(LongType()))
     def sig(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if t is None:
-                out.append(None)
-                continue
-            sh = _shingle_hashes(t, shingle_k)
-            if len(sh) == 0:
-                out.append([0] * num_hashes)
-                continue
-            vals = a[:, None] * sh[None, :]  # uint64 wraparound
-            out.append((vals.min(axis=1).astype(np.int64)).tolist())
+        sh, starts, ndocs, nulls = _batch_shingles(texts, shingle_k)
+        sigs = np.empty((ndocs, num_hashes), dtype=np.int64)
+        seg = starts[:-1]
+        for i in range(num_hashes):  # one reduceat pass per hash fn
+            sigs[:, i] = np.minimum.reduceat(a[i] * sh, seg).astype(np.int64)
+        out = [None if nulls[d] else sigs[d].tolist() for d in range(ndocs)]
         return pd.Series(out, dtype=object)
 
     return sig
@@ -100,33 +178,39 @@ def minhash_dedup_pairs(
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signature_udf(num_hashes, shingle_k, seed)
+    # persist: referenced by both join sides and the final verify — without
+    # it the signature UDF (the expensive stage) runs three times
     with_sig = df.select(F.col(id_col).alias("__id__"),
-                         sig(F.col(text_col)).alias("__sig__"))
+                         sig(F.col(text_col)).alias("__sig__")).persist()
 
     band_cols = [
         F.xxhash64(F.slice("__sig__", b * rows_per_band + 1, rows_per_band)
                    .cast("array<string>").cast("string"), F.lit(b)).alias("__bucket__")
         for b in range(bands)
     ]
+    # narrow (id, bucket) rows only — signatures never travel through the
+    # skew-cap window or the bucket join
     buckets = with_sig.select(
-        "__id__", "__sig__",
-        F.explode(F.array(*band_cols)).alias("__bucket__"))
+        "__id__", F.explode(F.array(*band_cols)).alias("__bucket__"))
 
     # cap pathological buckets (boilerplate skew guard)
     wb = Window.partitionBy("__bucket__").orderBy("__id__")
     buckets = (buckets.withColumn("__bn__", F.row_number().over(wb))
                       .filter(F.col("__bn__") <= max_bucket).drop("__bn__"))
 
-    l = buckets.select(F.col("__id__").alias("id_a"), F.col("__sig__").alias("__sa__"), "__bucket__")
-    r = buckets.select(F.col("__id__").alias("id_b"), F.col("__sig__").alias("__sb__"), "__bucket__")
+    l = buckets.select(F.col("__id__").alias("id_a"), "__bucket__")
+    r = buckets.select(F.col("__id__").alias("id_b"), "__bucket__")
     cand = (l.join(r, on="__bucket__").filter(F.col("id_a") < F.col("id_b"))
-             .dropDuplicates(["id_a", "id_b"]))
+             .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]))
 
+    sa = with_sig.select(F.col("__id__").alias("id_a"), F.col("__sig__").alias("__sa__"))
+    sb = with_sig.select(F.col("__id__").alias("id_b"), F.col("__sig__").alias("__sb__"))
+    pairs = cand.join(sa, on="id_a").join(sb, on="id_b")
     est = (F.size(F.filter(F.zip_with("__sa__", "__sb__", lambda x, y: x == y),
                            lambda m: m)) / F.lit(float(num_hashes)))
-    return (cand.withColumn("est_jaccard", est)
-                .filter(F.col("est_jaccard") >= threshold)
-                .select("id_a", "id_b", "est_jaccard"))
+    return (pairs.withColumn("est_jaccard", est)
+                 .filter(F.col("est_jaccard") >= threshold)
+                 .select("id_a", "id_b", "est_jaccard"))
 
 
 def simhash_udf(shingle_k: int = 2):
@@ -134,21 +218,15 @@ def simhash_udf(shingle_k: int = 2):
 
     @F.pandas_udf(LongType())
     def sim(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if t is None:
-                out.append(None)
-                continue
-            hs = _shingle_hashes(t, shingle_k)
-            if len(hs) == 0:
-                out.append(0)
-                continue
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1))
-            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
-            v = 0
-            for bit in np.where(votes > 0)[0]:
-                v |= 1 << int(bit)
-            out.append(v - (1 << 64) if v >= (1 << 63) else v)
+        sh, starts, ndocs, nulls = _batch_shingles(texts, shingle_k)
+        seg = starts[:-1]
+        counts = np.diff(starts)
+        acc = np.zeros(ndocs, dtype=np.uint64)
+        for b in range(64):  # one reduceat pass per bit
+            ones = np.add.reduceat(((sh >> np.uint64(b)) & np.uint64(1)).astype(np.int64), seg)
+            acc |= (2 * ones > counts).astype(np.uint64) << np.uint64(b)
+        vals = acc.astype(np.int64)
+        out = [None if nulls[d] else int(vals[d]) for d in range(ndocs)]
         return pd.Series(out, dtype=object)
 
     return sim
@@ -159,7 +237,8 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     """Near-dup pairs by SimHash: band on 4x16-bit chunks (any pair within
     hamming distance 3 shares at least one exact chunk), verify hamming."""
     sim = simhash_udf(shingle_k)
-    s = df.select(F.col(id_col).alias("__id__"), sim(F.col(text_col)).alias("__h__"))
+    # persist: the chunk explode references this from both join sides
+    s = df.select(F.col(id_col).alias("__id__"), sim(F.col(text_col)).alias("__h__")).persist()
     chunks = s.select(
         "__id__", "__h__",
         F.explode(F.array(*[
@@ -179,7 +258,8 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.5,
-                        prefix_filter: bool = False) -> DataFrame:
+                        prefix_filter: bool = False,
+                        broadcast_verify: bool = False) -> DataFrame:
     """Exact n-gram (word) Jaccard similarity join via inverted index.
 
     Classic exact algorithm: explode distinct shingles, self-join on the
@@ -201,22 +281,44 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     base = df.select(F.col(id_col).alias("__id__"), grams.alias("__g__")) \
              .withColumn("__n__", F.size("__g__"))
 
+    t = float(threshold)
+    # J(A,B) >= t  =>  |common| <= min  and  common >= t*(na+nb-common)
+    #   => min(na,nb) >= t * max(na,nb)              (length filter)
+    #   => common >= ceil(t/(1+t) * (na+nb))         (overlap bound alpha)
+    length_ok = (F.least(F.col("__na__"), F.col("__nb__"))
+                 >= F.greatest(F.col("__na__"), F.col("__nb__")) * F.lit(t))
+    alpha = F.ceil((F.col("__na__") + F.col("__nb__")) * F.lit(t / (1.0 + t)))
+
     if prefix_filter:
+        # persist: referenced by the prefix index (twice) and the verify
+        # join-back (twice) — otherwise the gram arrays build four times
         hashed = base.withColumn("__h__", F.array_sort(
-            F.transform("__g__", lambda g: F.xxhash64(g))))
+            F.transform("__g__", lambda g: F.xxhash64(g)))).drop("__g__").persist()
         prefix_len = (F.col("__n__")
-                      - F.ceil(F.col("__n__") * F.lit(float(threshold))).cast("int")
+                      - F.ceil(F.col("__n__") * F.lit(t)).cast("int")
                       + F.lit(1))
-        ex = (hashed.select("__id__", "__n__", "__h__",
-                            F.explode(F.slice("__h__", 1, prefix_len)).alias("__gram__")))
-        l = ex.select(F.col("__id__").alias("id_a"), "__gram__")
-        r = ex.select(F.col("__id__").alias("id_b"), "__gram__")
-        cand = (l.join(r, on="__gram__").filter(F.col("id_a") < F.col("id_b"))
+        ex = (hashed.select("__id__", "__n__",
+                            F.posexplode(F.slice("__h__", 1, prefix_len))
+                             .alias("__p__", "__gram__")))
+        l = ex.select(F.col("__id__").alias("id_a"), F.col("__n__").alias("__na__"),
+                      F.col("__p__").alias("__pa__"), "__gram__")
+        r = ex.select(F.col("__id__").alias("id_b"), F.col("__n__").alias("__nb__"),
+                      F.col("__p__").alias("__pb__"), "__gram__")
+        # PPJoin positional bound: overlap via this match <= min remaining
+        # suffix lengths (positions 0-based) — drop pairs that cannot reach
+        # alpha even in the best case. Exact: a qualifying pair's first
+        # common prefix token always passes.
+        pos_ok = (F.least(F.col("__na__") - F.col("__pa__"),
+                          F.col("__nb__") - F.col("__pb__")) >= alpha)
+        cand = (l.join(r, on="__gram__")
+                 .filter((F.col("id_a") < F.col("id_b")) & length_ok & pos_ok)
                  .select("id_a", "id_b").dropDuplicates(["id_a", "id_b"]))
         ga = hashed.select(F.col("__id__").alias("id_a"),
                            F.col("__h__").alias("__ha__"), F.col("__n__").alias("__na__"))
         gb = hashed.select(F.col("__id__").alias("id_b"),
                            F.col("__h__").alias("__hb__"), F.col("__n__").alias("__nb__"))
+        if broadcast_verify:
+            ga, gb = F.broadcast(ga), F.broadcast(gb)
         verified = (cand.join(ga, on="id_a").join(gb, on="id_b")
                         .withColumn("__common__",
                                     F.size(F.array_intersect("__ha__", "__hb__"))))
@@ -225,12 +327,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         .filter(F.col("jaccard") >= threshold)
                         .select("id_a", "id_b", "jaccard"))
 
+    base = base.persist()  # referenced by both sides of the self-join
     ex = base.select("__id__", "__n__",
                      F.explode("__g__").alias("__gram__")) \
              .withColumn("__gram__", F.xxhash64("__gram__"))
     l = ex.select(F.col("__id__").alias("id_a"), F.col("__n__").alias("__na__"), "__gram__")
     r = ex.select(F.col("__id__").alias("id_b"), F.col("__n__").alias("__nb__"), "__gram__")
-    common = (l.join(r, on="__gram__").filter(F.col("id_a") < F.col("id_b"))
+    common = (l.join(r, on="__gram__")
+               .filter((F.col("id_a") < F.col("id_b")) & length_ok)
                .groupBy("id_a", "id_b", "__na__", "__nb__")
                .agg(F.count("*").alias("__common__")))
     jac = F.col("__common__") / (F.col("__na__") + F.col("__nb__") - F.col("__common__"))
