@@ -88,8 +88,10 @@ def _face_uv(x, y, z):
 
 
 def _st_from_uv(u):
-    return np.where(u >= 0, 0.5 * np.sqrt(1.0 + 3.0 * u),
-                    1.0 - 0.5 * np.sqrt(1.0 - 3.0 * u))
+    # clamp both branch args: np.where evaluates both sides, and the
+    # unused branch would take sqrt of a negative for |u| > 1/3
+    return np.where(u >= 0, 0.5 * np.sqrt(np.maximum(1.0 + 3.0 * u, 0.0)),
+                    1.0 - 0.5 * np.sqrt(np.maximum(1.0 - 3.0 * u, 0.0)))
 
 
 def _ij_from_st(s):

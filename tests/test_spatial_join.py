@@ -146,3 +146,86 @@ def test_geoparse_place_mentions(spark):
     a = sorted((r["url"], r["lon"], r["lat"]) for r in pts.collect())
     b = sorted((r["url"], r["lon"], r["lat"]) for r in again.collect())
     assert a == b
+
+
+class TestInteriorFastAccept:
+    """The generalized full-cell (interior fast-accept) machinery: exact
+    row sets on non-rect polygons, and conservativeness of the
+    segment-vs-cell test (a wrong full=True would be a silent wrong
+    accept — the one failure mode that matters)."""
+
+    def _circle_polys(self, spark):
+        from geomesa_spark.sources.pages import generate_circle_polys
+        return generate_circle_polys(spark, 40).cache()
+
+    def _brute(self, points_pd, polys_pd, strict):
+        from geomesa_spark.geom.wkb import wkb_read
+        px = points_pd["lon"].to_numpy()
+        py = points_pd["lat"].to_numpy()
+        urls = points_pd["url"].to_numpy()
+        pairs = set()
+        for _, row in polys_pd.iterrows():
+            rings = wkb_read(bytes(row.geom)).rings
+            loc = pip_rings(px, py, rings)
+            hit = (loc == 1) if strict else (loc >= 0)
+            for u in urls[hit]:
+                pairs.add((u, row.poly_id))
+        return pairs
+
+    def test_circle_broadcast_matches_bruteforce(self, spark, pages_points):
+        polys = self._circle_polys(spark)
+        joined = pip_join(pages_points, polys, "lon", "lat", "geom",
+                          predicate="st_contains", broadcast_polys=True)
+        got = {(r.url, r.poly_id) for r in joined.select("url", "poly_id").collect()}
+        expected = self._brute(pages_points.toPandas(), polys.toPandas(), strict=True)
+        assert got == expected
+        assert len(expected) > 0
+
+    def test_circle_shuffle_matches_bruteforce(self, spark, pages_points):
+        polys = self._circle_polys(spark)
+        joined = pip_join(pages_points, polys, "lon", "lat", "geom",
+                          predicate="st_intersects")
+        got = {(r.url, r.poly_id) for r in joined.select("url", "poly_id").collect()}
+        expected = self._brute(pages_points.toPandas(), polys.toPandas(), strict=False)
+        assert got == expected
+
+    def test_full_cells_strictly_inside(self, spark):
+        """Every cell flagged full must be strictly inside the polygon:
+        probe a dense grid of points per flagged cell with the exact
+        kernel (holes included)."""
+        import numpy as np
+
+        from geomesa_spark.curves.zorder import z2_decode
+        from geomesa_spark.geom.wkb import Polygon, wkb_read
+        from geomesa_spark.operators.spatial_join import _flagged_cover_of_wkb
+        from geomesa_spark.sources.pages import generate_circle_polys
+
+        polys = generate_circle_polys(spark, 25).collect()
+        # add a polygon with a hole: outer circle + inner square hole
+        ang = np.linspace(0.0, 2 * np.pi, 33)
+        outer = np.column_stack([10 + 5 * np.cos(ang), 10 + 5 * np.sin(ang)])
+        hole = np.array([[9, 9], [9, 11], [11, 11], [11, 9], [9, 9]], dtype=float)
+        from geomesa_spark.geom.wkb import wkb_write
+        holed = wkb_write(Polygon(outer, [hole]))
+        wkbs = [bytes(r["geom"]) for r in polys] + [holed]
+
+        n_full_total = 0
+        for level in (9, 11, 12):
+            sx = 360.0 / (1 << level)
+            sy = 180.0 / (1 << level)
+            for w in wkbs:
+                cells, full = _flagged_cover_of_wkb(w, level)
+                rings = wkb_read(w).rings
+                fc = cells[full]
+                n_full_total += len(fc)
+                if not len(fc):
+                    continue
+                ix, iy = z2_decode(np.asarray(fc, dtype=np.int64))
+                x0 = -180.0 + ix * sx
+                y0 = -90.0 + iy * sy
+                g = np.linspace(0.0, 1.0, 5)
+                for gx in g:
+                    for gy in g:
+                        loc = pip_rings(x0 + gx * sx, y0 + gy * sy, rings)
+                        assert (loc == 1).all(), "full cell leaks outside"
+        assert n_full_total > 100  # the optimization actually fires
