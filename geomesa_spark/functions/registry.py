@@ -316,8 +316,89 @@ def _antimeridian_safe(g):
     return g
 
 
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+
+
+def _tm_coeffs():
+    """Krueger series coefficients, order n^3 (~mm accuracy in a UTM zone).
+
+    Public formulas (Karney, "Transverse Mercator with an accuracy of a
+    few nanometers", J. Geod. 2011; the standard UTM flattening series).
+    """
+    n = _WGS84_F / (2.0 - _WGS84_F)
+    A = _WGS84_A / (1 + n) * (1 + n * n / 4 + n ** 4 / 64)
+    alpha = (n / 2 - 2 * n ** 2 / 3 + 5 * n ** 3 / 16,
+             13 * n ** 2 / 48 - 3 * n ** 3 / 5,
+             61 * n ** 3 / 240)
+    beta = (n / 2 - 2 * n ** 2 / 3 + 37 * n ** 3 / 96,
+            n ** 2 / 48 + n ** 3 / 15,
+            17 * n ** 3 / 480)
+    delta = (2 * n - 2 * n ** 2 / 3 - 2 * n ** 3,
+             7 * n ** 2 / 3 - 8 * n ** 3 / 5,
+             56 * n ** 3 / 15)
+    e = np.sqrt(_WGS84_F * (2.0 - _WGS84_F))
+    return A, alpha, beta, delta, e
+
+
+def _utm_forward(c, zone: int, south: bool):
+    """(lon, lat) -> UTM (easting, northing), k0=0.9996."""
+    A, alpha, _, _, e = _tm_coeffs()
+    k0 = 0.9996
+    lam0 = np.radians(zone * 6.0 - 183.0)
+    phi = np.radians(c[:, 1])
+    lam = np.radians(c[:, 0]) - lam0
+    sp = np.sin(phi)
+    t = np.sinh(np.arctanh(sp) - e * np.arctanh(e * sp))
+    xi = np.arctan2(t, np.cos(lam))
+    eta = np.arcsinh(np.sin(lam) / np.sqrt(t * t + np.cos(lam) ** 2))
+    x, y = eta.copy(), xi.copy()
+    for j, a in enumerate(alpha, start=1):
+        x += a * np.cos(2 * j * xi) * np.sinh(2 * j * eta)
+        y += a * np.sin(2 * j * xi) * np.cosh(2 * j * eta)
+    E = 500_000.0 + k0 * A * x
+    N = (10_000_000.0 if south else 0.0) + k0 * A * y
+    return np.column_stack([E, N])
+
+
+def _utm_inverse(c, zone: int, south: bool):
+    """UTM (easting, northing) -> (lon, lat)."""
+    A, _, beta, delta, e = _tm_coeffs()
+    k0 = 0.9996
+    lam0 = np.radians(zone * 6.0 - 183.0)
+    x = (c[:, 0] - 500_000.0) / (k0 * A)
+    y = (c[:, 1] - (10_000_000.0 if south else 0.0)) / (k0 * A)
+    xi, eta = y.copy(), x.copy()
+    for j, b in enumerate(beta, start=1):
+        xi -= b * np.sin(2 * j * y) * np.cosh(2 * j * x)
+        eta -= b * np.cos(2 * j * y) * np.sinh(2 * j * x)
+    chi = np.arcsin(np.sin(xi) / np.cosh(eta))
+    phi = chi.copy()
+    for j, d in enumerate(delta, start=1):
+        phi += d * np.sin(2 * j * chi)
+    lam = np.arctan2(np.sinh(eta), np.cos(xi))
+    return np.column_stack([np.degrees(lam0 + lam), np.degrees(phi)])
+
+
+def _parse_crs(crs: str):
+    """'EPSG:4326' / 'EPSG:3857' / UTM 'EPSG:326xx'/'327xx' / 'utm:33n'."""
+    s = crs.lower().strip()
+    if s.startswith("epsg:"):
+        s = s[5:]
+    if s in ("4326", "3857"):
+        return (s, None, None)
+    if s.startswith("utm:") and s[-1] in "ns":
+        return ("utm", int(s[4:-1]), s[-1] == "s")
+    if len(s) == 5 and s[:3] in ("326", "327"):
+        zone = int(s[3:])
+        if 1 <= zone <= 60:
+            return ("utm", zone, s[:3] == "327")
+    return (None, None, None)
+
+
 def _transform(g, from_crs: str, to_crs: str):
-    """EPSG:4326 <-> EPSG:3857 only (web mercator)."""
+    """EPSG:4326 <-> EPSG:3857 (web mercator) and EPSG:4326 <-> UTM
+    (EPSG:326xx north / 327xx south, Krueger order-n^3 series)."""
     R = 6378137.0
 
     def fwd(c):
@@ -330,14 +411,26 @@ def _transform(g, from_crs: str, to_crs: str):
         lat = np.degrees(2 * np.arctan(np.exp(c[:, 1] / R)) - np.pi / 2)
         return np.column_stack([lon, lat])
 
-    norm = {"epsg:4326": "4326", "epsg:3857": "3857", "4326": "4326", "3857": "3857"}
-    f = norm.get(from_crs.lower())
-    t = norm.get(to_crs.lower())
+    f, fz, fs = _parse_crs(from_crs)
+    t, tz, ts = _parse_crs(to_crs)
     if f is None or t is None:
-        raise ValueError(f"st_transform supports EPSG:4326<->3857, got {from_crs}->{to_crs}")
-    if f == t:
+        raise ValueError(
+            f"st_transform supports EPSG:4326<->3857 and 4326<->UTM "
+            f"(EPSG:326xx/327xx), got {from_crs}->{to_crs}")
+    if (f, fz, fs) == (t, tz, ts):
         return g
-    op = fwd if (f, t) == ("4326", "3857") else inv
+    if (f, t) == ("4326", "3857"):
+        op = fwd
+    elif (f, t) == ("3857", "4326"):
+        op = inv
+    elif f == "4326" and t == "utm":
+        op = lambda c: _utm_forward(c, tz, ts)  # noqa: E731
+    elif f == "utm" and t == "4326":
+        op = lambda c: _utm_inverse(c, fz, fs)  # noqa: E731
+    else:
+        raise ValueError(
+            f"st_transform: unsupported pair {from_crs}->{to_crs} "
+            "(route through EPSG:4326)")
 
     def apply(geom):
         if isinstance(geom, Point):

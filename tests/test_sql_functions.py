@@ -125,3 +125,66 @@ class TestMeasuresSQL:
             "select st_aggregateDistanceSphere(array(st_makePoint(0,0), st_makePoint(1,0))) as d")
         d = df.collect()[0].d
         assert abs(d - 111195.0) < 100
+
+
+class TestUtmTransform:
+    """UTM (Krueger series) against independent oracles: numeric meridian
+    -arc integration, exact anchor identities, and round-trips."""
+
+    def test_central_meridian_anchors(self):
+        import numpy as np
+
+        from geomesa_spark.functions.registry import _utm_forward
+
+        # on the central meridian of zone 33 (15 E): E = 500000 exactly
+        c = _utm_forward(np.array([[15.0, 45.0]]), 33, False)
+        assert abs(c[0, 0] - 500_000.0) < 1e-6
+        # equator, central meridian: N = 0 (north), 10e6 (south)
+        c = _utm_forward(np.array([[15.0, 0.0]]), 33, False)
+        assert abs(c[0, 1]) < 1e-6
+        c = _utm_forward(np.array([[15.0, 0.0]]), 33, True)
+        assert abs(c[0, 1] - 10_000_000.0) < 1e-6
+
+    def test_northing_equals_k0_meridian_arc(self):
+        """N on the central meridian == 0.9996 * meridian arc length,
+        the arc computed by brute-force numeric integration of
+        a(1-e^2)/(1-e^2 sin^2 phi)^{3/2} — a fully independent oracle."""
+        import numpy as np
+
+        from geomesa_spark.functions.registry import (
+            _WGS84_A, _WGS84_F, _utm_forward)
+
+        e2 = _WGS84_F * (2 - _WGS84_F)
+        for lat in (12.0, 45.0, 68.0):
+            phi = np.linspace(0.0, np.radians(lat), 2_000_001)
+            m = _WGS84_A * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+            arc = np.trapz(m, phi)
+            n = _utm_forward(np.array([[15.0, lat]]), 33, False)[0, 1]
+            assert abs(n - 0.9996 * arc) < 0.01, (lat, n, 0.9996 * arc)
+
+    def test_roundtrip(self):
+        import numpy as np
+
+        from geomesa_spark.functions.registry import _utm_forward, _utm_inverse
+
+        rng = np.random.RandomState(7)
+        lon = 15.0 + rng.uniform(-3, 3, 200)        # zone 33: 12..18 E
+        lat = rng.uniform(-79, 83, 200)
+        c = np.column_stack([lon, lat])
+        for south in (False, True):
+            back = _utm_inverse(_utm_forward(c, 33, south), 33, south)
+            assert np.abs(back - c).max() < 1e-7  # ~1 cm: order-n^3 truncation
+
+    def test_sql_surface(self, spark):
+        from geomesa_spark.functions import register_functions
+
+        register_functions(spark)
+        row = spark.sql("""
+            SELECT st_x(st_transform(st_makePoint(15.0, 45.0),
+                                     'EPSG:4326', 'EPSG:32633')) AS e,
+                   st_y(st_transform(st_transform(st_makePoint(14.2, 48.3),
+                                     'EPSG:4326', 'EPSG:32633'),
+                                     'EPSG:32633', 'EPSG:4326')) AS lat_rt
+        """).collect()[0]
+        assert abs(row.e - 500_000.0) < 1e-3
+        assert abs(row.lat_rt - 48.3) < 1e-6  # round-trip
