@@ -123,25 +123,55 @@ def langid_udf(default: str = "und"):
     return langid
 
 
+_MERSENNE61 = np.uint64((1 << 61) - 1)
+_MASK53 = np.uint64((1 << 53) - 1)
+
+
+def _mersenne61_reduce(x: np.ndarray) -> np.ndarray:
+    """x mod (2^61 - 1) for x < 2^64 (two folds + conditional subtract)."""
+    p = _MERSENNE61
+    r = (x & p) + (x >> np.uint64(61))
+    r = (r & p) + (r >> np.uint64(61))
+    return np.where(r >= p, r - p, r)
+
+
 def fingerprint_udf(window: int = 0, mod: int = (1 << 61) - 1, base: int = 257):
     """pandas UDF: text -> 63-bit rolling polynomial hash fingerprint.
 
     fingerprint(t) = sum(base^(n-1-i) * byte_i) mod p over utf-8 bytes —
     a Rabin-Karp content fingerprint; byte-identical text -> identical
     fingerprint (the corpus per-row invariant check).
+
+    Vectorized exactly in uint64: one pass per byte POSITION across the
+    whole Arrow batch. h*257 = (h<<8) + h would overflow, but with
+    p = 2^61-1 the top bits fold back (x*2^61 === x mod p), so
+    h*256 mod p == (h >> 53) + ((h & (2^53-1)) << 8) computed in-range,
+    and the final sum Mersenne-reduces. Bit-identical to the per-byte
+    Python loop (and the DuckDB oracle).
     """
+    assert mod == (1 << 61) - 1 and base == 257, "vectorized path is fixed-parameter"
 
     @F.pandas_udf(LongType())
     def fp(texts: pd.Series) -> pd.Series:
-        out = []
-        for t in texts:
-            if t is None:
-                out.append(None)
-                continue
-            h = 0
-            for b in t.encode():
-                h = (h * base + b) % mod
-            out.append(h)
-        return pd.Series(out, dtype=object)
+        nulls = texts.isna().to_numpy()
+        enc = np.char.encode(texts.fillna("").to_numpy(dtype=object).astype(str), "utf-8")
+        padded = enc.astype(np.bytes_)
+        width = max(padded.dtype.itemsize, 1)
+        mat = padded.view(np.uint8).reshape(len(texts), width) if len(texts) else \
+            np.empty((0, 1), dtype=np.uint8)
+        lengths = np.char.str_len(padded).astype(np.int64)
+        h = np.zeros(len(texts), dtype=np.uint64)
+        for j in range(width):
+            live = j < lengths
+            if not live.any():
+                break
+            hl = h[live]
+            h256 = (hl >> np.uint64(53)) + ((hl & _MASK53) << np.uint64(8))
+            x = h256 + hl                      # h*257 folded, < 2^63
+            x = _mersenne61_reduce(x) + mat[live, j].astype(np.uint64)
+            h[live] = _mersenne61_reduce(x)
+        out = pd.Series(h.astype(np.int64), dtype=object)
+        out[nulls] = None
+        return out
 
     return fp
