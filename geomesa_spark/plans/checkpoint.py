@@ -110,6 +110,17 @@ def run_stage(
     out = spark.read.parquet(tmp)
     row_count = out.count()
     hist = cell_histogram(out, cell_col) if cell_col else None
+    part_counts = None
+    if partition_by:
+        # per-partition lineage/metrics: row count per physical partition
+        # (skew surface for the salt planner; validates no partition was
+        # lost on resume). Capped — at 100 TB a partition spec should be
+        # O(thousands) of values, not millions.
+        from pyspark.sql import functions as F
+        rows = (out.groupBy(*partition_by).count()
+                   .orderBy(*partition_by).limit(4096).collect())
+        part_counts = {"|".join(str(r[c]) for c in partition_by): r["count"]
+                       for r in rows}
 
     if os.path.exists(path):
         shutil.rmtree(path)
@@ -122,6 +133,7 @@ def run_stage(
         "params": params,
         "row_count": row_count,
         "cell_histogram": hist,
+        "partition_rows": part_counts,
         "wall_s": round(time.time() - t0, 3),
         "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }

@@ -89,3 +89,23 @@ def test_indexed_store_bbox_query(spark, tmp_path):
 
 def test_prefixes_world_bbox_is_everything(spark):
     assert len(bbox_partition_prefixes(-180, -90, 180, 90, digits=1)) == 16
+
+
+def test_partition_rows_in_manifest(spark, tmp_path):
+    """partition_by stages record per-partition row counts (the
+    per-partition lineage/metrics surface the salt planner reads)."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "parts")
+
+    def build():
+        return (spark.range(100)
+                .withColumn("bucket", (F.col("id") % 4).cast("string"))
+                .withColumn("v", F.col("id") * 2))
+
+    r = run_stage(spark, "parts", p, build, params={}, partition_by=["bucket"])
+    pr = r.manifest["partition_rows"]
+    assert pr == {"0": 25, "1": 25, "2": 25, "3": 25}
+    # resume keeps the recorded metrics
+    r2 = run_stage(spark, "parts", p, build, params={}, partition_by=["bucket"])
+    assert r2.skipped and r2.manifest["partition_rows"] == pr
