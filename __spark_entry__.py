@@ -403,6 +403,23 @@ def q_tile_density_weighted(spark, sf_dir):
                           360, 180, weight_col="w")
 
 
+def q_cql_select(spark, sf_dir):
+    """ECQL front door (the reference's query language): filter string ->
+    compiled Spark SQL over the st_* surface (functions/cql.py)."""
+    from geomesa_spark.functions import register_functions
+    from geomesa_spark.functions.cql import cql_filter
+
+    register_functions(spark)
+    pts = _cust_points(spark, sf_dir).join(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        on="c_custkey")
+    pts = pts.withColumn("geom", F.expr("st_makePoint(lon, lat)"))
+    cql = ("BBOX(geom, -120, -60, 60, 75) AND "
+           "c_mktsegment IN ('BUILDING', 'MACHINERY') AND "
+           "NOT c_mktsegment LIKE 'AUTO%'")
+    return cql_filter(pts, cql).select("c_custkey", "c_mktsegment")
+
+
 def q_hash_attr(spark, sf_dir):
     """HashAttributeProcess analog: bucketHash(value, modulo).
 
@@ -673,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "attr_join": q_attr_join,
         "date_offset": q_date_offset,
         "tile_density_weighted": q_tile_density_weighted,
+        "cql_select": q_cql_select,
         "hash_attr": q_hash_attr,
         "knn_sphere": q_knn_sphere,
         "convex_hull": q_convex_hull,
@@ -1064,6 +1082,14 @@ def oracle_sql() -> dict[str, str]:
                     sin((la2 - la1) / 2) * sin((la2 - la1) / 2)
                   + cos(la1) * cos(la2) * sin((lo2 - lo1) / 2) * sin((lo2 - lo1) / 2)
                   )) < 1000000.0
+        """,
+        "cql_select": f"""
+            WITH pts AS ({_CUST_SQL})
+            SELECT p.c_custkey, c.c_mktsegment
+            FROM pts p JOIN customer c ON p.c_custkey = c.c_custkey
+            WHERE p.lon >= -120 AND p.lon <= 60 AND p.lat >= -60 AND p.lat <= 75
+              AND c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+              AND NOT c.c_mktsegment LIKE 'AUTO%'
         """,
         "hash_attr": """
             SELECT CAST(strpos('0123456789abcdef', substr(sha256(event_type), 64, 1)) - 1
