@@ -33,9 +33,9 @@ from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType, TimestampType,
 )
 
-__all__ = ["upsert_cache", "windowed_density"]
+__all__ = ["upsert_cache", "windowed_density", "ttl_by_cql_expr"]
 
-_STATE_SCHEMA = "ts LONG, lon DOUBLE, lat DOUBLE"
+_STATE_SCHEMA = "ts LONG, lon DOUBLE, lat DOUBLE, ttl LONG"
 _OUT_SCHEMA = StructType([
     StructField("feature_id", StringType()),
     StructField("ts", LongType()),
@@ -45,14 +45,43 @@ _OUT_SCHEMA = StructType([
 ])
 
 
+def ttl_by_cql_expr(rules: list[tuple[str, int]],
+                    default_ms: int | None = None):
+    """[(cql_predicate, ttl_ms), ...] -> per-row TTL Column; first match
+    wins, else ``default_ms``.
+
+    The reference's per-CQL-predicate dynamic expiry
+    (KafkaDataStoreParams.scala:208-226: an ordered list of CQL filters,
+    each with its own expiry; features matching none use the default).
+    Predicates compile through functions/cql.py; spatial ones reference a
+    ``geom`` column (``upsert_cache`` builds it from lon/lat when rules
+    are passed — requires ``register_functions(spark)``).
+    """
+    from ..functions.cql import cql_to_sql
+
+    col = None
+    for cql, ttl in rules:
+        cond = F.expr(cql_to_sql(cql))
+        col = F.when(cond, F.lit(ttl)) if col is None else col.when(cond, F.lit(ttl))
+    default = F.lit(default_ms).cast("long")
+    return default if col is None else col.otherwise(default).cast("long")
+
+
 def upsert_cache(updates: DataFrame, ttl_ms: int | None = None,
                  id_col: str = "feature_id", ts_col: str = "ts",
-                 x_col: str = "lon", y_col: str = "lat") -> DataFrame:
+                 x_col: str = "lon", y_col: str = "lat",
+                 ttl_by_cql: list[tuple[str, int]] | None = None) -> DataFrame:
     """updates (streaming) -> live-state change feed.
 
     Emits one row per input update: op='upsert' when it advanced the
     state, 'reject_stale' when an older event arrived after a newer one
     (event-time ordering), 'delete' for tombstones (null lon).
+
+    ``ttl_ms`` is the uniform state TTL; ``ttl_by_cql`` is the reference's
+    dynamic-expiry list — per-update TTL resolved by the first matching
+    CQL predicate (see :func:`ttl_by_cql_expr`), falling back to
+    ``ttl_ms``. The resolved TTL re-arms the state timeout on every
+    accepted upsert.
     """
 
     def update_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
@@ -61,6 +90,7 @@ def upsert_cache(updates: DataFrame, ttl_ms: int | None = None,
             state.remove()
             return
         cur_ts = state.get[0] if state.exists else None
+        live_ttl = state.get[3] if state.exists else None
         out = []
         for pdf in pdfs:
             # arrival order preserved: the cache applies messages as they
@@ -68,10 +98,13 @@ def upsert_cache(updates: DataFrame, ttl_ms: int | None = None,
             # message-time vs event-time distinction)
             for _, row in pdf.iterrows():
                 ts = int(row[ts_col])
+                ttl = row["__ttl__"]
+                ttl = None if pd.isna(ttl) else int(ttl)
                 if row[x_col] is None or pd.isna(row[x_col]):
                     if state.exists:
                         state.remove()
                     cur_ts = None
+                    live_ttl = None
                     out.append((fid, ts, None, None, "delete"))
                     continue
                 if cur_ts is not None and ts < cur_ts:
@@ -79,18 +112,27 @@ def upsert_cache(updates: DataFrame, ttl_ms: int | None = None,
                                 "reject_stale"))
                     continue
                 cur_ts = ts
-                state.update((ts, float(row[x_col]), float(row[y_col])))
+                live_ttl = ttl
+                state.update((ts, float(row[x_col]), float(row[y_col]), ttl))
                 out.append((fid, ts, float(row[x_col]), float(row[y_col]), "upsert"))
-        if state.exists and ttl_ms is not None:
-            state.setTimeoutDuration(ttl_ms)
+        if state.exists and live_ttl is not None:
+            state.setTimeoutDuration(live_ttl)
         yield pd.DataFrame(out, columns=["feature_id", "ts", "lon", "lat", "op"])
 
-    timeout = (GroupStateTimeout.ProcessingTimeTimeout if ttl_ms
+    any_ttl = ttl_ms is not None or bool(ttl_by_cql)
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if any_ttl
                else GroupStateTimeout.NoTimeout)
     keyed = updates.select(
         F.col(id_col).alias("feature_id"),
         F.col(ts_col).cast("long").alias(ts_col) if ts_col != "ts" else F.col("ts").cast("long"),
         F.col(x_col), F.col(y_col))
+    if ttl_by_cql:
+        keyed = keyed.withColumn(
+            "geom", F.expr(f"st_makePoint({x_col}, {y_col})"))
+        keyed = keyed.withColumn("__ttl__",
+                                 ttl_by_cql_expr(ttl_by_cql, ttl_ms)).drop("geom")
+    else:
+        keyed = keyed.withColumn("__ttl__", F.lit(ttl_ms).cast("long"))
     return (keyed.groupBy("feature_id")
                  .applyInPandasWithState(update_fn, _OUT_SCHEMA, _STATE_SCHEMA,
                                          "append", timeout))

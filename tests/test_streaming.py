@@ -113,3 +113,49 @@ def test_lambda_store_merge_persist(spark, tmp_path):
     view3 = {r["feature_id"]: (r["ts"], r["lon"])
              for r in store.merged_view(stale).collect()}
     assert view3["a"] == (200, 9.0)
+
+
+def test_ttl_by_cql_resolution(spark):
+    """Per-CQL dynamic expiry: first matching predicate wins, fallback to
+    the default (KafkaDataStoreParams.scala:208-226 semantics)."""
+    from geomesa_spark.functions import register_functions
+    from geomesa_spark.streaming.upsert import ttl_by_cql_expr
+
+    register_functions(spark)
+    df = (spark.createDataFrame(
+            [("hot", 0.5, 0.5), ("warm", 5.0, 5.0), ("cold", 50.0, 50.0)],
+            "feature_id string, lon double, lat double")
+          .withColumn("geom", F.expr("st_makePoint(lon, lat)")))
+    rules = [("BBOX(geom, 0, 0, 1, 1)", 1000),        # hot zone: 1 s
+             ("BBOX(geom, 0, 0, 10, 10)", 60000)]     # warm zone: 1 min
+    out = {r["feature_id"]: r["ttl"]
+           for r in df.withColumn("ttl", ttl_by_cql_expr(rules, 3_600_000))
+                      .collect()}
+    assert out == {"hot": 1000, "warm": 60000, "cold": 3_600_000}
+
+
+def test_upsert_cache_with_dynamic_ttl_runs(spark, tmp_path):
+    """End-to-end: the dynamic-TTL cache processes a batch and emits the
+    same change feed (timeout wiring exercised; actual expiry is a
+    processing-time effect not assertable in availableNow mode)."""
+    from geomesa_spark.functions import register_functions
+
+    register_functions(spark)
+    src = str(tmp_path / "src_ttl")
+    os.makedirs(src)
+    _write_batch(src, [
+        {"feature_id": "hot", "ts": 100, "lon": 0.5, "lat": 0.5},
+        {"feature_id": "cold", "ts": 100, "lon": 50.0, "lat": 50.0},
+        {"feature_id": "hot", "ts": 50, "lon": 0.6, "lat": 0.6},  # stale
+    ], "b0")
+    stream = spark.readStream.schema(_IN_SCHEMA).json(src)
+    out = upsert_cache(stream, ttl_ms=3_600_000,
+                       ttl_by_cql=[("BBOX(geom, 0, 0, 1, 1)", 1000)])
+    q = (out.writeStream.format("memory").queryName("ttl_upserts")
+            .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(r["feature_id"], r["ts"]): r["op"]
+            for r in spark.sql("select * from ttl_upserts").collect()}
+    assert rows[("hot", 100)] == "upsert"
+    assert rows[("hot", 50)] == "reject_stale"
+    assert rows[("cold", 100)] == "upsert"
