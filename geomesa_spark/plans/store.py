@@ -32,7 +32,9 @@ from ..curves.norm import normalized_lat, normalized_lon
 from ..curves.sfc import Z2SFC
 from ..curves.zranges import z2_bounds_to_zbound, z2_ranges
 
-__all__ = ["write_indexed", "read_indexed", "bbox_query", "bbox_partition_prefixes"]
+__all__ = ["write_indexed", "read_indexed", "bbox_query", "bbox_partition_prefixes",
+           "query_store", "write_indexed_xz2", "bbox_query_xz2",
+           "xz2_partition_prefixes"]
 
 _LON = normalized_lon(31)
 _LAT = normalized_lat(31)
@@ -106,3 +108,130 @@ def bbox_query(spark, path: str, xmin: float, ymin: float, xmax: float,
     exact = ((F.col("lon") >= xmin) & (F.col("lon") <= xmax)
              & (F.col("lat") >= ymin) & (F.col("lat") <= ymax))
     return df.filter(cond & exact)
+
+
+def query_store(spark, path: str, cql: str, digits: int = 2,
+                x: str = "lon", y: str = "lat") -> DataFrame:
+    """The DataStore.getFeatureReader(query) analog: ECQL string in,
+    planned scan out.
+
+    Extracts the filter's bbox windows (FilterHelper semantics), prunes
+    partitions per window, then applies the full compiled predicate as
+    the residual (a ``geom`` column is synthesized from the point
+    coordinates for spatial predicates). Provably-empty filters
+    short-circuit to an empty scan (the reference's disjoint-geometry
+    empty plan, Z2IndexKeySpace.scala:86-89).
+    """
+    from ..functions.cql import cql_filter, extract_bounds
+
+    df = spark.read.parquet(path)
+    windows = extract_bounds(cql, "geom")
+    if windows is not None:
+        if not windows:
+            return df.filter(F.lit(False))
+        prefixes: set[str] = set()
+        cond = None
+        for (x0, y0, x1, y1) in windows:
+            prefixes.update(bbox_partition_prefixes(x0, y0, x1, y1, digits))
+            w = ((F.col(x) >= x0) & (F.col(x) <= x1)
+                 & (F.col(y) >= y0) & (F.col(y) <= y1))
+            cond = w if cond is None else (cond | w)
+        df = df.filter(F.col("z2_p").isin(sorted(prefixes)) & cond)
+    df = df.withColumn("geom", F.expr(f"st_makePoint({x}, {y})"))
+    return cql_filter(df, cql).drop("geom")
+
+
+# ---------------------------------------------------------------------------
+# XZ2 store: extended geometries (the reference's XZ2Scheme /
+# BoundingBoxField sidecar columns, SURVEY.md §1.3)
+
+from ..curves.xz2 import XZ2SFC  # noqa: E402
+
+_XZ2 = XZ2SFC()
+
+
+def _envelope_cols_udf():
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    from ..geom.wkb import wkb_read
+
+    schema = StructType([StructField(c, DoubleType()) for c in
+                         ("bx0", "by0", "bx1", "by1")])
+
+    @F.pandas_udf(schema)
+    def env(s: pd.Series) -> pd.DataFrame:
+        rows = []
+        for v in s:
+            if v is None:
+                rows.append((None,) * 4)
+            else:
+                rows.append(wkb_read(bytes(v)).envelope())
+        return pd.DataFrame(rows, columns=["bx0", "by0", "bx1", "by1"])
+
+    return env
+
+
+def xz2_hex_udf():
+    """pandas UDF: envelope -> XZ2 hex key (XZ2Function / ZValueField)."""
+
+    @F.pandas_udf(StringType())
+    def enc(x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series) -> pd.Series:
+        z = _XZ2.index(x0.to_numpy(np.float64), y0.to_numpy(np.float64),
+                       x1.to_numpy(np.float64), y1.to_numpy(np.float64),
+                       lenient=True)
+        return pd.Series(_XZ2.hex_encode(z))
+
+    return enc
+
+
+def write_indexed_xz2(df: DataFrame, path: str, geom: str = "geom",
+                      digits: int = 2) -> None:
+    """Write an extended-geometry DataFrame as an xz2-partitioned store.
+
+    Adds the reference's sidecar columns: ``bx0..by1`` envelope doubles
+    (BoundingBoxField.scala:22-70 — row-group pruning surface),
+    ``xz2_hex`` (ZValueField) and the ``xz2_p`` partition prefix
+    (XZ2Scheme truncate spec).
+    """
+    env = _envelope_cols_udf()
+    enc = xz2_hex_udf()
+    out = (df.withColumn("__e__", env(F.col(geom)))
+             .select("*", "__e__.bx0", "__e__.by0", "__e__.bx1", "__e__.by1")
+             .drop("__e__")
+             .withColumn("xz2_hex", enc("bx0", "by0", "bx1", "by1"))
+             .withColumn("xz2_p", F.substring("xz2_hex", 1, digits)))
+    out.write.mode("overwrite").partitionBy("xz2_p").parquet(path)
+
+
+def xz2_partition_prefixes(xmin: float, ymin: float, xmax: float, ymax: float,
+                           digits: int, max_ranges: int = 2000) -> list[str]:
+    """bbox window -> covering xz2_p prefixes via the XZ2 range planner
+    (XZ2SFC.ranges BFS port — a range's cells contain every geometry
+    whose sequence code falls inside it, so the prefix union is a true
+    superset of matching rows)."""
+    ranges = _XZ2.ranges([(max(xmin, -180.0), max(ymin, -90.0),
+                           min(xmax, 180.0), min(ymax, 90.0))],
+                         max_ranges=max_ranges)
+    shift = 4 * (_XZ2.hex_digits - digits)
+    off = _XZ2.hex_bit_offset
+    total = 16 ** digits
+    prefixes: set[str] = set()
+    for lo, hi, _ in ranges:
+        for p in range((lo << off) >> shift, ((hi << off) >> shift) + 1):
+            prefixes.add(format(p, f"0{digits}x"))
+        if len(prefixes) >= total:
+            break
+    return sorted(prefixes)
+
+
+def bbox_query_xz2(spark, path: str, xmin: float, ymin: float, xmax: float,
+                   ymax: float, digits: int = 2) -> DataFrame:
+    """Planned bbox scan over the xz2 store: partition pruning + envelope
+    sidecar range predicates (pushed to parquet row groups). Returns rows
+    whose envelope intersects the window; exact geometry refine is the
+    caller's predicate (the reference's residual-CQL split)."""
+    df = spark.read.parquet(path)
+    prefixes = xz2_partition_prefixes(xmin, ymin, xmax, ymax, digits)
+    overlap = ((F.col("bx0") <= xmax) & (F.col("bx1") >= xmin)
+               & (F.col("by0") <= ymax) & (F.col("by1") >= ymin))
+    return df.filter(F.col("xz2_p").isin(prefixes) & overlap)

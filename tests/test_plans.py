@@ -109,3 +109,70 @@ def test_partition_rows_in_manifest(spark, tmp_path):
     # resume keeps the recorded metrics
     r2 = run_stage(spark, "parts", p, build, params={}, partition_by=["bucket"])
     assert r2.skipped and r2.manifest["partition_rows"] == pr
+
+
+def test_query_store_cql(spark, tmp_path):
+    """ECQL in, planned scan out: row set == unpruned brute force; empty
+    (disjoint AND) short-circuits."""
+    from geomesa_spark.functions import register_functions
+    from geomesa_spark.plans.store import query_store, write_indexed
+    from geomesa_spark.sources.pages import generate_pages, geoparse
+
+    register_functions(spark)
+    pts = geoparse(generate_pages(spark, 3000, partitions=8)) \
+        .select("url", "lon", "lat")
+    path = str(tmp_path / "cql_store")
+    write_indexed(pts, path)
+
+    cql = ("(BBOX(geom, -75, 39.5, -72, 41.5) OR BBOX(geom, -1, 50, 1, 52)) "
+           "AND url LIKE '%1%'")
+    got = {r["url"] for r in query_store(spark, path, cql).collect()}
+    in_a = (F.col("lon") >= -75) & (F.col("lon") <= -72) \
+        & (F.col("lat") >= 39.5) & (F.col("lat") <= 41.5)
+    in_b = (F.col("lon") >= -1) & (F.col("lon") <= 1) \
+        & (F.col("lat") >= 50) & (F.col("lat") <= 52)
+    brute = pts.filter((in_a | in_b) & F.col("url").contains("1"))
+    assert got == {r["url"] for r in brute.collect()} and got
+
+    empty = query_store(spark, path,
+                        "BBOX(geom, 0, 0, 1, 1) AND BBOX(geom, 5, 5, 6, 6)")
+    assert empty.count() == 0
+
+
+def test_xz2_store_bbox_query(spark, tmp_path):
+    """Extended-geometry store: xz2 partition pruning + envelope sidecar
+    predicates return exactly the envelope-intersecting rows."""
+    import numpy as np
+
+    from geomesa_spark.geom.wkb import Polygon, wkb_write
+    from geomesa_spark.plans.store import (
+        bbox_query_xz2, write_indexed_xz2, xz2_partition_prefixes)
+
+    rng = np.random.RandomState(11)
+    rows = []
+    for i in range(400):
+        cx = rng.uniform(-170, 170)
+        cy = rng.uniform(-80, 80)
+        w = rng.uniform(0.1, 8.0)
+        h = rng.uniform(0.1, 8.0)
+        ring = np.array([[cx - w, cy - h], [cx - w, cy + h], [cx + w, cy + h],
+                         [cx + w, cy - h], [cx - w, cy - h]])
+        rows.append((i, bytearray(wkb_write(Polygon(ring))),
+                     float(cx - w), float(cy - h), float(cx + w), float(cy + h)))
+    df = spark.createDataFrame(
+        [(r[0], bytes(r[1])) for r in rows], "gid long, geom binary")
+    path = str(tmp_path / "xz2_store")
+    write_indexed_xz2(df, path)
+
+    qx0, qy0, qx1, qy1 = -30.0, -20.0, 10.0, 15.0
+    got = {r["gid"] for r in
+           bbox_query_xz2(spark, path, qx0, qy0, qx1, qy1).collect()}
+    want = {r[0] for r in rows
+            if r[2] <= qx1 and r[4] >= qx0 and r[3] <= qy1 and r[5] >= qy0}
+    assert got == want and got
+
+    # the planner actually prunes: covering prefixes < all partitions
+    prefixes = xz2_partition_prefixes(qx0, qy0, qx1, qy1, digits=2)
+    n_parts = spark.read.parquet(path).select("xz2_p").distinct().count()
+    assert 0 < len(prefixes) < 256
+    assert len(prefixes) < n_parts or n_parts < 8  # meaningful pruning
