@@ -110,25 +110,33 @@ def bbox_query(spark, path: str, xmin: float, ymin: float, xmax: float,
     return df.filter(cond & exact)
 
 
-def query_store(spark, path: str, cql: str, digits: int = 2,
-                x: str = "lon", y: str = "lat") -> DataFrame:
-    """The DataStore.getFeatureReader(query) analog: ECQL string in,
-    planned scan out.
+def plan_query(spark, path: str, cql: str, digits: int = 2,
+               x: str = "lon", y: str = "lat"):
+    """The QueryRunner/StrategyDecider analog: ECQL in, (DataFrame, plan
+    dict) out.
 
-    Extracts the filter's bbox windows (FilterHelper semantics), prunes
-    partitions per window, then applies the full compiled predicate as
-    the residual (a ``geom`` column is synthesized from the point
-    coordinates for spatial predicates). Provably-empty filters
-    short-circuit to an empty scan (the reference's disjoint-geometry
-    empty plan, Z2IndexKeySpace.scala:86-89).
+    Strategy selection (StrategyDecider.scala:101-152 shape, cost = the
+    covered-partition fraction instead of sketch-backed cardinality):
+
+    - ``empty``           provably-disjoint filter -> empty scan
+                          (Z2IndexKeySpace.scala:86-89 short-circuit)
+    - ``z2-index``        bounded spatial predicate covering < 3/4 of the
+                          partitions -> prefix pruning + window ranges +
+                          residual compiled filter
+    - ``full-scan``       unbounded (attribute-only / NOT / whole-world
+                          spatial, FilterHelper.scala:44-67) or
+                          unselective -> scan + residual; attribute
+                          pushdown is Catalyst's
     """
     from ..functions.cql import cql_filter, extract_bounds
 
     df = spark.read.parquet(path)
     windows = extract_bounds(cql, "geom")
+    plan = {"strategy": "full-scan", "windows": windows, "prefixes": None}
     if windows is not None:
         if not windows:
-            return df.filter(F.lit(False))
+            plan["strategy"] = "empty"
+            return df.filter(F.lit(False)), plan
         prefixes: set[str] = set()
         cond = None
         for (x0, y0, x1, y1) in windows:
@@ -136,9 +144,22 @@ def query_store(spark, path: str, cql: str, digits: int = 2,
             w = ((F.col(x) >= x0) & (F.col(x) <= x1)
                  & (F.col(y) >= y0) & (F.col(y) <= y1))
             cond = w if cond is None else (cond | w)
-        df = df.filter(F.col("z2_p").isin(sorted(prefixes)) & cond)
+        if len(prefixes) < (16 ** digits) * 3 // 4:
+            plan["strategy"] = "z2-index"
+            plan["prefixes"] = len(prefixes)
+            df = df.filter(F.col("z2_p").isin(sorted(prefixes)) & cond)
+        # else: covering nearly everything — pruning would only add a
+        # partition-filter cost; fall through to full-scan + residual
     df = df.withColumn("geom", F.expr(f"st_makePoint({x}, {y})"))
-    return cql_filter(df, cql).drop("geom")
+    return cql_filter(df, cql).drop("geom"), plan
+
+
+def query_store(spark, path: str, cql: str, digits: int = 2,
+                x: str = "lon", y: str = "lat") -> DataFrame:
+    """The DataStore.getFeatureReader(query) analog: ECQL string in,
+    planned scan out (see :func:`plan_query` for the strategy logic)."""
+    df, _ = plan_query(spark, path, cql, digits, x, y)
+    return df
 
 
 # ---------------------------------------------------------------------------

@@ -176,3 +176,30 @@ def test_xz2_store_bbox_query(spark, tmp_path):
     n_parts = spark.read.parquet(path).select("xz2_p").distinct().count()
     assert 0 < len(prefixes) < 256
     assert len(prefixes) < n_parts or n_parts < 8  # meaningful pruning
+
+
+def test_plan_query_strategy_selection(spark, tmp_path):
+    """StrategyDecider analog: bounded spatial -> z2-index, attribute-only
+    or whole-world -> full-scan, disjoint -> empty."""
+    from geomesa_spark.functions import register_functions
+    from geomesa_spark.plans.store import plan_query, write_indexed
+    from geomesa_spark.sources.pages import generate_pages, geoparse
+
+    register_functions(spark)
+    pts = geoparse(generate_pages(spark, 1500, partitions=8)) \
+        .select("url", "lon", "lat")
+    path = str(tmp_path / "strat_store")
+    write_indexed(pts, path)
+
+    _, p = plan_query(spark, path, "BBOX(geom, -75, 39.5, -72, 41.5)")
+    assert p["strategy"] == "z2-index" and 0 < p["prefixes"] < 192
+
+    _, p = plan_query(spark, path, "url LIKE 'http%'")
+    assert p["strategy"] == "full-scan"
+
+    _, p = plan_query(spark, path, "BBOX(geom, -180, -90, 180, 90)")
+    assert p["strategy"] == "full-scan"      # whole-world: pruning useless
+
+    _, p = plan_query(spark, path,
+                      "BBOX(geom, 0, 0, 1, 1) AND BBOX(geom, 5, 5, 6, 6)")
+    assert p["strategy"] == "empty"
