@@ -77,6 +77,31 @@ def _pip_job(spark, n_pages: int, n_polys: int) -> tuple[float, float, int]:
     return ingest, join, n
 
 
+def _allcore_load(sec: float = 8.0) -> None:
+    """Busy-spin every core briefly before a timed measurement.
+
+    Measurement hygiene for the scaling pair on a shared box: the cpufreq
+    governor/boost state depends on recent load, so a 2-core run started
+    from idle measures a different clock state than an 8-core run started
+    hot. Equalizing the pre-measurement state makes both levels
+    repeatable (local[2] spread drops from 32-41 s to ~32.2-32.6 s
+    across sessions; see BENCH.md).
+    """
+    import multiprocessing as mp
+
+    def spin(stop_t):
+        x = 0
+        while time.time() < stop_t:
+            x += 1
+
+    stop = time.time() + sec
+    ps = [mp.Process(target=spin, args=(stop,)) for _ in range(os.cpu_count() or 8)]
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+
+
 def _join_only(spark, n_pages: int, n_polys: int, reps: int = 2,
                warm_n: int = 4_000_000, exact: bool = True) -> float:
     """PIP-join wall over pre-materialized points, 24-gon polygons.
@@ -110,6 +135,7 @@ def _join_only(spark, n_pages: int, n_polys: int, reps: int = 2,
         join(pts)
     walls = []
     for _ in range(reps):
+        _allcore_load()
         t0 = time.time()
         join(pts)
         walls.append(time.time() - t0)
@@ -175,7 +201,7 @@ def main() -> None:
         # path is timed separately below for the peak-throughput figure.
         n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "48000000"))
         walls = {}
-        for c, reps in ((2, 1), (8, 2), (CPUS, 2)):
+        for c, reps in ((2, 2), (8, 2), (CPUS, 2)):
             s = _session(c)
             walls[c] = _join_only(s, n_scale, N_POLYS, reps=reps, exact=True)
             s.stop()
