@@ -34,7 +34,8 @@ from ..curves.zranges import z2_bounds_to_zbound, z2_ranges
 
 __all__ = ["write_indexed", "read_indexed", "bbox_query", "bbox_partition_prefixes",
            "query_store", "write_indexed_xz2", "bbox_query_xz2",
-           "xz2_partition_prefixes"]
+           "xz2_partition_prefixes", "write_indexed_z3", "stbox_query_z3",
+           "z3_partition_prefixes"]
 
 _LON = normalized_lon(31)
 _LAT = normalized_lat(31)
@@ -256,3 +257,108 @@ def bbox_query_xz2(spark, path: str, xmin: float, ymin: float, xmax: float,
     overlap = ((F.col("bx0") <= xmax) & (F.col("bx1") >= xmin)
                & (F.col("by0") <= ymax) & (F.col("by1") >= ymin))
     return df.filter(F.col("xz2_p").isin(prefixes) & overlap)
+
+
+# ---------------------------------------------------------------------------
+# Z3 store: spatio-temporal points (the reference's DEFAULT index for
+# point data with time — Z3IndexKeySpace [shard][bin:2][z:8] re-expressed
+# as (z3_bin, z3_p) hive partitions; per-bin interval decomposition per
+# Z3IndexKeySpace.scala:132-158)
+
+from ..curves.binnedtime import MAX_OFFSET  # noqa: E402
+from ..curves.sfc import Z3SFC  # noqa: E402
+from ..curves.zranges import z3_bounds_to_zbound, z3_ranges  # noqa: E402
+
+_Z3 = Z3SFC("week")
+_WEEK_S = 604_800
+
+
+def z3_key_udf():
+    """pandas UDF: (lon, lat, epoch-secs) -> struct(bin int, z3_hex string).
+
+    The hex key is (z << 1) as 16 chars so lexicographic prefix order ==
+    numeric order over the 63-bit z (the Z2SFC.hexEncode trick applied
+    to Z3's bit width).
+    """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType([StructField("bin", IntegerType()),
+                         StructField("z3_hex", StringType())])
+
+    @F.pandas_udf(schema)
+    def enc(x: pd.Series, y: pd.Series, secs: pd.Series) -> pd.DataFrame:
+        bins, z = _Z3.index_millis(x.to_numpy(np.float64), y.to_numpy(np.float64),
+                                   secs.to_numpy(np.int64) * 1000, lenient=True)
+        shifted = np.asarray(z, dtype=np.uint64) << np.uint64(1)
+        return pd.DataFrame({"bin": bins.astype(np.int32),
+                             "z3_hex": [format(int(v), "016x") for v in shifted]})
+
+    return enc
+
+
+def write_indexed_z3(df: DataFrame, path: str, x: str = "lon", y: str = "lat",
+                     secs: str = "secs", digits: int = 2) -> None:
+    """Write a spatio-temporal point DataFrame as a (z3_bin, z3_p)
+    partitioned store. ``secs`` is epoch seconds (long)."""
+    enc = z3_key_udf()
+    out = (df.withColumn("__k__", enc(F.col(x), F.col(y), F.col(secs)))
+             .select("*", "__k__.bin", "__k__.z3_hex").drop("__k__")
+             .withColumnRenamed("bin", "z3_bin")
+             .withColumn("z3_p", F.substring("z3_hex", 1, digits)))
+    out.write.mode("overwrite").partitionBy("z3_bin", "z3_p").parquet(path)
+
+
+def z3_partition_prefixes(xmin: float, ymin: float, xmax: float, ymax: float,
+                          off0: int, off1: int, digits: int,
+                          max_ranges: int = 2000) -> list[str]:
+    """Covering z3_p prefixes for a bbox x within-bin offset window
+    [off0, off1] (inclusive, seconds)."""
+    nx0 = int(_Z3.lon.normalize(max(xmin, -180.0)))
+    nx1 = int(_Z3.lon.normalize(min(xmax, 180.0)))
+    ny0 = int(_Z3.lat.normalize(max(ymin, -90.0)))
+    ny1 = int(_Z3.lat.normalize(min(ymax, 90.0)))
+    nt0 = int(_Z3.time.normalize(float(max(off0, 0))))
+    nt1 = int(_Z3.time.normalize(float(min(off1, MAX_OFFSET["week"]))))
+    zbound = z3_bounds_to_zbound(nx0, ny0, nt0, nx1, ny1, nt1)
+    ranges = z3_ranges([zbound], max_ranges=max_ranges)
+    shift = 64 - 4 * digits
+    total = 16 ** digits
+    prefixes: set[str] = set()
+    for r in ranges:
+        for p in range((r.lower << 1) >> shift, ((r.upper << 1) >> shift) + 1):
+            prefixes.add(format(p, f"0{digits}x"))
+        if len(prefixes) >= total:
+            break
+    return sorted(prefixes)
+
+
+def stbox_query_z3(spark, path: str, xmin: float, ymin: float, xmax: float,
+                   ymax: float, t0: int, t1: int, digits: int = 2,
+                   x: str = "lon", y: str = "lat", secs: str = "secs") -> DataFrame:
+    """Planned spatio-temporal box scan: per-bin interval decomposition
+    -> (z3_bin, z3_p) partition pruning -> pushed range predicates.
+
+    [t0, t1) in epoch seconds. Boundary bins get their partial offset
+    windows; interior bins share the full-offset prefix set (computed
+    once) — exactly the reference's per-bin range fan-out.
+    """
+    df = spark.read.parquet(path)
+    b0, b1 = t0 // _WEEK_S, (t1 - 1) // _WEEK_S
+    full: list[str] | None = None
+    cond = None
+    for b in range(b0, b1 + 1):
+        off0 = max(t0 - b * _WEEK_S, 0)
+        off1 = min(t1 - 1 - b * _WEEK_S, _WEEK_S - 1)
+        if off0 == 0 and off1 == _WEEK_S - 1:
+            if full is None:
+                full = z3_partition_prefixes(xmin, ymin, xmax, ymax,
+                                             0, _WEEK_S - 1, digits)
+            pfx = full
+        else:
+            pfx = z3_partition_prefixes(xmin, ymin, xmax, ymax, off0, off1, digits)
+        c = (F.col("z3_bin") == b) & F.col("z3_p").isin(pfx)
+        cond = c if cond is None else (cond | c)
+    exact = ((F.col(x) >= xmin) & (F.col(x) <= xmax)
+             & (F.col(y) >= ymin) & (F.col(y) <= ymax)
+             & (F.col(secs) >= t0) & (F.col(secs) < t1))
+    return df.filter(cond & exact)

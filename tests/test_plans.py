@@ -203,3 +203,37 @@ def test_plan_query_strategy_selection(spark, tmp_path):
     _, p = plan_query(spark, path,
                       "BBOX(geom, 0, 0, 1, 1) AND BBOX(geom, 5, 5, 6, 6)")
     assert p["strategy"] == "empty"
+
+
+def test_z3_store_stbox_query(spark, tmp_path):
+    """Spatio-temporal store: (bin, z3-prefix) pruning returns exactly
+    the box-and-interval rows; interior bins reuse the full-offset
+    prefix set."""
+    import numpy as np
+
+    from geomesa_spark.plans.store import (
+        stbox_query_z3, write_indexed_z3, z3_partition_prefixes)
+
+    rng = np.random.RandomState(3)
+    n = 5000
+    base = 1_600_000_000
+    rows = [(int(i),
+             float(rng.uniform(-170, 170)), float(rng.uniform(-80, 80)),
+             int(base + rng.randint(0, 4 * 604_800)))   # 4 weeks
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "pid long, lon double, lat double, secs long")
+    path = str(tmp_path / "z3_store")
+    write_indexed_z3(df, path)
+
+    qx0, qy0, qx1, qy1 = -60.0, -30.0, 40.0, 35.0
+    t0 = base + 3 * 86400          # mid-week start
+    t1 = base + 16 * 86400         # spans 3 bins incl. one full interior
+    got = {r["pid"] for r in
+           stbox_query_z3(spark, path, qx0, qy0, qx1, qy1, t0, t1).collect()}
+    want = {r[0] for r in rows
+            if qx0 <= r[1] <= qx1 and qy0 <= r[2] <= qy1 and t0 <= r[3] < t1}
+    assert got == want and got
+
+    # pruning is real: the window's prefixes are a strict subset
+    pfx = z3_partition_prefixes(qx0, qy0, qx1, qy1, 0, 604_799, digits=2)
+    assert 0 < len(pfx) < 256
