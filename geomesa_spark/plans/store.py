@@ -35,7 +35,8 @@ from ..curves.zranges import z2_bounds_to_zbound, z2_ranges
 __all__ = ["write_indexed", "read_indexed", "bbox_query", "bbox_partition_prefixes",
            "query_store", "write_indexed_xz2", "bbox_query_xz2",
            "xz2_partition_prefixes", "write_indexed_z3", "stbox_query_z3",
-           "z3_partition_prefixes"]
+           "z3_partition_prefixes", "write_indexed_xz3", "stbox_query_xz3",
+           "xz3_partition_prefixes"]
 
 _LON = normalized_lon(31)
 _LAT = normalized_lat(31)
@@ -360,5 +361,105 @@ def stbox_query_z3(spark, path: str, xmin: float, ymin: float, xmax: float,
         cond = c if cond is None else (cond | c)
     exact = ((F.col(x) >= xmin) & (F.col(x) <= xmax)
              & (F.col(y) >= ymin) & (F.col(y) <= ymax)
+             & (F.col(secs) >= t0) & (F.col(secs) < t1))
+    return df.filter(cond & exact)
+
+
+# ---------------------------------------------------------------------------
+# XZ3 store: extended geometries + time (XZ3IndexKeySpace
+# [shard][bin:2][xz3] -> (xz3_bin, xz3_p) partitions; instant-dtg
+# features, the reference's common case)
+
+from ..curves.xz3 import XZ3SFC  # noqa: E402
+
+_XZ3 = XZ3SFC(12, "week")
+_XZ3_MAXZ = (8 ** 13 - 1) // 7
+_XZ3_NLZ = 64 - _XZ3_MAXZ.bit_length()
+_XZ3_OFF = _XZ3_NLZ % 4
+_XZ3_DIGITS = (64 - _XZ3_NLZ) // 4 + (0 if _XZ3_OFF == 0 else 1)
+
+
+def xz3_key_udf():
+    """pandas UDF: (envelope, epoch-secs) -> struct(bin int, xz3_hex)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    schema = StructType([StructField("bin", IntegerType()),
+                         StructField("xz3_hex", StringType())])
+
+    @F.pandas_udf(schema)
+    def enc(x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series,
+            secs: pd.Series) -> pd.DataFrame:
+        bins = (secs.to_numpy(np.int64) // _WEEK_S).astype(np.int32)
+        off = (secs.to_numpy(np.int64) % _WEEK_S).astype(np.float64)
+        z = _XZ3.index(x0.to_numpy(np.float64), y0.to_numpy(np.float64), off,
+                       x1.to_numpy(np.float64), y1.to_numpy(np.float64), off,
+                       lenient=True)
+        shifted = np.asarray(z, dtype=np.uint64) << np.uint64(_XZ3_OFF)
+        fmt = f"0{_XZ3_DIGITS}x"
+        return pd.DataFrame({"bin": bins,
+                             "xz3_hex": [format(int(v), fmt) for v in shifted]})
+
+    return enc
+
+
+def write_indexed_xz3(df: DataFrame, path: str, geom: str = "geom",
+                      secs: str = "secs", digits: int = 2) -> None:
+    """Extended geometries with an instant dtg -> (xz3_bin, xz3_p) store
+    with envelope sidecar columns."""
+    env = _envelope_cols_udf()
+    enc = xz3_key_udf()
+    out = (df.withColumn("__e__", env(F.col(geom)))
+             .select("*", "__e__.bx0", "__e__.by0", "__e__.bx1", "__e__.by1")
+             .drop("__e__")
+             .withColumn("__k__", enc("bx0", "by0", "bx1", "by1", F.col(secs)))
+             .select("*", "__k__.bin", "__k__.xz3_hex").drop("__k__")
+             .withColumnRenamed("bin", "xz3_bin")
+             .withColumn("xz3_p", F.substring("xz3_hex", 1, digits)))
+    out.write.mode("overwrite").partitionBy("xz3_bin", "xz3_p").parquet(path)
+
+
+def xz3_partition_prefixes(xmin: float, ymin: float, xmax: float, ymax: float,
+                           off0: int, off1: int, digits: int,
+                           max_ranges: int = 2000) -> list[str]:
+    ranges = _XZ3.ranges([(max(xmin, -180.0), max(ymin, -90.0), float(max(off0, 0)),
+                           min(xmax, 180.0), min(ymax, 90.0),
+                           float(min(off1, MAX_OFFSET["week"])))],
+                         max_ranges=max_ranges)
+    shift = 4 * (_XZ3_DIGITS - digits)
+    total = 16 ** digits
+    prefixes: set[str] = set()
+    for lo, hi, _ in ranges:
+        for p in range((lo << _XZ3_OFF) >> shift, ((hi << _XZ3_OFF) >> shift) + 1):
+            prefixes.add(format(p, f"0{digits}x"))
+        if len(prefixes) >= total:
+            break
+    return sorted(prefixes)
+
+
+def stbox_query_xz3(spark, path: str, xmin: float, ymin: float, xmax: float,
+                    ymax: float, t0: int, t1: int, digits: int = 2,
+                    secs: str = "secs") -> DataFrame:
+    """Planned spatio-temporal box scan over the xz3 store: per-bin
+    prefix pruning + envelope/interval sidecar predicates. Returns rows
+    whose ENVELOPE intersects the box and dtg in [t0, t1); exact geometry
+    refine is the caller's residual predicate."""
+    df = spark.read.parquet(path)
+    b0, b1 = t0 // _WEEK_S, (t1 - 1) // _WEEK_S
+    full: list[str] | None = None
+    cond = None
+    for b in range(b0, b1 + 1):
+        off0 = max(t0 - b * _WEEK_S, 0)
+        off1 = min(t1 - 1 - b * _WEEK_S, _WEEK_S - 1)
+        if off0 == 0 and off1 == _WEEK_S - 1:
+            if full is None:
+                full = xz3_partition_prefixes(xmin, ymin, xmax, ymax,
+                                              0, _WEEK_S - 1, digits)
+            pfx = full
+        else:
+            pfx = xz3_partition_prefixes(xmin, ymin, xmax, ymax, off0, off1, digits)
+        c = (F.col("xz3_bin") == b) & F.col("xz3_p").isin(pfx)
+        cond = c if cond is None else (cond | c)
+    exact = ((F.col("bx0") <= xmax) & (F.col("bx1") >= xmin)
+             & (F.col("by0") <= ymax) & (F.col("by1") >= ymin)
              & (F.col(secs) >= t0) & (F.col(secs) < t1))
     return df.filter(cond & exact)

@@ -237,3 +237,41 @@ def test_z3_store_stbox_query(spark, tmp_path):
     # pruning is real: the window's prefixes are a strict subset
     pfx = z3_partition_prefixes(qx0, qy0, qx1, qy1, 0, 604_799, digits=2)
     assert 0 < len(pfx) < 256
+
+
+def test_xz3_store_stbox_query(spark, tmp_path):
+    """Extended geometries + time: (bin, xz3-prefix) pruning returns
+    exactly the envelope-and-interval rows."""
+    import numpy as np
+
+    from geomesa_spark.geom.wkb import Polygon, wkb_write
+    from geomesa_spark.plans.store import (
+        stbox_query_xz3, write_indexed_xz3, xz3_partition_prefixes)
+
+    rng = np.random.RandomState(5)
+    base = 1_600_000_000
+    rows = []
+    for i in range(800):
+        cx, cy = rng.uniform(-170, 170), rng.uniform(-80, 80)
+        w, h = rng.uniform(0.1, 6.0), rng.uniform(0.1, 6.0)
+        t = int(base + rng.randint(0, 3 * 604_800))
+        ring = np.array([[cx - w, cy - h], [cx - w, cy + h], [cx + w, cy + h],
+                         [cx + w, cy - h], [cx - w, cy - h]])
+        rows.append((i, bytes(wkb_write(Polygon(ring))), t,
+                     cx - w, cy - h, cx + w, cy + h))
+    df = spark.createDataFrame([(r[0], r[1], r[2]) for r in rows],
+                               "gid long, geom binary, secs long")
+    path = str(tmp_path / "xz3_store")
+    write_indexed_xz3(df, path)
+
+    qx0, qy0, qx1, qy1 = -40.0, -25.0, 30.0, 30.0
+    t0, t1 = base + 2 * 86400, base + 12 * 86400
+    got = {r["gid"] for r in
+           stbox_query_xz3(spark, path, qx0, qy0, qx1, qy1, t0, t1).collect()}
+    want = {r[0] for r in rows
+            if r[3] <= qx1 and r[5] >= qx0 and r[4] <= qy1 and r[6] >= qy0
+            and t0 <= r[2] < t1}
+    assert got == want and got
+
+    pfx = xz3_partition_prefixes(qx0, qy0, qx1, qy1, 0, 604_799, digits=2)
+    assert 0 < len(pfx) < 256
