@@ -51,23 +51,37 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
 
 
 def bin_records(df: DataFrame, track_col: str, x: str = "lon", y: str = "lat",
-                ts_col: str = "dtg") -> DataFrame:
-    """16-byte packed record per row: (trackId:int32, lat:f32, lon:f32,
-    dtg-seconds:int32) — the reference BIN format
-    (geomesa-utils .../bin/BinaryOutputEncoder.scala:81-175)."""
+                ts_col: str = "dtg", label_col: str | None = None) -> DataFrame:
+    """Packed record per row — the reference BIN format
+    (geomesa-utils .../bin/BinaryOutputEncoder.scala:81-175):
+    16 bytes (trackId:int32, lat:f32, lon:f32, dtg-seconds:int32), or
+    24 bytes with the optional int64 ``label_col`` appended."""
     from pyspark.sql.types import BinaryType
 
+    if label_col is None:
+        @F.pandas_udf(BinaryType())
+        def pack(track: pd.Series, lat: pd.Series, lon: pd.Series,
+                 dtg: pd.Series) -> pd.Series:
+            out = []
+            for t, la, lo, d in zip(track, lat, lon, dtg):
+                out.append(struct.pack("<iffi", int(t) & 0x7FFFFFFF, float(la),
+                                       float(lo), int(d) & 0x7FFFFFFF))
+            return pd.Series(out)
+
+        return df.select(pack(F.col(track_col), F.col(y), F.col(x),
+                              F.col(ts_col)).alias("bin"))
+
     @F.pandas_udf(BinaryType())
-    def pack(track: pd.Series, lat: pd.Series, lon: pd.Series,
-             dtg: pd.Series) -> pd.Series:
+    def pack24(track: pd.Series, lat: pd.Series, lon: pd.Series,
+               dtg: pd.Series, label: pd.Series) -> pd.Series:
         out = []
-        for t, la, lo, d in zip(track, lat, lon, dtg):
-            out.append(struct.pack("<iffi", int(t) & 0x7FFFFFFF, float(la),
-                                   float(lo), int(d) & 0x7FFFFFFF))
+        for t, la, lo, d, lb in zip(track, lat, lon, dtg, label):
+            out.append(struct.pack("<iffiq", int(t) & 0x7FFFFFFF, float(la),
+                                   float(lo), int(d) & 0x7FFFFFFF, int(lb)))
         return pd.Series(out)
 
-    return df.select(pack(F.col(track_col), F.col(y), F.col(x),
-                          F.col(ts_col)).alias("bin"))
+    return df.select(pack24(F.col(track_col), F.col(y), F.col(x),
+                            F.col(ts_col), F.col(label_col)).alias("bin"))
 
 
 def write_bin(df: DataFrame, path: str, **kw) -> None:

@@ -60,3 +60,57 @@ def test_heatmap_smooth(spark):
     raw_total = sum(r["weight"] for r in grid.collect())
     assert 0.7 * raw_total < surf.sum() <= raw_total + 1e-6
     assert (surf > 0).sum() > grid.count()  # smoothing spreads support
+
+
+class TestConverterIngest:
+    """Config-driven converter: SQL-expression field transforms, geometry
+    constructors from the st_* surface, error modes."""
+
+    def test_csv_convert_with_geometry(self, spark, tmp_path):
+        from geomesa_spark.functions import register_functions
+        from geomesa_spark.sources.converter import read_and_convert
+
+        register_functions(spark)
+        p = str(tmp_path / "src.csv")
+        import os
+        os.makedirs(p)
+        with open(os.path.join(p, "part.csv"), "w") as f:
+            f.write("name,x,y,when\n")
+            f.write("a,10.5,20.25,2020-01-01T00:00:00\n")
+            f.write("b,-3.0,4.0,2020-01-02T12:00:00\n")
+        out = read_and_convert(spark, "csv", p, {
+            "fid": "name",
+            "geom": "st_makePoint(CAST(x AS DOUBLE), CAST(y AS DOUBLE))",
+            "dtg": "to_timestamp(when)",
+            "gh": "st_geoHash(st_makePoint(CAST(x AS DOUBLE), CAST(y AS DOUBLE)), 20)",
+        }, required=["fid", "geom"])
+        rows = {r["fid"]: r for r in out.collect()}
+        assert set(rows) == {"a", "b"}
+        assert rows["a"]["geom"] is not None and len(rows["a"]["gh"]) == 4
+
+    def test_error_modes(self, spark):
+        import pytest
+
+        from geomesa_spark.sources.converter import convert
+
+        df = spark.createDataFrame([("a", 1), (None, 2)], "k string, v int")
+        spec = {"fid": "k", "vv": "v * 10"}
+        skipped = convert(df, spec, required=["fid"], error_mode="skip")
+        assert {r["fid"] for r in skipped.collect()} == {"a"}
+        logged = convert(df, spec, required=["fid"], error_mode="log")
+        assert {r["fid"]: r["__bad__"] for r in logged.collect()} == \
+            {"a": False, None: True}
+        with pytest.raises(ValueError, match="required field null"):
+            convert(df, spec, required=["fid"], error_mode="raise").collect()
+
+    def test_bin_label_records(self, spark):
+        import struct as st
+
+        from geomesa_spark.operators.sinks import bin_records
+
+        df = spark.createDataFrame([(7, 1.5, -2.5, 1000, 42)],
+                                   "tid int, lat double, lon double, dtg int, lbl long")
+        (row,) = bin_records(df, "tid", x="lon", y="lat", ts_col="dtg",
+                             label_col="lbl").collect()
+        t, la, lo, d, lb = st.unpack("<iffiq", bytes(row["bin"]))
+        assert (t, la, lo, d, lb) == (7, 1.5, -2.5, 1000, 42)
