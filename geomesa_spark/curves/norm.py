@@ -30,6 +30,11 @@ class BitNormalizedDimension:
     def normalize(self, x) -> np.ndarray:
         x = np.asarray(x, dtype=np.float64)
         out = np.floor((x - self.min) * self.normalizer).astype(np.int64)
+        # the min() clamp matters even for x < max: within ~1 ulp of the
+        # top, (x - min) * normalizer can round up to ``bins`` — the
+        # reference gets the same clamp implicitly from Scala's
+        # saturating Double.toInt (NormalizedDimension.scala:56-72)
+        out = np.minimum(out, np.int64(self.max_index))
         return np.where(x >= self.max, np.int64(self.max_index), out)
 
     def denormalize(self, i) -> np.ndarray:
