@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["to_geojson_df", "write_geojson", "write_csv", "write_parquet",
-           "bin_records", "write_bin"]
+           "bin_records", "write_bin", "write_leaflet"]
 
 
 def to_geojson_df(df: DataFrame, x: str = "lon", y: str = "lat",
@@ -87,3 +87,34 @@ def bin_records(df: DataFrame, track_col: str, x: str = "lon", y: str = "lat",
 def write_bin(df: DataFrame, path: str, **kw) -> None:
     """Write packed BIN rows as parquet (one binary column)."""
     bin_records(df, **kw).write.mode("overwrite").parquet(path)
+
+
+_LEAFLET_TEMPLATE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>geomesa_spark export</title>
+<link rel="stylesheet" href="https://unpkg.com/leaflet@1.9.4/dist/leaflet.css"/>
+<script src="https://unpkg.com/leaflet@1.9.4/dist/leaflet.js"></script>
+<style>html,body,#map{height:100%;margin:0}</style></head>
+<body><div id="map"></div><script>
+var map = L.map('map');
+L.tileLayer('https://{s}.tile.openstreetmap.org/{z}/{x}/{y}.png',
+            {maxZoom: 18}).addTo(map);
+var data = {"type":"FeatureCollection","features":[
+__FEATURES__
+]};
+var layer = L.geoJSON(data).addTo(map);
+map.fitBounds(layer.getBounds());
+</script></body></html>
+"""
+
+
+def write_leaflet(df: DataFrame, path: str, limit: int = 10_000, **kw) -> None:
+    """Self-contained Leaflet HTML page with the features embedded as
+    GeoJSON — the reference's `leaflet` export format
+    (geomesa-tools .../export/ExportFormat.scala:64-110; its LeafletMapExporter).
+    ``limit`` caps the embedded features (an HTML page is not a data
+    sink); CDN-loaded leaflet assets, no local dependencies.
+    """
+    rows = (to_geojson_df(df, **kw).select("geojson").limit(limit).collect())
+    features = ",\n".join(r["geojson"] for r in rows)
+    with open(path, "w") as f:
+        f.write(_LEAFLET_TEMPLATE.replace("__FEATURES__", features))

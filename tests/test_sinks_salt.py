@@ -114,3 +114,22 @@ class TestConverterIngest:
                              label_col="lbl").collect()
         t, la, lo, d, lb = st.unpack("<iffiq", bytes(row["bin"]))
         assert (t, la, lo, d, lb) == (7, 1.5, -2.5, 1000, 42)
+
+
+def test_leaflet_export(spark, tmp_path):
+    import json as _json
+    import re
+
+    from geomesa_spark.operators.sinks import write_leaflet
+
+    df = spark.createDataFrame([(1, 10.0, 20.0), (2, -30.0, 40.0)],
+                               "fid long, lon double, lat double")
+    out = str(tmp_path / "map.html")
+    write_leaflet(df, out, id_col="fid", props=["fid"])
+    html = open(out).read()
+    assert "L.geoJSON" in html and "leaflet" in html
+    m = re.search(r'var data = (\{.*?\});\nvar layer', html, re.S)
+    data = _json.loads(m.group(1))
+    assert data["type"] == "FeatureCollection" and len(data["features"]) == 2
+    coords = sorted(f["geometry"]["coordinates"] for f in data["features"])
+    assert coords == [[-30.0, 40.0], [10.0, 20.0]]
