@@ -413,7 +413,9 @@ def prepare_pip_polys(polys: DataFrame, poly_geom: str = "geom",
     candidate goes through the exact kernel (the reference's full-filter
     mode, i.e. loose-bbox off — also the kernel-bound benchmark shape)."""
     spark = polys.sparkSession
-    pls = polys.withColumn("__pid__", F.xxhash64(F.col(poly_geom)))
+    # null geometries can never match (null-in/null-out contract)
+    pls = (polys.filter(F.col(poly_geom).isNotNull())
+                .withColumn("__pid__", F.xxhash64(F.col(poly_geom))))
     pmap = {r[0]: bytes(r[1])
             for r in pls.select("__pid__", poly_geom).distinct().collect()}
     if level is None:
@@ -433,7 +435,8 @@ def prepare_pip_polys(polys: DataFrame, poly_geom: str = "geom",
         "__cell__": np.concatenate(cells) if cells else np.empty(0, np.int64),
         "__full__": np.concatenate(fulls) if fulls else np.empty(0, bool),
     })
-    cells_df = spark.createDataFrame(pdf)
+    cells_df = spark.createDataFrame(
+        pdf, schema="__pid__ long, __cell__ long, __full__ boolean")
     # all original polygon columns ride along the final join-back;
     # persist + materialize so repeated joins don't re-run the polygon
     # source (it may be a generator/scan) for every query

@@ -1,0 +1,88 @@
+"""Edge-case hardening: empty inputs, null geometries, degenerate
+windows — operators must return empty/clean results, not throw."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_pip_join_empty_sides(spark):
+    from geomesa_spark.geom.wkb import Polygon, wkb_write
+    from geomesa_spark.operators.spatial_join import pip_join
+    import numpy as np
+
+    ring = np.array([[0, 0], [0, 10], [10, 10], [10, 0], [0, 0]], dtype=float)
+    polys = spark.createDataFrame([(1, bytes(wkb_write(Polygon(ring))))],
+                                  "poly_id long, geom binary")
+    no_pts = spark.createDataFrame([("x", 0.0, 0.0)], "url string, lon double, lat double").limit(0)
+    assert pip_join(no_pts, polys, "lon", "lat", "geom",
+                    broadcast_polys=True).count() == 0
+    pts = spark.createDataFrame([("a", 5.0, 5.0)], "url string, lon double, lat double")
+    no_polys = spark.createDataFrame([(0, b"")], "poly_id long, geom binary").limit(0)
+    assert pip_join(pts, no_polys, "lon", "lat", "geom",
+                    broadcast_polys=True).count() == 0
+    assert pip_join(pts, no_polys, "lon", "lat", "geom").count() == 0
+
+
+def test_pip_join_null_geometry_rows(spark):
+    from geomesa_spark.geom.wkb import Polygon, wkb_write
+    from geomesa_spark.operators.spatial_join import pip_join
+    import numpy as np
+
+    ring = np.array([[0, 0], [0, 10], [10, 10], [10, 0], [0, 0]], dtype=float)
+    polys = spark.createDataFrame(
+        [(1, bytes(wkb_write(Polygon(ring)))), (2, None)],
+        "poly_id long, geom binary")
+    pts = spark.createDataFrame([("a", 5.0, 5.0), ("b", None, None)],
+                                "url string, lon double, lat double")
+    out = pip_join(pts.filter(F.col("lon").isNotNull()), polys, "lon", "lat",
+                   "geom", broadcast_polys=True)
+    assert {(r["url"], r["poly_id"]) for r in out.collect()} == {("a", 1)}
+
+
+def test_knn_fewer_points_than_k(spark):
+    from geomesa_spark.operators.knn import knn_join
+
+    q = spark.createDataFrame([(0, 0.0, 0.0)], "qid long, qx double, qy double")
+    d = spark.createDataFrame([(1, 1.0, 1.0), (2, 2.0, 2.0)],
+                              "did long, lon double, lat double")
+    out = knn_join(q, d, k=5, query_id="qid", qx="qx", qy="qy",
+                   dx="lon", dy="lat", data_id="did",
+                   initial_radius=5.0, max_radius=50.0, max_rounds=3)
+    assert out.count() == 2   # returns what exists, ranked
+
+
+def test_dedup_empty_and_trivial_docs(spark):
+    from geomesa_spark.operators.dedup import minhash_dedup_pairs, simhash_dedup_pairs
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "one"), (4, None)],
+        "doc_id long, text string")
+    mh = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.9)
+    pairs = {(r["id_a"], r["id_b"]) for r in mh.collect()}
+    assert (2, 3) in pairs           # identical one-word docs pair up
+    assert all(4 not in p for p in pairs)  # null text never pairs
+    sh = simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=0)
+    assert (2, 3) in {(r["id_a"], r["id_b"]) for r in sh.collect()}
+
+
+def test_extract_bounds_degenerate_window(spark):
+    from geomesa_spark.functions.cql import extract_bounds
+
+    # zero-area bbox is still a valid (point) window
+    b = extract_bounds("BBOX(geom, 5, 5, 5, 5)", "geom")
+    assert b == [(5.0, 5.0, 5.0, 5.0)]
+
+
+def test_store_query_outside_data(spark, tmp_path):
+    from geomesa_spark.plans.store import bbox_query, write_indexed
+
+    pts = spark.createDataFrame([(1, 10.0, 10.0)], "pid long, lon double, lat double")
+    path = str(tmp_path / "tiny_store")
+    write_indexed(pts, path)
+    assert bbox_query(spark, path, -170.0, -80.0, -160.0, -70.0).count() == 0
