@@ -700,14 +700,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid": q_langid,
         "xz2_cells": q_xz2_cells,
         "xz3_cells": q_xz3_cells,
+        "s2_cells": q_s2_cells,
         "multimodal_feats": q_multimodal_feats,
-        # rows-only (no SQL equivalent: banded/seeded hashing, Hilbert
-        # curve, approximate sketches, self-generated corpus)
+        # rows-only (no SQL equivalent: banded/seeded hashing,
+        # approximate sketches, self-generated corpus)
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
-        "s2_cells": q_s2_cells,
         "sketches": q_sketches,
         "geoparse_pages": q_geoparse_pages,
     }
@@ -818,6 +818,83 @@ _SQL_FINGERPRINT = f"""
     FROM ch JOIN pw ON pw.k = ch.n - ch.i
     GROUP BY ch.doc_id
 """
+
+
+def _sql_s2_cells(level: int = 8) -> str:
+    """DuckDB mirror of the pure-numpy S2 cell id (curves/s2.py):
+    lon/lat -> unit xyz -> cube face (u,v) -> quadratic (s,t) -> leaf
+    (i,j) -> Hilbert position via the 1024-entry lookup table embedded
+    as a list literal, walked 4 bits per chained CTE -> face<<61|2*pos|1
+    with the parent-level lsb adjustment (HUGEINT, wrapped to int64)."""
+    from geomesa_spark.curves.s2 import _LOOKUP_POS
+
+    lut = "[" + ",".join(str(int(v)) for v in _LOOKUP_POS) + "]"
+    pow30 = float(1 << 30)
+
+    def val(shift):
+        return (f"(l[(((((i >> {shift}) & 15) * 16 + ((j >> {shift}) & 15))"
+                f" * 4 + bits) + 1)])")
+
+    ctes = []
+    prev = "ij0"
+    for idx, k in enumerate(range(7, -1, -1)):
+        shift = k * 4
+        name = f"hb{idx}"
+        ctes.append(f"""{name} AS (
+          SELECT c_custkey, face, i, j,
+                 pos * 256 + ({val(shift)} // 4) AS pos,
+                 {val(shift)} % 4 AS bits
+          FROM {prev} CROSS JOIN lut)""")
+        prev = name
+    lsb = 1 << (2 * (30 - level))
+    chain = ",\n".join(ctes)
+    return f"""
+        WITH pts AS ({_CUST_SQL}),
+        lut AS (SELECT {lut} AS l),
+        xyz AS (SELECT c_custkey,
+                cos(lat * (pi() / 180.0)) * cos(lon * (pi() / 180.0)) AS x,
+                cos(lat * (pi() / 180.0)) * sin(lon * (pi() / 180.0)) AS y,
+                sin(lat * (pi() / 180.0)) AS z
+                FROM pts),
+        fc AS (SELECT *, CASE WHEN abs(x) >= abs(y)
+                              THEN (CASE WHEN abs(x) >= abs(z) THEN 0 ELSE 2 END)
+                              ELSE (CASE WHEN abs(y) >= abs(z) THEN 1 ELSE 2 END) END AS f0
+               FROM xyz),
+        fc2 AS (SELECT *, f0 + (CASE WHEN f0 = 0 AND x < 0 THEN 3
+                                     WHEN f0 = 1 AND y < 0 THEN 3
+                                     WHEN f0 = 2 AND z < 0 THEN 3 ELSE 0 END) AS face FROM fc),
+        uv AS (SELECT c_custkey, face,
+               CASE face WHEN 0 THEN y/x WHEN 1 THEN -x/y WHEN 2 THEN -x/z
+                         WHEN 3 THEN z/x WHEN 4 THEN z/y ELSE -y/z END AS u,
+               CASE face WHEN 0 THEN z/x WHEN 1 THEN z/y WHEN 2 THEN -y/z
+                         WHEN 3 THEN y/x WHEN 4 THEN -x/y ELSE -x/z END AS v
+               FROM fc2),
+        stv AS (SELECT c_custkey, face,
+                CASE WHEN u >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * u)
+                     ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * u) END AS s,
+                CASE WHEN v >= 0 THEN 0.5 * sqrt(1.0 + 3.0 * v)
+                     ELSE 1.0 - 0.5 * sqrt(1.0 - 3.0 * v) END AS t
+                FROM uv),
+        ij0 AS (SELECT c_custkey, face,
+                greatest(least(CAST(trunc(s * {pow30!r}) AS BIGINT), 1073741823), 0) AS i,
+                greatest(least(CAST(trunc(t * {pow30!r}) AS BIGINT), 1073741823), 0) AS j,
+                CAST(0 AS BIGINT) AS pos, face % 2 AS bits
+                FROM stv),
+        {chain},
+        cells AS (SELECT c_custkey,
+                  CAST(face AS HUGEINT) * 2305843009213693952
+                    + CAST(pos AS HUGEINT) * 2 + 1 AS cell
+                  FROM {prev}),
+        adj AS (SELECT c_custkey, cell - (cell % {lsb}) AS base FROM cells),
+        adj2 AS (SELECT c_custkey,
+                 CASE WHEN (base // {lsb}) % 2 = 1 THEN base
+                      ELSE base + {lsb} END AS cell FROM adj),
+        wrap AS (SELECT c_custkey,
+                 CAST(CASE WHEN cell >= 9223372036854775808
+                           THEN cell - 18446744073709551616
+                           ELSE cell END AS BIGINT) AS s2_cell FROM adj2)
+        SELECT s2_cell, CAST(count(*) AS BIGINT) AS n FROM wrap GROUP BY 1
+    """
 
 
 def _sql_ngram_jaccard(threshold: float) -> str:
@@ -1137,4 +1214,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "xz2_cells": _sql_xz2_nation(),
         "xz3_cells": _sql_xz3_events(),
+        "s2_cells": _sql_s2_cells(8),
     }
