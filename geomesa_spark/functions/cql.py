@@ -273,9 +273,19 @@ class _Parser:
                 self.next()
             self.expect(")")
             x0, y0, x1, y1 = vals
-            wkt = (f"POLYGON(({x0} {y0}, {x0} {y1}, {x1} {y1}, "
-                   f"{x1} {y0}, {x0} {y0}))")
-            return Spatial("INTERSECTS", attr, wkt, bbox=(x0, y0, x1, y1))
+            if y0 > y1:
+                raise CqlError(f"BBOX ymin > ymax: {y0} > {y1}")
+
+            def box(a, b):
+                wkt = (f"POLYGON(({a} {y0}, {a} {y1}, {b} {y1}, "
+                       f"{b} {y0}, {a} {y0}))")
+                return Spatial("INTERSECTS", attr, wkt, bbox=(a, y0, b, y1))
+
+            if x0 > x1:
+                # dateline-crossing window: split at the antimeridian
+                # (the reference's addWayPointsToBBOX / IDL handling)
+                return Logic("OR", [box(x0, 180.0), box(-180.0, x1)])
+            return box(x0, x1)
         wkt = self.wkt_literal()
         if fn in ("DWITHIN", "BEYOND"):
             self.expect(",")
@@ -416,12 +426,17 @@ def _bbox_intersect(a, b):
 
 
 def _expand_for_dwithin(bbox, meters):
+    """Conservative window expansion — reuses the join cover's rule so
+    both prefilters over-cover the same spherical disk (an under-expanded
+    window silently drops rows the exact predicate accepts)."""
     import numpy as np
 
+    from ..operators.spatial_join import sphere_expand_degrees
+
     x0, y0, x1, y1 = bbox
-    dlat = meters / 110_540.0
-    phi = max(min(max(abs(y0), abs(y1)) + dlat, 89.9), 0.0)
-    dlon = meters / (111_320.0 * np.cos(np.radians(phi)))
+    phi_edge = max(abs(y0), abs(y1))
+    dlon, dlat = sphere_expand_degrees(np.array([phi_edge]), float(meters))
+    dlon, dlat = float(dlon[0]), float(dlat[0])
     return (max(x0 - dlon, -180.0), max(y0 - dlat, -90.0),
             min(x1 + dlon, 180.0), min(y1 + dlat, 90.0))
 

@@ -388,9 +388,18 @@ def _parse_crs(crs: str):
     if s in ("4326", "3857"):
         return (s, None, None)
     if s.startswith("utm:") and s[-1] in "ns":
-        return ("utm", int(s[4:-1]), s[-1] == "s")
+        try:
+            zone = int(s[4:-1])
+        except ValueError:
+            return (None, None, None)
+        if 1 <= zone <= 60:
+            return ("utm", zone, s[-1] == "s")
+        return (None, None, None)
     if len(s) == 5 and s[:3] in ("326", "327"):
-        zone = int(s[3:])
+        try:
+            zone = int(s[3:])
+        except ValueError:
+            return (None, None, None)
         if 1 <= zone <= 60:
             return ("utm", zone, s[:3] == "327")
     return (None, None, None)

@@ -14,6 +14,9 @@ Scale notes (100 TB corpus):
   (geomesa-index-api QueryProperties.scala:24 range cap).
 - verification joins re-read text but only for candidate pairs (a tiny
   fraction of n^2).
+- the self-join intermediates persist() for the query's lifetime (the
+  signature UDF would otherwise run 3-4x); per-request services should
+  spark.catalog.clearCache() between corpora.
 """
 
 from __future__ import annotations
@@ -99,11 +102,16 @@ def _batch_shingles(texts: pd.Series, k: int):
     np.cumsum(out_counts, out=out_start[1:])
     sh_all = np.empty(out_start[-1], dtype=np.uint64)
 
-    # full k-windows (window entirely inside one doc)
+    # full k-windows (window entirely inside one doc); one DISTINCT odd
+    # multiplier per position (reusing a multiplier would make the hash
+    # order-insensitive and self-canceling for repeated words at k >= 4)
     if len(W) >= k:
-        mix = W[:len(W) - k + 1] * _MIX[0]
+        mults = [_MIX[0]]
+        for _ in range(1, k):
+            mults.append(mults[-1] * _MIX[1] | np.uint64(1))
+        mix = W[:len(W) - k + 1] * mults[0]
         for j in range(1, k):
-            mix = mix ^ (W[j:len(W) - k + 1 + j] * _MIX[min(j, len(_MIX) - 1)])
+            mix = mix ^ (W[j:len(W) - k + 1 + j] * mults[j])
         mix = mix * _FNV_PRIME
         p = np.arange(len(W) - k + 1)
         d = doc_of_word[p]

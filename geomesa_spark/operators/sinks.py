@@ -102,7 +102,8 @@ var data = {"type":"FeatureCollection","features":[
 __FEATURES__
 ]};
 var layer = L.geoJSON(data).addTo(map);
-map.fitBounds(layer.getBounds());
+if (data.features.length > 0) { map.fitBounds(layer.getBounds()); }
+else { map.setView([0, 0], 2); }
 </script></body></html>
 """
 

@@ -144,13 +144,16 @@ def sphere_expand_degrees(ys, radius_m):
 
     radius_m may be a scalar or a per-row array. The longitude expansion
     is evaluated at the radius-expanded latitude so the cover is a true
-    superset of the spherical disk.
+    superset of the spherical disk. Both divisors are BELOW the sphere's
+    actual meters-per-degree (R*pi/180 = 111,194.93 for R=6371008.7714),
+    so the expansion strictly over-covers — an under-expanded window
+    would silently drop matching rows from the prefilter.
     """
     ys = np.asarray(ys, dtype=np.float64)
     r = np.broadcast_to(np.asarray(radius_m, dtype=np.float64), ys.shape)
     rlat = r / 110_540.0
     phi = np.clip(np.abs(ys) + rlat, 0.0, 89.9)
-    rlon = r / (111_320.0 * np.cos(np.radians(phi)))
+    rlon = r / (110_540.0 * np.cos(np.radians(phi)))
     return rlon, rlat
 
 
@@ -404,6 +407,14 @@ class PreparedPipPolys:
         self.geoms_df = geoms_df
         self.any_full = any_full
         self.bmap = spark.sparkContext.broadcast(pmap)
+
+    def release(self) -> None:
+        """Free executor-side state (persisted join-back cache + the
+        geometry broadcast). Call when done querying this polygon set —
+        long-running services preparing many sets would otherwise pin
+        storage for the session lifetime."""
+        self.geoms_df.unpersist()
+        self.bmap.unpersist()
 
 
 def prepare_pip_polys(polys: DataFrame, poly_geom: str = "geom",

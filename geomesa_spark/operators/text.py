@@ -147,7 +147,10 @@ def fingerprint_udf(window: int = 0, mod: int = (1 << 61) - 1, base: int = 257):
     p = 2^61-1 the top bits fold back (x*2^61 === x mod p), so
     h*256 mod p == (h >> 53) + ((h & (2^53-1)) << 8) computed in-range,
     and the final sum Mersenne-reduces. Bit-identical to the per-byte
-    Python loop (and the DuckDB oracle).
+    Python loop for NUL-free text (property-tested incl. multibyte
+    utf-8; an embedded NUL byte truncates via the S-dtype length). The
+    DuckDB oracle mirrors it per CHARACTER, which coincides with bytes
+    only for ASCII corpora — the driver testdata is verified pure ASCII.
     """
     assert mod == (1 << 61) - 1 and base == 257, "vectorized path is fixed-parameter"
 

@@ -78,6 +78,10 @@ def bbox_partition_prefixes(xmin: float, ymin: float, xmax: float, ymax: float,
     4*digits bits of precision (+2 for the hex shift), and expands the
     ranges into the distinct ``digits``-char hex prefixes they cover.
     """
+    if xmin > xmax or ymin > ymax:
+        raise ValueError(
+            f"inverted bbox ({xmin},{ymin},{xmax},{ymax}); split "
+            "dateline-crossing windows before planning")
     nx0 = int(_LON.normalize(max(xmin, -180.0)))
     nx1 = int(_LON.normalize(min(xmax, 180.0)))
     ny0 = int(_LAT.normalize(max(ymin, -90.0)))

@@ -36,8 +36,12 @@ def convert(df: DataFrame, fields: dict[str, str],
     """
     if error_mode not in ("raise", "skip", "log"):
         raise ValueError(f"error_mode must be raise|skip|log, got {error_mode}")
+    req = list(required or [])
+    unknown = [c for c in req if c not in fields]
+    if unknown:
+        raise ValueError(f"converter: required column(s) {unknown} not in the "
+                         f"field spec {sorted(fields)}")
     out = df.select([F.expr(expr).alias(name) for name, expr in fields.items()])
-    req = [c for c in (required or []) if c in fields]
     if not req:
         return out
     bad = None
@@ -49,10 +53,9 @@ def convert(df: DataFrame, fields: dict[str, str],
     if error_mode == "log":
         return out.withColumn("__bad__", bad)
     # raise: fail fast driver-side if any bad row exists (the reference's
-    # default raise-on-error converter behavior)
-    n_bad = out.filter(bad).limit(1).count()
-    if n_bad:
-        sample = out.filter(bad).limit(5).collect()
+    # default raise-on-error converter behavior); single scan
+    sample = out.filter(bad).limit(5).collect()
+    if sample:
         raise ValueError(f"converter: required field null in input, e.g. {sample}")
     return out
 

@@ -122,17 +122,18 @@ def upsert_cache(updates: DataFrame, ttl_ms: int | None = None,
     any_ttl = ttl_ms is not None or bool(ttl_by_cql)
     timeout = (GroupStateTimeout.ProcessingTimeTimeout if any_ttl
                else GroupStateTimeout.NoTimeout)
-    keyed = updates.select(
+    if ttl_by_cql:
+        # resolve the TTL BEFORE narrowing the columns: the expiry rules
+        # may reference any source attribute (the reference's CQL list is
+        # attribute-based as often as spatial)
+        src = updates.withColumn("geom", F.expr(f"st_makePoint({x_col}, {y_col})"))
+        src = src.withColumn("__ttl__", ttl_by_cql_expr(ttl_by_cql, ttl_ms))
+    else:
+        src = updates.withColumn("__ttl__", F.lit(ttl_ms).cast("long"))
+    keyed = src.select(
         F.col(id_col).alias("feature_id"),
         F.col(ts_col).cast("long").alias(ts_col) if ts_col != "ts" else F.col("ts").cast("long"),
-        F.col(x_col), F.col(y_col))
-    if ttl_by_cql:
-        keyed = keyed.withColumn(
-            "geom", F.expr(f"st_makePoint({x_col}, {y_col})"))
-        keyed = keyed.withColumn("__ttl__",
-                                 ttl_by_cql_expr(ttl_by_cql, ttl_ms)).drop("geom")
-    else:
-        keyed = keyed.withColumn("__ttl__", F.lit(ttl_ms).cast("long"))
+        F.col(x_col), F.col(y_col), "__ttl__")
     return (keyed.groupBy("feature_id")
                  .applyInPandasWithState(update_fn, _OUT_SCHEMA, _STATE_SCHEMA,
                                          "append", timeout))

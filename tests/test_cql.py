@@ -164,3 +164,41 @@ def test_planner_integration(spark, tmp_path):
                        & (F.col("lat") >= 39.5) & (F.col("lat") <= 41.5)
                        & F.col("url").contains("a"))
     assert {r["url"] for r in got.collect()} == {r["url"] for r in brute.collect()}
+
+
+class TestReviewRegressions:
+    def test_dateline_bbox_splits(self, tbl):
+        """BBOX with xmin > xmax is a dateline window: split, not crash."""
+        b = extract_bounds("BBOX(geom, 170, 0, -170, 10)", "geom")
+        assert sorted(b) == [(-180.0, 0.0, -170.0, 10.0),
+                             (170.0, 0.0, 180.0, 10.0)]
+        # the compiled filter runs (none of the fixture points qualify)
+        assert ids(cql_filter(tbl, "BBOX(geom, 170, 0, -170, 10)")) == set()
+        with pytest.raises(CqlError, match="ymin > ymax"):
+            cql_to_sql("BBOX(geom, 0, 10, 10, 0)")
+
+    def test_dateline_query_store_runs(self, spark, tmp_path):
+        from geomesa_spark.plans.store import query_store, write_indexed
+
+        pts = spark.createDataFrame(
+            [(1, 175.0, 5.0), (2, -175.0, 5.0), (3, 0.0, 5.0)],
+            "pid long, lon double, lat double")
+        path = str(tmp_path / "idl_store")
+        write_indexed(pts, path)
+        got = {r["pid"] for r in
+               query_store(spark, path, "BBOX(geom, 170, 0, -170, 10)").collect()}
+        assert got == {1, 2}
+
+    def test_dwithin_expansion_is_conservative(self):
+        """The planner window must contain every point the exact geodesic
+        predicate accepts (review finding: 0.1% under-expansion)."""
+        import numpy as np
+
+        (w,) = extract_bounds("DWITHIN(geom, POINT(0 0), 100, kilometers)", "geom")
+        # point just inside 100 km due east
+        lon = 0.89852
+        la1 = la2 = 0.0
+        lo = np.radians(lon)
+        d = 2 * 6371008.7714 * np.arcsin(abs(np.sin(lo / 2)))
+        assert d < 100_000
+        assert w[0] <= lon <= w[2]

@@ -86,3 +86,57 @@ def test_store_query_outside_data(spark, tmp_path):
     path = str(tmp_path / "tiny_store")
     write_indexed(pts, path)
     assert bbox_query(spark, path, -170.0, -80.0, -160.0, -70.0).count() == 0
+
+
+def test_shingle_k4_order_sensitive():
+    """Review regression: distinct per-position multipliers — reordered
+    tails must not collide for shingle_k >= 4."""
+    import numpy as np
+
+    from geomesa_spark.operators.dedup import _shingle_hashes
+
+    a = _shingle_hashes("w x c d", 4)
+    b = _shingle_hashes("w x d c", 4)
+    assert not np.array_equal(a, b)
+    c = _shingle_hashes("a b c c d", 5)   # repeated word must not cancel
+    assert int(c[0]) != 0
+
+
+def test_converter_required_typo_raises(spark):
+    import pytest
+
+    from geomesa_spark.sources.converter import convert
+
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    with pytest.raises(ValueError, match="not in the field spec"):
+        convert(df, {"fid": "k"}, required=["fidd"], error_mode="raise")
+
+
+def test_ttl_by_cql_attribute_predicate(spark, tmp_path):
+    """Review regression: dynamic-expiry rules on arbitrary source
+    attributes (not just id/ts/lon/lat) must resolve."""
+    import json
+    import os
+
+    from geomesa_spark.functions import register_functions
+    from geomesa_spark.streaming.upsert import upsert_cache
+
+    register_functions(spark)
+    src = str(tmp_path / "attr_ttl")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        for r in [{"feature_id": "p1", "ts": 1, "lon": 0.0, "lat": 0.0,
+                   "kind": "plane"},
+                  {"feature_id": "s1", "ts": 1, "lon": 0.0, "lat": 0.0,
+                   "kind": "ship"}]:
+            f.write(json.dumps(r) + "\n")
+    stream = spark.readStream.schema(
+        "feature_id string, ts long, lon double, lat double, kind string").json(src)
+    out = upsert_cache(stream, ttl_ms=3_600_000,
+                       ttl_by_cql=[("kind = 'plane'", 1000)])
+    q = (out.writeStream.format("memory").queryName("attr_ttl")
+            .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r["feature_id"]: r["op"]
+            for r in spark.sql("select * from attr_ttl").collect()}
+    assert rows == {"p1": "upsert", "s1": "upsert"}

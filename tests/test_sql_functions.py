@@ -188,3 +188,16 @@ class TestUtmTransform:
         """).collect()[0]
         assert abs(row.e - 500_000.0) < 1e-3
         assert abs(row.lat_rt - 48.3) < 1e-6  # round-trip
+
+
+def test_utm_crs_validation():
+    import pytest
+
+    from geomesa_spark.functions.registry import _parse_crs, _transform
+    from geomesa_spark.geom.wkb import Point
+
+    assert _parse_crs("utm:33n") == ("utm", 33, False)
+    assert _parse_crs("utm:99n") == (None, None, None)   # invalid zone
+    assert _parse_crs("EPSG:326ab") == (None, None, None)
+    with pytest.raises(ValueError, match="st_transform supports"):
+        _transform(Point(0.0, 0.0), "EPSG:4326", "utm:99n")
