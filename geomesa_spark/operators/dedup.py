@@ -106,9 +106,11 @@ def _batch_shingles(texts: pd.Series, k: int):
     # multiplier per position (reusing a multiplier would make the hash
     # order-insensitive and self-canceling for repeated words at k >= 4)
     if len(W) >= k:
-        mults = [_MIX[0]]
+        m = int(_MIX[0])
+        mults = [np.uint64(m)]
         for _ in range(1, k):
-            mults.append(mults[-1] * _MIX[1] | np.uint64(1))
+            m = (m * int(_MIX[1]) | 1) & 0xFFFFFFFFFFFFFFFF
+            mults.append(np.uint64(m))
         mix = W[:len(W) - k + 1] * mults[0]
         for j in range(1, k):
             mix = mix ^ (W[j:len(W) - k + 1 + j] * mults[j])

@@ -117,6 +117,7 @@ def test_ttl_by_cql_attribute_predicate(spark, tmp_path):
     attributes (not just id/ts/lon/lat) must resolve."""
     import json
     import os
+    import time
 
     from geomesa_spark.functions import register_functions
     from geomesa_spark.streaming.upsert import upsert_cache
@@ -136,7 +137,8 @@ def test_ttl_by_cql_attribute_predicate(spark, tmp_path):
                        ttl_by_cql=[("kind = 'plane'", 1000)])
     q = (out.writeStream.format("memory").queryName("attr_ttl")
             .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    q.awaitTermination(40)  # stateful availableNow never self-terminates
+    q.stop()
     rows = {r["feature_id"]: r["op"]
             for r in spark.sql("select * from attr_ttl").collect()}
     assert rows == {"p1": "upsert", "s1": "upsert"}

@@ -43,7 +43,8 @@ def test_upsert_cache_event_time_ordering(spark, tmp_path):
     out = upsert_cache(stream)
     q = (out.writeStream.format("memory").queryName("upserts")
             .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    q.awaitTermination(40)  # stateful availableNow never self-terminates
+    q.stop()
 
     rows = {(r["feature_id"], r["ts"]): r["op"]
             for r in spark.sql("select * from upserts").collect()}
@@ -76,7 +77,8 @@ def test_windowed_density_stream(spark, tmp_path):
     # which never happens in a single availableNow batch
     q = (dens.writeStream.format("memory").queryName("dens")
              .outputMode("complete").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    q.awaitTermination(40)  # stateful availableNow never self-terminates
+    q.stop()
     got = {(r["i"], r["j"]): r["weight"] for r in spark.sql("select * from dens").collect()}
     # both (10.x, 20.x) points share the 1-deg tile (190, 110)
     assert got[(190, 110)] == 2
@@ -153,7 +155,8 @@ def test_upsert_cache_with_dynamic_ttl_runs(spark, tmp_path):
                        ttl_by_cql=[("BBOX(geom, 0, 0, 1, 1)", 1000)])
     q = (out.writeStream.format("memory").queryName("ttl_upserts")
             .outputMode("append").trigger(availableNow=True).start())
-    q.awaitTermination(120)
+    q.awaitTermination(40)  # stateful availableNow never self-terminates
+    q.stop()
     rows = {(r["feature_id"], r["ts"]): r["op"]
             for r in spark.sql("select * from ttl_upserts").collect()}
     assert rows[("hot", 100)] == "upsert"
