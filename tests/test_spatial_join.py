@@ -229,3 +229,12 @@ class TestInteriorFastAccept:
                         loc = pip_rings(x0 + gx * sx, y0 + gy * sy, rings)
                         assert (loc == 1).all(), "full cell leaks outside"
         assert n_full_total > 100  # the optimization actually fires
+
+
+def test_salted_broadcast_join_same_rowset(spark, pages_points, polys):
+    """salt=N composes with the prepared broadcast path."""
+    joined = pip_join(pages_points, polys, "lon", "lat", "geom",
+                      predicate="st_contains", broadcast_polys=True, salt=4)
+    got = {(r.url, r.poly_id) for r in joined.select("url", "poly_id").collect()}
+    expected = brute_force_pairs(pages_points.toPandas(), polys.toPandas(), strict=True)
+    assert got == expected
