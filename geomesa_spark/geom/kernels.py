@@ -168,6 +168,17 @@ def _seg_intersections(a1, a2, b1, b2):
         t = ((bx1 - ax1) * (by2 - by1) - (by1 - ay1) * (bx2 - bx1)) / denom
         u = ((bx1 - ax1) * (ay2 - ay1) - (by1 - ay1) * (ax2 - ax1)) / denom
         if -0.0 <= t <= 1.0 and -0.0 <= u <= 1.0:
+            # endpoint touches must return the EXACT endpoint: the
+            # interpolated value can differ by an ulp and then miss the
+            # boundary-membership sets in _relate_11/_relate_12
+            if d1 == 0:
+                return "point", [(ax1, ay1)]
+            if d2 == 0:
+                return "point", [(ax2, ay2)]
+            if d3 == 0:
+                return "point", [(bx1, by1)]
+            if d4 == 0:
+                return "point", [(bx2, by2)]
             x = ax1 + t * (ax2 - ax1)
             y = ay1 + t * (ay2 - ay1)
             return "point", [(x, y)]
@@ -320,7 +331,16 @@ def _transpose(m: list[int]) -> list[int]:
 
 
 def relate(a: Geometry, b: Geometry) -> str:
-    """DE-9IM matrix string of a vs b."""
+    """DE-9IM matrix string of a vs b.
+
+    GeometryCollection operands are rejected, matching JTS
+    (Geometry.relate throws IllegalArgumentException for GCs) — the
+    dim-based decomposition below would silently mis-handle mixed
+    members otherwise.
+    """
+    if isinstance(a, GeometryCollection) or isinstance(b, GeometryCollection):
+        raise ValueError("relate does not support GeometryCollection operands "
+                         "(JTS semantics)")
     da, db = _dim(a), _dim(b)
     if da <= db:
         m = _relate_dims(a, b, da, db)

@@ -117,12 +117,27 @@ def centroid(geom: Geometry) -> Point:
             return centroid(LineString(polys[0].shell))
         return Point(sx / total, sy / total)
     if isinstance(geom, GeometryCollection):
-        # use highest dimension present (JTS rule)
-        for cls in ((Polygon, MultiPolygon), (LineString, MultiLineString)):
-            parts = [g for g in geom.geoms if isinstance(g, cls)]
-            if parts:
-                return centroid(MultiPolygon(parts) if cls[0] is Polygon else MultiLineString(parts))
-        return centroid(MultiPoint([g for g in geom.geoms if isinstance(g, Point)]))
+        # use highest dimension present (JTS rule); flatten Multi*/nested
+        # GC members first so the Multi wrappers below hold simple parts
+        def atoms(g):
+            if isinstance(g, (GeometryCollection, MultiPolygon,
+                              MultiLineString, MultiPoint)):
+                out = []
+                for m in g.geoms:
+                    out.extend(atoms(m))
+                return out
+            return [g]
+
+        parts = atoms(geom)
+        polys = [g for g in parts if isinstance(g, Polygon)]
+        if polys:
+            return centroid(MultiPolygon(polys))
+        lines = [g for g in parts if isinstance(g, LineString)]
+        if lines:
+            return centroid(MultiLineString(lines))
+        pts = [g for g in parts if isinstance(g, Point)]
+        if pts:
+            return centroid(MultiPoint(pts))
     raise ValueError(geom)
 
 
@@ -130,6 +145,9 @@ def envelope_geom(geom: Geometry) -> Geometry:
     xmin, ymin, xmax, ymax = geom.envelope()
     if xmin == xmax and ymin == ymax:
         return Point(xmin, ymin)
+    if xmin == xmax or ymin == ymax:
+        # JTS GeometryFactory.toGeometry: degenerate envelope -> LineString
+        return LineString(np.array([[xmin, ymin], [xmax, ymax]]))
     ring = np.array([[xmin, ymin], [xmin, ymax], [xmax, ymax], [xmax, ymin], [xmin, ymin]])
     return Polygon(ring)
 

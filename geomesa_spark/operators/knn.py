@@ -10,10 +10,12 @@ iterative DataFrame rounds:
   vectorized, kept iff <= radius.
 - Expansion (border re-join): queries with < k in-radius neighbors grow
   their radius by the reference's Liu/Lim/Ng density rule (:292-302):
-  ``r*2`` when nothing was found, else ``max(r, sqrt(k / (pi*density)))``
-  where density = found / (pi*r^2); capped at ``max_radius``. The re-join
-  re-queries the whole disk and dedupes on (query, neighbor) — equivalent
-  row set to the reference's ring-shaped re-query (Envelope.minus:498-520).
+  ``r*2`` when nothing was found, else ``sqrt(k / (pi*density))`` where
+  density = found / (2r)^2 (the reference estimates density over the
+  square query window), i.e. ``2r * sqrt(k/(pi*n))`` — always > r for
+  n < k; capped at ``max_radius``. The re-join re-queries the whole disk
+  and dedupes on (query, neighbor) — equivalent row set to the
+  reference's ring-shaped re-query (Envelope.minus:498-520).
 - Final: exact top-k per query via window ``row_number() over (partition
   by qid order by dist, neighbor id)`` — the reference's fixed-k
   farthest-replacement array (:314-399) as a declarative window.
@@ -40,7 +42,7 @@ from .spatial_join import (
     cells_of_disk_arrays, sphere_expand_degrees,
 )
 
-EARTH_RADIUS_M = 6371008.7714  # mean radius; matches measures.distance_sphere
+from ..geom.measures import EARTH_MEAN_RADIUS_M as EARTH_RADIUS_M
 
 
 def _dist_expr(qx, qy, px, py, metric: str):
@@ -96,7 +98,6 @@ def knn_join(
     Returns (all query cols, all data cols, dist, rank 1..k). Deterministic
     tie-break on (dist, data_id).
     """
-    spark = queries.sparkSession
     data_c = data.withColumn("__cell__", cell_expr_of_points(dx, dy, level))
 
     live = queries.withColumn("__r__", F.lit(float(initial_radius)))
@@ -115,20 +116,19 @@ def knn_join(
         if rnd == max_rounds - 1:
             break
         # which queries still need expansion?
-        counts = (cand.groupBy(query_id).agg(F.count("*").alias("__n__"),
-                                             F.max("__r__").alias("__r__")))
-        need = (live.join(counts.select(query_id, "__n__"), on=query_id, how="left")
+        counts = cand.groupBy(query_id).agg(F.count("*").alias("__n__"))
+        need = (live.join(counts, on=query_id, how="left")
                     .fillna({"__n__": 0})
                     .filter(F.col("__n__") < k))
         if need.isEmpty():
             break
-        # Liu/Lim/Ng radius update (KNearestNeighborSearchProcess.scala:292-302)
+        # Liu/Lim/Ng radius update (KNearestNeighborSearchProcess.scala:
+        # 292-302): density estimated over the SQUARE window (2r)^2, so
+        # new r = sqrt(k / (pi * n / (2r)^2)) = 2r * sqrt(k/(pi*n)) —
+        # always > r while n < k
         new_r = F.when(F.col("__n__") == 0, F.col("__r__") * 2).otherwise(
-            F.greatest(
-                F.col("__r__") * 1.2,
-                F.sqrt(F.lit(float(k)) / (F.lit(math.pi) * (F.col("__n__") /
-                       (F.lit(math.pi) * F.col("__r__") * F.col("__r__"))))),
-            ))
+            F.lit(2.0) * F.col("__r__")
+            * F.sqrt(F.lit(float(k)) / (F.lit(math.pi) * F.col("__n__"))))
         live = (need.withColumn("__r__", F.least(new_r, F.lit(float(max_radius))))
                     .drop("__n__"))
 

@@ -129,6 +129,82 @@ def bresenham_cells(i0: int, j0: int, i1: int, j1: int) -> list[tuple[int, int]]
     return out
 
 
+def _clip_segment(x0, y0, x1, y1, grid: "GridSnap"):
+    """Liang-Barsky clip of a segment to the envelope; None if outside.
+
+    The reference renders geometry INTERSECTED with the envelope
+    (RenderingGrid.scala:93-103) — dropping straddling segments would
+    silently undercount every trajectory crossing the viewport edge.
+    """
+    t0, t1 = 0.0, 1.0
+    dx, dy = x1 - x0, y1 - y0
+    for p, q in ((-dx, x0 - grid.xmin), (dx, grid.xmax - x0),
+                 (-dy, y0 - grid.ymin), (dy, grid.ymax - y0)):
+        if p == 0:
+            if q < 0:
+                return None
+        else:
+            r = q / p
+            if p < 0:
+                if r > t1:
+                    return None
+                if r > t0:
+                    t0 = r
+            else:
+                if r < t0:
+                    return None
+                if r < t1:
+                    t1 = r
+    return (x0 + t0 * dx, y0 + t0 * dy, x0 + t1 * dx, y0 + t1 * dy)
+
+
+def _clip_ring_to_envelope(ring: np.ndarray, grid: "GridSnap") -> np.ndarray:
+    """Sutherland-Hodgman clip of a polygon ring to the envelope rect.
+
+    Returns the clipped CLOSED ring ((n,2), first==last) or an empty
+    array when the polygon lies outside. Exact for simple rings — the
+    reference's polygon-with-envelope intersection before fillPolygon.
+    """
+    pts = [tuple(p) for p in ring[:-1]]
+
+    def clip(points, inside, intersect):
+        out = []
+        n = len(points)
+        for idx in range(n):
+            cur, prv = points[idx], points[idx - 1]
+            cin, pin = inside(cur), inside(prv)
+            if cin:
+                if not pin:
+                    out.append(intersect(prv, cur))
+                out.append(cur)
+            elif pin:
+                out.append(intersect(prv, cur))
+        return out
+
+    def x_cut(bound):
+        def f(a, b):
+            t = (bound - a[0]) / (b[0] - a[0])
+            return (bound, a[1] + t * (b[1] - a[1]))
+        return f
+
+    def y_cut(bound):
+        def f(a, b):
+            t = (bound - a[1]) / (b[1] - a[1])
+            return (a[0] + t * (b[0] - a[0]), bound)
+        return f
+
+    for inside, cut in (
+        (lambda p: p[0] >= grid.xmin, x_cut(grid.xmin)),
+        (lambda p: p[0] <= grid.xmax, x_cut(grid.xmax)),
+        (lambda p: p[1] >= grid.ymin, y_cut(grid.ymin)),
+        (lambda p: p[1] <= grid.ymax, y_cut(grid.ymax)),
+    ):
+        pts = clip(pts, inside, cut)
+        if not pts:
+            return np.empty((0, 2))
+    return np.array(pts + [pts[0]], dtype=np.float64)
+
+
 def _fill_snapped_polygon(ii: np.ndarray, jj: np.ndarray) -> list[tuple[int, int]]:
     """Even-odd fill of the vertex-snapped integer polygon over pixel centers.
 
@@ -183,10 +259,16 @@ def render_geometry(geom: Geometry, grid: GridSnap,
         i_n, j_n = (-1, -1) if last is None else last
         for n in range(1, len(pts)):
             p0, p1 = pts[n - 1], pts[n]
-            i0s, j0 = grid.translate(p0[0]), int(grid.j(p0[1]))
-            i1s, j1 = grid.translate(p1[0]), int(grid.j(p1[1]))
+            clipped = _clip_segment(p0[0], p0[1], p1[0], p1[1], grid)
+            if clipped is None:
+                i_n, j_n = -1, -1   # discontinuity: reset last-pixel dedup
+                continue
+            cx0, cy0, cx1, cy1 = clipped
+            i0s, j0 = grid.translate(cx0), int(grid.j(cy0))
+            i1s, j1 = grid.translate(cx1), int(grid.j(cy1))
             if not i0s or j0 == -1 or not i1s or j1 == -1:
-                continue  # clip path: reference intersects with envelope
+                i_n, j_n = -1, -1
+                continue
             line = bresenham_cells(i0s[0], j0, i1s[0], j1)
             iF, jF = line[0]
             if (iF, jF) != (i_n, j_n):
@@ -202,16 +284,21 @@ def render_geometry(geom: Geometry, grid: GridSnap,
         for g in geom.geoms:
             cells.extend(render_geometry(g, grid))
     elif isinstance(geom, Polygon):
-        ring = geom.rings[0]
-        ii = np.array([grid.translate(x)[0] if grid.translate(x) else -1 for x in ring[:, 0]])
-        jj = grid.j(ring[:, 1])
-        if np.any(ii == -1) or np.any(jj == -1):
-            # not fully inside the grid: reference clips polygon∩envelope;
-            # approximate by clamping the snap (documented deviation)
-            ii = np.where(ii == -1, np.clip(ii, 0, grid.x_size - 1), ii)
-            jj = np.where(jj == -1,
-                          grid.j(np.clip(ring[:, 1], grid.ymin, grid.ymax)), jj)
-        cells.extend(_fill_snapped_polygon(np.asarray(ii[:-1]), np.asarray(jj[:-1])))
+        # clip polygon ∩ envelope first (the reference's pre-render
+        # intersection), then snap + fill; replicate across 360-degree
+        # copies for wide envelopes like the point/line branches
+        ring = _clip_ring_to_envelope(geom.rings[0], grid)
+        if len(ring) >= 4:
+            copies = grid.translate(float(ring[0, 0]))
+            base_i = copies[0] if copies else -1
+            ii = np.array([grid.translate(x)[0] if grid.translate(x) else -1
+                           for x in ring[:, 0]])
+            jj = grid.j(ring[:, 1])
+            if base_i != -1 and not np.any(ii == -1) and not np.any(jj == -1):
+                fill = _fill_snapped_polygon(np.asarray(ii[:-1]), np.asarray(jj[:-1]))
+                for c in copies:
+                    off = int(c) - int(base_i)
+                    cells.extend((i + off, j) for (i, j) in fill)
     elif isinstance(geom, (MultiPolygon, GeometryCollection)):
         for g in geom.geoms:
             cells.extend(render_geometry(g, grid))

@@ -207,3 +207,86 @@ class TestVectorizedPIP:
         px = np.array([1.0, 3.0, 3.0, 1.0])
         py = np.array([1.0, 1.0, 3.0, 3.0])
         assert list(pip_rings(px, py, [shell])) == [1, 1, -1, 1]
+
+
+class TestCoreReviewRegressions:
+    """Fixes from the core-engine review pass."""
+
+    def test_endpoint_touch_exact(self):
+        """A line endpoint touching another line's interior must be
+        touches, not crosses (ulp-exact cut points)."""
+        from geomesa_spark.geom import kernels as K
+        from geomesa_spark.geom.wkb import LineString
+        import numpy as np
+
+        a = LineString(np.array([[0.1, 0.0], [0.3, 0.2]]))
+        b = LineString(np.array([[0.2, 0.2], [0.4, 0.2]]))
+        assert K.touches(a, b)
+        assert not K.crosses(a, b)
+        # symmetric: b's endpoint on a's interior
+        c = LineString(np.array([[0.2, 0.1], [0.7, 0.1]]))
+        d = LineString(np.array([[0.3, 0.1], [0.3, 0.5]]))
+        assert K.touches(c, d) and not K.crosses(c, d)
+
+    def test_relate_rejects_geometry_collection(self):
+        import numpy as np
+        import pytest
+
+        from geomesa_spark.geom import kernels as K
+        from geomesa_spark.geom.wkb import GeometryCollection, Point, Polygon
+
+        gc = GeometryCollection([Point(0.0, 0.0), Polygon(np.array(
+            [[1, 1], [2, 1], [2, 2], [1, 1]], dtype=float))])
+        with pytest.raises(ValueError, match="GeometryCollection"):
+            K.relate(gc, Point(1.5, 1.2))
+
+    def test_centroid_gc_with_multi_members(self):
+        import numpy as np
+
+        from geomesa_spark.geom.measures import centroid
+        from geomesa_spark.geom.wkb import (
+            GeometryCollection, MultiPoint, MultiPolygon, Point, Polygon)
+
+        sq = Polygon(np.array([[0, 0], [2, 0], [2, 2], [0, 2], [0, 0]],
+                              dtype=float))
+        c = centroid(GeometryCollection([MultiPolygon([sq])]))
+        assert (c.x, c.y) == (1.0, 1.0)
+        c2 = centroid(GeometryCollection([MultiPoint([Point(0.0, 0.0),
+                                                      Point(4.0, 0.0)])]))
+        assert (c2.x, c2.y) == (2.0, 0.0)
+
+    def test_envelope_degenerate_is_linestring(self):
+        import numpy as np
+
+        from geomesa_spark.geom.measures import envelope_geom
+        from geomesa_spark.geom.wkb import LineString
+
+        e = envelope_geom(LineString(np.array([[0.0, 0.0], [5.0, 0.0]])))
+        assert isinstance(e, LineString)
+
+    def test_polygon_density_clipped_not_shifted(self):
+        """Review regression: a polygon extending past xmax must fill its
+        clipped columns, not wrap to column 0."""
+        from geomesa_spark.operators.tiling import GridSnap, render_geometry
+        from geomesa_spark.geom.wkb import Polygon
+        import numpy as np
+
+        grid = GridSnap(0.0, 0.0, 10.0, 10.0, 10, 10)
+        poly = Polygon(np.array([[8, 2], [12, 2], [12, 4], [8, 4], [8, 2]],
+                                dtype=float))
+        cells = set(render_geometry(poly, grid))
+        assert cells and all(i >= 8 for (i, j) in cells), cells
+        assert not any(i <= 1 for (i, j) in cells)
+
+    def test_line_density_clips_straddling_segment(self):
+        """Review regression: a segment straddling the envelope renders
+        its inside part (reference clips, does not drop)."""
+        from geomesa_spark.operators.tiling import GridSnap, render_geometry
+        from geomesa_spark.geom.wkb import LineString
+        import numpy as np
+
+        grid = GridSnap(0.0, 0.0, 10.0, 10.0, 10, 10)
+        seg = LineString(np.array([[-5.0, 5.2], [5.0, 5.2]], dtype=float))
+        cells = set(render_geometry(seg, grid))
+        assert (0, 5) in cells and (4, 5) in cells
+        assert all(j == 5 for (_, j) in cells)
