@@ -142,3 +142,29 @@ def test_ttl_by_cql_attribute_predicate(spark, tmp_path):
     rows = {r["feature_id"]: r["op"]
             for r in spark.sql("select * from attr_ttl").collect()}
     assert rows == {"p1": "upsert", "s1": "upsert"}
+
+
+def test_stat_dsl(spark):
+    """The reference's stat-spec strings evaluate as Spark aggregations."""
+    from geomesa_spark.operators.stats import parse_stats, run_stats
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, float(i % 10), ["a", "b", "c"][i % 3]) for i in range(100)],
+        "id long, v double, tag string")
+    out = run_stats(df, "Count();MinMax(v);DescriptiveStats(v);"
+                        "TopK(tag,2);Enumeration(tag);"
+                        "Histogram(v,5,0,10);GroupBy(tag,Count())")
+    assert out["count"] == 100
+    assert (out["minmax_v_min"], out["minmax_v_max"]) == (0.0, 9.0)
+    assert out["descriptivestats_v_count"] == 100
+    assert abs(out["descriptivestats_v_mean"] - 4.5) < 1e-9
+    assert out["topk_tag"] == {"a": 34, "b": 33}
+    assert out["enumeration_tag"] == {"a": 34, "b": 33, "c": 33}
+    assert out["histogram_v"] == [20, 20, 20, 20, 20]
+    assert out["groupby_tag_count"] == {"a": 34, "b": 33, "c": 33}
+    out2 = run_stats(df, "Frequency(tag);IteratorStackCount()")
+    assert isinstance(out2["frequency_tag"], (bytes, bytearray))
+    assert out2["iteratorstackcount"] >= 1
+    with pytest.raises(ValueError, match="bad stat spec"):
+        parse_stats("Nope(")
