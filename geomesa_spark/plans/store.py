@@ -117,7 +117,8 @@ def bbox_query(spark, path: str, xmin: float, ymin: float, xmax: float,
 
 
 def plan_query(spark, path: str, cql: str, digits: int = 2,
-               x: str = "lon", y: str = "lat"):
+               x: str = "lon", y: str = "lat",
+               require_bounded: bool = False):
     """The QueryRunner/StrategyDecider analog: ECQL in, (DataFrame, plan
     dict) out.
 
@@ -139,6 +140,12 @@ def plan_query(spark, path: str, cql: str, digits: int = 2,
     df = spark.read.parquet(path)
     windows = extract_bounds(cql, "geom")
     plan = {"strategy": "full-scan", "windows": windows, "prefixes": None}
+    if require_bounded and windows is None:
+        # the reference's query guards (planning/guard/TemporalQueryGuard
+        # .scala and friends) reject runaway full scans on huge stores
+        raise ValueError(
+            "query guard: filter has no spatial bound (full scan rejected); "
+            f"pass require_bounded=False to allow: {cql!r}")
     if windows is not None:
         if not windows:
             plan["strategy"] = "empty"

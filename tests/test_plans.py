@@ -275,3 +275,18 @@ def test_xz3_store_stbox_query(spark, tmp_path):
 
     pfx = xz3_partition_prefixes(qx0, qy0, qx1, qy1, 0, 604_799, digits=2)
     assert 0 < len(pfx) < 256
+
+
+def test_query_guard_rejects_unbounded(spark, tmp_path):
+    from geomesa_spark.functions import register_functions
+    from geomesa_spark.plans.store import plan_query, write_indexed
+
+    register_functions(spark)
+    pts = spark.createDataFrame([(1, 0.0, 0.0)], "pid long, lon double, lat double")
+    path = str(tmp_path / "guard_store")
+    write_indexed(pts, path)
+    with pytest.raises(ValueError, match="query guard"):
+        plan_query(spark, path, "pid > 0", require_bounded=True)
+    df, p = plan_query(spark, path, "BBOX(geom, -1, -1, 1, 1)",
+                       require_bounded=True)
+    assert p["strategy"] == "z2-index" and df.count() == 1
