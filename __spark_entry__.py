@@ -7,9 +7,11 @@ arithmetic both engines evaluate bit-identically (see
 geomesa_spark/sources/tpch_geo.py for the shared derivations).
 Geometry-bearing layers are derived deterministically from the TPC-H-ish
 keys (the converter-ingest pattern: geometry is a pure function of source
-columns). Non-SQL-expressible operators (MinHash/SimHash banding, LSH ANN,
-polygon rasterization, streaming) are registered without an oracle ->
-rows-only checks.
+columns). Genuinely non-SQL-expressible operators (seeded MinHash/SimHash
+banding, seeded LSH/IVF ANN, approximate sketches, the self-generated
+pages corpus) are registered without an oracle -> rows-only checks;
+everything else (43 queries) is DuckDB-checked, including the XZ2/XZ3
+quadrant walks and the S2 Hilbert curve as generated SQL.
 """
 
 from __future__ import annotations

@@ -194,8 +194,8 @@ def minhash_dedup_pairs(
                          sig(F.col(text_col)).alias("__sig__")).persist()
 
     band_cols = [
-        F.xxhash64(F.slice("__sig__", b * rows_per_band + 1, rows_per_band)
-                   .cast("array<string>").cast("string"), F.lit(b)).alias("__bucket__")
+        F.xxhash64(*[F.element_at("__sig__", b * rows_per_band + i + 1)
+                     for i in range(rows_per_band)], F.lit(b)).alias("__bucket__")
         for b in range(bands)
     ]
     # narrow (id, bucket) rows only — signatures never travel through the
