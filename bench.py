@@ -201,7 +201,7 @@ def main() -> None:
         # path is timed separately below for the peak-throughput figure.
         n_scale = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "48000000"))
         walls = {}
-        for c, reps in ((2, 2), (8, 2), (CPUS, 2)):
+        for c, reps in ((2, 3), (8, 4), (CPUS, 3)):
             s = _session(c)
             walls[c] = _join_only(s, n_scale, N_POLYS, reps=reps, exact=True)
             s.stop()
@@ -220,7 +220,7 @@ def main() -> None:
         # fully-optimized join (auto level + interior fast-accept — still
         # exact output): the headline throughput users actually get
         s = _session(CPUS)
-        fw = _join_only(s, n_scale, N_POLYS, reps=3, exact=False)
+        fw = _join_only(s, n_scale, N_POLYS, reps=4, exact=False)
         s.stop()
         fast_join = {
             "pages": n_scale,
