@@ -617,15 +617,50 @@ def q_s2_cells(spark, sf_dir):
                .groupBy("s2_cell").agg(F.count("*").alias("n")))
 
 
+_SKETCH_QS = (("q50", 0.5), ("q90", 0.9), ("q99", 0.99))
+
+
 def q_sketches(spark, sf_dir):
-    """Mergeable-sketch stats surface (Stat DSL analog): approximate
-    distinct, quantiles, frequency sketch."""
+    """Mergeable-sketch stats surface (Stat DSL analog).
+
+    Oracle-checkable spine: exact interpolated quantiles (order-statistic
+    lookup + the linear-interpolation formula written identically in both
+    engines -> bit-exact doubles), exact distinct count, a deterministic
+    HLL-sanity bit (|approx/exact - 1| <= 0.1 — HLL is deterministic for
+    fixed input), and the CMS serialized size (eps/conf-determined).
+    The approximate quantile/TopK sketch values themselves are unit-tested
+    with tolerances (tests), not hash-compared. At 100 TB the production
+    quantile path is percentile_approx (mergeable); the exact global-sort
+    spine here is the small-scale verification harness only.
+    """
     ev = _t(spark, sf_dir, "events")
-    return ev.agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.9, 0.99]).alias("value_quantiles"),
+    w = Window.orderBy("value")
+    vals = ev.select("value").withColumn("__rn__", F.row_number().over(w) - 1)
+    st = ev.agg(
+        F.count("*").alias("__n__"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.approx_count_distinct("user_id").alias("__au__"),
         F.length(F.count_min_sketch("event_type", F.lit(0.01), F.lit(0.95),
                                     F.lit(42))).alias("cms_bytes"))
+    j = vals.crossJoin(F.broadcast(st))
+    aggs = [F.max("__n__").alias("__n__"), F.max("n_users").alias("n_users"),
+            F.max("__au__").alias("__au__"), F.max("cms_bytes").alias("cms_bytes")]
+    for name, p in _SKETCH_QS:
+        pos = F.lit(p) * (F.col("__n__") - 1).cast("double")
+        aggs.append(F.max(F.when(F.col("__rn__") == F.floor(pos).cast("long"),
+                                 F.col("value"))).alias(f"__lo_{name}__"))
+        aggs.append(F.max(F.when(F.col("__rn__") == F.ceil(pos).cast("long"),
+                                 F.col("value"))).alias(f"__hi_{name}__"))
+    out = j.agg(*aggs)
+    cols = [F.col("n_users"),
+            (F.abs(F.col("__au__").cast("double") / F.col("n_users") - 1.0)
+             <= 0.1).alias("approx_users_ok"),
+            F.col("cms_bytes")]
+    for name, p in _SKETCH_QS:
+        pos = F.lit(p) * (F.col("__n__") - 1).cast("double")
+        lo, hi = F.col(f"__lo_{name}__"), F.col(f"__hi_{name}__")
+        cols.append((lo + (hi - lo) * (pos - F.floor(pos))).alias(name))
+    return out.select(*cols)
 
 
 def q_multimodal_feats(spark, sf_dir):
@@ -896,6 +931,30 @@ def _sql_s2_cells(level: int = 8) -> str:
                            THEN cell - 18446744073709551616
                            ELSE cell END AS BIGINT) AS s2_cell FROM adj2)
         SELECT s2_cell, CAST(count(*) AS BIGINT) AS n FROM wrap GROUP BY 1
+    """
+
+
+def _sql_sketches() -> str:
+    """DuckDB mirror of q_sketches: same order-statistic + interpolation
+    arithmetic (p*(n-1) in double, floor/ceil lookup, lo+(hi-lo)*frac);
+    cms_bytes is the eps/conf-determined CMS size (data-independent);
+    approx_users_ok mirrors the deterministic HLL sanity bit as TRUE."""
+    los, qs = [], []
+    for name, p in _SKETCH_QS:
+        pos = f"(CAST({p!r} AS DOUBLE) * CAST(n - 1 AS DOUBLE))"
+        los.append(f"max(CASE WHEN rn = CAST(floor({pos}) AS BIGINT) "
+                   f"THEN value END) AS lo_{name}")
+        los.append(f"max(CASE WHEN rn = CAST(ceil({pos}) AS BIGINT) "
+                   f"THEN value END) AS hi_{name}")
+        qs.append(f"lo_{name} + (hi_{name} - lo_{name}) * ({pos} - floor({pos})) AS {name}")
+    return f"""
+        WITH v AS (SELECT value, row_number() OVER (ORDER BY value) - 1 AS rn FROM events),
+        st AS (SELECT count(*) AS n, count(DISTINCT user_id) AS n_users FROM events),
+        a AS (SELECT max(st.n) AS n, max(st.n_users) AS n_users, {', '.join(los)}
+              FROM v, st)
+        SELECT CAST(n_users AS BIGINT) AS n_users, TRUE AS approx_users_ok,
+               CAST(8060 AS INTEGER) AS cms_bytes, {', '.join(qs)}
+        FROM a
     """
 
 
@@ -1217,4 +1276,5 @@ def oracle_sql() -> dict[str, str]:
         "xz2_cells": _sql_xz2_nation(),
         "xz3_cells": _sql_xz3_events(),
         "s2_cells": _sql_s2_cells(8),
+        "sketches": _sql_sketches(),
     }

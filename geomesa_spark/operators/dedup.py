@@ -29,6 +29,7 @@ from pyspark.sql.types import ArrayType, LongType
 __all__ = [
     "exact_dedup", "minhash_signature_udf", "minhash_dedup_pairs",
     "simhash_udf", "simhash_dedup_pairs", "ngram_jaccard_pairs",
+    "shingle_mults",
 ]
 
 MERSENNE = (1 << 61) - 1
@@ -71,6 +72,17 @@ def _fnv1a_batch(words: np.ndarray) -> np.ndarray:
     return h
 
 
+def shingle_mults(k: int) -> list[np.uint64]:
+    """The k position-dependent odd multipliers of the shingle mix
+    (exported so SQL oracles can inline them as literals)."""
+    m = int(_MIX[0])
+    out = [np.uint64(m)]
+    for _ in range(1, k):
+        m = (m * int(_MIX[1]) | 1) & 0xFFFFFFFFFFFFFFFF
+        out.append(np.uint64(m))
+    return out
+
+
 def _batch_shingles(texts: pd.Series, k: int):
     """All texts of an Arrow batch -> (per-doc-distinct shingle hashes
     concatenated, per-doc segment starts, doc count, null mask).
@@ -104,13 +116,9 @@ def _batch_shingles(texts: pd.Series, k: int):
 
     # full k-windows (window entirely inside one doc); one DISTINCT odd
     # multiplier per position (reusing a multiplier would make the hash
-    # order-insensitive and self-canceling for repeated words at k >= 4)
+    # order-insensitive and self-canceling for repeated words)
+    mults = shingle_mults(k)
     if len(W) >= k:
-        m = int(_MIX[0])
-        mults = [np.uint64(m)]
-        for _ in range(1, k):
-            m = (m * int(_MIX[1]) | 1) & 0xFFFFFFFFFFFFFFFF
-            mults.append(np.uint64(m))
         mix = W[:len(W) - k + 1] * mults[0]
         for j in range(1, k):
             mix = mix ^ (W[j:len(W) - k + 1 + j] * mults[j])
@@ -121,14 +129,16 @@ def _batch_shingles(texts: pd.Series, k: int):
         pv, dv = p[valid], d[valid]
         sh_all[out_start[dv] + (pv - wstart[dv])] = mix[valid]
 
-    # short docs (0 < wc < k): xor-mix of all their words; empty: constant
+    # short docs (0 < wc < k): same position-dependent mix over the whole
+    # doc (xor of W[j] * mults[j]) so word identity AND order feed the
+    # hash — a shared multiplier would be self-canceling for repeated
+    # words and order-insensitive for permutations
     short = np.where((wc > 0) & (wc < k))[0]
-    for di in short:  # rare path: docs with fewer than k words
-        seg = W[wstart[di]:wstart[di + 1]] * _MIX[0]
-        v = np.uint64(0)
-        for x in seg:
-            v ^= x
-        sh_all[out_start[di]] = v * _FNV_PRIME
+    if len(short):
+        marr = np.array(mults, dtype=np.uint64)
+        mixed = np.array([np.bitwise_xor.reduce(W[wstart[di]:wstart[di + 1]] * marr[:wc[di]])
+                          for di in short], dtype=np.uint64)
+        sh_all[out_start[short]] = mixed * _FNV_PRIME
     empty = np.where(wc == 0)[0]
     if len(empty):
         sh_all[out_start[empty]] = _EMPTY_DOC_HASH

@@ -102,6 +102,17 @@ def test_shingle_k4_order_sensitive():
     assert int(c[0]) != 0
 
 
+def test_shingle_short_doc_order_and_repeat():
+    """Advice regression: sub-k-word docs use position-dependent
+    multipliers — repeated words must not self-cancel to 0 and permuted
+    short docs must not collide."""
+    from geomesa_spark.operators.dedup import _shingle_hashes
+
+    assert int(_shingle_hashes("x x", 3)[0]) != 0
+    assert int(_shingle_hashes("x x", 3)[0]) != int(_shingle_hashes("y y", 3)[0])
+    assert int(_shingle_hashes("a b", 3)[0]) != int(_shingle_hashes("b a", 3)[0])
+
+
 def test_converter_required_typo_raises(spark):
     import pytest
 
