@@ -7,11 +7,12 @@ arithmetic both engines evaluate bit-identically (see
 geomesa_spark/sources/tpch_geo.py for the shared derivations).
 Geometry-bearing layers are derived deterministically from the TPC-H-ish
 keys (the converter-ingest pattern: geometry is a pure function of source
-columns). Genuinely non-SQL-expressible operators (seeded MinHash/SimHash
-banding, seeded LSH/IVF ANN, approximate sketches, the self-generated
-pages corpus) are registered without an oracle -> rows-only checks;
-everything else (43 queries) is DuckDB-checked, including the XZ2/XZ3
-quadrant walks and the S2 Hilbert curve as generated SQL.
+columns). EVERY query is DuckDB-checked — including the seeded ones:
+MinHash/SimHash mirror FNV-1a + the multiply-shift family in HUGEINT
+(band buckets = signature-component equality), LSH inlines its seeded
+hyperplanes as literals, IVF uses a splitmix64-sampled coarse quantizer
+both engines compute, geoparse mirrors the splitmix64 page generator,
+and the XZ2/XZ3 quadrant walks and S2 Hilbert curve are generated SQL.
 """
 
 from __future__ import annotations
@@ -523,7 +524,7 @@ def q_lsh_ann(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"),
                                                 F.col("embedding").alias("qvec"))
-    return lsh_topk(q, emb, k=5, dim=64)
+    return lsh_topk(q, emb, k=5, dim=64).select("qid", "vec_id", "rank")
 
 
 def q_ivf_ann(spark, sf_dir):
@@ -532,7 +533,11 @@ def q_ivf_ann(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 10).select(F.col("vec_id").alias("qid"),
                                                 F.col("embedding").alias("qvec"))
-    return ivf_topk(q, emb, k=5, n_centroids=8, n_probe=3)
+    # init="sample"/iters=0: deterministic splitmix64-picked coarse
+    # quantizer -> cross-engine reproducible (the kmeans init is covered
+    # by tests/test_entry_oracle.py::test_ivf_recall)
+    out = ivf_topk(q, emb, k=5, n_centroids=8, n_probe=3, init="sample", iters=0)
+    return out.select("qid", "vec_id", "rank")
 
 
 def q_density_poly(spark, sf_dir):
@@ -739,8 +744,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xz3_cells": q_xz3_cells,
         "s2_cells": q_s2_cells,
         "multimodal_feats": q_multimodal_feats,
-        # rows-only (no SQL equivalent: banded/seeded hashing,
-        # approximate sketches, self-generated corpus)
         "minhash_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann": q_lsh_ann,
@@ -931,6 +934,209 @@ def _sql_s2_cells(level: int = 8) -> str:
                            THEN cell - 18446744073709551616
                            ELSE cell END AS BIGINT) AS s2_cell FROM adj2)
         SELECT s2_cell, CAST(count(*) AS BIGINT) AS n FROM wrap GROUP BY 1
+    """
+
+
+def _mm64(a: str, b: str) -> str:
+    """DuckDB (a*b) mod 2^64 via 32-bit decomposition — keeps every
+    intermediate < 2^97 (inside signed HUGEINT)."""
+    return (f"((({a}) % 4294967296) * ({b}) + "
+            f"(((({a}) // 4294967296) * ({b})) % 4294967296) * 4294967296) "
+            f"% 18446744073709551616")
+
+
+# FNV-1a over the word's bytes (documents are ASCII: ascii() == byte).
+_SQL_FNV_WORD = (
+    "list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT), "
+    "list_transform(range(1, length(w)+1), "
+    "i -> CAST(ascii(substr(w, CAST(i AS INTEGER), 1)) AS HUGEINT))), "
+    "(h, c) -> (xor(h, c) * 1099511628211) % 18446744073709551616)")
+
+
+def _sql_shingles_cte(k: int) -> str:
+    """Shared CTE prefix: documents -> per-doc distinct k-word shingle
+    hashes, mirroring operators/dedup._batch_shingles bit-for-bit
+    (FNV-1a word hashes, position-dependent multiply-xor window mix).
+    Assumes the driver corpus shape: ASCII text, single-space separated,
+    >= k words per doc (sf documents have >= 10; the sub-k path is
+    unit-tested in tests/test_edge_cases.py instead)."""
+    from geomesa_spark.operators.dedup import shingle_mults
+
+    m = [int(x) for x in shingle_mults(k)]
+    parts = [_mm64(f"wh[p+{j}]" if j else "wh[p]", str(m[j])) for j in range(k)]
+    mix = parts[0]
+    for nxt in parts[1:]:
+        mix = f"xor({mix}, {nxt})"
+    mix = f"(({mix}) * 1099511628211) % 18446744073709551616"
+    return f"""
+        d AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        wh AS (SELECT doc_id, list_transform(words, w -> {_SQL_FNV_WORD}) AS wh FROM d),
+        sh AS (SELECT doc_id, list_distinct(list_transform(
+                 range(1, len(wh) - {k - 2}), p -> {mix})) AS sh FROM wh)"""
+
+
+def _sql_minhash_pairs(num_hashes: int = 64, bands: int = 16, shingle_k: int = 3,
+                       threshold: float = 0.2, seed: int = 42,
+                       max_bucket: int = 200) -> str:
+    """DuckDB mirror of minhash_dedup_pairs: the multiply-shift family
+    constants a_i are inlined (same RandomState(seed) both engines can't
+    share, so the GENERATOR runs here and the values are literals); band
+    buckets are mirrored as signature-component equality (Spark's
+    xxhash64 bucket is injective on the components modulo ~2^-64
+    collisions), including the max_bucket skew cap (row_number by id)."""
+    rpb = num_hashes // bands
+    rng = np.random.RandomState(seed)
+    a = (rng.randint(0, 1 << 62, size=num_hashes).astype(np.uint64)
+         << np.uint64(1)) | np.uint64(1)
+    alist = "[" + ",".join(str(int(x)) for x in a) + "]"
+    scomp = [f"sig[{rpb}*t.b+{i}]" for i in range(1, rpb + 1)]
+    sels = ", ".join(f"{c} AS s{i}" for i, c in enumerate(scomp, 1))
+    part = ", ".join(scomp)
+    joins = " AND ".join(f"a.s{i} = b.s{i}" for i in range(1, rpb + 1))
+    return f"""
+        WITH {_sql_shingles_cte(shingle_k)},
+        sig AS (SELECT doc_id, list_transform(CAST({alist} AS HUGEINT[]), a ->
+                  list_aggregate(list_transform(sh, s -> {_mm64('a', 's')}), 'min')) AS sig
+                FROM sh),
+        bk AS (SELECT doc_id, t.b, {sels},
+                      row_number() OVER (PARTITION BY t.b, {part} ORDER BY doc_id) AS rn
+               FROM sig, unnest(range(0, {bands})) AS t(b)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bk a JOIN bk b ON a.b = b.b AND {joins}
+                 WHERE a.doc_id < b.doc_id AND a.rn <= {max_bucket} AND b.rn <= {max_bucket}),
+        est AS (SELECT id_a, id_b,
+                       CAST(len(list_filter(range(1, {num_hashes} + 1),
+                                            i -> sa.sig[i] = sb.sig[i])) AS DOUBLE)
+                         / CAST({num_hashes} AS DOUBLE) AS est_jaccard
+                FROM cand JOIN sig sa ON sa.doc_id = id_a JOIN sig sb ON sb.doc_id = id_b)
+        SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= {threshold}
+    """
+
+
+def _sql_simhash_pairs(max_hamming: int = 8, shingle_k: int = 2) -> str:
+    """DuckDB mirror of simhash_dedup_pairs: per-bit majority vote over
+    the distinct shingle hashes, 4x16-bit chunk banding, hamming verify."""
+    return f"""
+        WITH {_sql_shingles_cte(shingle_k)},
+        sim AS (SELECT doc_id, list_aggregate(list_transform(range(0, 64), b ->
+                  CASE WHEN 2 * len(list_filter(sh, s -> (s >> b) & 1 = 1)) > len(sh)
+                       THEN (CAST(1 AS HUGEINT) << b) ELSE CAST(0 AS HUGEINT) END),
+                  'sum') AS h FROM sh),
+        ch AS (SELECT doc_id, h, t.c, (h >> (16 * t.c)) & 65535 AS v
+               FROM sim, unnest(range(0, 4)) AS t(c)),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.h AS ha, b.h AS hb
+                 FROM ch a JOIN ch b ON a.c = b.c AND a.v = b.v
+                 WHERE a.doc_id < b.doc_id)
+        SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INTEGER) AS hamming
+        FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """
+
+
+def _sql_lsh_ann(k: int = 5, dim: int = 64, n_bits: int = 16, bands: int = 4,
+                 seed: int = 42) -> str:
+    """DuckDB mirror of lsh_topk: the seeded random hyperplanes are
+    inlined as double literals (repr round-trips exactly); band-bucket
+    membership is mirrored as per-band sign-bit equality; exact-cosine
+    refine ranks candidates (rank-only output — the sim doubles are
+    engine-internal)."""
+    from geomesa_spark.operators.ann import _hyperplanes
+
+    planes = _hyperplanes(dim, n_bits, seed)
+    pl = "[" + ",".join(
+        "[" + ",".join(repr(float(x)) for x in row) + "]" for row in planes) + "]"
+    bpb = n_bits // bands
+    band_eq = " OR ".join(
+        "(" + " AND ".join(f"q.bits[{b * bpb + i}] = c.bits[{b * bpb + i}]"
+                           for i in range(1, bpb + 1)) + ")"
+        for b in range(bands))
+    return f"""
+        WITH pl AS (SELECT {pl} AS p),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        sb AS (SELECT vec_id, v,
+                      list_transform(p, h -> list_dot_product(v, h) >= 0) AS bits
+               FROM e, pl),
+        q AS (SELECT vec_id AS qid, v AS qv, bits FROM sb WHERE vec_id < 10),
+        cand AS (SELECT q.qid, c.vec_id, q.qv, c.v
+                 FROM q JOIN sb c ON {band_eq}),
+        r AS (SELECT qid, vec_id,
+                     CAST(row_number() OVER (PARTITION BY qid
+                          ORDER BY list_cosine_similarity(qv, v) DESC, vec_id ASC)
+                          AS INTEGER) AS rank
+              FROM cand)
+        SELECT qid, vec_id, rank FROM r WHERE rank <= {k}
+    """
+
+
+def _sql_mix64_cte(expr: str) -> tuple[str, str]:
+    """Chained-CTE splitmix64 mirror of operators/ann.mix64 over ``expr``
+    (already a HUGEINT in a relation aliased mx0 with the other columns);
+    returns (cte_sql, final_col) where final_col is the 63-bit mix."""
+    k = (0x9E3779B97F4A7C15 * 43) & 0xFFFFFFFFFFFFFFFF  # seed=42
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    z0 = f"(({expr}) + {k}) % 18446744073709551616"
+    cte = f"""
+        mx1 AS (SELECT *, ({z0}) AS z0 FROM mx0),
+        mx2 AS (SELECT *, ({_mm64('xor(z0, z0 >> 30)', str(c1))}) AS z1 FROM mx1),
+        mx3 AS (SELECT *, ({_mm64('xor(z1, z1 >> 27)', str(c2))}) AS z2 FROM mx2),
+        mxf AS (SELECT *, (xor(z2, z2 >> 31) >> 1) AS mixv FROM mx3)"""
+    return cte, "mixv"
+
+
+def _sql_ivf_ann(k: int = 5, n_centroids: int = 8, n_probe: int = 3) -> str:
+    """DuckDB mirror of ivf_topk(init='sample', iters=0): coarse quantizer
+    = the n_centroids vectors with smallest splitmix64(vec_id) (normalized),
+    corpus rows assign to their max-dot centroid (argmax is invariant to
+    the query-side normalization numpy applies), queries probe their
+    n_probe best lists, exact cosine ranks the probed candidates."""
+    mix_cte, mix_col = _sql_mix64_cte("CAST(vec_id AS HUGEINT)")
+    return f"""
+        WITH mx0 AS (SELECT vec_id, embedding FROM embeddings),
+        {mix_cte},
+        cent AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv0
+                 FROM mxf ORDER BY {mix_col}, vec_id LIMIT {n_centroids}),
+        centn AS (SELECT cid, list_transform(cv0,
+                      x -> x / sqrt(list_dot_product(cv0, cv0))) AS cv FROM cent),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        asg AS (SELECT e.vec_id, arg_max(c.cid, list_dot_product(e.v, c.cv)) AS lst
+                FROM e, centn c GROUP BY e.vec_id),
+        probe AS (SELECT q.vec_id AS qid, c.cid AS lst, q.v AS qv,
+                         row_number() OVER (PARTITION BY q.vec_id
+                             ORDER BY list_dot_product(q.v, c.cv) DESC, c.cid ASC) AS pr
+                  FROM e q, centn c WHERE q.vec_id < 10),
+        cand AS (SELECT p.qid, a.vec_id, p.qv
+                 FROM probe p JOIN asg a ON a.lst = p.lst WHERE p.pr <= {n_probe}),
+        r AS (SELECT c.qid, c.vec_id,
+                     CAST(row_number() OVER (PARTITION BY c.qid
+                          ORDER BY list_cosine_similarity(c.qv, e2.v) DESC,
+                                   c.vec_id ASC) AS INTEGER) AS rank
+              FROM cand c JOIN e e2 ON e2.vec_id = c.vec_id)
+        SELECT qid, vec_id, rank FROM r WHERE rank <= {k}
+    """
+
+
+def _sql_geoparse_pages(n: int = 2000) -> str:
+    """DuckDB mirror of generate_pages(n, place_mentions=True) |> geoparse
+    |> groupBy(lang).count(): every generated page yields exactly one
+    parsed point (coordinate pages regex-parse; place pages resolve via
+    the gazetteer, which covers every generated city), so the per-lang
+    counts equal the generator's splitmix64 lang assignment
+    (sources/pages.py _mix, salt=9) — mirrored here in HUGEINT."""
+    from geomesa_spark.sources.pages import LANGS, SEED
+
+    # pages._mix(ids, 9): z = ids + (9*GOLD + SEED) + GOLD, then splitmix
+    gold = 0x9E3779B97F4A7C15
+    k = ((9 * gold + SEED) + gold) & 0xFFFFFFFFFFFFFFFF
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    cases = " ".join(f"WHEN {i} THEN '{lang}'" for i, lang in enumerate(LANGS[:-1]))
+    return f"""
+        WITH ids AS (SELECT CAST(t.i AS HUGEINT) AS i FROM unnest(range(0, {n})) AS t(i)),
+        z0 AS (SELECT ((i + {k}) % 18446744073709551616) AS z FROM ids),
+        z1 AS (SELECT ({_mm64('xor(z, z >> 30)', str(c1))}) AS z FROM z0),
+        z2 AS (SELECT ({_mm64('xor(z, z >> 27)', str(c2))}) AS z FROM z1),
+        zf AS (SELECT xor(z, z >> 31) % 6 AS li FROM z2)
+        SELECT CASE li {cases} ELSE '{LANGS[-1]}' END AS lang,
+               CAST(count(*) AS BIGINT) AS n
+        FROM zf GROUP BY 1
     """
 
 
@@ -1277,4 +1483,9 @@ def oracle_sql() -> dict[str, str]:
         "xz3_cells": _sql_xz3_events(),
         "s2_cells": _sql_s2_cells(8),
         "sketches": _sql_sketches(),
+        "minhash_pairs": _sql_minhash_pairs(threshold=0.2),
+        "simhash_pairs": _sql_simhash_pairs(max_hamming=8),
+        "lsh_ann": _sql_lsh_ann(),
+        "ivf_ann": _sql_ivf_ann(),
+        "geoparse_pages": _sql_geoparse_pages(),
     }

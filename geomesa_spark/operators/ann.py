@@ -24,7 +24,8 @@ from pyspark.sql.types import (
     ArrayType, DoubleType, LongType, StructField, StructType,
 )
 
-__all__ = ["cosine_topk", "cosine_topk_sql", "lsh_topk", "ivf_topk", "cosine_sim_col"]
+__all__ = ["cosine_topk", "cosine_topk_sql", "lsh_topk", "ivf_topk",
+           "cosine_sim_col", "mix64"]
 
 
 def cosine_sim_col(a, b) -> F.Column:
@@ -99,27 +100,58 @@ def cosine_topk_sql(queries: DataFrame, corpus: DataFrame, k: int,
                   .select("qid", "vec_id", "sim", "rank"))
 
 
+def mix64(ids: np.ndarray, seed: int = 42) -> np.ndarray:
+    """splitmix64 of id (63-bit output: >>1 keeps int64-signed ordering
+    identical to the unsigned order, so Spark and SQL mirrors sort alike)."""
+    k = (0x9E3779B97F4A7C15 * (seed + 1)) & 0xFFFFFFFFFFFFFFFF
+    z = ids.astype(np.uint64) + np.uint64(k)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return (z ^ (z >> np.uint64(31))) >> np.uint64(1)
+
+
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
              n_centroids: int = 16, n_probe: int = 4, seed: int = 42,
-             train_sample: int = 10_000,
+             train_sample: int = 10_000, init: str = "kmeans", iters: int = 10,
              query_id: str = "qid", query_vec: str = "qvec",
              corpus_id: str = "vec_id", corpus_vec: str = "embedding") -> DataFrame:
-    """IVF (inverted-file) ANN: coarse k-means centroids partition the
-    corpus; each query probes its ``n_probe`` nearest centroid lists and
-    refines exact cosine there.
+    """IVF (inverted-file) ANN: coarse centroids partition the corpus;
+    each query probes its ``n_probe`` nearest centroid lists and refines
+    exact cosine there.
 
-    Training is a driver-side mini k-means over a bounded sample (the
-    standard IVF recipe); assignment and probing are vectorized pUDFs.
-    Recall grows with n_probe (n_probe == n_centroids -> exact).
+    init="kmeans": driver-side mini k-means over a bounded sample (the
+    standard IVF recipe). init="sample": the coarse quantizer is the
+    ``n_centroids`` corpus vectors with the smallest splitmix64(id) —
+    fully deterministic and cross-engine reproducible (the DuckDB oracle
+    mirrors it), the FAISS "random data points as centroids" variant;
+    set iters=0 to skip Lloyd refinement entirely. Assignment and probing
+    are vectorized pUDFs. Recall grows with n_probe (== n_centroids ->
+    exact).
     """
-    sample = np.array([r[0] for r in
-                       corpus.select(corpus_vec).limit(train_sample).collect()],
-                      dtype=np.float64)
-    sample /= np.linalg.norm(sample, axis=1, keepdims=True)
-    rng = np.random.RandomState(seed)
-    cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
-                             replace=False)].copy()
-    for _ in range(10):  # mini k-means (cosine = dot on normalized vectors)
+    if init == "sample":
+        @F.pandas_udf(LongType())
+        def _mix(ids: pd.Series) -> pd.Series:
+            return pd.Series(mix64(ids.to_numpy(np.int64), seed).astype(np.int64))
+
+        picked = (corpus.select(F.col(corpus_id).alias("__i__"),
+                                F.col(corpus_vec).alias("__v__"))
+                        .withColumn("__m__", _mix("__i__"))
+                        .orderBy("__m__", "__i__").limit(n_centroids).collect())
+        cent = np.array([r["__v__"] for r in picked], dtype=np.float64)
+        cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+        sample = None
+    elif init == "kmeans":
+        sample = np.array([r[0] for r in
+                           corpus.select(corpus_vec).limit(train_sample).collect()],
+                          dtype=np.float64)
+        sample /= np.linalg.norm(sample, axis=1, keepdims=True)
+        rng = np.random.RandomState(seed)
+        cent = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)),
+                                 replace=False)].copy()
+    else:
+        raise ValueError(f"unknown init {init!r} (expected 'kmeans' or 'sample')")
+    for _ in range(iters if sample is not None else 0):
+        # mini k-means (cosine = dot on normalized vectors)
         assign = (sample @ cent.T).argmax(axis=1)
         for c in range(len(cent)):
             m = assign == c
@@ -136,8 +168,6 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
             return pd.Series(sims.argmax(axis=1).astype(np.int64))
         idx = np.argsort(-sims, axis=1)[:, :top]
         return pd.Series([row.tolist() for row in idx.astype(np.int64)], dtype=object)
-
-    from pyspark.sql.types import LongType
 
     @F.pandas_udf(LongType())
     def assign_one(vecs: pd.Series) -> pd.Series:
