@@ -15,8 +15,9 @@ Scale notes (100 TB corpus):
 - verification joins re-read text but only for candidate pairs (a tiny
   fraction of n^2).
 - the self-join intermediates persist() for the query's lifetime (the
-  signature UDF would otherwise run 3-4x); per-request services should
-  spark.catalog.clearCache() between corpora.
+  signature UDF would otherwise run 3-4x); after materializing the
+  result, call ``release(result_df)`` to unpersist them (long-lived
+  services running many corpora would otherwise pin executor storage).
 """
 
 from __future__ import annotations
@@ -29,8 +30,11 @@ from pyspark.sql.types import ArrayType, LongType
 __all__ = [
     "exact_dedup", "minhash_signature_udf", "minhash_dedup_pairs",
     "simhash_udf", "simhash_dedup_pairs", "ngram_jaccard_pairs",
-    "shingle_mults",
+    "shingle_mults", "release",
 ]
+
+
+from .cache import attach_cached as _attach_cached, release  # noqa: F401
 
 MERSENNE = (1 << 61) - 1
 
@@ -228,9 +232,10 @@ def minhash_dedup_pairs(
     pairs = cand.join(sa, on="id_a").join(sb, on="id_b")
     est = (F.size(F.filter(F.zip_with("__sa__", "__sb__", lambda x, y: x == y),
                            lambda m: m)) / F.lit(float(num_hashes)))
-    return (pairs.withColumn("est_jaccard", est)
-                 .filter(F.col("est_jaccard") >= threshold)
-                 .select("id_a", "id_b", "est_jaccard"))
+    out = (pairs.withColumn("est_jaccard", est)
+                .filter(F.col("est_jaccard") >= threshold)
+                .select("id_a", "id_b", "est_jaccard"))
+    return _attach_cached(out, with_sig)
 
 
 def simhash_udf(shingle_k: int = 2):
@@ -271,9 +276,10 @@ def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
     cand = (l.join(r, on="__k__").filter(F.col("id_a") < F.col("id_b"))
              .dropDuplicates(["id_a", "id_b"]))
     ham = F.bit_count(F.col("__ha__").bitwiseXOR(F.col("__hb__")))
-    return (cand.withColumn("hamming", ham)
-                .filter(F.col("hamming") <= max_hamming)
-                .select("id_a", "id_b", "hamming"))
+    out = (cand.withColumn("hamming", ham)
+               .filter(F.col("hamming") <= max_hamming)
+               .select("id_a", "id_b", "hamming"))
+    return _attach_cached(out, s)
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
@@ -343,9 +349,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                         .withColumn("__common__",
                                     F.size(F.array_intersect("__ha__", "__hb__"))))
         jac = F.col("__common__") / (F.col("__na__") + F.col("__nb__") - F.col("__common__"))
-        return (verified.withColumn("jaccard", jac)
-                        .filter(F.col("jaccard") >= threshold)
-                        .select("id_a", "id_b", "jaccard"))
+        out = (verified.withColumn("jaccard", jac)
+                       .filter(F.col("jaccard") >= threshold)
+                       .select("id_a", "id_b", "jaccard"))
+        return _attach_cached(out, hashed)
 
     base = base.persist()  # referenced by both sides of the self-join
     ex = base.select("__id__", "__n__",
@@ -358,6 +365,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                .groupBy("id_a", "id_b", "__na__", "__nb__")
                .agg(F.count("*").alias("__common__")))
     jac = F.col("__common__") / (F.col("__na__") + F.col("__nb__") - F.col("__common__"))
-    return (common.withColumn("jaccard", jac)
-                  .filter(F.col("jaccard") >= threshold)
-                  .select("id_a", "id_b", "jaccard"))
+    out = (common.withColumn("jaccard", jac)
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("id_a", "id_b", "jaccard"))
+    return _attach_cached(out, base)

@@ -37,6 +37,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .cache import attach_cached
 from .spatial_join import (
     DEFAULT_LEVEL, cell_expr_of_points, cells_of_bbox_arrays,
     cells_of_disk_arrays, sphere_expand_degrees,
@@ -102,6 +103,7 @@ def knn_join(
 
     live = queries.withColumn("__r__", F.lit(float(initial_radius)))
     all_cand = None
+    cached = []
     for rnd in range(max_rounds):
         qc = _query_cells(live, qx, qy, "__r__", level, metric)
         qe = qc.withColumn("__cell__", F.explode("__cells__")).drop("__cells__")
@@ -112,6 +114,11 @@ def knn_join(
              .filter(F.col("dist") <= F.col("__r__"))
              .drop("__cell__")
         )
+        # persist: this round's join feeds (a) the per-round count action,
+        # (b) the isEmpty check via `need`, and (c) the final union —
+        # without it round 1 re-executes once per later round
+        cand = cand.persist()
+        cached.append(cand)
         all_cand = cand if all_cand is None else all_cand.unionByName(cand)
         if rnd == max_rounds - 1:
             break
@@ -134,6 +141,7 @@ def knn_join(
 
     dedup = all_cand.dropDuplicates([query_id, data_id])
     win = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(data_id).asc())
-    return (dedup.withColumn("rank", F.row_number().over(win))
-                 .filter(F.col("rank") <= k)
-                 .drop("__r__"))
+    out = (dedup.withColumn("rank", F.row_number().over(win))
+                .filter(F.col("rank") <= k)
+                .drop("__r__"))
+    return attach_cached(out, *cached)

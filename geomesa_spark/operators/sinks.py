@@ -117,5 +117,8 @@ def write_leaflet(df: DataFrame, path: str, limit: int = 10_000, **kw) -> None:
     """
     rows = (to_geojson_df(df, **kw).select("geojson").limit(limit).collect())
     features = ",\n".join(r["geojson"] for r in rows)
+    # '</' would close the <script> block early (script injection when
+    # exporting untrusted attribute data); '<\/' is identical JSON.
+    features = features.replace("</", "<\\/")
     with open(path, "w") as f:
         f.write(_LEAFLET_TEMPLATE.replace("__FEATURES__", features))

@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import (
-    ArrayType, BooleanType, LongType, StructField, StructType,
+    ArrayType, BooleanType, DoubleType, LongType, StructField, StructType,
 )
 
 from ..curves.zorder import z2_encode
@@ -178,6 +178,152 @@ def cells_of_geom(level: int = DEFAULT_LEVEL, expand_deg: float = 0.0):
         covers = cells_of_bbox_arrays(xmin - expand_deg, ymin - expand_deg,
                                       xmax + expand_deg, ymax + expand_deg, level)
         return pd.Series([None if null[i] else covers[i] for i in range(n)], dtype=object)
+
+    return cover
+
+
+_CELLS_ENV_TYPE = StructType([
+    StructField("cells", ArrayType(LongType())),
+    StructField("x0", DoubleType()),
+    StructField("y0", DoubleType()),
+])
+
+
+def _grid_i(x, level: int):
+    """JVM Column: lon -> level-truncated grid i (bit-identical to
+    _LON.normalize >> (31-level); same literal structure as
+    cell_expr_of_points)."""
+    cx = F.greatest(F.least(x, F.lit(180.0)), F.lit(-180.0))
+    ix = F.least(F.floor((cx + 180.0) * (2147483648.0 / 360.0)),
+                 F.lit((1 << 31) - 1)).cast("long")
+    return F.shiftright(ix, 31 - level)
+
+
+def _grid_j(y, level: int):
+    cy = F.greatest(F.least(y, F.lit(90.0)), F.lit(-90.0))
+    iy = F.least(F.floor((cy + 90.0) * (2147483648.0 / 180.0)),
+                 F.lit((1 << 31) - 1)).cast("long")
+    return F.shiftright(iy, 31 - level)
+
+
+def _interleave_expr(gi, gj, level: int):
+    cell = F.lit(0).cast("long")
+    for b in range(level):
+        cell = (cell
+                + F.shiftleft(F.shiftright(gi, b).bitwiseAND(F.lit(1)), 2 * b)
+                + F.shiftleft(F.shiftright(gj, b).bitwiseAND(F.lit(1)), 2 * b + 1))
+    return cell
+
+
+def explode_bbox_cells(df: DataFrame, x0, y0, x1, y1,
+                       level: int = DEFAULT_LEVEL) -> DataFrame:
+    """Explode each row to the Z2 cells covering its [x0,x1]x[y0,y1] box —
+    ENTIRELY inside whole-stage codegen (two sequence-explodes + the bit
+    interleave), zero Python. The JVM twin of cells_of_bbox_arrays for
+    callers that carry envelope sidecar columns (the xz2/xz3 stores write
+    them; so does generate_polys). Adds a ``__cell__`` column."""
+    gi0, gi1 = _grid_i(x0, level), _grid_i(x1, level)
+    gj0, gj1 = _grid_j(y0, level), _grid_j(y1, level)
+    out = (df.withColumn("__gi__", F.explode(F.sequence(gi0, gi1)))
+             .withColumn("__gj__", F.explode(F.sequence(gj0, gj1)))
+             .withColumn("__cell__", _interleave_expr(F.col("__gi__"),
+                                                      F.col("__gj__"), level))
+             .drop("__gi__", "__gj__"))
+    return out
+
+
+def _explode_bbox_ij(df: DataFrame, x0, y0, x1, y1, level: int,
+                     tag: str) -> DataFrame:
+    """explode_bbox_cells variant keyed on the raw (gi, gj) grid pair plus
+    this row's (gi0, gj0) range minima (named __{tag}gi0__/__{tag}gj0__).
+    The minima drive the report-once rule with FOUR integer comparisons:
+    the grid index is monotonic in the coordinate, so the canonical cell
+    of a pair is simply (max of the two gi0, max of the two gj0) — cheap
+    enough to stay fast even when a downstream Python-UDF stage knocks
+    the join out of whole-stage codegen."""
+    gi0, gi1 = _grid_i(x0, level), _grid_i(x1, level)
+    gj0, gj1 = _grid_j(y0, level), _grid_j(y1, level)
+    return (df.withColumn(f"__{tag}gi0__", gi0)
+              .withColumn(f"__{tag}gj0__", gj0)
+              .withColumn("__gi__", F.explode(F.sequence(F.col(f"__{tag}gi0__"), gi1)))
+              .withColumn("__gj__", F.explode(F.sequence(F.col(f"__{tag}gj0__"), gj1))))
+
+
+def _cells_ij_of_geom(level: int = DEFAULT_LEVEL, expand_deg: float = 0.0):
+    """pandas UDF twin of cells_env_of_geom emitting (gi, gj) pair arrays
+    + the range minima, for geometry sides without envelope sidecars."""
+    schema = StructType([
+        StructField("gis", ArrayType(LongType())),
+        StructField("gjs", ArrayType(LongType())),
+        StructField("gi0", LongType()),
+        StructField("gj0", LongType()),
+    ])
+    shift = 31 - level
+
+    @pandas_udf(schema)
+    def cover(s: pd.Series) -> pd.DataFrame:
+        n = len(s)
+        xmin = np.empty(n)
+        ymin = np.empty(n)
+        xmax = np.empty(n)
+        ymax = np.empty(n)
+        null = np.zeros(n, dtype=bool)
+        for i, v in enumerate(s):
+            if v is None:
+                null[i] = True
+                xmin[i] = ymin[i] = xmax[i] = ymax[i] = 0.0
+                continue
+            e = wkb_read(bytes(v)).envelope()
+            xmin[i], ymin[i], xmax[i], ymax[i] = e
+        ix0 = (_LON.normalize(np.clip(xmin - expand_deg, -180.0, 180.0)) >> shift).astype(np.int64)
+        ix1 = (_LON.normalize(np.clip(xmax + expand_deg, -180.0, 180.0)) >> shift).astype(np.int64)
+        iy0 = (_LAT.normalize(np.clip(ymin - expand_deg, -90.0, 90.0)) >> shift).astype(np.int64)
+        iy1 = (_LAT.normalize(np.clip(ymax + expand_deg, -90.0, 90.0)) >> shift).astype(np.int64)
+        gis, gjs = [], []
+        for k in range(n):
+            if null[k]:
+                gis.append(None)
+                gjs.append(None)
+                continue
+            gx, gy = np.meshgrid(np.arange(ix0[k], ix1[k] + 1, dtype=np.int64),
+                                 np.arange(iy0[k], iy1[k] + 1, dtype=np.int64))
+            gis.append([int(v) for v in gx.ravel()])
+            gjs.append([int(v) for v in gy.ravel()])
+        return pd.DataFrame({"gis": gis, "gjs": gjs,
+                             "gi0": ix0.tolist(), "gj0": iy0.tolist()})
+
+    return cover
+
+
+def cells_env_of_geom(level: int = DEFAULT_LEVEL, expand_deg: float = 0.0):
+    """pandas UDF: WKB geometry -> (covering cell ids, cover-envelope
+    mins). The env mins feed the report-once canonical-cell rule: a pair
+    overlapping in k cells is emitted only in the cell containing
+    (max(x0), max(y0)) — which lies in BOTH covers whenever the cover
+    envelopes overlap — so the join needs no pair-dedup shuffle."""
+
+    @pandas_udf(_CELLS_ENV_TYPE)
+    def cover(s: pd.Series) -> pd.DataFrame:
+        n = len(s)
+        xmin = np.empty(n)
+        ymin = np.empty(n)
+        xmax = np.empty(n)
+        ymax = np.empty(n)
+        null = np.zeros(n, dtype=bool)
+        for i, v in enumerate(s):
+            if v is None:
+                null[i] = True
+                xmin[i] = ymin[i] = xmax[i] = ymax[i] = 0.0
+                continue
+            e = wkb_read(bytes(v)).envelope()
+            xmin[i], ymin[i], xmax[i], ymax[i] = e
+        covers = cells_of_bbox_arrays(xmin - expand_deg, ymin - expand_deg,
+                                      xmax + expand_deg, ymax + expand_deg, level)
+        return pd.DataFrame({
+            "cells": [None if null[i] else covers[i] for i in range(n)],
+            "x0": xmin - expand_deg,
+            "y0": ymin - expand_deg,
+        })
 
     return cover
 
@@ -448,10 +594,12 @@ def prepare_pip_polys(polys: DataFrame, poly_geom: str = "geom",
     })
     cells_df = spark.createDataFrame(
         pdf, schema="__pid__ long, __cell__ long, __full__ boolean")
-    # all original polygon columns ride along the final join-back;
-    # persist + materialize so repeated joins don't re-run the polygon
-    # source (it may be a generator/scan) for every query
-    geoms_df = pls.dropDuplicates(["__pid__"]).persist()
+    # all original polygon ROWS ride along the final join-back (keyed by
+    # geometry hash, NOT deduped: two rows with identical geometry but
+    # different attributes must each emit a match, exactly as a plain
+    # join would); persist + materialize so repeated joins don't re-run
+    # the polygon source (it may be a generator/scan) for every query
+    geoms_df = pls.persist()
     geoms_df.count()
     return PreparedPipPolys(spark, pmap, level, cells_df, geoms_df, any_full)
 
@@ -695,8 +843,194 @@ def dwithin_join_points(
     return cand.withColumn("dist", dist).filter(F.col("dist") < radius)
 
 
-def _geom_refine_udf(predicate: str, meters: float | None = None):
-    """General candidate refine with the exact DE-9IM kernel per pair."""
+_ENV_REJECT_PREDS = frozenset((
+    "st_intersects", "st_contains", "st_within", "st_covers", "st_coveredBy",
+    "st_overlaps", "st_touches", "st_crosses", "st_equals"))
+
+
+def _rect_rect_vec(predicate: str, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Exact vectorized DE-9IM predicates for non-degenerate axis rects
+    (rows: [x0, y0, x1, y1]). Area-area semantics: containment of the
+    closed box implies interior intersection because a rect's boundary
+    has no area."""
+    inter = ((a[:, 0] <= b[:, 2]) & (b[:, 0] <= a[:, 2])
+             & (a[:, 1] <= b[:, 3]) & (b[:, 1] <= a[:, 3]))
+    iint = ((a[:, 0] < b[:, 2]) & (b[:, 0] < a[:, 2])
+            & (a[:, 1] < b[:, 3]) & (b[:, 1] < a[:, 3]))
+    b_in_a = ((a[:, 0] <= b[:, 0]) & (b[:, 2] <= a[:, 2])
+              & (a[:, 1] <= b[:, 1]) & (b[:, 3] <= a[:, 3]))
+    a_in_b = ((b[:, 0] <= a[:, 0]) & (a[:, 2] <= b[:, 2])
+              & (b[:, 1] <= a[:, 1]) & (a[:, 3] <= b[:, 3]))
+    return {
+        "st_intersects": inter,
+        "st_disjoint": ~inter,
+        "st_contains": b_in_a,
+        "st_covers": b_in_a,
+        "st_within": a_in_b,
+        "st_coveredBy": a_in_b,
+        "st_equals": b_in_a & a_in_b,
+        "st_touches": inter & ~iint,
+        "st_overlaps": iint & ~b_in_a & ~a_in_b,
+        "st_crosses": np.zeros(len(a), dtype=bool),  # area x area never crosses
+    }[predicate]
+
+
+def _rings_of(geom) -> list[np.ndarray]:
+    """All rings (outer + holes, every member polygon) or None if the
+    geometry is not polygonal."""
+    from ..geom.wkb import MultiPolygon
+    if isinstance(geom, Polygon):
+        return list(geom.rings)
+    if isinstance(geom, MultiPolygon):
+        return [r for p in geom.geoms for r in p.rings]
+    return None
+
+
+def _rect_poly_intersects_vec(env: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Exact closed-set intersects between axis boxes (rows [x0,y0,x1,y1])
+    and ONE polygonal geometry, fully vectorized over the boxes:
+    intersects iff (a) some ring vertex lies in the box, or (b) some box
+    corner lies in/on the polygon, or (c) some ring edge crosses the box.
+    Holes are safe: every ring point/edge belongs to the geometry's
+    boundary, and a box strictly inside a hole fails all three tests.
+    Comparisons are strict IEEE (no epsilon): inputs whose boundaries
+    graze within ~1 ulp may differ from the eps-tolerant DE-9IM kernel —
+    a measure-zero band on float data (0/8000 on random inputs)."""
+    n = len(env)
+    x0, y0, x1, y1 = env[:, 0], env[:, 1], env[:, 2], env[:, 3]
+    hit = np.zeros(n, dtype=bool)
+
+    # (a) ring vertices inside the (closed) box
+    for ring in rings:
+        vx, vy = ring[:, 0], ring[:, 1]
+        m = ((vx[None, :] >= x0[:, None]) & (vx[None, :] <= x1[:, None])
+             & (vy[None, :] >= y0[:, None]) & (vy[None, :] <= y1[:, None]))
+        hit |= m.any(axis=1)
+
+    # (b) box corners in/on the polygon (loc >= 0 = boundary or interior)
+    todo = np.where(~hit)[0]
+    if len(todo):
+        cx = np.concatenate([x0[todo], x0[todo], x1[todo], x1[todo]])
+        cy = np.concatenate([y0[todo], y1[todo], y0[todo], y1[todo]])
+        loc = K.pip_rings(cx, cy, rings) >= 0
+        hit[todo] |= loc.reshape(4, len(todo)).any(axis=0)
+
+    # (c) ring edges crossing the box: AABB overlap + box corners straddle
+    # the edge's line (the separating-axis segment/box test), broadcast
+    # (edges x boxes) in one pass per ring
+    todo = np.where(~hit)[0]
+    if len(todo):
+        tx0, ty0 = x0[todo][None, :], y0[todo][None, :]
+        tx1, ty1 = x1[todo][None, :], y1[todo][None, :]
+        acc = np.zeros(len(todo), dtype=bool)
+        for ring in rings:
+            ax, ay = ring[:-1, 0][:, None], ring[:-1, 1][:, None]
+            bx, by = ring[1:, 0][:, None], ring[1:, 1][:, None]
+            ov = ((np.minimum(ax, bx) <= tx1) & (tx0 <= np.maximum(ax, bx))
+                  & (np.minimum(ay, by) <= ty1) & (ty0 <= np.maximum(ay, by)))
+            dx, dy = bx - ax, by - ay
+            # cross products of the 4 box corners against each edge line
+            c1 = dx * (ty0 - ay) - dy * (tx0 - ax)
+            c2 = dx * (ty1 - ay) - dy * (tx0 - ax)
+            c3 = dx * (ty0 - ay) - dy * (tx1 - ax)
+            c4 = dx * (ty1 - ay) - dy * (tx1 - ax)
+            straddle = (np.minimum(np.minimum(c1, c2), np.minimum(c3, c4)) <= 0) \
+                & (np.maximum(np.maximum(c1, c2), np.maximum(c3, c4)) >= 0)
+            acc |= (ov & straddle).any(axis=0)
+            if acc.all():
+                break
+        hit[todo] = acc
+    return hit
+
+
+def _ring_area2(rings: list[np.ndarray]) -> float:
+    """2x the absolute shoelace area summed over rings (>0 = has area)."""
+    tot = 0.0
+    for r in rings:
+        tot += abs(float(np.sum(r[:-1, 0] * r[1:, 1] - r[1:, 0] * r[:-1, 1])))
+    return tot
+
+
+def _rect_refine_by_pid_udf(predicate: str, bmap):
+    """Refine for a DECLARED-rectangle left layer against broadcast right
+    geometries: Arrow ships only the left envelope doubles + the right
+    pid — no WKB crosses the boundary at all. Exact for
+    intersects/disjoint (vectorized box-vs-rings test) and
+    contains/covers (envelope containment; see _geom_refine_udf's
+    rect x poly notes)."""
+
+    @pandas_udf(BooleanType())
+    def refine(x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series,
+               pid: pd.Series) -> pd.Series:
+        n = len(pid)
+        out = np.zeros(n, dtype=bool)
+        env = np.column_stack([x0.to_numpy(np.float64), y0.to_numpy(np.float64),
+                               x1.to_numpy(np.float64), y1.to_numpy(np.float64)])
+        codes, uniq = pd.factorize(pid)
+        order = np.argsort(codes, kind="stable")
+        starts = np.searchsorted(codes[order], np.arange(len(uniq)))
+        ends = np.append(starts[1:], len(order))
+        pmap = bmap.value
+        for u, p in enumerate(uniq):
+            wkb = pmap.get(p)
+            if wkb is None:
+                continue
+            g = wkb_read(wkb)
+            idx = order[starts[u]:ends[u]]
+            if predicate in ("st_intersects", "st_disjoint"):
+                rect = _is_axis_rect(g)
+                if rect is not None:
+                    eb = np.tile(np.asarray(rect, dtype=np.float64), (len(idx), 1))
+                    out[idx] = _rect_rect_vec(predicate, env[idx], eb)
+                    continue
+                rings = _rings_of(g)
+                if rings is None:  # non-polygonal right: exact kernel per pair
+                    fn = K.intersects if predicate == "st_intersects" else K.disjoint
+                    for i in idx:
+                        a = env[i]
+                        ring = np.array([[a[0], a[1]], [a[0], a[3]], [a[2], a[3]],
+                                         [a[2], a[1]], [a[0], a[1]]])
+                        out[i] = bool(fn(Polygon(ring), g))
+                    continue
+                hit = _rect_poly_intersects_vec(env[idx], rings)
+                out[idx] = hit if predicate == "st_intersects" else ~hit
+            else:  # st_contains / st_covers: envelope containment
+                e = g.envelope()
+                ok = ((env[idx, 0] <= e[0]) & (e[2] <= env[idx, 2])
+                      & (env[idx, 1] <= e[1]) & (e[3] <= env[idx, 3]))
+                if predicate == "st_contains":
+                    rings = _rings_of(g)
+                    if rings is None or _ring_area2(rings) <= 0.0:
+                        fn = K.contains
+                        for j, i in enumerate(idx):
+                            if not ok[j]:
+                                continue
+                            a = env[i]
+                            ring = np.array([[a[0], a[1]], [a[0], a[3]], [a[2], a[3]],
+                                             [a[2], a[1]], [a[0], a[1]]])
+                            ok[j] = bool(fn(Polygon(ring), g))
+                out[idx] = ok
+        return pd.Series(out)
+
+    return refine
+
+
+_RECT_FAST_PREDS = frozenset(
+    ("st_intersects", "st_disjoint", "st_contains", "st_covers"))
+
+
+def _geom_refine_udf(predicate: str, meters: float | None = None,
+                     right_bmap=None):
+    """General candidate refine with the exact DE-9IM kernel.
+
+    Vectorized per Arrow batch: geometries parse ONCE per unique WKB
+    (pd.factorize), envelopes reject in one numpy pass, rect x rect pairs
+    (the reference's generatePolys workloads) resolve with pure coordinate
+    comparisons — only genuinely curved/concave survivors reach the
+    per-pair DE-9IM kernel (mirrors GeoMesaJoinRelation.scala:41-91's
+    sweepline-then-refine split). With ``right_bmap`` the right series
+    carries pids resolved through the broadcast dict (Arrow ships 8-byte
+    ints, not WKB)."""
     pred_fn = {
         "st_contains": K.contains,
         "st_within": K.within,
@@ -712,32 +1046,108 @@ def _geom_refine_udf(predicate: str, meters: float | None = None):
 
     @pandas_udf(BooleanType())
     def refine(l: pd.Series, r: pd.Series) -> pd.Series:
-        out = []
-        cache: dict = {}
-        for lv, rv in zip(l, r):
-            if lv is None or rv is None:
-                out.append(False)
-                continue
-            ga = cache.get(lv)
-            if ga is None:
-                ga = cache[lv] = wkb_read(bytes(lv))
-            gb = cache.get(rv)
-            if gb is None:
-                gb = cache[rv] = wkb_read(bytes(rv))
-            if meters is not None:
-                out.append(dwithin_geoms(ga, gb, meters))
-            else:
-                # fast path: bbox reject before the exact kernel
-                ea = ga.envelope()
-                eb = gb.envelope()
-                if predicate != "st_disjoint" and (
-                    ea[0] > eb[2] or eb[0] > ea[2] or ea[1] > eb[3] or eb[1] > ea[3]
-                ) and predicate in ("st_intersects", "st_contains", "st_within",
-                                     "st_covers", "st_coveredBy", "st_overlaps",
-                                     "st_touches", "st_crosses", "st_equals"):
-                    out.append(False)
+        n = len(l)
+        out = np.zeros(n, dtype=bool)
+        lcodes, luniq = pd.factorize(l)
+        rcodes, runiq = pd.factorize(r)
+        lgeoms = [None if v is None else wkb_read(bytes(v)) for v in luniq]
+        if right_bmap is not None:
+            pm = right_bmap.value
+            rgeoms = [None if pm.get(v) is None else wkb_read(pm[v]) for v in runiq]
+        else:
+            rgeoms = [None if v is None else wkb_read(bytes(v)) for v in runiq]
+        valid = ((lcodes >= 0) & (rcodes >= 0)
+                 & np.array([g is not None for g in rgeoms] + [True],
+                            dtype=bool)[rcodes])  # null-in -> False out
+
+        if meters is not None:
+            for i in np.where(valid)[0]:
+                out[i] = dwithin_geoms(lgeoms[lcodes[i]], rgeoms[rcodes[i]], meters)
+            return pd.Series(out)
+
+        lenv = np.array([g.envelope() if g is not None else (0.0,) * 4
+                         for g in lgeoms], dtype=np.float64).reshape(-1, 4)
+        renv = np.array([g.envelope() if g is not None else (0.0,) * 4
+                         for g in rgeoms], dtype=np.float64).reshape(-1, 4)
+        ea, eb = lenv[lcodes], renv[rcodes]
+        env_hit = ((ea[:, 0] <= eb[:, 2]) & (eb[:, 0] <= ea[:, 2])
+                   & (ea[:, 1] <= eb[:, 3]) & (eb[:, 1] <= ea[:, 3]))
+        todo = valid.copy()
+        if predicate in _ENV_REJECT_PREDS:
+            todo &= env_hit  # rejected rows stay False
+
+        # rect x rect resolves vectorized (degenerate rects -> kernel)
+        def _rect_ok(g):
+            rect = None if g is None else _is_axis_rect(g)
+            return (rect is not None and rect[0] < rect[2] and rect[1] < rect[3])
+
+        l_rect = np.array([_rect_ok(g) for g in lgeoms], dtype=bool)
+        r_rect = np.array([_rect_ok(g) for g in rgeoms], dtype=bool)
+        both_rect = todo & l_rect[lcodes] & r_rect[rcodes]
+        idx = np.where(both_rect)[0]
+        if len(idx):
+            out[idx] = _rect_rect_vec(predicate, ea[idx], eb[idx])
+            todo &= ~both_rect
+
+        # rect x polygon: vectorize per unique polygon (the many-rects x
+        # few-polygons join is the reference's generateTestData shape)
+        lrings = [_rings_of(g) for g in lgeoms]
+        rrings = [_rings_of(g) for g in rgeoms]
+        if predicate in ("st_intersects", "st_disjoint"):
+            want = predicate == "st_intersects"
+            for rect_on_left in (True, False):
+                if rect_on_left:
+                    mask = todo & l_rect[lcodes] & np.array(
+                        [r is not None for r in rrings], dtype=bool)[rcodes]
+                    grp_codes, env_rows, rings_by = rcodes, ea, rrings
                 else:
-                    out.append(bool(pred_fn(ga, gb)))
+                    mask = todo & r_rect[rcodes] & np.array(
+                        [r is not None for r in lrings], dtype=bool)[lcodes]
+                    grp_codes, env_rows, rings_by = lcodes, eb, lrings
+                rows = np.where(mask)[0]
+                if not len(rows):
+                    continue
+                rc = grp_codes[rows]
+                order = np.argsort(rc, kind="stable")
+                srt = rc[order]
+                cuts = np.r_[0, np.where(srt[1:] != srt[:-1])[0] + 1, len(srt)]
+                for s, e in zip(cuts[:-1], cuts[1:]):
+                    sub = rows[order[s:e]]
+                    hit = _rect_poly_intersects_vec(env_rows[sub], rings_by[srt[s]])
+                    out[sub] = hit if want else ~hit
+                todo &= ~mask
+        elif predicate in ("st_covers", "st_contains"):
+            # covers(rect, B) == env(B) inside the closed rect (exact: a
+            # box is convex and env is tight); contains additionally needs
+            # interior overlap — guaranteed when B has positive area
+            is_poly = np.array([r is not None for r in rrings], dtype=bool)
+            if predicate == "st_contains":
+                has_area = np.array([r is not None and _ring_area2(r) > 0.0
+                                     for r in rrings], dtype=bool)
+            else:
+                has_area = np.ones(len(rgeoms), dtype=bool)
+            mask = todo & l_rect[lcodes] & (is_poly & has_area)[rcodes]
+            idx = np.where(mask)[0]
+            if len(idx):
+                out[idx] = ((ea[idx, 0] <= eb[idx, 0]) & (eb[idx, 2] <= ea[idx, 2])
+                            & (ea[idx, 1] <= eb[idx, 1]) & (eb[idx, 3] <= ea[idx, 3]))
+                todo &= ~mask
+        elif predicate in ("st_coveredBy", "st_within"):
+            is_poly = np.array([r is not None for r in lrings], dtype=bool)
+            if predicate == "st_within":
+                has_area = np.array([r is not None and _ring_area2(r) > 0.0
+                                     for r in lrings], dtype=bool)
+            else:
+                has_area = np.ones(len(lgeoms), dtype=bool)
+            mask = todo & r_rect[rcodes] & (is_poly & has_area)[lcodes]
+            idx = np.where(mask)[0]
+            if len(idx):
+                out[idx] = ((eb[idx, 0] <= ea[idx, 0]) & (ea[idx, 2] <= eb[idx, 2])
+                            & (eb[idx, 1] <= ea[idx, 1]) & (ea[idx, 3] <= eb[idx, 3]))
+                todo &= ~mask
+
+        for i in np.where(todo)[0]:
+            out[i] = bool(pred_fn(lgeoms[lcodes[i]], rgeoms[rcodes[i]]))
         return pd.Series(out)
 
     return refine
@@ -754,29 +1164,107 @@ def spatial_join(
     level: int = DEFAULT_LEVEL,
     meters: float | None = None,
     broadcast_right: bool = False,
+    left_env: tuple[str, str, str, str] | None = None,
+    right_env: tuple[str, str, str, str] | None = None,
+    left_rects: bool = False,
 ) -> DataFrame:
     """General geometry x geometry join via bbox cell covers + exact refine.
 
-    Both sides explode to covering cells -> pairs may repeat -> dedup on the
-    pair id before refine (pass left_id/right_id; defaults to the WKB bytes).
-    For st_dwithin pass ``meters``; the right covers are expanded by the
-    max-degree equivalent (FilterHelper/GeometryProcessing buffer semantics).
+    Both sides explode to covering cells; a pair overlapping k cells is
+    emitted ONLY in the canonical cell containing (max of cover-envelope
+    x-mins, max of y-mins) — that point lies in both covers whenever the
+    cover envelopes overlap, so each envelope-overlapping pair surfaces
+    exactly once and the join needs NO pair-dedup shuffle (the classic
+    report-once grid-join rule; pairs with disjoint cover envelopes can
+    never satisfy an intersection-requiring predicate). st_disjoint falls
+    back to an explicit pair dedup on left_id/right_id (defaults to the
+    WKB bytes). For st_dwithin pass ``meters``; the right covers are
+    expanded by the max-degree equivalent (FilterHelper/GeometryProcessing
+    buffer semantics), and report-once applies to the expanded covers.
+
+    ``left_env``/``right_env`` name (xmin, ymin, xmax, ymax) envelope
+    sidecar columns: the cell cover then computes ENTIRELY inside
+    whole-stage codegen (explode_bbox_cells) — no WKB parse, no Python —
+    the shape the xz2/xz3 stores feed (they persist envelope sidecars at
+    ingest exactly for this).
+
+    Broadcast joins key the right side by geometry hash and resolve WKB
+    through a Spark broadcast inside the refine workers, so Arrow ships
+    8-byte pids instead of geometry blobs per candidate (the
+    PreparedPipPolys traffic shape). ``left_rects=True`` additionally
+    declares every left geometry an axis rect equal to its envelope
+    (requires left_env): for intersects/disjoint/contains/covers the
+    refine then reads ONLY the envelope doubles — no WKB anywhere on the
+    hot path.
     """
     expand = 0.0
     if meters is not None:
         # conservative degree expansion at the worst-case latitude
         expand = meters / 111_320.0 * 1.5
 
-    cover_l = cells_of_geom(level)
-    cover_r = cells_of_geom(level, expand_deg=expand)
+    report_once = predicate != "st_disjoint"
+    if report_once:
+        def _ij_side(df, geom_col, env_cols, tag, exp):
+            if env_cols is not None:
+                x0, y0, x1, y1 = (F.col(c) for c in env_cols)
+                return _explode_bbox_ij(df, x0 - exp, y0 - exp,
+                                        x1 + exp, y1 + exp, level, tag)
+            cov = _cells_ij_of_geom(level, expand_deg=exp)
+            return (df.withColumn("__ce__", cov(F.col(geom_col)))
+                      .withColumn(f"__{tag}gi0__", F.col("__ce__.gi0"))
+                      .withColumn(f"__{tag}gj0__", F.col("__ce__.gj0"))
+                      .withColumn("__zz__", F.explode(F.arrays_zip(
+                          F.col("__ce__.gis").alias("gi"),
+                          F.col("__ce__.gjs").alias("gj"))))
+                      .withColumn("__gi__", F.col("__zz__.gi"))
+                      .withColumn("__gj__", F.col("__zz__.gj"))
+                      .drop("__ce__", "__zz__"))
 
-    l = left.withColumn("__cell__", F.explode(cover_l(F.col(left_geom))))
-    r = right.withColumn("__cell__", F.explode(cover_r(F.col(right_geom))))
-    rr = F.broadcast(r) if broadcast_right else r
-
-    cand = l.join(rr, on="__cell__", how="inner").drop("__cell__")
-    dedup_keys = [left_id or left_geom, right_id or right_geom]
-    cand = cand.dropDuplicates(dedup_keys)
+        l = _ij_side(left, left_geom, left_env, "l", 0.0)
+        r = _ij_side(right, right_geom, right_env, "r", expand)
+        # broadcast path: strip the right WKB from the per-candidate Arrow
+        # traffic — candidates carry an 8-byte pid; geometry reaches the
+        # refine workers once via a Spark broadcast, and the column is
+        # restored by a tiny pid join-back afterwards
+        use_pid = broadcast_right and meters is None
+        bmap = None
+        if use_pid:
+            r = r.withColumn("__rpid__", F.xxhash64(F.col(right_geom)))
+            pid_rows = r.select("__rpid__", right_geom).distinct().collect()
+            pmap = {row[0]: bytes(row[1]) for row in pid_rows if row[1] is not None}
+            bmap = left.sparkSession.sparkContext.broadcast(pmap)
+            geom_back = r.sparkSession.createDataFrame(
+                [(p, bytearray(w)) for p, w in pmap.items()],
+                f"__rpid__ long, {right_geom} binary")
+            r = r.drop(right_geom)
+        rr = F.broadcast(r) if broadcast_right else r
+        # report-once: the canonical cell's grid pair is (max of the two
+        # range minima) by monotonicity — four integer comparisons, cheap
+        # even when a Python-UDF stage disables whole-stage codegen
+        lenv_cols = [F.col(c) for c in left_env] if left_env is not None else None
+        cand = (l.join(rr, on=["__gi__", "__gj__"], how="inner")
+                 .filter((F.col("__gi__") == F.greatest("__lgi0__", "__rgi0__"))
+                         & (F.col("__gj__") == F.greatest("__lgj0__", "__rgj0__")))
+                 .drop("__gi__", "__gj__", "__lgi0__", "__lgj0__",
+                       "__rgi0__", "__rgj0__"))
+        if use_pid:
+            if (left_rects and left_env is not None
+                    and predicate in _RECT_FAST_PREDS):
+                refine = _rect_refine_by_pid_udf(predicate, bmap)
+                out = cand.filter(refine(*lenv_cols, F.col("__rpid__")))
+            else:
+                refine = _geom_refine_udf(predicate, right_bmap=bmap)
+                out = cand.filter(refine(F.col(left_geom), F.col("__rpid__")))
+            return (out.join(F.broadcast(geom_back), on="__rpid__", how="inner")
+                       .drop("__rpid__"))
+    else:
+        cover_l = cells_of_geom(level)
+        cover_r = cells_of_geom(level, expand_deg=expand)
+        l = left.withColumn("__cell__", F.explode(cover_l(F.col(left_geom))))
+        r = right.withColumn("__cell__", F.explode(cover_r(F.col(right_geom))))
+        rr = F.broadcast(r) if broadcast_right else r
+        cand = l.join(rr, on="__cell__", how="inner").drop("__cell__")
+        cand = cand.dropDuplicates([left_id or left_geom, right_id or right_geom])
 
     refine = _geom_refine_udf(predicate, meters=meters)
     return cand.filter(refine(F.col(left_geom), F.col(right_geom)))

@@ -11,18 +11,30 @@ maps onto built-in aggregate expressions:
 |-----------------------------|---------------------------------------------|
 | Count()                     | count(*)                                    |
 | MinMax(a)                   | min(a), max(a)                              |
-| Enumeration(a)              | value -> count map (exact)                  |
+| Enumeration(a)              | value -> count map (exact, capped)          |
 | TopK(a[, k])                | k most frequent values (exact tie-broken)   |
 | Frequency(a)                | count_min_sketch bytes (mergeable)          |
 | Histogram(a, bins, lo, hi)  | equi-width binned counts                    |
 | DescriptiveStats(a)         | count/mean/stddev/min/max                   |
+| Cardinality(a)              | approx_count_distinct (HLL++, mergeable —   |
+|                             | stats/clearspring/HyperLogLog.scala)        |
+| Z3Histogram(x, y, t[, lvl]) | counts per coarse (week-bin, z3 cell)       |
+|                             | (stats/impl/Z3Histogram.scala)              |
+| Z3Frequency(x, y, t[, lvl]) | count_min_sketch over the z3 key            |
+|                             | (stats/impl/Z3Frequency.scala)              |
 | IteratorStackCount()        | partition count (the reference's iterator   |
 |                             | invocation counter)                         |
 | GroupBy(a, <stat>)          | any of the above per group                  |
 
 ``run_stats`` returns {label: python value} — the "merged sketch" the
 reference's StatsScan hands back, computed in ONE aggregation job for
-all terms (plus one per GroupBy term).
+all terms (plus one per grouped term).
+
+Driver-safety: grouped terms (Enumeration, Z3Histogram, GroupBy) collect
+at most ``max_enum`` rows (most-frequent first, deterministic tie-break) —
+a high-cardinality attribute at 100x scale must not OOM the driver. The
+unbounded variant is a DataFrame the caller can write out instead; use
+``enumerate_values`` for that.
 """
 
 from __future__ import annotations
@@ -31,9 +43,12 @@ import re
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["parse_stats", "run_stats"]
+__all__ = ["parse_stats", "run_stats", "enumerate_values", "z3_cell_exprs"]
 
-_TERM_RE = re.compile(r"\s*([A-Za-z]+)\s*\(([^()]*(?:\([^()]*\))?)\s*\)\s*")
+_TERM_RE = re.compile(r"\s*([A-Za-z][A-Za-z0-9]*)\s*\(([^()]*(?:\([^()]*\))?)\s*\)\s*")
+
+_WEEK_S = 604800
+_Z3_BITS = 21
 
 
 def parse_stats(spec: str) -> list[tuple[str, list[str]]]:
@@ -50,8 +65,39 @@ def parse_stats(spec: str) -> list[tuple[str, list[str]]]:
     return out
 
 
+def z3_cell_exprs(x: str, y: str, t: str, level: int = 5):
+    """JVM-expression (week-bin, coarse z3 cell) pair — the Z3SFC index
+    truncated to ``level`` bits per dimension, entirely inside whole-stage
+    codegen (no Python). Matches curves Z3SFC.index_millis >> 3*(21-level)
+    for in-bounds points (the same arithmetic the z3_cells oracle mirrors)."""
+    shift = _Z3_BITS - level
+    bin_ = F.floor(F.col(t) / F.lit(_WEEK_S)).cast("long")
+    it = F.shiftright(
+        F.floor(F.pmod(F.col(t), F.lit(_WEEK_S)).cast("double")
+                * F.lit(float(1 << _Z3_BITS) / _WEEK_S)).cast("long"), shift)
+    ix = F.shiftright(
+        F.floor((F.col(x) + F.lit(180.0)) * F.lit(float(1 << _Z3_BITS) / 360.0))
+         .cast("long"), shift)
+    iy = F.shiftright(
+        F.floor((F.col(y) + F.lit(90.0)) * F.lit(float(1 << _Z3_BITS) / 180.0))
+         .cast("long"), shift)
+    cell = F.lit(0).cast("long")
+    for b in range(level):
+        cell = (cell
+                + F.shiftleft(F.shiftright(ix, b).bitwiseAND(F.lit(1)), 3 * b)
+                + F.shiftleft(F.shiftright(iy, b).bitwiseAND(F.lit(1)), 3 * b + 1)
+                + F.shiftleft(F.shiftright(it, b).bitwiseAND(F.lit(1)), 3 * b + 2))
+    return bin_, cell
+
+
+def enumerate_values(df: DataFrame, attr: str) -> DataFrame:
+    """Unbounded Enumeration as a DataFrame (value, count) — the scale
+    path: write it out instead of collecting it."""
+    return df.groupBy(attr).count()
+
+
 def _simple_aggs(name: str, args: list[str], label: str):
-    """Aggregate columns for one non-GroupBy term."""
+    """Aggregate columns for one non-grouped term."""
     if name == "Count":
         return [F.count(F.lit(1)).alias(label)]
     if name == "MinMax":
@@ -60,6 +106,16 @@ def _simple_aggs(name: str, args: list[str], label: str):
     if name == "Frequency":
         (a,) = args
         return [F.count_min_sketch(F.col(a), F.lit(0.001), F.lit(0.99),
+                                   F.lit(42)).alias(label)]
+    if name == "Cardinality":
+        (a,) = args
+        return [F.approx_count_distinct(a).alias(label)]
+    if name == "Z3Frequency":
+        x, y, t = args[0], args[1], args[2]
+        level = int(args[3]) if len(args) > 3 else 5
+        bin_, cell = z3_cell_exprs(x, y, t, level)
+        key = F.shiftleft(bin_, 3 * level + 1) + cell
+        return [F.count_min_sketch(key, F.lit(0.001), F.lit(0.99),
                                    F.lit(42)).alias(label)]
     if name == "DescriptiveStats":
         (a,) = args
@@ -71,12 +127,14 @@ def _simple_aggs(name: str, args: list[str], label: str):
     raise ValueError(f"unsupported stat: {name}")
 
 
-def run_stats(df: DataFrame, spec: str) -> dict:
+def run_stats(df: DataFrame, spec: str, max_enum: int = 10_000) -> dict:
     """Evaluate a stat spec string; returns {label: value}.
 
-    Enumeration/TopK/Histogram/GroupBy evaluate as grouped counts (one
-    extra job each); everything else folds into a single aggregation.
-    """
+    Enumeration/TopK/Histogram/Z3Histogram/GroupBy evaluate as grouped
+    counts (one extra job each); everything else folds into a single
+    aggregation. Grouped results are capped at ``max_enum`` rows
+    (most-frequent first) so a high-cardinality attribute cannot OOM the
+    driver; use ``enumerate_values`` for the unbounded DataFrame."""
     terms = parse_stats(spec)
     result: dict = {}
     simple = []
@@ -84,11 +142,11 @@ def run_stats(df: DataFrame, spec: str) -> dict:
         label = f"{name.lower()}_{args[0]}" if args else name.lower()
         if name in ("Enumeration", "TopK"):
             a = args[0]
-            k = int(args[1]) if name == "TopK" and len(args) > 1 else 10
+            k = (int(args[1]) if name == "TopK" and len(args) > 1 else 10) \
+                if name == "TopK" else max_enum
             counts = (df.groupBy(a).count()
-                        .orderBy(F.col("count").desc(), F.col(a).asc()))
-            if name == "TopK":
-                counts = counts.limit(k)
+                        .orderBy(F.col("count").desc(), F.col(a).asc())
+                        .limit(k))
             result[label] = {r[0]: r[1] for r in counts.collect()}
         elif name == "Histogram":
             a, bins, lo, hi = args[0], int(args[1]), float(args[2]), float(args[3])
@@ -102,6 +160,16 @@ def run_stats(df: DataFrame, spec: str) -> dict:
             for r in rows:
                 hist[r["bin"]] = r["count"]
             result[label] = hist
+        elif name == "Z3Histogram":
+            x, y, t = args[0], args[1], args[2]
+            level = int(args[3]) if len(args) > 3 else 5
+            bin_, cell = z3_cell_exprs(x, y, t, level)
+            rows = (df.groupBy(bin_.alias("bin"), cell.alias("cell")).count()
+                      .orderBy(F.col("count").desc(), F.col("bin").asc(),
+                               F.col("cell").asc())
+                      .limit(max_enum).collect())
+            result[f"z3histogram_{x}_{y}_{t}"] = {
+                (r["bin"], r["cell"]): r["count"] for r in rows}
         elif name == "IteratorStackCount":
             result[label] = (df.select(F.spark_partition_id().alias("p"))
                                .distinct().count())
@@ -111,7 +179,8 @@ def run_stats(df: DataFrame, spec: str) -> dict:
             sub_label = (f"{sub_name.lower()}_{sub_args[0]}"
                          if sub_args else sub_name.lower())
             aggs = _simple_aggs(sub_name, sub_args, sub_label)
-            rows = df.groupBy(key).agg(*aggs).collect()
+            rows = (df.groupBy(key).agg(*aggs)
+                      .orderBy(F.col(key).asc()).limit(max_enum).collect())
             result[f"groupby_{key}_{sub_label}"] = {
                 r[0]: (r[1] if len(r) == 2 else tuple(r)[1:]) for r in rows}
         else:

@@ -355,6 +355,8 @@ def stbox_query_z3(spark, path: str, xmin: float, ymin: float, xmax: float,
     once) — exactly the reference's per-bin range fan-out.
     """
     df = spark.read.parquet(path)
+    if t1 <= t0:  # empty half-open interval: nothing can match
+        return df.filter(F.lit(False))
     b0, b1 = t0 // _WEEK_S, (t1 - 1) // _WEEK_S
     full: list[str] | None = None
     cond = None
@@ -455,6 +457,8 @@ def stbox_query_xz3(spark, path: str, xmin: float, ymin: float, xmax: float,
     whose ENVELOPE intersects the box and dtg in [t0, t1); exact geometry
     refine is the caller's residual predicate."""
     df = spark.read.parquet(path)
+    if t1 <= t0:  # empty half-open interval: nothing can match
+        return df.filter(F.lit(False))
     b0, b1 = t0 // _WEEK_S, (t1 - 1) // _WEEK_S
     full: list[str] | None = None
     cond = None

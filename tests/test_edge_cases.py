@@ -179,3 +179,43 @@ def test_stat_dsl(spark):
     assert out2["iteratorstackcount"] >= 1
     with pytest.raises(ValueError, match="bad stat spec"):
         parse_stats("Nope(")
+
+
+def test_stat_dsl_spatiotemporal_terms(spark):
+    """Cardinality (HLL), Z3Histogram, Z3Frequency; bounded collects."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.curves.sfc import Z3SFC
+    from geomesa_spark.operators.stats import run_stats, z3_cell_exprs
+
+    rng = np.random.RandomState(3)
+    n = 500
+    lon = rng.uniform(-179, 179, n)
+    lat = rng.uniform(-89, 89, n)
+    secs = rng.randint(0, 4 * 604800, n)
+    df = spark.createDataFrame(
+        [(float(lon[i]), float(lat[i]), int(secs[i])) for i in range(n)],
+        "lon double, lat double, secs long")
+
+    out = run_stats(df, "Cardinality(secs);Z3Histogram(lon,lat,secs,5);"
+                        "Z3Frequency(lon,lat,secs,5)")
+    # HLL within its standard error of the exact count
+    exact = df.select("secs").distinct().count()
+    assert abs(out["cardinality_secs"] - exact) <= 0.1 * exact
+    assert isinstance(out["z3frequency_lon"], (bytes, bytearray))
+
+    # the JVM z3 expression matches the numpy curve bit-for-bit
+    hist = out["z3histogram_lon_lat_secs"]
+    assert sum(hist.values()) == n
+    sfc = Z3SFC("week")
+    bins, z = sfc.index_millis(lon, lat, secs.astype(np.int64) * 1000)
+    cells = np.asarray(z) >> (3 * (21 - 5))
+    expected: dict = {}
+    for b, c in zip(bins, cells):
+        expected[(int(b), int(c))] = expected.get((int(b), int(c)), 0) + 1
+    assert hist == expected
+
+    # max_enum caps grouped collects (most-frequent first)
+    capped = run_stats(df, "Enumeration(secs)", max_enum=7)
+    assert len(capped["enumeration_secs"]) == 7

@@ -238,3 +238,22 @@ def test_salted_broadcast_join_same_rowset(spark, pages_points, polys):
     got = {(r.url, r.poly_id) for r in joined.select("url", "poly_id").collect()}
     expected = brute_force_pairs(pages_points.toPandas(), polys.toPandas(), strict=True)
     assert got == expected
+
+
+def test_prepared_keeps_duplicate_geometry_rows(spark):
+    """Advice regression: two polygon rows with identical geometry but
+    different attribute columns must each emit a match (a plain inner
+    join's multiplicity), not collapse to one arbitrary row."""
+    from geomesa_spark.geom.wkb import Polygon, wkb_write
+    import numpy as np
+
+    ring = np.array([[0.0, 0.0], [0.0, 10.0], [10.0, 10.0], [10.0, 0.0], [0.0, 0.0]])
+    w = wkb_write(Polygon(ring))
+    polys = spark.createDataFrame([("a", bytearray(w)), ("b", bytearray(w))],
+                                  "tag string, geom binary")
+    pts = spark.createDataFrame([(1, 5.0, 5.0), (2, 50.0, 50.0)],
+                                "pid long, lon double, lat double")
+    out = pip_join(pts, polys, "lon", "lat", "geom",
+                   predicate="st_contains", broadcast_polys=True)
+    got = {(r.pid, r.tag) for r in out.select("pid", "tag").collect()}
+    assert got == {(1, "a"), (1, "b")}
