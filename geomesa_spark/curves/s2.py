@@ -146,6 +146,166 @@ def parent(cell_id, level: int) -> np.ndarray:
     return ((c & (~(lsb - np.uint64(1)))) | lsb).astype(np.int64)
 
 
+def _uv_from_st(s):
+    """Inverse of _st_from_uv (the S2 quadratic projection)."""
+    s = np.asarray(s, dtype=np.float64)
+    return np.where(s >= 0.5, (4.0 * s * s - 1.0) / 3.0,
+                    (1.0 - 4.0 * (1.0 - s) * (1.0 - s)) / 3.0)
+
+
+_FACE_XYZ = [
+    # face -> xyz from (u, v): x,y,z as linear combos of (1, u, v)
+    lambda u, v: (np.ones_like(u), u, v),          # 0: +x
+    lambda u, v: (-u, np.ones_like(u), v),         # 1: +y
+    lambda u, v: (-u, -v, np.ones_like(u)),        # 2: +z
+    lambda u, v: (-np.ones_like(u), -v, -u),       # 3: -x
+    lambda u, v: (v, -np.ones_like(u), -u),        # 4: -y
+    lambda u, v: (v, u, -np.ones_like(u)),         # 5: -z
+]
+
+
+def _lonlat_from_face_ij(face: int, i, j):
+    """(face, leaf i, leaf j) sample points -> (lon, lat) degrees."""
+    s = np.asarray(i, dtype=np.float64) / float(1 << MAX_LEVEL)
+    t = np.asarray(j, dtype=np.float64) / float(1 << MAX_LEVEL)
+    u, v = _uv_from_st(s), _uv_from_st(t)
+    x, y, z = _FACE_XYZ[face](u, v)
+    r = np.sqrt(x * x + y * y + z * z)
+    lat = np.degrees(np.arcsin(np.clip(z / r, -1.0, 1.0)))
+    lon = np.degrees(np.arctan2(y, x))
+    return lon, lat
+
+
+def _cell_id_from_face_ij(face: int, i: int, j: int, level: int) -> int:
+    """(face, top-left leaf ij, level) -> cell id (python int, unsigned)."""
+    bits = face & _SWAP
+    pos = 0
+    for k in range(7, -1, -1):
+        mask = (1 << _LOOKUP_BITS) - 1
+        ib = (i >> (k * _LOOKUP_BITS)) & mask
+        jb = (j >> (k * _LOOKUP_BITS)) & mask
+        val = int(_LOOKUP_POS[(((ib << _LOOKUP_BITS) + jb) << 2) + bits])
+        pos = (pos << (2 * _LOOKUP_BITS)) | (val >> 2)
+        bits = val & 3
+    pos &= (1 << (2 * MAX_LEVEL)) - 1
+    cell = (face << (2 * MAX_LEVEL + 1)) | (pos << 1) | 1
+    lsb = 1 << (2 * (MAX_LEVEL - level))
+    return (cell & ~(lsb - 1)) | lsb
+
+
+_BOUND_M = 8  # boundary samples per cell edge
+
+
+def _cell_lonlat_bound(face: int, i0: int, j0: int, size: int):
+    """Conservative (lon-interval-or-None, latmin, latmax) of a cell.
+
+    Airtight construction: lat/lon extremes of a spherical region lie on
+    its boundary (no interior critical points except the poles, handled
+    explicitly). The boundary is 4 great-circle arcs; sampling each with
+    _BOUND_M points puts every boundary point within half the max
+    consecutive-sample arc of a sample, so padding the sample bbox by
+    that half-arc is a true superset. lon None = full circle."""
+    m = _BOUND_M
+    t = np.unique(np.r_[(np.arange(m) * size) // m, size])
+    ii = np.concatenate([i0 + t, np.full(len(t), i0 + size), i0 + size - t,
+                         np.full(len(t), i0)])
+    jj = np.concatenate([np.full(len(t), j0), j0 + t,
+                         np.full(len(t), j0 + size), j0 + size - t])
+    lon, lat = _lonlat_from_face_ij(face, ii, jj)
+
+    # interior pole: faces 2 (+z) / 5 (-z) contain a pole at their center
+    half = 1 << (MAX_LEVEL - 1)
+    has_np = face == 2 and i0 <= half <= i0 + size and j0 <= half <= j0 + size
+    has_sp = face == 5 and i0 <= half <= i0 + size and j0 <= half <= j0 + size
+
+    c = np.radians(lat)
+    x = np.cos(c) * np.cos(np.radians(lon))
+    y = np.cos(c) * np.sin(np.radians(lon))
+    z = np.sin(c)
+    xyz = np.stack([x, y, z], axis=1)
+    dots = np.clip(np.sum(xyz[:-1] * xyz[1:], axis=1), -1.0, 1.0)
+    pad_deg = np.degrees(float(np.arccos(dots.min())) / 2.0) + 1e-9
+
+    latmin = -90.0 if has_sp else max(lat.min() - pad_deg, -90.0)
+    latmax = 90.0 if has_np else min(lat.max() + pad_deg, 90.0)
+    if has_np or has_sp or latmax >= 89.999 or latmin <= -89.999:
+        return None, latmin, latmax
+    spread = lon.max() - lon.min()
+    if spread > 180.0:  # likely wraps the antimeridian: treat as full
+        return None, latmin, latmax
+    cosedge = np.cos(np.radians(max(abs(latmin), abs(latmax))))
+    if cosedge < 1e-3:
+        return None, latmin, latmax
+    lpad = pad_deg / cosedge
+    if lpad >= 180.0:
+        return None, latmin, latmax
+    return (lon.min() - lpad, lon.max() + lpad), latmin, latmax
+
+
+def region_coverer(xmin: float, ymin: float, xmax: float, ymax: float,
+                   max_cells: int = 64, min_level: int = 0,
+                   max_level: int = MAX_LEVEL, level_mod: int = 1) -> list[int]:
+    """Approximate covering of a lon/lat bbox by S2 cell ids — the
+    S2RegionCoverer analog (reference S2SFC.scala:17-78 /
+    S2IndexKeySpace.scala coverings; minLevel/maxLevel/levelMod/maxCells
+    knobs). Guaranteed SUPERSET: every point of the box lies in some
+    returned cell (conservative intersection test, see
+    _cell_lonlat_bound). Caller splits antimeridian-crossing boxes."""
+    from collections import deque
+
+    n = 1 << MAX_LEVEL
+
+    def probe(face, i0, j0, level):
+        """None if provably disjoint from the box, else True/False = the
+        conservative fully-inside flag."""
+        loniv, latmin, latmax = _cell_lonlat_bound(face, i0, j0, n >> level)
+        if latmax < ymin or latmin > ymax:
+            return None
+        if loniv is not None and (loniv[1] < xmin or loniv[0] > xmax):
+            return None
+        return (latmin >= ymin and latmax <= ymax and loniv is not None
+                and loniv[0] >= xmin and loniv[1] <= xmax)
+
+    out: list[int] = []
+    q: deque = deque()
+    for f in range(6):
+        ins = probe(f, 0, 0, 0)
+        if ins is not None:
+            q.append((f, 0, 0, 0, ins))
+    while q:
+        face, i0, j0, level, inside = q.popleft()  # breadth-first: coarse first
+        at_floor = level >= max_level
+        aligned = level >= min_level and (level - min_level) % level_mod == 0
+        budget = len(out) + len(q) + 3 >= max_cells
+        if at_floor or (aligned and (inside or budget)):
+            out.append(_cell_id_from_face_ij(face, i0, j0, level))
+            continue
+        h = (n >> level) // 2
+        nl = level + 1
+        for ci, cj in ((i0, j0), (i0 + h, j0), (i0, j0 + h), (i0 + h, j0 + h)):
+            ins = probe(face, ci, cj, nl)
+            if ins is not None:
+                q.append((face, ci, cj, nl, ins))
+    return out
+
+
+def s2_ranges(cells: list[int]) -> list[tuple[int, int]]:
+    """Covering cells -> sorted, merged [range_min, range_max] unsigned
+    id ranges (the reference's per-cell scan ranges: id +/- (lsb - 1))."""
+    raw = []
+    for c in cells:
+        lsb = c & (-c & ((1 << 64) - 1))
+        raw.append((c - lsb + 1, c + lsb - 1))
+    raw.sort()
+    merged: list[list[int]] = []
+    for lo, hi in raw:
+        if merged and lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    return [(lo, hi) for lo, hi in merged]
+
+
 def token(cell_id) -> np.ndarray:
     """Hex token: cell id with trailing zero nibbles stripped."""
     c = np.atleast_1d(np.asarray(cell_id).astype(np.uint64))

@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real and tested — schema, Arrow batch shape,
-mapInPandas signatures, partition sizing. The actual media decode is
-STUBBED: the container has no image/audio libraries, so ``decode_image``
-raises NotImplementedError unless ``fake=True``, in which case a
-deterministic fake decoder (splitmix of the bytes) produces stable
-"features" so the pipeline is end-to-end testable.
+mapInPandas signatures, partition sizing. The DECODE step is a pluggable
+seam: ``decode_image_features``/``sample_video_frames`` take a
+``decoder`` callable that runs per row inside the Arrow batch loop;
+production injects a PIL/torchvision/ffmpeg-backed callable there. This
+container ships no media libraries, so the DEFAULT decoder is the
+documented deterministic fake (sha256-seeded features / pseudo-frames):
+byte-stable, pipeline-identical batch shape — the plumbing is verified
+end-to-end, the codec is not (COVERAGE.md marks this plumbing-only).
 
 Scale notes: media rows are large — ``maxRecordsPerBatch`` should be
 lowered (128-512) so Arrow batches stay under executor memory; the
@@ -28,7 +31,36 @@ from pyspark.sql.types import (
 __all__ = [
     "MEDIA_SCHEMA", "media_metadata", "decode_image_features",
     "sample_video_frames", "repartition_by_bytes",
+    "fake_image_decoder", "fake_frame_decoder",
 ]
+
+
+def fake_image_decoder(dim: int = 64):
+    """The default decode seam: bytes -> deterministic unit vector
+    (sha256-seeded). Stable across runs/engines; replace with a real
+    codec callable in production."""
+
+    def decode(b: bytes):
+        digest = hashlib.sha256(bytes(b)).digest()
+        seed = int.from_bytes(digest[:8], "little")
+        rng = np.random.RandomState(seed % (2 ** 32))
+        v = rng.standard_normal(dim).astype(np.float32)
+        return (v / np.linalg.norm(v)).tolist()
+
+    return decode
+
+
+def fake_frame_decoder(every_ms: int = 1000):
+    """Default frame seam: one deterministic 16-byte pseudo-frame per
+    sample instant."""
+
+    def decode(b: bytes, duration_ms: int):
+        n = max(1, int(duration_ms) // every_ms)
+        base = hashlib.sha256(bytes(b)).digest()
+        return [(i, hashlib.sha256(base + i.to_bytes(4, "little")).digest()[:16])
+                for i in range(n)]
+
+    return decode
 
 # the engine's canonical multimodal row
 MEDIA_SCHEMA = StructType([
@@ -56,31 +88,26 @@ _FEAT_SCHEMA = StructType([
 
 def decode_image_features(df: DataFrame, dim: int = 64, fake: bool = False,
                           id_col: str = "media_id",
-                          content_col: str = "content") -> DataFrame:
+                          content_col: str = "content",
+                          decoder=None) -> DataFrame:
     """image bytes -> feature vector via mapInPandas.
 
-    Real decode path (PIL/torchvision) is NOT available in this container:
-    raises NotImplementedError unless ``fake=True``. The fake path hashes
-    the bytes into a deterministic unit vector — pipeline-identical batch
-    shape, so downstream ANN/dedup stages are fully exercised.
+    ``decoder`` is the pluggable seam: a picklable callable
+    ``bytes -> sequence[float] | None`` executed per row inside the Arrow
+    batch loop (inject a PIL/torchvision-backed callable in production).
+    Default (and ``fake=True``, kept for compatibility): the deterministic
+    sha256-seeded fake — pipeline-identical batch shape so downstream
+    ANN/dedup stages are fully exercised; the codec itself is NOT
+    verified in this container (no media libraries).
     """
+    del fake  # the deterministic fake IS the default decoder
+    if decoder is None:
+        decoder = fake_image_decoder(dim)
 
     def run(iterator):
         for pdf in iterator:
-            feats = []
-            for b in pdf[content_col]:
-                if b is None:
-                    feats.append(None)
-                    continue
-                if not fake:
-                    raise NotImplementedError(
-                        "image decode requires PIL/torchvision (not in container); "
-                        "pass fake=True for the deterministic test decoder")
-                digest = hashlib.sha256(bytes(b)).digest()
-                seed = int.from_bytes(digest[:8], "little")
-                rng = np.random.RandomState(seed % (2**32))
-                v = rng.standard_normal(dim).astype(np.float32)
-                feats.append((v / np.linalg.norm(v)).tolist())
+            feats = [None if b is None else decoder(bytes(b))
+                     for b in pdf[content_col]]
             yield pd.DataFrame({"media_id": pdf[id_col], "features": feats})
 
     return df.mapInPandas(run, _FEAT_SCHEMA)
@@ -95,13 +122,19 @@ _FRAME_SCHEMA = StructType([
 
 def sample_video_frames(df: DataFrame, every_ms: int = 1000, fake: bool = False,
                         id_col: str = "media_id", content_col: str = "content",
-                        duration_col: str = "duration_ms") -> DataFrame:
+                        duration_col: str = "duration_ms",
+                        decoder=None) -> DataFrame:
     """video bytes -> sampled frames (one row per frame) via mapInPandas.
 
-    Frame decode is stubbed like decode_image_features; the fake path
-    emits one deterministic 16-byte pseudo-frame per sample instant so
-    the explode/repartition shape is real.
+    ``decoder`` seam: a picklable callable
+    ``(bytes, duration_ms) -> [(frame_idx, frame_bytes), ...]`` (inject an
+    ffmpeg/av-backed callable in production). Default: the deterministic
+    pseudo-frame fake — the explode/repartition shape is real, the codec
+    is not verified in this container.
     """
+    del fake
+    if decoder is None:
+        decoder = fake_frame_decoder(every_ms)
 
     def run(iterator):
         for pdf in iterator:
@@ -109,16 +142,10 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000, fake: bool = False,
             for mid, b, dur in zip(pdf[id_col], pdf[content_col], pdf[duration_col]):
                 if b is None or dur is None:
                     continue
-                if not fake:
-                    raise NotImplementedError(
-                        "video decode requires ffmpeg/av (not in container); "
-                        "pass fake=True for the deterministic test decoder")
-                n = max(1, int(dur) // every_ms)
-                base = hashlib.sha256(bytes(b)).digest()
-                for i in range(n):
+                for i, fr in decoder(bytes(b), int(dur)):
                     ids.append(mid)
                     idxs.append(i)
-                    frames.append(hashlib.sha256(base + i.to_bytes(4, "little")).digest()[:16])
+                    frames.append(fr)
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return df.mapInPandas(run, _FRAME_SCHEMA)

@@ -36,7 +36,8 @@ __all__ = ["write_indexed", "read_indexed", "bbox_query", "bbox_partition_prefix
            "query_store", "write_indexed_xz2", "bbox_query_xz2",
            "xz2_partition_prefixes", "write_indexed_z3", "stbox_query_z3",
            "z3_partition_prefixes", "write_indexed_xz3", "stbox_query_xz3",
-           "xz3_partition_prefixes"]
+           "xz3_partition_prefixes", "write_indexed_s2", "bbox_query_s2",
+           "s2_partition_prefixes"]
 
 _LON = normalized_lon(31)
 _LAT = normalized_lat(31)
@@ -477,4 +478,70 @@ def stbox_query_xz3(spark, path: str, xmin: float, ymin: float, xmax: float,
     exact = ((F.col("bx0") <= xmax) & (F.col("bx1") >= xmin)
              & (F.col("by0") <= ymax) & (F.col("by1") >= ymin)
              & (F.col(secs) >= t0) & (F.col(secs) < t1))
+    return df.filter(cond & exact)
+
+
+# ---------------------------------------------------------------------------
+# S2 store: cube-face Hilbert cells (S2IndexKeySpace semantics —
+# geomesa-index-api .../index/s2/S2IndexKeySpace.scala keys by the S2
+# cell id; query coverings via the S2RegionCoverer analog in curves/s2)
+
+from ..curves.s2 import MAX_LEVEL as _S2_MAX_LEVEL  # noqa: E402
+from ..curves.s2 import cell_id_from_lonlat, region_coverer, s2_ranges  # noqa: E402
+
+
+def s2_hex_udf():
+    """pandas UDF: (lon, lat) -> 16-char hex of the UNSIGNED level-30 S2
+    cell id (lexicographic == unsigned numeric order)."""
+
+    @F.pandas_udf(StringType())
+    def enc(x: pd.Series, y: pd.Series) -> pd.Series:
+        ids = cell_id_from_lonlat(x.to_numpy(np.float64),
+                                  y.to_numpy(np.float64),
+                                  _S2_MAX_LEVEL).astype(np.uint64)
+        return pd.Series([format(int(v), "016x") for v in ids])
+
+    return enc
+
+
+def write_indexed_s2(df: DataFrame, path: str, x: str = "lon", y: str = "lat",
+                     digits: int = 2) -> None:
+    """Point DataFrame -> S2-cell-partitioned parquet store (s2_p = first
+    ``digits`` hex chars of the cell id; top digit encodes the cube face)."""
+    enc = s2_hex_udf()
+    out = (df.withColumn("s2_hex", enc(F.col(x), F.col(y)))
+             .withColumn("s2_p", F.substring("s2_hex", 1, digits)))
+    out.write.mode("overwrite").partitionBy("s2_p").parquet(path)
+
+
+def s2_partition_prefixes(xmin: float, ymin: float, xmax: float, ymax: float,
+                          digits: int, max_cells: int = 64) -> list[str]:
+    """Driver-side planning: bbox -> S2 covering -> distinct ``digits``-char
+    hex partition prefixes of the covering id ranges."""
+    if xmin > xmax or ymin > ymax:
+        raise ValueError(
+            f"inverted bbox ({xmin},{ymin},{xmax},{ymax}); split "
+            "dateline-crossing windows before planning")
+    ranges = s2_ranges(region_coverer(xmin, ymin, xmax, ymax,
+                                      max_cells=max_cells))
+    shift = 64 - 4 * digits
+    total = 16 ** digits
+    prefixes: set[str] = set()
+    for lo, hi in ranges:
+        for p in range(lo >> shift, (hi >> shift) + 1):
+            prefixes.add(format(p, f"0{digits}x"))
+        if len(prefixes) >= total:
+            break
+    return sorted(prefixes)
+
+
+def bbox_query_s2(spark, path: str, xmin: float, ymin: float, xmax: float,
+                  ymax: float, digits: int = 2) -> DataFrame:
+    """Planned bbox scan over the s2 store: covering-prefix partition
+    pruning + exact pushed lon/lat range predicates."""
+    df = spark.read.parquet(path)
+    prefixes = s2_partition_prefixes(xmin, ymin, xmax, ymax, digits)
+    cond = F.col("s2_p").isin(prefixes)
+    exact = ((F.col("lon") >= xmin) & (F.col("lon") <= xmax)
+             & (F.col("lat") >= ymin) & (F.col("lat") <= ymax))
     return df.filter(cond & exact)

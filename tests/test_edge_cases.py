@@ -219,3 +219,40 @@ def test_stat_dsl_spatiotemporal_terms(spark):
     # max_enum caps grouped collects (most-frequent first)
     capped = run_stats(df, "Enumeration(secs)", max_enum=7)
     assert len(capped["enumeration_secs"]) == 7
+
+
+def test_multimodal_decoder_seam(spark):
+    """The decode step is injectable: a trivial pure-python decoder runs
+    inside the mapInPandas batch loop; the default deterministic fake
+    stays byte-stable."""
+    from geomesa_spark.operators.multimodal import (
+        decode_image_features, sample_video_frames)
+
+    rows = [(1, bytearray(b"abc"), 2500), (2, bytearray(b"xy"), 900),
+            (3, None, 1000)]
+    df = spark.createDataFrame(rows, "media_id long, content binary, duration_ms long")
+
+    def byte_sum_decoder(b):
+        return [float(sum(b)), float(len(b))]
+
+    got = {r.media_id: r.features
+           for r in decode_image_features(df, decoder=byte_sum_decoder).collect()}
+    assert got[1] == [float(sum(b"abc")), 3.0]
+    assert got[2] == [float(sum(b"xy")), 2.0]
+    assert got[3] is None
+
+    # default fake: deterministic across calls, unit-norm, dim honored
+    import numpy as np
+    a = {r.media_id: r.features for r in decode_image_features(df, dim=8).collect()}
+    b = {r.media_id: r.features for r in decode_image_features(df, dim=8).collect()}
+    assert a == b and len(a[1]) == 8
+    assert abs(np.linalg.norm(a[1]) - 1.0) < 1e-5
+
+    def two_frame_decoder(b, dur):
+        return [(0, b"f0"), (1, b"f1")]
+
+    frames = sample_video_frames(df, decoder=two_frame_decoder).collect()
+    assert {(r.media_id, r.frame_idx) for r in frames} == {(1, 0), (1, 1), (2, 0), (2, 1)}
+    # default pseudo-frame fake: one frame per second of duration
+    dflt = sample_video_frames(df).collect()
+    assert sum(1 for r in dflt if r.media_id == 1) == 2  # 2500ms // 1000

@@ -162,3 +162,71 @@ def test_upsert_cache_with_dynamic_ttl_runs(spark, tmp_path):
     assert rows[("hot", 100)] == "upsert"
     assert rows[("hot", 50)] == "reject_stale"
     assert rows[("cold", 100)] == "upsert"
+
+
+def test_upsert_cache_socket_source_equivalence(spark, tmp_path):
+    """Kafka-wire analog: the same keyed message stream delivered over a
+    TCP socket source (one JSON message per line — the KafkaDataStore
+    upsert/delete-by-id wire semantics, KafkaFeatureCache.scala:24-31)
+    must produce exactly the change feed the file-source run produces.
+    No broker ships in this container; the socket source exercises the
+    same row-at-a-time network ingestion path (readStream.format('kafka')
+    differs only in the source config + key/value columns)."""
+    import socket
+    import threading
+
+    msgs = [
+        {"feature_id": "a", "ts": 100, "lon": 1.0, "lat": 2.0},
+        {"feature_id": "a", "ts": 300, "lon": 3.0, "lat": 4.0},
+        {"feature_id": "a", "ts": 200, "lon": 9.0, "lat": 9.0},  # stale
+        {"feature_id": "b", "ts": 100, "lon": 5.0, "lat": 6.0},
+        {"feature_id": "b", "ts": 150, "lon": None, "lat": None},  # delete
+    ]
+
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind(("127.0.0.1", 0))
+    port = server.getsockname()[1]
+    server.listen(1)
+    stop_evt = threading.Event()
+
+    def serve():
+        conn, _ = server.accept()
+        with conn:
+            payload = "".join(json.dumps(m) + "\n" for m in msgs)
+            conn.sendall(payload.encode())
+            stop_evt.wait(60)  # keep the pipe open until the query stops
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    raw = (spark.readStream.format("socket")
+           .option("host", "127.0.0.1").option("port", port).load())
+    parsed = (raw.select(F.from_json("value", _IN_SCHEMA).alias("m"))
+                 .select("m.*"))
+    out = upsert_cache(parsed)
+    q = (out.writeStream.format("memory").queryName("sock_upserts")
+            .outputMode("append").start())
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.sql("select * from sock_upserts").count() >= len(msgs):
+                break
+            time.sleep(1)
+    finally:
+        stop_evt.set()
+        q.stop()
+        server.close()
+
+    rows = {(r["feature_id"], r["ts"]): r["op"]
+            for r in spark.sql("select * from sock_upserts").collect()}
+    expected = {("a", 100): "upsert", ("a", 300): "upsert",
+                ("a", 200): "reject_stale", ("b", 100): "upsert",
+                ("b", 150): "delete"}
+    assert rows == expected  # identical change feed to the file-source run
+
+    # final live state: last op per id — a alive at ts 300, b deleted
+    last = {}
+    for (fid, ts), op in sorted(rows.items(), key=lambda kv: kv[0][1]):
+        last[fid] = (ts, op)
+    assert last == {"a": (300, "upsert"), "b": (150, "delete")}
