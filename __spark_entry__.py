@@ -691,6 +691,109 @@ def q_geoparse_pages(spark, sf_dir):
     return pts.groupBy("lang").agg(F.count("*").alias("n"))
 
 
+def _store_tmp(sf_dir: str, kind: str) -> str:
+    """Deterministic scratch path for store round-trip queries (keyed by
+    sf_dir so sf0.001/sf0.01 runs never read each other's store)."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"gm_store_{kind}_{tag}")
+
+
+_STORE_BBOX = (-20.0, -10.0, 35.0, 40.0)
+
+
+def q_store_bbox(spark, sf_dir):
+    """Z2 store round trip: write_indexed -> planned pruned bbox scan
+    (z2_p partition prefixes from the exact Z2 range decomposition +
+    pushed range predicates). Oracle = the plain bbox filter over the
+    same derived points; equality proves the pruning loses no rows and
+    the prefix cover is airtight."""
+    from geomesa_spark.plans.store import bbox_query, write_indexed
+
+    path = _store_tmp(sf_dir, "z2")
+    write_indexed(_cust_points(spark, sf_dir), path)
+    x0, y0, x1, y1 = _STORE_BBOX
+    return bbox_query(spark, path, x0, y0, x1, y1).select("c_custkey", "lon", "lat")
+
+
+_STBOX = (-60.0, -30.0, 60.0, 45.0, 1704672000, 1705881600)  # Jan 8 - Jan 22
+
+
+def q_store_stbox(spark, sf_dir):
+    """Z3 spatio-temporal store round trip: write_indexed_z3 ->
+    per-bin interval-decomposed (z3_bin, z3_p) pruned scan. Oracle =
+    plain bbox+time filter; proves the per-bin prefix fan-out is exact."""
+    from geomesa_spark.plans.store import stbox_query_z3, write_indexed_z3
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"),
+        F.unix_timestamp("ts").alias("secs"))
+    path = _store_tmp(sf_dir, "z3")
+    write_indexed_z3(ev, path)
+    x0, y0, x1, y1, t0, t1 = _STBOX
+    out = stbox_query_z3(spark, path, x0, y0, x1, y1, t0, t1)
+    return out.select("event_id", "lon", "lat", "secs")
+
+
+_ROUTE = dict(mlon=4409, olon=17, mlat=15101, olat=3)
+
+
+def q_route_search(spark, sf_dir):
+    """RouteSearchProcess analog: events within a buffer of a route whose
+    heading matches the local segment azimuth (bidirectional). The route
+    is the nation-key-derived ordered point line; headings derive from
+    event_id (integer arithmetic — cross-engine exact)."""
+    from geomesa_spark.operators.route import route_search
+
+    route = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("seq"),
+        tg.point_lon("n_nationkey", _ROUTE["mlon"], _ROUTE["olon"]).alias("lon"),
+        tg.point_lat("n_nationkey", _ROUTE["mlat"], _ROUTE["olat"]).alias("lat"))
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"),
+        ((F.col("event_id") * 131) % 360).cast("double").alias("heading"))
+    out = route_search(route, ev, buffer_deg=2.5, heading_tol=45.0)
+    return out.select("event_id", "user_id")
+
+
+def q_transform_3857(spark, sf_dir):
+    """Registered SQL surface: st_transform EPSG:4326 -> EPSG:3857 on
+    point geometries (spheroid/CRS family, SURVEY 2.8). float32 outputs
+    absorb last-ulp libm divergence (the sql_functions x32/y32 trick);
+    the formula itself is verified to float precision."""
+    from geomesa_spark.functions import register_functions
+
+    register_functions(spark)
+    _cust_points(spark, sf_dir).createOrReplaceTempView("__pts3857__")
+    return spark.sql("""
+        SELECT c_custkey,
+               CAST(st_x(st_transform(st_makePoint(lon, lat),
+                                      'EPSG:4326', 'EPSG:3857')) AS FLOAT) AS mx32,
+               CAST(st_y(st_transform(st_makePoint(lon, lat),
+                                      'EPSG:4326', 'EPSG:3857')) AS FLOAT) AS my32
+        FROM __pts3857__
+        WHERE abs(lat) <= 85.055
+    """)
+
+
+def q_cosine_dedup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact (triangle block-pair
+    GEMM candidates + sequential-double verify). tau sits > 4e-3 from the
+    nearest non-pair similarity at the graded scale, so the row set is
+    robust to engine summation order."""
+    from geomesa_spark.operators.ann import cosine_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_dedup_pairs(emb, tau=0.42, blocks=3)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -750,6 +853,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann": q_ivf_ann,
         "sketches": q_sketches,
         "geoparse_pages": q_geoparse_pages,
+        "store_bbox": q_store_bbox,
+        "store_stbox": q_store_stbox,
+        "route_search": q_route_search,
+        "transform_3857": q_transform_3857,
+        "cosine_dedup": q_cosine_dedup,
     }
 
 
@@ -1193,6 +1301,56 @@ def _sql_z3_cell(level: int = 5) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _sql_route_search(buffer_deg: float, heading_tol: float) -> str:
+    """DuckDB mirror of operators/route.route_search on the derived
+    route/heading layers: lead-window segments, azimuth spelled
+    ``atan2 * 180.0 / pi()`` (Java Math.toDegrees association), fmod
+    wrap, exact clamped point-to-segment distance with the operator's
+    ``p - (s + t*v)`` association, bidirectional circular heading diff.
+    DISTINCT == the operator's dropDuplicates-by-event_id (user_id is
+    functionally dependent on event_id)."""
+    r = _ROUTE
+    rx = f"(ex - (x0 + tc * vx))"
+    ry = f"(ey - (y0 + tc * vy))"
+    return f"""
+        WITH rt AS (SELECT n_nationkey AS seq,
+                           {tg.sql_point_lon('n_nationkey', r['mlon'], r['olon'])} AS lon,
+                           {tg.sql_point_lat('n_nationkey', r['mlat'], r['olat'])} AS lat
+                    FROM nation),
+        seg0 AS (SELECT lon AS x0, lat AS y0,
+                        lead(lon) OVER (ORDER BY seq) AS x1,
+                        lead(lat) OVER (ORDER BY seq) AS y1
+                 FROM rt),
+        seg AS (SELECT x0, y0, x1 - x0 AS vx, y1 - y0 AS vy,
+                       fmod(atan2(x1 - x0, y1 - y0) * 180.0 / pi() + 360.0, 360.0) AS az
+                FROM seg0 WHERE x1 IS NOT NULL),
+        e AS (SELECT event_id, user_id,
+                     {tg.sql_point_lon('event_id', _e['mlon'], _e['olon'])} AS ex,
+                     {tg.sql_point_lat('event_id', _e['mlat'], _e['olat'])} AS ey,
+                     CAST((event_id * 131) % 360 AS DOUBLE) AS heading
+              FROM events),
+        c1 AS (SELECT e.event_id, e.user_id, e.ex, e.ey, e.heading,
+                      s.x0, s.y0, s.vx, s.vy, s.az,
+                      s.vx * s.vx + s.vy * s.vy AS len2
+               FROM e, seg s),
+        c2 AS (SELECT *, CASE WHEN len2 > 0
+                              THEN ((ex - x0) * vx + (ey - y0) * vy) / len2
+                              ELSE 0.0 END AS t
+               FROM c1),
+        c3 AS (SELECT *, GREATEST(LEAST(t, 1.0), 0.0) AS tc FROM c2),
+        c4 AS (SELECT event_id, user_id,
+                      sqrt({rx} * {rx} + {ry} * {ry}) AS dist,
+                      LEAST(fmod(abs(heading - az), 360.0),
+                            360.0 - fmod(abs(heading - az), 360.0)) AS d1
+               FROM c3),
+        c5 AS (SELECT event_id, user_id, dist,
+                      LEAST(d1, abs(d1 - 180.0)) AS hdiff
+               FROM c4)
+        SELECT DISTINCT event_id, user_id FROM c5
+        WHERE dist <= {buffer_deg} AND hdiff <= {heading_tol}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     z2 = tg.sql_z2_cell("lon", "lat", 8)
     gh = tg.sql_geohash("lon", "lat", 6)
@@ -1488,4 +1646,36 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann": _sql_lsh_ann(),
         "ivf_ann": _sql_ivf_ann(),
         "geoparse_pages": _sql_geoparse_pages(),
+        "store_bbox": f"""
+            WITH c AS ({_CUST_SQL})
+            SELECT c_custkey, lon, lat FROM c
+            WHERE lon >= {_STORE_BBOX[0]} AND lon <= {_STORE_BBOX[2]}
+              AND lat >= {_STORE_BBOX[1]} AND lat <= {_STORE_BBOX[3]}
+        """,
+        "store_stbox": f"""
+            WITH e AS (SELECT event_id,
+                              {tg.sql_point_lon('event_id', _e['mlon'], _e['olon'])} AS lon,
+                              {tg.sql_point_lat('event_id', _e['mlat'], _e['olat'])} AS lat,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events)
+            SELECT event_id, lon, lat, secs FROM e
+            WHERE lon >= {_STBOX[0]} AND lon <= {_STBOX[2]}
+              AND lat >= {_STBOX[1]} AND lat <= {_STBOX[3]}
+              AND secs >= {_STBOX[4]} AND secs < {_STBOX[5]}
+        """,
+        "route_search": _sql_route_search(buffer_deg=2.5, heading_tol=45.0),
+        "transform_3857": f"""
+            WITH pts AS ({_CUST_SQL})
+            SELECT c_custkey,
+                   CAST(radians(lon) * 6378137.0 AS REAL) AS mx32,
+                   CAST(ln(tan(pi() / 4.0 + radians(lat) / 2.0)) * 6378137.0 AS REAL) AS my32
+            FROM pts
+            WHERE abs(lat) <= 85.055
+        """,
+        "cosine_dedup": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                         list_cosine_similarity(a.v, b.v) AS s
+                  FROM e a, e b WHERE a.vec_id < b.vec_id)
+            SELECT id_a, id_b FROM p WHERE s >= 0.42
+        """,
     }

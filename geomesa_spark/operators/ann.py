@@ -25,7 +25,7 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["cosine_topk", "cosine_topk_sql", "lsh_topk", "ivf_topk",
-           "cosine_sim_col", "mix64"]
+           "cosine_dedup_pairs", "cosine_sim_col", "mix64"]
 
 
 def cosine_sim_col(a, b) -> F.Column:
@@ -98,6 +98,70 @@ def cosine_topk_sql(queries: DataFrame, corpus: DataFrame, k: int,
                   .withColumn("rank", F.row_number().over(win))
                   .filter(F.col("rank") <= k)
                   .select("qid", "vec_id", "sim", "rank"))
+
+
+def cosine_dedup_pairs(corpus: DataFrame, tau: float,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       blocks: int = 4, eps: float = 1e-6) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (id_a < id_b) with
+    cosine(a, b) >= tau.
+
+    Triangle block join: every row hashes to one of ``blocks`` buckets;
+    each unordered bucket pair (bi <= bj) is a shuffle key, so a row
+    replicates exactly ``blocks`` times and each task sees one
+    (n/B x n/B) tile — ONE numpy GEMM per tile, per-task memory bounded
+    by the tile, total work the unavoidable O(n^2/2) of an exact
+    similarity self-join. Candidates pass at ``tau - eps`` (GEMM
+    summation order differs from sequential accumulation at ~1e-15
+    relative); the reported row set is then re-filtered with
+    :func:`cosine_sim_col` (sequential-double built-ins, matching the
+    DuckDB mirror) so output membership is engine-order independent.
+
+    At web scale exact n^2 is the *verifier*, not the planner: generate
+    candidates with :func:`lsh_topk` buckets / minhash bands and feed
+    pairs through the same ``cosine_sim_col >= tau`` refine.
+    """
+    B = int(blocks)
+    if B < 1:
+        raise ValueError(f"blocks must be >= 1, got {blocks}")
+    c = (corpus.select(F.col(id_col).cast("long").alias("__id__"),
+                       F.col(vec_col).alias("__v__"))
+               .withColumn("__b__", F.pmod(F.xxhash64("__id__"), F.lit(B)).cast("int")))
+    pair_keys = F.array(*[
+        F.least(F.col("__b__"), F.lit(o)) * B + F.greatest(F.col("__b__"), F.lit(o))
+        for o in range(B)])
+    keyed = c.withColumn("__k__", F.explode(F.array_distinct(pair_keys)))
+
+    out_schema = StructType([StructField("id_a", LongType()),
+                             StructField("id_b", LongType())])
+    thresh = float(tau) - float(eps)
+
+    def tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["__id__"].to_numpy(np.int64)
+        mat = np.array(list(pdf["__v__"]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        blk = pdf["__b__"].to_numpy()
+        bi, bj = divmod(int(pdf["__k__"].iloc[0]), B)
+        if bi == bj:
+            sims = mat @ mat.T
+            ii, jj = np.nonzero(np.triu(sims >= thresh, k=1))
+            a, b = ids[ii], ids[jj]
+        else:
+            li, rj = blk == bi, blk == bj
+            sims = mat[li] @ mat[rj].T
+            ii, jj = np.nonzero(sims >= thresh)
+            a, b = ids[li][ii], ids[rj][jj]
+        return pd.DataFrame({"id_a": np.minimum(a, b).astype(np.int64),
+                             "id_b": np.maximum(a, b).astype(np.int64)})
+
+    cand = keyed.groupBy("__k__").applyInPandas(tile, out_schema)
+    va = corpus.select(F.col(id_col).cast("long").alias("id_a"),
+                       F.col(vec_col).alias("__va__"))
+    vb = corpus.select(F.col(id_col).cast("long").alias("id_b"),
+                       F.col(vec_col).alias("__vb__"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+                .filter(cosine_sim_col("__va__", "__vb__") >= tau)
+                .select("id_a", "id_b"))
 
 
 def mix64(ids: np.ndarray, seed: int = 42) -> np.ndarray:
