@@ -371,8 +371,8 @@ def q_sql_functions(spark, sf_dir):
     _cust_points(spark, sf_dir).createOrReplaceTempView("__pts__")
     return spark.sql("""
         SELECT c_custkey,
-               st_x(st_makePoint(lon, lat)) AS x32,
-               st_y(st_makePoint(lon, lat)) AS y32,
+               CAST(st_x(st_makePoint(lon, lat)) AS FLOAT) AS x32,
+               CAST(st_y(st_makePoint(lon, lat)) AS FLOAT) AS y32,
                st_geoHash(st_makePoint(lon, lat), 20) AS gh
         FROM __pts__
     """)

@@ -23,7 +23,6 @@ from pyspark.sql.types import (
     BinaryType,
     BooleanType,
     DoubleType,
-    FloatType,
     IntegerType,
     StringType,
 )
@@ -381,12 +380,20 @@ def _utm_inverse(c, zone: int, south: bool):
 
 
 def _parse_crs(crs: str):
-    """'EPSG:4326' / 'EPSG:3857' / UTM 'EPSG:326xx'/'327xx' / 'utm:33n'."""
+    """'EPSG:4326' / 'EPSG:3857' / UTM 'EPSG:326xx'/'327xx' / 'utm:33n' /
+    polar stereographic 'EPSG:5041/5042/32661/32761/3413/3976' / LAEA
+    'EPSG:3035'."""
+    from ..geom import crs as C
+
     s = crs.lower().strip()
     if s.startswith("epsg:"):
         s = s[5:]
     if s in ("4326", "3857"):
         return (s, None, None)
+    if s in C.PS_CRS:
+        return ("ps", s, None)
+    if s in C.LAEA_CRS:
+        return ("laea", s, None)
     if s.startswith("utm:") and s[-1] in "ns":
         try:
             zone = int(s[4:-1])
@@ -405,41 +412,62 @@ def _parse_crs(crs: str):
     return (None, None, None)
 
 
-def _transform(g, from_crs: str, to_crs: str):
-    """EPSG:4326 <-> EPSG:3857 (web mercator) and EPSG:4326 <-> UTM
-    (EPSG:326xx north / 327xx south, Krueger order-n^3 series)."""
+def _crs_ops(kind, p1, p2):
+    """(from4326, to4326) coordinate-array ops for one parsed CRS."""
+    from ..geom import crs as C
+
     R = 6378137.0
+    if kind == "4326":
+        return None, None  # identity
+    if kind == "3857":
+        def fwd(c):
+            x = np.radians(c[:, 0]) * R
+            y = np.log(np.tan(np.pi / 4 + np.radians(c[:, 1]) / 2)) * R
+            return np.column_stack([x, y])
 
-    def fwd(c):
-        x = np.radians(c[:, 0]) * R
-        y = np.log(np.tan(np.pi / 4 + np.radians(c[:, 1]) / 2)) * R
-        return np.column_stack([x, y])
+        def inv(c):
+            lon = np.degrees(c[:, 0] / R)
+            lat = np.degrees(2 * np.arctan(np.exp(c[:, 1] / R)) - np.pi / 2)
+            return np.column_stack([lon, lat])
 
-    def inv(c):
-        lon = np.degrees(c[:, 0] / R)
-        lat = np.degrees(2 * np.arctan(np.exp(c[:, 1] / R)) - np.pi / 2)
-        return np.column_stack([lon, lat])
+        return fwd, inv
+    if kind == "utm":
+        return (lambda c: _utm_forward(c, p1, p2),
+                lambda c: _utm_inverse(c, p1, p2))
+    if kind == "ps":
+        kw = C.PS_CRS[p1]
+        return (lambda c: C.ps_forward(c, **kw),
+                lambda c: C.ps_inverse(c, **kw))
+    if kind == "laea":
+        kw = C.LAEA_CRS[p1]
+        return (lambda c: C.laea_forward(c, **kw),
+                lambda c: C.laea_inverse(c, **kw))
+    raise AssertionError(kind)
 
+
+def _transform(g, from_crs: str, to_crs: str):
+    """Reproject between any two supported CRS: EPSG:4326, 3857 (web
+    mercator), UTM (326xx/327xx, Krueger order-n^3), polar stereographic
+    (UPS 5041/5042/32661/32761; NSIDC 3413/3976) and LAEA Europe (3035).
+    Pairs where neither side is 4326 compose inverse -> forward through
+    4326."""
     f, fz, fs = _parse_crs(from_crs)
     t, tz, ts = _parse_crs(to_crs)
     if f is None or t is None:
         raise ValueError(
-            f"st_transform supports EPSG:4326<->3857 and 4326<->UTM "
-            f"(EPSG:326xx/327xx), got {from_crs}->{to_crs}")
+            f"st_transform supports EPSG:4326, 3857, UTM (326xx/327xx), "
+            f"polar stereographic (5041/5042/32661/32761/3413/3976) and "
+            f"LAEA (3035), got {from_crs}->{to_crs}")
     if (f, fz, fs) == (t, tz, ts):
         return g
-    if (f, t) == ("4326", "3857"):
-        op = fwd
-    elif (f, t) == ("3857", "4326"):
-        op = inv
-    elif f == "4326" and t == "utm":
-        op = lambda c: _utm_forward(c, tz, ts)  # noqa: E731
-    elif f == "utm" and t == "4326":
-        op = lambda c: _utm_inverse(c, fz, fs)  # noqa: E731
+    _, f_to4326 = _crs_ops(f, fz, fs)
+    t_from4326, _ = _crs_ops(t, tz, ts)
+    if f_to4326 is None:
+        op = t_from4326
+    elif t_from4326 is None:
+        op = f_to4326
     else:
-        raise ValueError(
-            f"st_transform: unsupported pair {from_crs}->{to_crs} "
-            "(route through EPSG:4326)")
+        op = lambda c: t_from4326(f_to4326(c))  # noqa: E731
 
     def apply(geom):
         if isinstance(geom, Point):
@@ -633,7 +661,7 @@ def _dms(v: float, pos: str, neg: str) -> str:
 
 def register_functions(spark):
     """Register the full st_* surface on a SparkSession."""
-    B, S, D, FL, I, BO = BinaryType(), StringType(), DoubleType(), FloatType(), IntegerType(), BooleanType()
+    B, S, D, I, BO = BinaryType(), StringType(), DoubleType(), IntegerType(), BooleanType()
 
     def reg(name, udf):
         spark.udf.register(name, udf)
@@ -810,27 +838,27 @@ def register_functions(spark):
     reg("st_numPoints", _geom_unary(_num_points, I))
     reg("st_pointN", _geom_binary_int(_point_n, B))
 
-    @pandas_udf(FL)
+    @pandas_udf(D)
     def st_x(s: pd.Series) -> pd.Series:
         pts = try_decode_points(s)
         if pts is not None:
             x, _, isnull = pts
-            out = pd.Series(x.astype(np.float32))
+            out = pd.Series(x.astype(np.float64))
             out[isnull] = None
             return out
         return pd.Series([g.x if isinstance(g, Point) else None for g in decode_geoms(s)],
-                         dtype=np.float32)
+                         dtype=np.float64)
 
-    @pandas_udf(FL)
+    @pandas_udf(D)
     def st_y(s: pd.Series) -> pd.Series:
         pts = try_decode_points(s)
         if pts is not None:
             _, y, isnull = pts
-            out = pd.Series(y.astype(np.float32))
+            out = pd.Series(y.astype(np.float64))
             out[isnull] = None
             return out
         return pd.Series([g.y if isinstance(g, Point) else None for g in decode_geoms(s)],
-                         dtype=np.float32)
+                         dtype=np.float64)
 
     reg("st_x", st_x)
     reg("st_y", st_y)

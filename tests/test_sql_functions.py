@@ -201,3 +201,130 @@ def test_utm_crs_validation():
     assert _parse_crs("EPSG:326ab") == (None, None, None)
     with pytest.raises(ValueError, match="st_transform supports"):
         _transform(Point(0.0, 0.0), "EPSG:4326", "utm:99n")
+
+
+class TestPolarLaeaTransform:
+    """Polar stereographic + LAEA against independent oracles: the EPSG
+    GN7-2 worked example, scale-factor identities by finite difference,
+    the ellipsoidal equal-area Jacobian, and round-trips."""
+
+    def test_ups_epsg_worked_example(self):
+        """EPSG Guidance Note 7-2 §3.2.4 variant-A example (UPS North):
+        73 N, 44 E -> E 3320416.75, N 632668.43 (published to cm)."""
+        import numpy as np
+
+        from geomesa_spark.geom import crs as C
+
+        out = C.ps_forward(np.array([[44.0, 73.0]]), **C.PS_CRS["5041"])
+        assert abs(out[0, 0] - 3320416.75) < 0.01
+        assert abs(out[0, 1] - 632668.43) < 0.01
+
+    def test_ups_pole_is_false_origin(self):
+        import numpy as np
+
+        from geomesa_spark.geom import crs as C
+
+        n = C.ps_forward(np.array([[123.0, 90.0]]), **C.PS_CRS["5041"])
+        s = C.ps_forward(np.array([[-77.0, -90.0]]), **C.PS_CRS["5042"])
+        assert np.abs(n - 2_000_000.0).max() < 1e-6
+        assert np.abs(s - 2_000_000.0).max() < 1e-6
+
+    def test_variant_b_scale_true_at_lat_ts(self):
+        """EPSG:3413 (lat_ts 70N) / 3976 (71S): the meridian-direction
+        scale factor at the standard parallel is 1 (finite difference vs
+        the ellipsoidal meridian radius M(phi))."""
+        import numpy as np
+
+        from geomesa_spark.geom import crs as C
+
+        a, e2 = C._A, C._E2
+        h = 1e-6
+        for code, lat in (("3413", 70.0), ("3976", -71.0)):
+            kw = C.PS_CRS[code]
+            p = np.array([[kw["lon0"], lat], [kw["lon0"], lat + h]])
+            q = C.ps_forward(p, **kw)
+            dproj = float(np.hypot(q[1, 0] - q[0, 0], q[1, 1] - q[0, 1]))
+            phi = np.radians(lat)
+            m = a * (1 - e2) / (1 - e2 * np.sin(phi) ** 2) ** 1.5
+            assert abs(dproj / (m * np.radians(h)) - 1.0) < 1e-6
+            assert abs(q[0, 0] - kw["fe"]) < 1e-6  # central meridian -> E = FE
+
+    def test_ps_roundtrip_all_codes(self):
+        import numpy as np
+
+        from geomesa_spark.geom import crs as C
+
+        rng = np.random.RandomState(11)
+        for code, kw in C.PS_CRS.items():
+            lat = rng.uniform(60, 89.99, 300)
+            if kw["south"]:
+                lat = -lat
+            pts = np.column_stack([rng.uniform(-180, 180, 300), lat])
+            back = C.ps_inverse(C.ps_forward(pts, **kw), **kw)
+            dlon = (back[:, 0] - pts[:, 0] + 180.0) % 360.0 - 180.0
+            assert np.abs(dlon).max() < 1e-9, code
+            assert np.abs(back[:, 1] - pts[:, 1]).max() < 1e-8, code
+
+    def test_laea_equal_area_jacobian(self):
+        """EPSG:3035 is equal-area: |det J(E,N / lon,lat)| equals the
+        ellipsoidal area element a^2 (1-e^2) cos(phi) / (1-e^2 sin^2 phi)^2
+        everywhere (finite-difference Jacobian, fully independent)."""
+        import numpy as np
+
+        from geomesa_spark.geom import crs as C
+
+        kw = C.LAEA_CRS["3035"]
+        a, e2 = C._A, C._E2
+        h = 1e-6
+        for lon0, lat0 in ((10.0, 50.0), (25.0, 40.0), (-8.0, 65.0), (31.0, 34.5)):
+            p = np.array([[lon0, lat0], [lon0 + h, lat0], [lon0, lat0 + h]])
+            q = C.laea_forward(p, **kw)
+            j = np.array([[(q[1, 0] - q[0, 0]), (q[2, 0] - q[0, 0])],
+                          [(q[1, 1] - q[0, 1]), (q[2, 1] - q[0, 1])]]) / np.radians(h)
+            det = abs(float(np.linalg.det(j)))
+            phi = np.radians(lat0)
+            want = a * a * (1 - e2) * np.cos(phi) / (1 - e2 * np.sin(phi) ** 2) ** 2
+            assert abs(det / want - 1.0) < 1e-5, (lon0, lat0)
+
+    def test_laea_center_and_roundtrip(self):
+        import numpy as np
+
+        from geomesa_spark.geom import crs as C
+
+        kw = C.LAEA_CRS["3035"]
+        c = C.laea_forward(np.array([[10.0, 52.0]]), **kw)
+        assert abs(c[0, 0] - 4_321_000.0) < 1e-6   # projection center ->
+        assert abs(c[0, 1] - 3_210_000.0) < 1e-6   # false origin exactly
+        rng = np.random.RandomState(3)
+        pts = np.column_stack([rng.uniform(-15, 45, 300),
+                               rng.uniform(28, 72, 300)])
+        back = C.laea_inverse(C.laea_forward(pts, **kw), **kw)
+        assert np.abs(back - pts).max() < 1e-9
+
+    def test_composed_pair_routes_through_4326(self):
+        """3857 -> 3035 == (3857 -> 4326) then (4326 -> 3035)."""
+        from geomesa_spark.functions.registry import _transform
+        from geomesa_spark.geom.wkb import Point
+
+        p = Point(1_113_194.9079327357, 6_446_275.841017158)  # ~ (10 E, 50 N)
+        direct = _transform(p, "EPSG:3857", "EPSG:3035")
+        via = _transform(_transform(p, "EPSG:3857", "EPSG:4326"),
+                         "EPSG:4326", "EPSG:3035")
+        assert abs(direct.x - via.x) < 1e-9 and abs(direct.y - via.y) < 1e-9
+        # and the result is the right place: ~ (10 E, 50 N) in 3035
+        back = _transform(direct, "EPSG:3035", "EPSG:4326")
+        assert abs(back.x - 10.0) < 1e-6 and abs(back.y - 50.0) < 1e-6
+
+    def test_sql_surface_polar(self, spark):
+        from geomesa_spark.functions import register_functions
+
+        register_functions(spark)
+        row = spark.sql("""
+            SELECT st_x(st_transform(st_makePoint(44.0, 73.0),
+                                     'EPSG:4326', 'EPSG:5041')) AS e,
+                   st_y(st_transform(st_transform(st_makePoint(19.5, 68.1),
+                                     'EPSG:4326', 'EPSG:3413'),
+                                     'EPSG:3413', 'EPSG:4326')) AS lat_rt
+        """).collect()[0]
+        assert abs(row.e - 3320416.75) < 0.01
+        assert abs(row.lat_rt - 68.1) < 1e-8
