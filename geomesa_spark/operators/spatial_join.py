@@ -1220,34 +1220,61 @@ def spatial_join(
                       .withColumn("__gj__", F.col("__zz__.gj"))
                       .drop("__ce__", "__zz__"))
 
-        l = _ij_side(left, left_geom, left_env, "l", 0.0)
-        r = _ij_side(right, right_geom, right_env, "r", expand)
-        # broadcast path: strip the right WKB from the per-candidate Arrow
-        # traffic — candidates carry an 8-byte pid; geometry reaches the
-        # refine workers once via a Spark broadcast, and the column is
-        # restored by a tiny pid join-back afterwards
-        use_pid = broadcast_right and meters is None
-        bmap = None
-        if use_pid:
-            r = r.withColumn("__rpid__", F.xxhash64(F.col(right_geom)))
-            pid_rows = r.select("__rpid__", right_geom).distinct().collect()
-            pmap = {row[0]: bytes(row[1]) for row in pid_rows if row[1] is not None}
-            bmap = left.sparkSession.sparkContext.broadcast(pmap)
-            geom_back = r.sparkSession.createDataFrame(
-                [(p, bytearray(w)) for p, w in pmap.items()],
-                f"__rpid__ long, {right_geom} binary")
-            r = r.drop(right_geom)
-        rr = F.broadcast(r) if broadcast_right else r
-        # report-once: the canonical cell's grid pair is (max of the two
-        # range minima) by monotonicity — four integer comparisons, cheap
-        # even when a Python-UDF stage disables whole-stage codegen
         lenv_cols = [F.col(c) for c in left_env] if left_env is not None else None
-        cand = (l.join(rr, on=["__gi__", "__gj__"], how="inner")
-                 .filter((F.col("__gi__") == F.greatest("__lgi0__", "__rgi0__"))
-                         & (F.col("__gj__") == F.greatest("__lgj0__", "__rgj0__")))
-                 .drop("__gi__", "__gj__", "__lgi0__", "__lgj0__",
-                       "__rgi0__", "__rgj0__"))
+        use_pid = broadcast_right and meters is None
         if use_pid:
+            # broadcast path: the right side collapses to a driver-built
+            # (pid, gi, gj) cell table with an envelope sidecar — a
+            # LocalTableScan with NO Python operator, so the probe-side
+            # join stays in whole-stage codegen (the PreparedPipPolys
+            # shape). Candidates carry an 8-byte pid; geometry reaches the
+            # refine workers once via a Spark broadcast; right attribute
+            # rows come back via a pid join against a second driver-built
+            # literal at the end (per ROW, so duplicate-geometry right rows
+            # keep their multiplicity — and a LocalTableScan build side
+            # keeps the multi-million-row join-back probe in codegen too).
+            spark = left.sparkSession
+            pls = (right.filter(F.col(right_geom).isNotNull())
+                        .withColumn("__rpid__", F.xxhash64(F.col(right_geom))))
+            prows = pls.collect()
+            rows_back = spark.createDataFrame(prows, pls.schema)
+            pmap = {row["__rpid__"]: bytes(row[right_geom]) for row in prows}
+            bmap = spark.sparkContext.broadcast(pmap)
+            from ..curves.zorder import z2_decode
+            recs = []
+            for pid, w in pmap.items():
+                arr, _full = _flagged_cover_of_wkb(w, level)
+                e = wkb_read(w).envelope()
+                gis, gjs = z2_decode(arr)
+                gi0, gj0 = int(gis.min()), int(gjs.min())
+                ex = tuple(float(v) for v in
+                           (e[0] - expand, e[1] - expand,
+                            e[2] + expand, e[3] + expand))
+                for gi, gj in zip(gis.tolist(), gjs.tolist()):
+                    recs.append((pid, gi, gj, gi0, gj0, *ex))
+            rcells = spark.createDataFrame(
+                recs, "__rpid__ long, __gi__ long, __gj__ long, "
+                      "__rgi0__ long, __rgj0__ long, "
+                      "__rx0__ double, __ry0__ double, "
+                      "__rx1__ double, __ry1__ double")
+            l = _ij_side(left, left_geom, left_env, "l", 0.0)
+            cand = (l.join(F.broadcast(rcells), on=["__gi__", "__gj__"], how="inner")
+                     .filter((F.col("__gi__") == F.greatest("__lgi0__", "__rgi0__"))
+                             & (F.col("__gj__") == F.greatest("__lgj0__", "__rgj0__")))
+                     .drop("__gi__", "__gj__", "__lgi0__", "__lgj0__",
+                           "__rgi0__", "__rgj0__"))
+            if lenv_cols is not None and predicate in _ENV_REJECT_PREDS:
+                # JVM envelope reject before any Python: cell-sharing pairs
+                # with disjoint envelopes can't satisfy the predicate, and
+                # killing them here (not in the refine) lets the join run a
+                # COARSER grid — fewer exploded probe rows — without paying
+                # for the extra false candidates in Arrow traffic
+                lx0, ly0, lx1, ly1 = lenv_cols
+                cand = cand.filter((lx0 <= F.col("__rx1__"))
+                                   & (F.col("__rx0__") <= lx1)
+                                   & (ly0 <= F.col("__ry1__"))
+                                   & (F.col("__ry0__") <= ly1))
+            cand = cand.drop("__rx0__", "__ry0__", "__rx1__", "__ry1__")
             if (left_rects and left_env is not None
                     and predicate in _RECT_FAST_PREDS):
                 refine = _rect_refine_by_pid_udf(predicate, bmap)
@@ -1255,8 +1282,19 @@ def spatial_join(
             else:
                 refine = _geom_refine_udf(predicate, right_bmap=bmap)
                 out = cand.filter(refine(F.col(left_geom), F.col("__rpid__")))
-            return (out.join(F.broadcast(geom_back), on="__rpid__", how="inner")
+            return (out.join(F.broadcast(rows_back), on="__rpid__", how="inner")
                        .drop("__rpid__"))
+        l = _ij_side(left, left_geom, left_env, "l", 0.0)
+        r = _ij_side(right, right_geom, right_env, "r", expand)
+        rr = F.broadcast(r) if broadcast_right else r
+        # report-once: the canonical cell's grid pair is (max of the two
+        # range minima) by monotonicity — four integer comparisons, cheap
+        # even when a Python-UDF stage disables whole-stage codegen
+        cand = (l.join(rr, on=["__gi__", "__gj__"], how="inner")
+                 .filter((F.col("__gi__") == F.greatest("__lgi0__", "__rgi0__"))
+                         & (F.col("__gj__") == F.greatest("__lgj0__", "__rgj0__")))
+                 .drop("__gi__", "__gj__", "__lgi0__", "__lgj0__",
+                       "__rgi0__", "__rgj0__"))
     else:
         cover_l = cells_of_geom(level)
         cover_r = cells_of_geom(level, expand_deg=expand)
