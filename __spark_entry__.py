@@ -49,6 +49,16 @@ def _cust_points(spark, sf_dir):
         tg.point_lat("c_custkey").alias("lat"))
 
 
+def _cust_rects(spark, sf_dir):
+    """Customer-key-derived WKB rectangles (one extended geometry per
+    customer) — the xz2-store round-trip layer."""
+    xmin, ymin, xmax, ymax = tg.rect_cols("c_custkey")
+    df = _t(spark, sf_dir, "customer").select("c_custkey", xmin, ymin, xmax, ymax)
+    mk = tg.rect_wkb_udf()
+    return df.withColumn("geom", mk("xmin", "ymin", "xmax", "ymax")) \
+             .drop("xmin", "ymin", "xmax", "ymax")
+
+
 def _supp_points(spark, sf_dir):
     s = tg.SUPP
     return _t(spark, sf_dir, "supplier").select(
@@ -743,6 +753,42 @@ def q_store_stbox(spark, sf_dir):
 _ROUTE = dict(mlon=4409, olon=17, mlat=15101, olat=3)
 
 
+_XZ2_BOX = (-10.0, -20.0, 25.0, 15.0)
+
+
+def q_store_xz2(spark, sf_dir):
+    """XZ2 extended-geometry store round trip: write_indexed_xz2 (WKB
+    rects + BoundingBoxField envelope sidecars + XZ2Scheme prefix
+    partitions) -> prefix-pruned scan returning envelope-overlapping
+    rows. Oracle = the plain envelope-overlap filter over the same
+    derived rects; equality proves the XZ2 prefix cover is airtight for
+    extended geometries (cite XZ2SFC.scala ranges + XZ2Scheme)."""
+    from geomesa_spark.plans.store import bbox_query_xz2, write_indexed_xz2
+
+    rects = _cust_rects(spark, sf_dir)
+    path = _store_tmp(sf_dir, "xz2")
+    write_indexed_xz2(rects, path)
+    x0, y0, x1, y1 = _XZ2_BOX
+    out = bbox_query_xz2(spark, path, x0, y0, x1, y1)
+    return out.select("c_custkey", "bx0", "by0", "bx1", "by1")
+
+
+_S2_BOX = (5.0, -25.0, 75.0, 30.0)
+
+
+def q_store_s2(spark, sf_dir):
+    """S2 store round trip: write_indexed_s2 (cube-face Hilbert cell
+    hex partitions) -> region-coverer prefix-pruned scan. Oracle = the
+    plain bbox filter; proves the S2 covering prefixes lose no rows
+    (S2IndexKeySpace.scala / S2RegionCoverer analog)."""
+    from geomesa_spark.plans.store import bbox_query_s2, write_indexed_s2
+
+    path = _store_tmp(sf_dir, "s2")
+    write_indexed_s2(_cust_points(spark, sf_dir), path)
+    x0, y0, x1, y1 = _S2_BOX
+    return bbox_query_s2(spark, path, x0, y0, x1, y1).select("c_custkey", "lon", "lat")
+
+
 def q_route_search(spark, sf_dir):
     """RouteSearchProcess analog: events within a buffer of a route whose
     heading matches the local segment azimuth (bidirectional). The route
@@ -855,6 +901,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geoparse_pages": q_geoparse_pages,
         "store_bbox": q_store_bbox,
         "store_stbox": q_store_stbox,
+        "store_xz2": q_store_xz2,
+        "store_s2": q_store_s2,
         "route_search": q_route_search,
         "transform_3857": q_transform_3857,
         "cosine_dedup": q_cosine_dedup,
@@ -1661,6 +1709,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE lon >= {_STBOX[0]} AND lon <= {_STBOX[2]}
               AND lat >= {_STBOX[1]} AND lat <= {_STBOX[3]}
               AND secs >= {_STBOX[4]} AND secs < {_STBOX[5]}
+        """,
+        "store_xz2": f"""
+            WITH r AS (SELECT c_custkey,
+                              {tg.sql_rect_exprs('c_custkey')[0]} AS bx0,
+                              {tg.sql_rect_exprs('c_custkey')[1]} AS by0,
+                              {tg.sql_rect_exprs('c_custkey')[2]} AS bx1,
+                              {tg.sql_rect_exprs('c_custkey')[3]} AS by1
+                       FROM customer)
+            SELECT c_custkey, bx0, by0, bx1, by1 FROM r
+            WHERE bx0 <= {_XZ2_BOX[2]} AND bx1 >= {_XZ2_BOX[0]}
+              AND by0 <= {_XZ2_BOX[3]} AND by1 >= {_XZ2_BOX[1]}
+        """,
+        "store_s2": f"""
+            WITH c AS ({_CUST_SQL})
+            SELECT c_custkey, lon, lat FROM c
+            WHERE lon >= {_S2_BOX[0]} AND lon <= {_S2_BOX[2]}
+              AND lat >= {_S2_BOX[1]} AND lat <= {_S2_BOX[3]}
         """,
         "route_search": _sql_route_search(buffer_deg=2.5, heading_tol=45.0),
         "transform_3857": f"""
