@@ -35,6 +35,13 @@ _E2 = _F * (2.0 - _F)
 _PS_K = np.sqrt((1.0 + _E) ** (1.0 + _E) * (1.0 - _E) ** (1.0 - _E))
 
 
+def _wrap_lon(lon: np.ndarray) -> np.ndarray:
+    """Wrap degrees into [-180, 180): the lon0 offset of an inverse
+    projection can push atan2's wrapped output past the antimeridian
+    (e.g. EPSG:3413's lon0=-45 maps true lon 170 to raw -190)."""
+    return (np.asarray(lon) + 180.0) % 360.0 - 180.0
+
+
 def _ps_t(phi: np.ndarray) -> np.ndarray:
     """Snyder 21-33/15-9: isometric-colatitude half-angle tangent."""
     sp = np.sin(phi)
@@ -96,7 +103,7 @@ def ps_inverse(c: np.ndarray, south: bool, k0: float, lon0: float,
         lam = np.arctan2(x, -y)
     # at the exact pole (rho == 0) longitude is indeterminate; pin to lon0
     lam = np.where(rho == 0.0, 0.0, lam)
-    return np.column_stack([np.degrees(lam) + lon0, np.degrees(phi)])
+    return np.column_stack([_wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)])
 
 
 # ---------------------------------------------------------------------------
@@ -162,7 +169,7 @@ def laea_inverse(c: np.ndarray, lat0: float, lon0: float,
         phi = phi + (one * one / (2.0 * np.cos(phi))) * (
             q / (1.0 - _E2) - sp / one
             + (1.0 / (2.0 * _E)) * np.log((1.0 - _E * sp) / (1.0 + _E * sp)))
-    return np.column_stack([np.degrees(lam) + lon0, np.degrees(phi)])
+    return np.column_stack([_wrap_lon(np.degrees(lam) + lon0), np.degrees(phi)])
 
 
 # ---------------------------------------------------------------------------

@@ -214,6 +214,11 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
                                  replace=False)].copy()
     else:
         raise ValueError(f"unknown init {init!r} (expected 'kmeans' or 'sample')")
+    if init == "sample" and iters:
+        raise ValueError(
+            "init='sample' is the deterministic (oracle-mirrorable) coarse "
+            "quantizer and supports no Lloyd refinement; pass iters=0 or "
+            "use init='kmeans'")
     for _ in range(iters if sample is not None else 0):
         # mini k-means (cosine = dot on normalized vectors)
         assign = (sample @ cent.T).argmax(axis=1)

@@ -19,7 +19,8 @@ as idiomatic DataFrame ops:
 Pair dedup: a point occupies one cell, so point-joins produce each pair at
 most once (no dedup shuffle needed — unlike the reference, which duplicates
 both sides and leaves a TODO at RelationUtils.scala:38). Extended x extended
-joins DO duplicate pairs across cells and get a dropDuplicates on the pair id.
+joins use the report-once rule — each pair is emitted only in its canonical
+cell (max of the per-axis cover minima) — so they need no dedup either.
 
 Skew: pass ``salt=N`` to spread a hot cell over N shuffle keys (the
 reference's shard byte, ShardStrategy.scala:42-83); AQE skew-join is the
@@ -157,38 +158,6 @@ def sphere_expand_degrees(ys, radius_m):
     return rlon, rlat
 
 
-def cells_of_geom(level: int = DEFAULT_LEVEL, expand_deg: float = 0.0):
-    """pandas UDF: WKB geometry -> array of covering cell ids (bbox cover)."""
-
-    @pandas_udf(ArrayType(LongType()))
-    def cover(s: pd.Series) -> pd.Series:
-        n = len(s)
-        xmin = np.empty(n)
-        ymin = np.empty(n)
-        xmax = np.empty(n)
-        ymax = np.empty(n)
-        null = np.zeros(n, dtype=bool)
-        for i, v in enumerate(s):
-            if v is None:
-                null[i] = True
-                xmin[i] = ymin[i] = xmax[i] = ymax[i] = 0.0
-                continue
-            e = wkb_read(bytes(v)).envelope()
-            xmin[i], ymin[i], xmax[i], ymax[i] = e
-        covers = cells_of_bbox_arrays(xmin - expand_deg, ymin - expand_deg,
-                                      xmax + expand_deg, ymax + expand_deg, level)
-        return pd.Series([None if null[i] else covers[i] for i in range(n)], dtype=object)
-
-    return cover
-
-
-_CELLS_ENV_TYPE = StructType([
-    StructField("cells", ArrayType(LongType())),
-    StructField("x0", DoubleType()),
-    StructField("y0", DoubleType()),
-])
-
-
 def _grid_i(x, level: int):
     """JVM Column: lon -> level-truncated grid i (bit-identical to
     _LON.normalize >> (31-level); same literal structure as
@@ -215,26 +184,10 @@ def _interleave_expr(gi, gj, level: int):
     return cell
 
 
-def explode_bbox_cells(df: DataFrame, x0, y0, x1, y1,
-                       level: int = DEFAULT_LEVEL) -> DataFrame:
-    """Explode each row to the Z2 cells covering its [x0,x1]x[y0,y1] box —
-    ENTIRELY inside whole-stage codegen (two sequence-explodes + the bit
-    interleave), zero Python. The JVM twin of cells_of_bbox_arrays for
-    callers that carry envelope sidecar columns (the xz2/xz3 stores write
-    them; so does generate_polys). Adds a ``__cell__`` column."""
-    gi0, gi1 = _grid_i(x0, level), _grid_i(x1, level)
-    gj0, gj1 = _grid_j(y0, level), _grid_j(y1, level)
-    out = (df.withColumn("__gi__", F.explode(F.sequence(gi0, gi1)))
-             .withColumn("__gj__", F.explode(F.sequence(gj0, gj1)))
-             .withColumn("__cell__", _interleave_expr(F.col("__gi__"),
-                                                      F.col("__gj__"), level))
-             .drop("__gi__", "__gj__"))
-    return out
-
-
 def _explode_bbox_ij(df: DataFrame, x0, y0, x1, y1, level: int,
                      tag: str) -> DataFrame:
-    """explode_bbox_cells variant keyed on the raw (gi, gj) grid pair plus
+    """Explode each row to its covering raw (gi, gj) grid pairs — entirely
+    inside whole-stage codegen (two sequence-explodes), zero Python — plus
     this row's (gi0, gj0) range minima (named __{tag}gi0__/__{tag}gj0__).
     The minima drive the report-once rule with FOUR integer comparisons:
     the grid index is monotonic in the coordinate, so the canonical cell
@@ -250,7 +203,7 @@ def _explode_bbox_ij(df: DataFrame, x0, y0, x1, y1, level: int,
 
 
 def _cells_ij_of_geom(level: int = DEFAULT_LEVEL, expand_deg: float = 0.0):
-    """pandas UDF twin of cells_env_of_geom emitting (gi, gj) pair arrays
+    """pandas UDF: WKB geometry -> (gi, gj) covering grid-pair arrays
     + the range minima, for geometry sides without envelope sidecars."""
     schema = StructType([
         StructField("gis", ArrayType(LongType())),
@@ -291,39 +244,6 @@ def _cells_ij_of_geom(level: int = DEFAULT_LEVEL, expand_deg: float = 0.0):
             gjs.append([int(v) for v in gy.ravel()])
         return pd.DataFrame({"gis": gis, "gjs": gjs,
                              "gi0": ix0.tolist(), "gj0": iy0.tolist()})
-
-    return cover
-
-
-def cells_env_of_geom(level: int = DEFAULT_LEVEL, expand_deg: float = 0.0):
-    """pandas UDF: WKB geometry -> (covering cell ids, cover-envelope
-    mins). The env mins feed the report-once canonical-cell rule: a pair
-    overlapping in k cells is emitted only in the cell containing
-    (max(x0), max(y0)) — which lies in BOTH covers whenever the cover
-    envelopes overlap — so the join needs no pair-dedup shuffle."""
-
-    @pandas_udf(_CELLS_ENV_TYPE)
-    def cover(s: pd.Series) -> pd.DataFrame:
-        n = len(s)
-        xmin = np.empty(n)
-        ymin = np.empty(n)
-        xmax = np.empty(n)
-        ymax = np.empty(n)
-        null = np.zeros(n, dtype=bool)
-        for i, v in enumerate(s):
-            if v is None:
-                null[i] = True
-                xmin[i] = ymin[i] = xmax[i] = ymax[i] = 0.0
-                continue
-            e = wkb_read(bytes(v)).envelope()
-            xmin[i], ymin[i], xmax[i], ymax[i] = e
-        covers = cells_of_bbox_arrays(xmin - expand_deg, ymin - expand_deg,
-                                      xmax + expand_deg, ymax + expand_deg, level)
-        return pd.DataFrame({
-            "cells": [None if null[i] else covers[i] for i in range(n)],
-            "x0": xmin - expand_deg,
-            "y0": ymin - expand_deg,
-        })
 
     return cover
 
@@ -1059,6 +979,8 @@ def _geom_refine_udf(predicate: str, meters: float | None = None,
         valid = ((lcodes >= 0) & (rcodes >= 0)
                  & np.array([g is not None for g in rgeoms] + [True],
                             dtype=bool)[rcodes])  # null-in -> False out
+        if not valid.any():  # e.g. an Arrow batch of all-null geometries:
+            return pd.Series(out)  # empty uniq arrays can't be indexed below
 
         if meters is not None:
             for i in np.where(valid)[0]:
@@ -1075,6 +997,10 @@ def _geom_refine_udf(predicate: str, meters: float | None = None,
         todo = valid.copy()
         if predicate in _ENV_REJECT_PREDS:
             todo &= env_hit  # rejected rows stay False
+        elif predicate == "st_disjoint":
+            miss = todo & ~env_hit
+            out[miss] = True  # envelope miss proves disjointness
+            todo &= env_hit
 
         # rect x rect resolves vectorized (degenerate rects -> kernel)
         def _rect_ok(g):
@@ -1176,15 +1102,16 @@ def spatial_join(
     cover envelopes overlap, so each envelope-overlapping pair surfaces
     exactly once and the join needs NO pair-dedup shuffle (the classic
     report-once grid-join rule; pairs with disjoint cover envelopes can
-    never satisfy an intersection-requiring predicate). st_disjoint falls
-    back to an explicit pair dedup on left_id/right_id (defaults to the
-    WKB bytes). For st_dwithin pass ``meters``; the right covers are
+    never satisfy an intersection-requiring predicate). st_disjoint is
+    the complement join — its answer is inherently ~|L| x |R| rows and no
+    cell prefilter can enumerate it, so it runs as a cross join with an
+    envelope fast-accept in the refine. For st_dwithin pass ``meters``; the right covers are
     expanded by the max-degree equivalent (FilterHelper/GeometryProcessing
     buffer semantics), and report-once applies to the expanded covers.
 
     ``left_env``/``right_env`` name (xmin, ymin, xmax, ymax) envelope
     sidecar columns: the cell cover then computes ENTIRELY inside
-    whole-stage codegen (explode_bbox_cells) — no WKB parse, no Python —
+    whole-stage codegen (_explode_bbox_ij) — no WKB parse, no Python —
     the shape the xz2/xz3 stores feed (they persist envelope sidecars at
     ingest exactly for this).
 
@@ -1296,13 +1223,14 @@ def spatial_join(
                  .drop("__gi__", "__gj__", "__lgi0__", "__lgj0__",
                        "__rgi0__", "__rgj0__"))
     else:
-        cover_l = cells_of_geom(level)
-        cover_r = cells_of_geom(level, expand_deg=expand)
-        l = left.withColumn("__cell__", F.explode(cover_l(F.col(left_geom))))
-        r = right.withColumn("__cell__", F.explode(cover_r(F.col(right_geom))))
-        rr = F.broadcast(r) if broadcast_right else r
-        cand = l.join(rr, on="__cell__", how="inner").drop("__cell__")
-        cand = cand.dropDuplicates([left_id or left_geom, right_id or right_geom])
+        # st_disjoint selects every pair whose geometries share NO point —
+        # the complement of an intersection join. Pairs in non-overlapping
+        # cells are disjoint too, so a cell prefilter cannot enumerate the
+        # answer (and the answer is inherently ~|L| x |R| rows): candidates
+        # are the full cross product, each right ROW keeping its own output
+        # row (no geometry dedup). The refine fast-accepts envelope-miss
+        # pairs without touching the kernel.
+        cand = left.crossJoin(F.broadcast(right) if broadcast_right else right)
 
     refine = _geom_refine_udf(predicate, meters=meters)
     return cand.filter(refine(F.col(left_geom), F.col(right_geom)))

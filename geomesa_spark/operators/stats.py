@@ -71,16 +71,23 @@ def z3_cell_exprs(x: str, y: str, t: str, level: int = 5):
     codegen (no Python). Matches curves Z3SFC.index_millis >> 3*(21-level)
     for in-bounds points (the same arithmetic the z3_cells oracle mirrors)."""
     shift = _Z3_BITS - level
+    top = F.lit((1 << _Z3_BITS) - 1)
     bin_ = F.floor(F.col(t) / F.lit(_WEEK_S)).cast("long")
+    # clamp each normalized index into [0, 2^21 - 1] — the curve's
+    # BitNormalizedDimension maps the domain maximum (lon 180 / lat 90 /
+    # end-of-week instant) onto max_index, not past it (see curves/norm.py)
     it = F.shiftright(
-        F.floor(F.pmod(F.col(t), F.lit(_WEEK_S)).cast("double")
-                * F.lit(float(1 << _Z3_BITS) / _WEEK_S)).cast("long"), shift)
+        F.least(F.floor(F.pmod(F.col(t), F.lit(_WEEK_S)).cast("double")
+                        * F.lit(float(1 << _Z3_BITS) / _WEEK_S)).cast("long"),
+                top), shift)
+    cx = F.greatest(F.least(F.col(x), F.lit(180.0)), F.lit(-180.0))
+    cy = F.greatest(F.least(F.col(y), F.lit(90.0)), F.lit(-90.0))
     ix = F.shiftright(
-        F.floor((F.col(x) + F.lit(180.0)) * F.lit(float(1 << _Z3_BITS) / 360.0))
-         .cast("long"), shift)
+        F.least(F.floor((cx + F.lit(180.0)) * F.lit(float(1 << _Z3_BITS) / 360.0))
+                 .cast("long"), top), shift)
     iy = F.shiftright(
-        F.floor((F.col(y) + F.lit(90.0)) * F.lit(float(1 << _Z3_BITS) / 180.0))
-         .cast("long"), shift)
+        F.least(F.floor((cy + F.lit(90.0)) * F.lit(float(1 << _Z3_BITS) / 180.0))
+                 .cast("long"), top), shift)
     cell = F.lit(0).cast("long")
     for b in range(level):
         cell = (cell

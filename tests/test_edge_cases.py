@@ -256,3 +256,30 @@ def test_multimodal_decoder_seam(spark):
     # default pseudo-frame fake: one frame per second of duration
     dflt = sample_video_frames(df).collect()
     assert sum(1 for r in dflt if r.media_id == 1) == 2  # 2500ms // 1000
+
+
+def test_z3_cell_expr_domain_boundary(spark):
+    """lon=180 / lat=90 must land in the MAX cell (BitNormalizedDimension
+    clamps the domain maximum onto max_index), not wrap to cell 0 — the
+    JVM expression must match the numpy curve at the boundary."""
+    import numpy as np
+
+    from geomesa_spark.curves.sfc import Z3SFC
+    from geomesa_spark.operators.stats import run_stats
+
+    pts = [(180.0, 90.0, 1000), (-180.0, -90.0, 1000),
+           (180.0, -90.0, 50_000), (179.9999999, 89.9999999, 1000),
+           (0.0, 0.0, 604799)]
+    df = spark.createDataFrame(pts, "lon double, lat double, secs long")
+    hist = run_stats(df, "Z3Histogram(lon,lat,secs,5)")["z3histogram_lon_lat_secs"]
+
+    lon = np.array([p[0] for p in pts])
+    lat = np.array([p[1] for p in pts])
+    ms = np.array([p[2] for p in pts], dtype=np.int64) * 1000
+    sfc = Z3SFC("week")
+    bins, z = sfc.index_millis(lon, lat, ms)
+    cells = np.asarray(z) >> (3 * (21 - 5))
+    expected: dict = {}
+    for b, c in zip(bins, cells):
+        expected[(int(b), int(c))] = expected.get((int(b), int(c)), 0) + 1
+    assert hist == expected

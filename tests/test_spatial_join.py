@@ -257,3 +257,81 @@ def test_prepared_keeps_duplicate_geometry_rows(spark):
                    predicate="st_contains", broadcast_polys=True)
     got = {(r.pid, r.tag) for r in out.select("pid", "tag").collect()}
     assert got == {(1, "a"), (1, "b")}
+
+
+def _rect_wkb(x0, y0, x1, y1):
+    from geomesa_spark.geom.wkb import Polygon, wkb_write
+    import numpy as np
+
+    ring = np.array([[x0, y0], [x0, y1], [x1, y1], [x1, y0], [x0, y0]],
+                    dtype=np.float64)
+    return bytearray(wkb_write(Polygon(ring)))
+
+
+class TestDisjointJoin:
+    """st_disjoint is the complement join: pairs sharing no grid cell —
+    invisible to any cell prefilter — must still appear, and
+    duplicate-geometry right rows keep their attribute multiplicity."""
+
+    def test_complement_semantics_and_multiplicity(self, spark):
+        from geomesa_spark.operators.spatial_join import spatial_join
+
+        left = spark.createDataFrame(
+            [(1, _rect_wkb(0.0, 0.0, 2.0, 2.0)),       # overlaps right "a"/"b"
+             (2, _rect_wkb(100.0, 40.0, 102.0, 42.0))],  # far away: disjoint
+            "lid long, geom binary")
+        w = _rect_wkb(1.0, 1.0, 3.0, 3.0)
+        right = spark.createDataFrame(
+            [("a", w), ("b", w),                         # identical geometry
+             ("c", _rect_wkb(-50.0, -50.0, -49.0, -49.0))],
+            "tag string, rgeom binary")
+        out = spatial_join(left, right, "st_disjoint",
+                           left_geom="geom", right_geom="rgeom",
+                           broadcast_right=True)
+        got = {(r.lid, r.tag) for r in out.select("lid", "tag").collect()}
+        # left 1 intersects a/b, disjoint from c; left 2 disjoint from all
+        assert got == {(1, "c"), (2, "a"), (2, "b"), (2, "c")}
+        # duplicate-geometry rows a and b both present for left 2
+        assert out.count() == 4
+
+    def test_matches_brute_force(self, spark, pages_points, polys):
+        from pyspark.sql import functions as F
+
+        from geomesa_spark.operators.spatial_join import spatial_join
+
+        left = (polys.limit(40)
+                     .select(F.col("poly_id").alias("lid"), "geom"))
+        right = (polys.limit(60)
+                      .select(F.col("poly_id").alias("rid"),
+                              F.col("geom").alias("rgeom")))
+        out = spatial_join(left, right, "st_disjoint",
+                           left_geom="geom", right_geom="rgeom",
+                           broadcast_right=True)
+        got = {(r.lid, r.rid) for r in out.select("lid", "rid").collect()}
+        inter = spatial_join(left, right, "st_intersects",
+                             left_geom="geom", right_geom="rgeom",
+                             broadcast_right=True)
+        hit = {(r.lid, r.rid) for r in inter.select("lid", "rid").collect()}
+        alln = {(a.lid, b.rid) for a in left.collect() for b in right.collect()}
+        assert got == alln - hit
+
+
+def test_refine_handles_all_null_geometry_batch(spark):
+    """A candidate batch whose left geometries are ALL null (env sidecars
+    present, geometry column null) must yield zero matches, not an
+    IndexError from indexing an empty factorized array."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.spatial_join import spatial_join
+
+    left = spark.createDataFrame(
+        [(1, 0.0, 0.0, 2.0, 2.0), (2, 1.0, 1.0, 3.0, 3.0)],
+        "lid long, xmin double, ymin double, xmax double, ymax double"
+    ).withColumn("geom", F.lit(None).cast("binary"))
+    right = spark.createDataFrame([("a", _rect_wkb(0.5, 0.5, 2.5, 2.5))],
+                                  "tag string, rgeom binary")
+    out = spatial_join(left, right, "st_intersects",
+                       left_geom="geom", right_geom="rgeom",
+                       broadcast_right=True,
+                       left_env=("xmin", "ymin", "xmax", "ymax"))
+    assert out.count() == 0

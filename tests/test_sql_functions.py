@@ -328,3 +328,22 @@ class TestPolarLaeaTransform:
         """).collect()[0]
         assert abs(row.e - 3320416.75) < 0.01
         assert abs(row.lat_rt - 68.1) < 1e-8
+
+    def test_inverse_longitudes_stay_in_range(self):
+        """Inverse projections with a nonzero lon0 must wrap: EPSG:3413
+        (lon0=-45) previously returned lon -190 for true lon 170."""
+        import numpy as np
+
+        from geomesa_spark.geom import crs as C
+
+        kw = C.PS_CRS["3413"]
+        pts = np.column_stack([np.array([170.0, -170.0, 179.99, -179.99]),
+                               np.full(4, 75.0)])
+        back = C.ps_inverse(C.ps_forward(pts, **kw), **kw)
+        assert (back[:, 0] >= -180.0).all() and (back[:, 0] < 180.0).all()
+        dl = (back[:, 0] - pts[:, 0] + 180.0) % 360.0 - 180.0
+        assert np.abs(dl).max() < 1e-9
+        kw2 = C.LAEA_CRS["3035"]
+        pts2 = np.column_stack([np.array([-175.0, 175.0]), np.full(2, 55.0)])
+        back2 = C.laea_inverse(C.laea_forward(pts2, **kw2), **kw2)
+        assert (back2[:, 0] >= -180.0).all() and (back2[:, 0] < 180.0).all()
