@@ -753,6 +753,29 @@ def q_store_stbox(spark, sf_dir):
 _ROUTE = dict(mlon=4409, olon=17, mlat=15101, olat=3)
 
 
+_CQL_STORE = ("BBOX(geom, -100.0, -50.0, 40.0, 60.0) AND "
+              "c_mktsegment IN ('BUILDING', 'AUTOMOBILE')")
+
+
+def q_store_cql(spark, sf_dir):
+    """DataStore.getFeatureReader(query) analog, end to end: ECQL string
+    -> StrategyDecider (z2-index vs full-scan) -> prefix-pruned scan +
+    residual compiled filter (plans/store.plan_query). Oracle = the same
+    predicate as plain SQL; equality proves planning + pruning + residual
+    compilation lose and invent nothing."""
+    from geomesa_spark.functions import register_functions
+    from geomesa_spark.plans.store import query_store, write_indexed
+
+    register_functions(spark)
+    pts = _cust_points(spark, sf_dir).join(
+        _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        on="c_custkey")
+    path = _store_tmp(sf_dir, "cql")
+    write_indexed(pts, path)
+    out = query_store(spark, path, _CQL_STORE)
+    return out.select("c_custkey", "c_mktsegment")
+
+
 _XZ2_BOX = (-10.0, -20.0, 25.0, 15.0)
 
 
@@ -903,6 +926,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_stbox": q_store_stbox,
         "store_xz2": q_store_xz2,
         "store_s2": q_store_s2,
+        "store_cql": q_store_cql,
         "route_search": q_route_search,
         "transform_3857": q_transform_3857,
         "cosine_dedup": q_cosine_dedup,
@@ -1709,6 +1733,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE lon >= {_STBOX[0]} AND lon <= {_STBOX[2]}
               AND lat >= {_STBOX[1]} AND lat <= {_STBOX[3]}
               AND secs >= {_STBOX[4]} AND secs < {_STBOX[5]}
+        """,
+        "store_cql": f"""
+            WITH c AS ({_CUST_SQL})
+            SELECT c.c_custkey, cu.c_mktsegment
+            FROM c JOIN customer cu ON c.c_custkey = cu.c_custkey
+            WHERE lon >= -100.0 AND lon <= 40.0
+              AND lat >= -50.0 AND lat <= 60.0
+              AND cu.c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
         """,
         "store_xz2": f"""
             WITH r AS (SELECT c_custkey,
