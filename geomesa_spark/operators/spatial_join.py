@@ -202,14 +202,21 @@ def _explode_bbox_ij(df: DataFrame, x0, y0, x1, y1, level: int,
               .withColumn("__gj__", F.explode(F.sequence(F.col(f"__{tag}gj0__"), gj1))))
 
 
-def _cells_ij_of_geom(level: int = DEFAULT_LEVEL, expand_deg: float = 0.0):
+def _cells_ij_of_geom(level: int = DEFAULT_LEVEL, expand_deg: float = 0.0,
+                      expand_m: float | None = None):
     """pandas UDF: WKB geometry -> (gi, gj) covering grid-pair arrays
-    + the range minima, for geometry sides without envelope sidecars."""
+    + the range minima + the (expanded) envelope, for geometry sides
+    without envelope sidecars. ``expand_m`` expands per row with the
+    latitude-aware degree equivalent (sphere_expand_degrees)."""
     schema = StructType([
         StructField("gis", ArrayType(LongType())),
         StructField("gjs", ArrayType(LongType())),
         StructField("gi0", LongType()),
         StructField("gj0", LongType()),
+        StructField("bx0", DoubleType()),
+        StructField("by0", DoubleType()),
+        StructField("bx1", DoubleType()),
+        StructField("by1", DoubleType()),
     ])
     shift = 31 - level
 
@@ -228,10 +235,18 @@ def _cells_ij_of_geom(level: int = DEFAULT_LEVEL, expand_deg: float = 0.0):
                 continue
             e = wkb_read(bytes(v)).envelope()
             xmin[i], ymin[i], xmax[i], ymax[i] = e
-        ix0 = (_LON.normalize(np.clip(xmin - expand_deg, -180.0, 180.0)) >> shift).astype(np.int64)
-        ix1 = (_LON.normalize(np.clip(xmax + expand_deg, -180.0, 180.0)) >> shift).astype(np.int64)
-        iy0 = (_LAT.normalize(np.clip(ymin - expand_deg, -90.0, 90.0)) >> shift).astype(np.int64)
-        iy1 = (_LAT.normalize(np.clip(ymax + expand_deg, -90.0, 90.0)) >> shift).astype(np.int64)
+        if expand_m is not None:
+            ys_eff = np.maximum(np.abs(ymin), np.abs(ymax))
+            rlon, rlat = sphere_expand_degrees(ys_eff, expand_m)
+            xmin, xmax = xmin - rlon, xmax + rlon
+            ymin, ymax = ymin - rlat, ymax + rlat
+        elif expand_deg:
+            xmin, xmax = xmin - expand_deg, xmax + expand_deg
+            ymin, ymax = ymin - expand_deg, ymax + expand_deg
+        ix0 = (_LON.normalize(np.clip(xmin, -180.0, 180.0)) >> shift).astype(np.int64)
+        ix1 = (_LON.normalize(np.clip(xmax, -180.0, 180.0)) >> shift).astype(np.int64)
+        iy0 = (_LAT.normalize(np.clip(ymin, -90.0, 90.0)) >> shift).astype(np.int64)
+        iy1 = (_LAT.normalize(np.clip(ymax, -90.0, 90.0)) >> shift).astype(np.int64)
         gis, gjs = [], []
         for k in range(n):
             if null[k]:
@@ -243,7 +258,9 @@ def _cells_ij_of_geom(level: int = DEFAULT_LEVEL, expand_deg: float = 0.0):
             gis.append([int(v) for v in gx.ravel()])
             gjs.append([int(v) for v in gy.ravel()])
         return pd.DataFrame({"gis": gis, "gjs": gjs,
-                             "gi0": ix0.tolist(), "gj0": iy0.tolist()})
+                             "gi0": ix0.tolist(), "gj0": iy0.tolist(),
+                             "bx0": xmin, "by0": ymin,
+                             "bx1": xmax, "by1": ymax})
 
     return cover
 
@@ -872,12 +889,13 @@ def _ring_area2(rings: list[np.ndarray]) -> float:
 
 
 def _rect_refine_by_pid_udf(predicate: str, bmap):
-    """Refine for a DECLARED-rectangle left layer against broadcast right
-    geometries: Arrow ships only the left envelope doubles + the right
-    pid — no WKB crosses the boundary at all. Exact for
-    intersects/disjoint (vectorized box-vs-rings test) and
-    contains/covers (envelope containment; see _geom_refine_udf's
-    rect x poly notes)."""
+    """Refine for a DECLARED-rectangle left layer against right geometries:
+    Arrow ships only the left envelope doubles + the right pid (broadcast
+    path, ``bmap`` resolves pid -> WKB; no geometry bytes cross at all) or
+    + the right WKB itself (shuffle path, ``bmap=None``; parsed once per
+    distinct geometry per batch). Exact for intersects/disjoint
+    (vectorized box-vs-rings test) and contains/covers (envelope
+    containment; see _geom_refine_udf's rect x poly notes)."""
 
     @pandas_udf(BooleanType())
     def refine(x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series,
@@ -890,9 +908,10 @@ def _rect_refine_by_pid_udf(predicate: str, bmap):
         order = np.argsort(codes, kind="stable")
         starts = np.searchsorted(codes[order], np.arange(len(uniq)))
         ends = np.append(starts[1:], len(order))
-        pmap = bmap.value
+        pmap = bmap.value if bmap is not None else None
         for u, p in enumerate(uniq):
-            wkb = pmap.get(p)
+            wkb = pmap.get(p) if pmap is not None else (
+                None if p is None else bytes(p))
             if wkb is None:
                 continue
             g = wkb_read(wkb)
@@ -1105,9 +1124,13 @@ def spatial_join(
     never satisfy an intersection-requiring predicate). st_disjoint is
     the complement join — its answer is inherently ~|L| x |R| rows and no
     cell prefilter can enumerate it, so it runs as a cross join with an
-    envelope fast-accept in the refine. For st_dwithin pass ``meters``; the right covers are
-    expanded by the max-degree equivalent (FilterHelper/GeometryProcessing
-    buffer semantics), and report-once applies to the expanded covers.
+    envelope fast-accept in the refine. For st_dwithin pass ``meters``;
+    the right covers expand per row by the latitude-aware degree
+    equivalent (FilterHelper/GeometryProcessing buffer semantics via
+    sphere_expand_degrees), and report-once applies to the expanded
+    covers. Both sides carry envelope sidecars through the candidate
+    join, so a pure-JVM envelope-overlap reject runs ahead of the Python
+    refine on every path.
 
     ``left_env``/``right_env`` name (xmin, ymin, xmax, ymax) envelope
     sidecar columns: the cell cover then computes ENTIRELY inside
@@ -1124,22 +1147,36 @@ def spatial_join(
     refine then reads ONLY the envelope doubles — no WKB anywhere on the
     hot path.
     """
-    expand = 0.0
-    if meters is not None:
-        # conservative degree expansion at the worst-case latitude
-        expand = meters / 111_320.0 * 1.5
-
     report_once = predicate != "st_disjoint"
     if report_once:
-        def _ij_side(df, geom_col, env_cols, tag, exp):
+        def _ij_side(df, geom_col, env_cols, tag, expand_m):
+            """Explode one side to (gi, gj) rows; also emit that side's
+            (expanded) envelope as __{tag}x0__..__{tag}y1__ sidecars so the
+            candidate join can envelope-reject in pure JVM. ``expand_m``
+            (meters, dwithin) expands per ROW with the latitude-aware
+            degree equivalent (sphere_expand_degrees semantics) — a flat
+            worst-case factor would under-cover above ~48 deg latitude."""
             if env_cols is not None:
                 x0, y0, x1, y1 = (F.col(c) for c in env_cols)
-                return _explode_bbox_ij(df, x0 - exp, y0 - exp,
-                                        x1 + exp, y1 + exp, level, tag)
-            cov = _cells_ij_of_geom(level, expand_deg=exp)
+                if expand_m is not None:
+                    rlat = F.lit(expand_m / 110_540.0)
+                    phi = F.least(F.greatest(F.abs(y0), F.abs(y1)) + rlat,
+                                  F.lit(89.9))
+                    rlon = rlat / F.cos(F.radians(phi))
+                    x0, y0, x1, y1 = x0 - rlon, y0 - rlat, x1 + rlon, y1 + rlat
+                out = _explode_bbox_ij(df, x0, y0, x1, y1, level, tag)
+                return (out.withColumn(f"__{tag}x0__", x0)
+                           .withColumn(f"__{tag}y0__", y0)
+                           .withColumn(f"__{tag}x1__", x1)
+                           .withColumn(f"__{tag}y1__", y1))
+            cov = _cells_ij_of_geom(level, expand_m=expand_m)
             return (df.withColumn("__ce__", cov(F.col(geom_col)))
                       .withColumn(f"__{tag}gi0__", F.col("__ce__.gi0"))
                       .withColumn(f"__{tag}gj0__", F.col("__ce__.gj0"))
+                      .withColumn(f"__{tag}x0__", F.col("__ce__.bx0"))
+                      .withColumn(f"__{tag}y0__", F.col("__ce__.by0"))
+                      .withColumn(f"__{tag}x1__", F.col("__ce__.bx1"))
+                      .withColumn(f"__{tag}y1__", F.col("__ce__.by1"))
                       .withColumn("__zz__", F.explode(F.arrays_zip(
                           F.col("__ce__.gis").alias("gi"),
                           F.col("__ce__.gjs").alias("gj"))))
@@ -1174,9 +1211,7 @@ def spatial_join(
                 e = wkb_read(w).envelope()
                 gis, gjs = z2_decode(arr)
                 gi0, gj0 = int(gis.min()), int(gjs.min())
-                ex = tuple(float(v) for v in
-                           (e[0] - expand, e[1] - expand,
-                            e[2] + expand, e[3] + expand))
+                ex = tuple(float(v) for v in e)  # meters is None on this path
                 for gi, gj in zip(gis.tolist(), gjs.tolist()):
                     recs.append((pid, gi, gj, gi0, gj0, *ex))
             rcells = spark.createDataFrame(
@@ -1184,24 +1219,24 @@ def spatial_join(
                       "__rgi0__ long, __rgj0__ long, "
                       "__rx0__ double, __ry0__ double, "
                       "__rx1__ double, __ry1__ double")
-            l = _ij_side(left, left_geom, left_env, "l", 0.0)
+            l = _ij_side(left, left_geom, left_env, "l", None)
             cand = (l.join(F.broadcast(rcells), on=["__gi__", "__gj__"], how="inner")
                      .filter((F.col("__gi__") == F.greatest("__lgi0__", "__rgi0__"))
                              & (F.col("__gj__") == F.greatest("__lgj0__", "__rgj0__")))
                      .drop("__gi__", "__gj__", "__lgi0__", "__lgj0__",
                            "__rgi0__", "__rgj0__"))
-            if lenv_cols is not None and predicate in _ENV_REJECT_PREDS:
+            if predicate in _ENV_REJECT_PREDS:
                 # JVM envelope reject before any Python: cell-sharing pairs
                 # with disjoint envelopes can't satisfy the predicate, and
                 # killing them here (not in the refine) lets the join run a
                 # COARSER grid — fewer exploded probe rows — without paying
                 # for the extra false candidates in Arrow traffic
-                lx0, ly0, lx1, ly1 = lenv_cols
-                cand = cand.filter((lx0 <= F.col("__rx1__"))
-                                   & (F.col("__rx0__") <= lx1)
-                                   & (ly0 <= F.col("__ry1__"))
-                                   & (F.col("__ry0__") <= ly1))
-            cand = cand.drop("__rx0__", "__ry0__", "__rx1__", "__ry1__")
+                cand = cand.filter((F.col("__lx0__") <= F.col("__rx1__"))
+                                   & (F.col("__rx0__") <= F.col("__lx1__"))
+                                   & (F.col("__ly0__") <= F.col("__ry1__"))
+                                   & (F.col("__ry0__") <= F.col("__ly1__")))
+            cand = cand.drop("__rx0__", "__ry0__", "__rx1__", "__ry1__",
+                             "__lx0__", "__ly0__", "__lx1__", "__ly1__")
             if (left_rects and left_env is not None
                     and predicate in _RECT_FAST_PREDS):
                 refine = _rect_refine_by_pid_udf(predicate, bmap)
@@ -1211,8 +1246,8 @@ def spatial_join(
                 out = cand.filter(refine(F.col(left_geom), F.col("__rpid__")))
             return (out.join(F.broadcast(rows_back), on="__rpid__", how="inner")
                        .drop("__rpid__"))
-        l = _ij_side(left, left_geom, left_env, "l", 0.0)
-        r = _ij_side(right, right_geom, right_env, "r", expand)
+        l = _ij_side(left, left_geom, left_env, "l", None)
+        r = _ij_side(right, right_geom, right_env, "r", meters)
         rr = F.broadcast(r) if broadcast_right else r
         # report-once: the canonical cell's grid pair is (max of the two
         # range minima) by monotonicity — four integer comparisons, cheap
@@ -1222,6 +1257,22 @@ def spatial_join(
                          & (F.col("__gj__") == F.greatest("__lgj0__", "__rgj0__")))
                  .drop("__gi__", "__gj__", "__lgi0__", "__lgj0__",
                        "__rgi0__", "__rgj0__"))
+        if predicate in _ENV_REJECT_PREDS or meters is not None:
+            # JVM envelope reject (for dwithin the right envelope is
+            # already expanded, so the overlap test remains a necessary
+            # condition): the refine sees only plausibly-matching pairs
+            cand = cand.filter((F.col("__lx0__") <= F.col("__rx1__"))
+                               & (F.col("__rx0__") <= F.col("__lx1__"))
+                               & (F.col("__ly0__") <= F.col("__ry1__"))
+                               & (F.col("__ry0__") <= F.col("__ly1__")))
+        cand = cand.drop("__lx0__", "__ly0__", "__lx1__", "__ly1__",
+                         "__rx0__", "__ry0__", "__rx1__", "__ry1__")
+        if (left_rects and left_env is not None and meters is None
+                and predicate in _RECT_FAST_PREDS):
+            # declared-rect left: the refine reads the envelope doubles +
+            # the right WKB (parsed once per distinct geometry per batch)
+            refine = _rect_refine_by_pid_udf(predicate, None)
+            return cand.filter(refine(*lenv_cols, F.col(right_geom)))
     else:
         # st_disjoint selects every pair whose geometries share NO point —
         # the complement of an intersection join. Pairs in non-overlapping

@@ -206,9 +206,11 @@ def geoparse(pages: DataFrame, text_col: str = "text") -> DataFrame:
     return out.filter(F.col("lat").isNotNull() & F.col("lon").isNotNull())
 
 
-def generate_polys(spark, n: int, seed_salt: int = 77) -> DataFrame:
+def generate_polys(spark, n: int, seed_salt: int = 77,
+                   scale: float = 1.0) -> DataFrame:
     """Seeded rectangle polygons (reference SparkSQLTestUtils.generatePolys
-    shape: center uniform world, half-width U(0,1.5), half-height U(0,0.5))."""
+    shape: center uniform world, half-width U(0,1.5), half-height U(0,0.5));
+    ``scale`` shrinks the half-extent distribution for layer-join probes."""
 
     schema = StructType([
         StructField("poly_id", LongType()),
@@ -234,8 +236,8 @@ def generate_polys(spark, n: int, seed_salt: int = 77) -> DataFrame:
             y = np.where(urban,
                          URBAN_CENTERS[cidx, 1] + (_uniform(ids, 12) - 0.5) * 1.0,
                          _uniform(ids, 12) * 180.0 - 90.0)
-            w = _uniform(ids, 13) * 1.5
-            h = _uniform(ids, 14) * 0.5
+            w = _uniform(ids, 13) * 1.5 * scale
+            h = _uniform(ids, 14) * 0.5 * scale
             xmin, xmax = x - w, x + w
             ymin, ymax = y - h, y + h
             wkbs = []
@@ -251,12 +253,14 @@ def generate_polys(spark, n: int, seed_salt: int = 77) -> DataFrame:
 
 
 def generate_circle_polys(spark, n: int, n_vertices: int = 24,
-                          seed_salt: int = 78) -> DataFrame:
+                          seed_salt: int = 78, scale: float = 1.0) -> DataFrame:
     """Seeded convex n-gon polygons (circle approximations).
 
     Same center/size distribution as generate_polys but non-rectangular,
     so spatial joins exercise the exact PIP kernel on every candidate —
-    the compute-bound benchmark shape.
+    the compute-bound benchmark shape. ``scale`` shrinks/expands the
+    half-extent distribution (a 100k-polygon layer at scale 0.2 keeps
+    the join's expected matches-per-row realistic for region layers).
     """
     schema = StructType([
         StructField("poly_id", LongType()),
@@ -277,8 +281,8 @@ def generate_circle_polys(spark, n: int, n_vertices: int = 24,
             y = np.where(urban,
                          URBAN_CENTERS[cidx, 1] + (_uniform(ids, 12) - 0.5) * 1.0,
                          _uniform(ids, 12) * 180.0 - 90.0)
-            w = _uniform(ids, 13) * 1.5 + 0.05
-            h = _uniform(ids, 14) * 0.5 + 0.05
+            w = (_uniform(ids, 13) * 1.5 + 0.05) * scale
+            h = (_uniform(ids, 14) * 0.5 + 0.05) * scale
             wkbs = []
             for xi, yi, wi, hi in zip(x, y, w, h):
                 ring = np.empty((n_vertices + 1, 2))

@@ -335,3 +335,26 @@ def test_refine_handles_all_null_geometry_batch(spark):
                        broadcast_right=True,
                        left_env=("xmin", "ymin", "xmax", "ymax"))
     assert out.count() == 0
+
+
+def test_dwithin_geom_join_high_latitude_cover(spark):
+    """Latitude-aware dwithin cover: at 75N a 2 km radius spans ~0.070 deg
+    of longitude — 2.9x the flat meters/111320 equivalent. A pair
+    straddling a cell boundary there must still be found (the old flat
+    1.5x expansion under-covered above ~48 deg and silently dropped it)."""
+    from geomesa_spark.geom.wkb import Point, wkb_write
+    from geomesa_spark.operators.spatial_join import spatial_join
+
+    # default level 8: cell boundary at lon 0
+    left = spark.createDataFrame(
+        [(1, bytearray(wkb_write(Point(-0.03, 75.0))))], "lid long, geom binary")
+    right = spark.createDataFrame(
+        [(2, bytearray(wkb_write(Point(0.03, 75.0))))], "rid long, rgeom binary")
+    out = spatial_join(left, right, "st_dwithin", left_geom="geom",
+                       right_geom="rgeom", meters=2000.0)
+    assert [(r.lid, r.rid) for r in out.select("lid", "rid").collect()] == [(1, 2)]
+    # and a pair genuinely farther than the radius still refines away
+    far = spark.createDataFrame(
+        [(3, bytearray(wkb_write(Point(0.12, 75.0))))], "rid long, rgeom binary")
+    assert spatial_join(left, far, "st_dwithin", left_geom="geom",
+                        right_geom="rgeom", meters=2000.0).count() == 0
