@@ -863,6 +863,31 @@ def q_cosine_dedup(spark, sf_dir):
     return cosine_dedup_pairs(emb, tau=0.42, blocks=3)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Transitive closure of the jaccard duplicate pairs: per-doc
+    cluster assignment (cluster_id = min reachable doc id) + cluster
+    size — the keep-one-per-group stage of a dedup pipeline
+    (operators/dedup.dedup_clusters, min-label + pointer jumping)."""
+    from geomesa_spark.operators.dedup import dedup_clusters, ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+    cl = dedup_clusters(pairs)
+    w = Window.partitionBy("cluster_id")
+    return (cl.select(F.col("id").alias("doc_id"), "cluster_id")
+              .withColumn("cluster_size", F.count("*").over(w)))
+
+
+def q_rep_stats(spark, sf_dir):
+    """Gopher-style repetition signals per document
+    (operators/text.repetition_stats): word/2-gram duplication
+    fractions, all built-in expressions."""
+    from geomesa_spark.operators.text import repetition_stats
+
+    docs = _docs(spark, sf_dir)
+    return repetition_stats(docs, "doc_id", "text", gram_n=2)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -930,6 +955,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_search": q_route_search,
         "transform_3857": q_transform_3857,
         "cosine_dedup": q_cosine_dedup,
+        "dedup_clusters": q_dedup_clusters,
+        "rep_stats": q_rep_stats,
     }
 
 
@@ -1774,5 +1801,57 @@ def oracle_sql() -> dict[str, str]:
                          list_cosine_similarity(a.v, b.v) AS s
                   FROM e a, e b WHERE a.vec_id < b.vec_id)
             SELECT id_a, id_b FROM p WHERE s >= 0.42
+        """,
+        # transitive closure of the jaccard pairs via recursive CTE:
+        # min reachable doc id == the operator's converged min-label
+        "dedup_clusters": f"""
+            WITH RECURSIVE pairs AS ({_sql_ngram_jaccard(0.12)}),
+            edges AS (
+              SELECT id_a AS v, id_b AS u FROM pairs
+              UNION
+              SELECT id_b AS v, id_a AS u FROM pairs),
+            reach (v, l) AS (
+              SELECT v, v FROM edges
+              UNION
+              SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.v),
+            comp AS (SELECT v AS doc_id, MIN(l) AS cluster_id
+                     FROM reach GROUP BY v)
+            SELECT doc_id, cluster_id,
+                   COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+            FROM comp
+        """,
+        # token/2-gram frequency rollups; fractions are single divisions
+        # of exact integers -> bit-identical doubles in both engines
+        "rep_stats": r"""
+            WITH w AS (
+              SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+              FROM documents),
+            wc AS (SELECT doc_id, tok, count(*) AS c FROM w GROUP BY doc_id, tok),
+            wa AS (SELECT doc_id,
+                      CAST(sum(c) AS BIGINT) AS n_words,
+                      count(*) AS n_distinct_words,
+                      max(c) AS top_word_count,
+                      CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupw,
+                      max(c * length(tok)) AS topmass,
+                      CAST(sum(c * length(tok)) AS BIGINT) AS mass
+                   FROM wc GROUP BY doc_id),
+            g AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(0, greatest(len(words) - 2, 0) + 1),
+                            i -> array_to_string(words[i+1:i+2], ' '))) AS tok
+              FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS words
+                    FROM documents)),
+            gc AS (SELECT doc_id, tok, count(*) AS c FROM g GROUP BY doc_id, tok),
+            ga AS (SELECT doc_id,
+                      CAST(sum(c) AS BIGINT) AS n_grams,
+                      max(c) AS top_gram_count,
+                      CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dupg
+                   FROM gc GROUP BY doc_id)
+            SELECT wa.doc_id AS doc_id, n_words, n_distinct_words, top_word_count,
+                   CAST(dupw AS DOUBLE) / n_words AS dup_word_frac,
+                   CAST(topmass AS DOUBLE) / mass AS top_word_charmass_frac,
+                   n_grams, top_gram_count,
+                   CAST(dupg AS DOUBLE) / n_grams AS dup_gram_frac
+            FROM wa JOIN ga ON wa.doc_id = ga.doc_id
         """,
     }

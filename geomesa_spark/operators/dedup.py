@@ -30,7 +30,7 @@ from pyspark.sql.types import ArrayType, LongType
 __all__ = [
     "exact_dedup", "minhash_signature_udf", "minhash_dedup_pairs",
     "simhash_udf", "simhash_dedup_pairs", "ngram_jaccard_pairs",
-    "shingle_mults", "release",
+    "dedup_clusters", "shingle_mults", "release",
 ]
 
 
@@ -369,3 +369,60 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
                  .filter(F.col("jaccard") >= threshold)
                  .select("id_a", "id_b", "jaccard"))
     return _attach_cached(out, base)
+
+
+def dedup_clusters(pairs: DataFrame, left_col: str = "id_a",
+                   right_col: str = "id_b", max_iters: int = 25) -> DataFrame:
+    """Connected components over duplicate pairs: (id, cluster_id).
+
+    The last stage of a web-dedup pipeline: minhash/simhash/jaccard
+    emit PAIRS, but keep-one-per-group needs the transitive closure —
+    cluster_id = min doc id reachable through any chain of pairs.
+
+    Algorithm: min-label propagation with pointer jumping (the
+    two-phase trick of Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14). Each round (a) lowers every
+    node's label to the min over its neighbors' labels, then (b)
+    jumps labels through themselves (l <- label(l)), so label chains
+    halve every round and convergence is O(log diameter) — a path of
+    10^6 duplicate docs resolves in ~20 rounds, and the near-clique
+    clusters real dedup produces resolve in 2-3.
+
+    Scale shape: every shuffle carries only (id, label) longs keyed by
+    id; document text never enters. Convergence is detected by the sum
+    of labels (labels only decrease, so an unchanged decimal-128 sum
+    means a fixed point) — one scalar agg per round, no row-diff join.
+    Per-round frames persist and the previous round unpersists, so
+    lineage stays O(1) deep (no exponential replay).
+    """
+    edges = (pairs.select(F.col(left_col).cast("long").alias("v"),
+                          F.col(right_col).cast("long").alias("u"))
+                  .union(pairs.select(F.col(right_col).cast("long").alias("v"),
+                                      F.col(left_col).cast("long").alias("u")))
+                  .distinct()
+                  .persist())
+    lab = (edges.groupBy("v").agg(F.min("u").alias("__mn__"))
+                .select("v", F.least("v", "__mn__").alias("l"))
+                .persist())
+    prev_sum = None
+    for _ in range(max_iters):
+        # (a) neighbor-min: l(v) <- min(l(v), min_{u~v} l(u))
+        nl = (edges.join(lab.select(F.col("v").alias("u"),
+                                    F.col("l").alias("__ul__")), on="u")
+                   .groupBy("v").agg(F.min("__ul__").alias("__nl__")))
+        new = (lab.join(nl, on="v", how="left")
+                  .select("v", F.least("l", F.coalesce("__nl__", "l")).alias("l")))
+        # (b) pointer jump: l(v) <- min(l(v), l(l(v))) — labels are always
+        # node ids, so the self-join resolves every label
+        jump = new.select(F.col("v").alias("l"), F.col("l").alias("__jl__"))
+        new = (new.join(jump, on="l", how="left")
+                  .select("v", F.least("l", F.coalesce("__jl__", "l")).alias("l"))
+                  .persist())
+        s = new.agg(F.sum(F.col("l").cast("decimal(38,0)"))).first()[0]
+        lab.unpersist()
+        lab = new
+        if s is None or (prev_sum is not None and s == prev_sum):
+            break
+        prev_sum = s
+    out = lab.select(F.col("v").alias("id"), F.col("l").alias("cluster_id"))
+    return _attach_cached(out, edges, lab)

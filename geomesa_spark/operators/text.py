@@ -15,7 +15,7 @@ from pyspark.sql.types import LongType, StringType
 
 __all__ = [
     "token_count", "approx_bpe_tokens", "text_stats", "quality_score",
-    "langid_udf", "fingerprint_udf",
+    "repetition_stats", "langid_udf", "fingerprint_udf",
 ]
 
 
@@ -178,3 +178,58 @@ def fingerprint_udf(window: int = 0, mod: int = (1 << 61) - 1, base: int = 257):
         return out
 
     return fp
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str,
+                     gram_n: int = 2) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, table A1 —
+    public): per-doc word and word-n-gram duplication fractions, the
+    filters that kill boilerplate/listicle pages in web-corpus curation.
+
+    Distributed shape: explode to (doc, token) and aggregate twice —
+    Catalyst's map-side partial agg collapses token counts before the
+    shuffle, so the shuffle carries one row per (doc, DISTINCT token);
+    the doc rollup then shuffles one row per doc. All built-in
+    expressions, no Python. Fractions are single divisions of exact
+    integers, so doubles are engine-exact.
+
+    Returns per doc: n_words, n_distinct_words, top_word_count,
+    dup_word_frac (fraction of word occurrences whose word occurs >1x),
+    top_word_charmass_frac (max over words of count*len(word) /
+    total word chars — the deterministic tie-break of Gopher's
+    "fraction of chars in the most frequent word"), n_grams,
+    top_gram_count, dup_gram_frac.
+    """
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - gram_n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, gram_n)))
+    base = df.select(F.col(id_col).alias("__id__"),
+                     words.alias("__w__"), grams.alias("__g__"))
+
+    def _tok_agg(col, prefix):
+        cnt = (base.select("__id__", F.explode(col).alias("__t__"))
+                   .groupBy("__id__", "__t__").agg(F.count("*").alias("__c__")))
+        dup = F.sum(F.when(F.col("__c__") > 1, F.col("__c__"))
+                     .otherwise(F.lit(0))).alias(f"__dup_{prefix}__")
+        aggs = [F.sum("__c__").alias(f"n_{prefix}s"),
+                F.max("__c__").alias(f"top_{prefix}_count"), dup]
+        if prefix == "word":
+            aggs += [F.count("*").alias("n_distinct_words"),
+                     F.max(F.col("__c__") * F.length("__t__")).alias("__topmass__"),
+                     F.sum(F.col("__c__") * F.length("__t__")).alias("__mass__")]
+        return cnt.groupBy("__id__").agg(*aggs)
+
+    wa = _tok_agg(F.col("__w__"), "word")
+    ga = _tok_agg(F.col("__g__"), "gram")
+    return (wa.join(ga, on="__id__")
+              .select(F.col("__id__").alias(id_col),
+                      "n_words", "n_distinct_words", "top_word_count",
+                      (F.col("__dup_word__").cast("double")
+                       / F.col("n_words")).alias("dup_word_frac"),
+                      (F.col("__topmass__").cast("double")
+                       / F.col("__mass__")).alias("top_word_charmass_frac"),
+                      "n_grams", "top_gram_count",
+                      (F.col("__dup_gram__").cast("double")
+                       / F.col("n_grams")).alias("dup_gram_frac")))
