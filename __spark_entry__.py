@@ -878,6 +878,33 @@ def q_dedup_clusters(spark, sf_dir):
               .withColumn("cluster_size", F.count("*").over(w)))
 
 
+def q_asof_enrich(spark, sf_dir):
+    """Backward as-of join (operators/temporal.asof_join): each purchase
+    event picks up the user's latest view event at-or-before it — the
+    union + ordered-window MERGE shape (one shuffle, no range
+    explosion). Tie-break on view_id keeps the match deterministic."""
+    from geomesa_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                   .select("event_id", "user_id", "ts"))
+    views = (ev.filter(F.col("event_type") == "view")
+               .select("user_id", "ts", F.col("event_id").alias("view_id"),
+                       F.col("value").alias("view_value")))
+    return asof_join(purchases, views, on="user_id",
+                     right_order="view_id", how="inner")
+
+
+def q_sessions(spark, sf_dir):
+    """Gap-based sessionization rollup (operators/temporal.session_stats):
+    4-hour inactivity gap, per-user session index + event count + span."""
+    from geomesa_spark.operators.temporal import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, "user_id", "ts", gap_minutes=240.0,
+                         order_col="event_id")
+
+
 def q_rep_stats(spark, sf_dir):
     """Gopher-style repetition signals per document
     (operators/text.repetition_stats): word/2-gram duplication
@@ -957,6 +984,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dedup": q_cosine_dedup,
         "dedup_clusters": q_dedup_clusters,
         "rep_stats": q_rep_stats,
+        "asof_enrich": q_asof_enrich,
+        "sessions": q_sessions,
     }
 
 
@@ -1853,5 +1882,40 @@ def oracle_sql() -> dict[str, str]:
                    n_grams, top_gram_count,
                    CAST(dupg AS DOUBLE) / n_grams AS dup_gram_frac
             FROM wa JOIN ga ON wa.doc_id = ga.doc_id
+        """,
+        # as-of: greatest (view ts, view id) at-or-before each purchase —
+        # row_number spells the tiebreak DuckDB's native ASOF JOIN leaves
+        # unspecified, mirroring the operator's (ts, side, order) sort
+        "asof_enrich": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            r AS (SELECT user_id, ts AS rts, event_id AS view_id,
+                         value AS view_value
+                  FROM events WHERE event_type = 'view')
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.rts AS matched_ts, r.view_id, r.view_value
+            FROM l JOIN r ON l.user_id = r.user_id AND r.rts <= l.ts
+            QUALIFY row_number() OVER (PARTITION BY l.event_id
+                     ORDER BY r.rts DESC, r.view_id DESC) = 1
+        """,
+        # gaps-and-islands in integer microseconds (engine-exact)
+        "sessions": """
+            WITH s AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                  > 14400000000
+                          THEN 1 ELSE 0 END AS ns
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            i AS (
+              SELECT user_id, ts,
+                     CAST(sum(ns) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx
+              FROM s)
+            SELECT user_id, session_idx, count(*) AS n_events,
+                   min(ts) AS t_start, max(ts) AS t_end
+            FROM i GROUP BY user_id, session_idx
         """,
     }

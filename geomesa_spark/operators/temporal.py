@@ -1,0 +1,126 @@
+"""Temporal pipeline operators: as-of join and sessionization.
+
+Event/telemetry window operators a web-scale training-data pipeline
+needs next to the geospatial track ops (operators/route.py covers the
+reference's TrackLabel/RouteSearch analogs; these two are the standard
+temporal joins the reference delegates to engine SQL).
+
+Scale notes (100 TB event logs):
+- asof_join is the union+ordered-window MERGE formulation: both inputs
+  shuffle ONCE on the join key, sort within partitions, and a running
+  last_value carries the most recent right-side state forward. No
+  range-explosion join, no per-key driver loop, no broadcast
+  requirement — the same plan shape Spark uses for
+  sessionization/window aggs, so it scales with the shuffle, and AQE
+  handles skewed keys like any other window.
+- sessionize is the gaps-and-islands formulation: one shuffle on the
+  key, one sort, a lag + running sum. Session ids are deterministic
+  (ordered by (ts, id)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+__all__ = ["asof_join", "sessionize", "session_stats"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_order: str | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row, attach the LATEST right row with
+    ``right_ts <= left_ts`` for the same ``on`` key (backward as-of
+    join, inclusive — the enrichment join of feature pipelines:
+    "state as of the time of the event").
+
+    Ties on ``right_ts`` break by ``right_order`` descending (required
+    when right timestamps can repeat, so the match is deterministic —
+    the same tiebreak an ASOF engine needs; DuckDB's native ASOF JOIN
+    leaves it unspecified, which is why the oracle spells the
+    row_number formulation).
+
+    Implementation: union both sides with a side tag, window over the
+    key ordered by (ts, side, right_order); the right payload rides in
+    ONE struct column so last_value(ignorenulls) always reads every
+    field from the SAME matched row (per-column last_value could mix
+    rows if the right data itself held nulls). Right rows order before
+    left rows at equal ts, making the join inclusive.
+
+    Right payload columns (all but key/ts/order) join back with their
+    names intact; the right timestamp arrives as ``matched_<right_ts>``.
+    """
+    rpay_cols = [c for c in right.columns if c != on]
+    clash = set(left.columns) & {("matched_" + c if c == right_ts else c)
+                                 for c in rpay_cols}
+    if clash:
+        raise ValueError(f"rename right columns colliding with left: {sorted(clash)}")
+    rstruct = F.struct(*[F.col(c) for c in rpay_cols])
+    r = right.select(
+        F.col(on).alias("__k__"), F.col(right_ts).alias("__t__"),
+        F.lit(0).alias("__side__"),
+        (F.col(right_order) if right_order else F.lit(0)).alias("__ord__"),
+        rstruct.alias("__rpay__"))
+    l = left.select(
+        F.col(on).alias("__k__"), F.col(left_ts).alias("__t__"),
+        F.lit(1).alias("__side__"), F.lit(0).alias("__ord__"),
+        F.lit(None).cast(r.schema["__rpay__"].dataType).alias("__rpay__"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lpay__"))
+    r = r.withColumn("__lpay__", F.lit(None).cast(l.schema["__lpay__"].dataType))
+
+    w = (Window.partitionBy("__k__")
+               .orderBy("__t__", "__side__", "__ord__")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    merged = (r.unionByName(l)
+               .withColumn("__m__", F.last("__rpay__", ignorenulls=True).over(w))
+               .filter(F.col("__side__") == 1))
+    out = merged.select(
+        *[F.col(f"__lpay__.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__m__.{c}").alias(
+            f"matched_{right_ts}" if c == right_ts else c) for c in rpay_cols])
+    if how == "inner":
+        out = out.filter(F.col(f"matched_{right_ts}").isNotNull())
+    elif how != "left":
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    return out
+
+
+def sessionize(df: DataFrame, key_col: str, ts_col: str,
+               gap_minutes: float = 30.0,
+               order_col: str | None = None) -> DataFrame:
+    """Assign gap-based session indexes: a new session starts when the
+    time since the key's previous event exceeds ``gap_minutes``.
+
+    Gaps-and-islands: lag + running sum over one keyed window. The gap
+    compares integer MICROSECONDS (timestamp_diff, which accepts both
+    TIMESTAMP and TIMESTAMP_NTZ), so engines agree exactly. Adds
+    ``session_idx`` (0-based per key, deterministic: ordered by
+    (ts, order_col)).
+    """
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    gap = F.timestamp_diff("MICROSECOND", prev, F.col(ts_col))
+    new_sess = F.when(prev.isNull() | (gap > gap_us), 1).otherwise(0)
+    return df.withColumn(
+        "session_idx",
+        (F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1
+         ).cast("long"))
+
+
+def session_stats(df: DataFrame, key_col: str, ts_col: str,
+                  gap_minutes: float = 30.0,
+                  order_col: str | None = None) -> DataFrame:
+    """Per-session rollup: (key, session_idx, n_events, t_start, t_end)."""
+    s = sessionize(df, key_col, ts_col, gap_minutes, order_col)
+    return (s.groupBy(key_col, "session_idx")
+             .agg(F.count("*").alias("n_events"),
+                  F.min(ts_col).alias("t_start"),
+                  F.max(ts_col).alias("t_end")))

@@ -1,0 +1,72 @@
+"""asof_join + sessionize unit tests."""
+
+import datetime as dt
+
+import pytest
+
+
+def _ts(m, s=0, us=0):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m, seconds=s,
+                                                  microseconds=us)
+
+
+def test_asof_join_backward_inclusive_and_ties(spark):
+    from geomesa_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, _ts(10)),   # matches state at exactly ts=10 (inclusive)
+         (2, 100, _ts(25)),   # matches latest earlier state (ts=20)
+         (3, 100, _ts(5)),    # before any state -> dropped (inner)
+         (4, 200, _ts(30))],  # other key
+        "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, _ts(10), 7, 1.0),
+         (100, _ts(10), 8, 2.0),   # same ts: max view_id wins
+         (100, _ts(20), 9, 3.0),
+         (200, _ts(1), 11, 4.0)],
+        "user_id long, ts timestamp, view_id long, view_value double")
+    out = {r.event_id: (r.view_id, r.matched_ts)
+           for r in asof_join(left, right, on="user_id",
+                              right_order="view_id").collect()}
+    assert out == {1: (8, _ts(10)), 2: (9, _ts(20)), 4: (11, _ts(1))}
+
+
+def test_asof_join_left_keeps_unmatched(spark):
+    from geomesa_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(3, 100, _ts(5))],
+                                 "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame([(100, _ts(10), 7, 1.0)],
+                                  "user_id long, ts timestamp, view_id long, view_value double")
+    rows = asof_join(left, right, on="user_id", right_order="view_id",
+                     how="left").collect()
+    assert len(rows) == 1 and rows[0].view_id is None
+
+
+def test_asof_join_rejects_column_clash(spark):
+    from geomesa_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100, _ts(1))],
+                                 "event_id long, user_id long, ts timestamp")
+    with pytest.raises(ValueError, match="event_id"):
+        asof_join(left, left, on="user_id")
+
+
+def test_sessionize_gap_boundary(spark):
+    from geomesa_spark.operators.temporal import session_stats, sessionize
+
+    # gap=30min: 30:00.000000 exactly is NOT a new session (strict >)
+    df = spark.createDataFrame(
+        [(1, 5, _ts(0)), (2, 5, _ts(30)), (3, 5, _ts(59)),
+         (4, 5, _ts(29 + 60, 0, 1)),       # 30min + 1us after event 3 -> new
+         (5, 9, _ts(0))],
+        "event_id long, user_id long, ts timestamp")
+    s = {r.event_id: r.session_idx
+         for r in sessionize(df, "user_id", "ts", 30.0, "event_id").collect()}
+    assert s == {1: 0, 2: 0, 3: 0, 4: 1, 5: 0}
+
+    stats = {(r.user_id, r.session_idx): (r.n_events, r.t_start, r.t_end)
+             for r in session_stats(df, "user_id", "ts", 30.0, "event_id").collect()}
+    assert stats[(5, 0)] == (3, _ts(0), _ts(59))
+    assert stats[(5, 1)][0] == 1
+    assert stats[(9, 0)] == (1, _ts(0), _ts(0))
