@@ -158,6 +158,18 @@ def sphere_expand_degrees(ys, radius_m):
     return rlon, rlat
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's estimated size of the optimized plan — the statistic
+    Spark's own broadcast-join decision reads (SparkStrategies /
+    JoinSelection canBroadcastBySize). Errs huge on failure so callers
+    fall back to the shuffle path."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan()
+                   .stats().sizeInBytes())
+    except Exception:
+        return 1 << 62
+
+
 def _grid_i(x, level: int):
     """JVM Column: lon -> level-truncated grid i (bit-identical to
     _LON.normalize >> (31-level); same literal structure as
@@ -1108,10 +1120,11 @@ def spatial_join(
     right_id: str | None = None,
     level: int = DEFAULT_LEVEL,
     meters: float | None = None,
-    broadcast_right: bool = False,
+    broadcast_right: bool | str = "auto",
     left_env: tuple[str, str, str, str] | None = None,
     right_env: tuple[str, str, str, str] | None = None,
     left_rects: bool = False,
+    auto_broadcast_bytes: int = 32 << 20,
 ) -> DataFrame:
     """General geometry x geometry join via bbox cell covers + exact refine.
 
@@ -1138,6 +1151,13 @@ def spatial_join(
     the shape the xz2/xz3 stores feed (they persist envelope sidecars at
     ingest exactly for this).
 
+    ``broadcast_right="auto"`` (default) resolves by Catalyst's
+    estimated size of the right plan against ``auto_broadcast_bytes``
+    (32 MB — same role as spark.sql.autoBroadcastJoinThreshold, sized
+    for WKB rows): a small right side takes the pid-keyed
+    broadcast/LocalTableScan path, a large one the shuffle grid join.
+    Pass True/False to force.
+
     Broadcast joins key the right side by geometry hash and resolve WKB
     through a Spark broadcast inside the refine workers, so Arrow ships
     8-byte pids instead of geometry blobs per candidate (the
@@ -1147,6 +1167,13 @@ def spatial_join(
     refine then reads ONLY the envelope doubles — no WKB anywhere on the
     hot path.
     """
+    if broadcast_right == "auto":
+        # the same statistic Spark's own broadcast-join planning reads:
+        # Catalyst's estimated size of the optimized right plan. Below the
+        # threshold the right side is small enough to collect/broadcast
+        # (the pid-keyed LocalTableScan path — the fast plan whenever it
+        # fits); above it, the shuffle grid join.
+        broadcast_right = _plan_size_bytes(right) <= auto_broadcast_bytes
     report_once = predicate != "st_disjoint"
     if report_once:
         def _ij_side(df, geom_col, env_cols, tag, expand_m):

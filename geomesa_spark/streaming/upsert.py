@@ -33,7 +33,8 @@ from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType, TimestampType,
 )
 
-__all__ = ["upsert_cache", "windowed_density", "ttl_by_cql_expr"]
+__all__ = ["upsert_cache", "windowed_density", "streaming_sessions",
+           "ttl_by_cql_expr"]
 
 _STATE_SCHEMA = "ts LONG, lon DOUBLE, lat DOUBLE, ttl LONG"
 _OUT_SCHEMA = StructType([
@@ -161,3 +162,23 @@ def windowed_density(points: DataFrame, window: str = "1 minute",
             .groupBy(F.window(F.col(ts_col), window).alias("win"),
                      i.alias("i"), j.alias("j"))
             .agg(F.count("*").alias("weight")))
+
+
+def streaming_sessions(events: DataFrame, key_col: str = "user_id",
+                       ts_col: str = "event_time",
+                       gap: str = "30 minutes",
+                       watermark: str = "10 minutes") -> DataFrame:
+    """Streaming gap-based sessionization: Spark's native session_window
+    (dynamic-gap event-time windows that merge as events arrive) + a
+    watermark to bound state — the streaming twin of
+    operators/temporal.sessionize. Emits one row per closed session:
+    (key, session start/end, n_events). State per key is one open
+    window; late rows beyond the watermark drop, exactly the policy a
+    100 TB clickstream needs to keep state finite.
+    """
+    return (events.withWatermark(ts_col, watermark)
+            .groupBy(F.col(key_col),
+                     F.session_window(F.col(ts_col), gap).alias("session"))
+            .agg(F.count("*").alias("n_events"))
+            .select(key_col, F.col("session.start").alias("t_start"),
+                    F.col("session.end").alias("t_end"), "n_events"))

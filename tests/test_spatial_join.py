@@ -358,3 +358,44 @@ def test_dwithin_geom_join_high_latitude_cover(spark):
         [(3, bytearray(wkb_write(Point(0.12, 75.0))))], "rid long, rgeom binary")
     assert spatial_join(left, far, "st_dwithin", left_geom="geom",
                         right_geom="rgeom", meters=2000.0).count() == 0
+
+
+def test_auto_broadcast_picks_path_by_plan_size(spark, tmp_path):
+    """broadcast_right='auto' reads Catalyst's size estimate: a tiny
+    parquet-backed right layer takes the pid-keyed broadcast path
+    (driver-built LocalTableScan cell table, no shuffle of the right
+    side); an ExistingRDD right (no stats -> Long.Max estimate, same as
+    Spark's own JoinSelection) stays on the shuffle grid join. Row sets
+    match either way."""
+    from geomesa_spark.geom.wkb import Point, Polygon, wkb_write
+    from geomesa_spark.operators.spatial_join import spatial_join
+    import numpy as np
+
+    ring = np.array([(0.0, 0.0), (3.0, 0.0), (3.0, 3.0), (0.0, 3.0),
+                     (0.0, 0.0)])
+    rmem = spark.createDataFrame(
+        [(1, bytearray(wkb_write(Polygon([ring]))))], "rid long, rgeom binary")
+    rmem.write.parquet(str(tmp_path / "right"))
+    right = spark.read.parquet(str(tmp_path / "right"))
+    left = spark.createDataFrame(
+        [(10, bytearray(wkb_write(Point(1.0, 1.0)))),
+         (11, bytearray(wkb_write(Point(9.0, 9.0)))) ],
+        "lid long, geom binary")
+
+    auto = spatial_join(left, right, "st_intersects",
+                        left_geom="geom", right_geom="rgeom")
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "__rpid__" in plan  # pid-keyed broadcast path chosen
+    rows_auto = sorted((r.lid, r.rid) for r in auto.select("lid", "rid").collect())
+
+    no_stats = spatial_join(left, rmem, "st_intersects",
+                            left_geom="geom", right_geom="rgeom")
+    plan2 = no_stats._jdf.queryExecution().executedPlan().toString()
+    assert "__rpid__" not in plan2  # unknown size -> shuffle grid join
+    rows_ns = sorted((r.lid, r.rid) for r in no_stats.select("lid", "rid").collect())
+
+    forced = spatial_join(left, right, "st_intersects", left_geom="geom",
+                          right_geom="rgeom", broadcast_right=False)
+    rows_forced = sorted((r.lid, r.rid)
+                         for r in forced.select("lid", "rid").collect())
+    assert rows_auto == rows_ns == rows_forced == [(10, 1)]

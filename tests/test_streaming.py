@@ -230,3 +230,35 @@ def test_upsert_cache_socket_source_equivalence(spark, tmp_path):
     for (fid, ts), op in sorted(rows.items(), key=lambda kv: kv[0][1]):
         last[fid] = (ts, op)
     assert last == {"a": (300, "upsert"), "b": (150, "delete")}
+
+
+def test_streaming_sessions(spark, tmp_path):
+    from geomesa_spark.streaming.upsert import streaming_sessions
+
+    src = str(tmp_path / "src_sess")
+    os.makedirs(src)
+    _write_batch(src, [
+        # user u1: two events 10 s apart (one session), one 10 min later
+        {"feature_id": "u1", "ts": "2024-01-01T00:00:00", "lon": 0.0, "lat": 0.0},
+        {"feature_id": "u1", "ts": "2024-01-01T00:00:10", "lon": 0.0, "lat": 0.0},
+        {"feature_id": "u1", "ts": "2024-01-01T00:10:00", "lon": 0.0, "lat": 0.0},
+        {"feature_id": "u2", "ts": "2024-01-01T00:00:30", "lon": 0.0, "lat": 0.0},
+    ], "b0")
+    schema = StructType([
+        StructField("feature_id", StringType()),
+        StructField("ts", StringType()),
+        StructField("lon", DoubleType()),
+        StructField("lat", DoubleType()),
+    ])
+    stream = (spark.readStream.schema(schema).json(src)
+                   .withColumn("event_time", F.to_timestamp("ts")))
+    sess = streaming_sessions(stream, key_col="feature_id", gap="1 minute")
+    q = (sess.writeStream.format("memory").queryName("sess")
+             .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(40)
+    q.stop()
+    got = {(r["feature_id"], str(r["t_start"])): r["n_events"]
+           for r in spark.sql("select * from sess").collect()}
+    assert got[("u1", "2024-01-01 00:00:00")] == 2   # merged 0s+10s
+    assert got[("u1", "2024-01-01 00:10:00")] == 1   # > 1 min gap -> new
+    assert got[("u2", "2024-01-01 00:00:30")] == 1
