@@ -142,6 +142,23 @@ def q_rect_intersects(spark, sf_dir):
     return out.select("n_nationkey", "r_regionkey")
 
 
+def q_disjoint_join(spark, sf_dir):
+    """st_disjoint complement join (operators/spatial_join.py st_disjoint
+    branch: cross join + envelope fast-accept + exact refine — the
+    inherently ~|L|x|R| complement of an intersection join, which no
+    cell prefilter can enumerate): nation x region rects sharing NO
+    point. Mirrors SparkSQLSpatialRelationshipsTest.scala st_disjoint
+    truth-table semantics."""
+    from geomesa_spark.operators.spatial_join import spatial_join
+
+    l = _nation_rects(spark, sf_dir).select("n_nationkey", "geom")
+    r = (_region_rects(spark, sf_dir).select("r_regionkey", "geom")
+         .withColumnRenamed("geom", "rgeom"))
+    out = spatial_join(l, r, "st_disjoint", left_geom="geom",
+                       right_geom="rgeom")
+    return out.select("n_nationkey", "r_regionkey")
+
+
 def q_dwithin_deg(spark, sf_dir):
     from geomesa_spark.operators.spatial_join import dwithin_join_points
 
@@ -986,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_stats": q_rep_stats,
         "asof_enrich": q_asof_enrich,
         "sessions": q_sessions,
+        "disjoint_join": q_disjoint_join,
     }
 
 
@@ -1917,5 +1935,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_idx, count(*) AS n_events,
                    min(ts) AS t_start, max(ts) AS t_end
             FROM i GROUP BY user_id, session_idx
+        """,
+        # complement of rect_intersects: axis-rect layers are disjoint
+        # exactly when their envelopes do not overlap
+        "disjoint_join": f"""
+            WITH a AS ({_NATION_SQL}), b AS ({_REGION_SQL})
+            SELECT a.n_nationkey, b.r_regionkey FROM a, b
+            WHERE NOT (a.xmin <= b.xmax AND b.xmin <= a.xmax
+                       AND a.ymin <= b.ymax AND b.ymin <= a.ymax)
         """,
     }

@@ -510,7 +510,14 @@ def _intersection(a, b):
         if len(pa) == 1 and len(pb) == 1 and not pa[0].holes and not pb[0].holes:
             out = _sutherland_hodgman(pa[0].shell, pb[0].shell)
             if out is None:
-                raise NotImplementedError("polygon intersection requires a convex clip polygon")
+                # non-convex clip: general simple-polygon overlay
+                from ..geom.overlay import poly_poly_intersection
+                rings = poly_poly_intersection(pa[0], pb[0])
+                if not rings:
+                    return GeometryCollection([])
+                if len(rings) == 1:
+                    return Polygon(rings[0])
+                return MultiPolygon([Polygon(r) for r in rings])
             if len(out) < 3:
                 return GeometryCollection([])
             ring = np.vstack([out, out[:1]])
