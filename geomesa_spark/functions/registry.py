@@ -649,6 +649,17 @@ def _difference(a, b):
         if len(pieces) == 1:
             return LineString(pieces[0])
         return MultiLineString([LineString(p) for p in pieces])
+    if da == 2 and db == 2:
+        pa = K._polys_of(a)
+        pb = K._polys_of(b)
+        if len(pa) == 1 and len(pb) == 1 and not pa[0].holes and not pb[0].holes:
+            from ..geom.overlay import poly_poly_difference
+            polys = poly_poly_difference(pa[0], pb[0])
+            if not polys:
+                return GeometryCollection([])
+            if len(polys) == 1:
+                return polys[0]
+            return MultiPolygon(polys)
     raise NotImplementedError(f"st_difference unsupported for dims {da},{db}")
 
 

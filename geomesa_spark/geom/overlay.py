@@ -33,7 +33,7 @@ from . import kernels as K
 from .measures import ring_area
 from .wkb import Polygon
 
-__all__ = ["poly_poly_intersection"]
+__all__ = ["poly_poly_intersection", "poly_poly_difference"]
 
 
 def _ccw_shell(poly: Polygon) -> np.ndarray:
@@ -64,8 +64,9 @@ def _segment_cuts(ra: np.ndarray, rb: np.ndarray):
 
 
 def _inside_pieces(ring: np.ndarray, cuts: dict[int, list],
-                   other: Polygon) -> list[list[tuple]]:
-    """Maximal runs of ``ring``'s boundary strictly inside ``other``.
+                   other: Polygon, keep_inside: bool = True) -> list[list[tuple]]:
+    """Maximal runs of ``ring``'s boundary strictly inside (or, with
+    ``keep_inside=False``, strictly outside) ``other``.
 
     Each piece is a list of (x, y) tuples; endpoints are original ring
     vertices or stored cut coordinates (exact shared objects).
@@ -90,8 +91,9 @@ def _inside_pieces(ring: np.ndarray, cuts: dict[int, list],
             loc = K._locate_point_in_polys(mx, my, [other])
             if loc == 0:
                 raise NotImplementedError(
-                    "st_intersection: boundary-tangent subsegment")
-            sub.append((p0, p1) if loc > 0 else None)
+                    "overlay: boundary-tangent subsegment")
+            keep = (loc > 0) if keep_inside else (loc < 0)
+            sub.append((p0, p1) if keep else None)
     # merge consecutive kept subsegments into maximal pieces
     pieces: list[list[tuple]] = []
     for seg in sub:
@@ -130,6 +132,19 @@ def poly_poly_intersection(pa: Polygon, pb: Polygon) -> list[np.ndarray]:
     pieces = _inside_pieces(ra, cuts_a, qb) + _inside_pieces(rb, cuts_b, qa)
     if not pieces:
         return []  # touch-only contact: no interior overlap
+    rings = []
+    for ring in _stitch(pieces):
+        a = ring_area(ring)
+        if a < 0:
+            raise NotImplementedError(
+                "st_intersection: inconsistent overlay orientation")
+        if a > 0:
+            rings.append(ring)
+    return rings
+
+
+def _stitch(pieces: list[list[tuple]]) -> list[np.ndarray]:
+    """Walk boundary pieces endpoint-to-endpoint into closed rings."""
     starts: dict[tuple, list[int]] = {}
     for idx, p in enumerate(pieces):
         starts.setdefault(p[0], []).append(idx)
@@ -144,14 +159,57 @@ def poly_poly_intersection(pa: Polygon, pb: Polygon) -> list[np.ndarray]:
             nxt = [k for k in starts.get(coords[-1], ()) if not used[k]]
             if len(nxt) != 1:
                 raise NotImplementedError(
-                    "st_intersection: non-transversal tangency in overlay")
+                    "overlay: non-transversal tangency")
             used[nxt[0]] = True
             coords.extend(pieces[nxt[0]][1:])
-        ring = np.asarray(coords, dtype=np.float64)
-        a = ring_area(ring)
-        if a < 0:
-            raise NotImplementedError(
-                "st_intersection: inconsistent overlay orientation")
-        if a > 0:
-            rings.append(ring)
+        rings.append(np.asarray(coords, dtype=np.float64))
     return rings
+
+
+def poly_poly_difference(pa: Polygon, pb: Polygon) -> list[Polygon]:
+    """Difference A \\ B of two simple polygons (no holes in inputs).
+
+    Boundary of A \\ B = (∂A strictly outside B, forward) ∪ (∂B strictly
+    inside A, REVERSED). Stitched cycles with positive area are result
+    shells (CCW); negative cycles are holes (CW) and attach to the shell
+    whose interior contains them — e.g. B strictly inside A yields A
+    with hole B. Returns a list of Polygons; [] when A ⊆ B. Same
+    degenerate-input behavior as poly_poly_intersection.
+    """
+    if pa.holes or pb.holes:
+        raise NotImplementedError("st_difference: polygons with holes")
+    ra, rb = _ccw_shell(pa), _ccw_shell(pb)
+    qa, qb = Polygon(ra), Polygon(rb)
+    if K.disjoint(qa, qb):
+        return [qa]
+    if K.covered_by(qa, qb):
+        return []
+    cuts_a, cuts_b = _segment_cuts(ra, rb)
+    if not cuts_a:
+        # no boundary crossings: B strictly inside A (other cases were
+        # short-circuited above)
+        return [Polygon(ra, holes=[rb[::-1].copy()])]
+    pieces = _inside_pieces(ra, cuts_a, qb, keep_inside=False)
+    pieces += [p[::-1] for p in _inside_pieces(rb, cuts_b, qa)]
+    if not pieces:
+        return []
+    shells: list[np.ndarray] = []
+    holes: list[np.ndarray] = []
+    for ring in _stitch(pieces):
+        (shells if ring_area(ring) > 0 else holes).append(ring)
+    out = [Polygon(s) for s in shells]
+    for h in holes:
+        owner = [p for p in out
+                 if K._locate_point_in_polys(
+                     *_ring_interior_probe(h), [p]) == 1]
+        if len(owner) != 1:
+            raise NotImplementedError(
+                "st_difference: ambiguous hole assignment")
+        owner[0].holes.append(h)
+    return out
+
+
+def _ring_interior_probe(ring: np.ndarray) -> tuple[float, float]:
+    """A point strictly inside the region a CW hole ring bounds."""
+    from .kernels import _interior_point
+    return _interior_point(Polygon(ring[::-1].copy()))

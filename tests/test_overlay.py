@@ -124,3 +124,107 @@ def test_registry_st_intersection_nonconvex_roundtrip(spark):
     got = out.collect()[0].ar
     want = sum(ring_area(r) for r in poly_poly_intersection(star, rect))
     assert got == pytest.approx(want, rel=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# difference
+
+
+def _pointwise_diff_check(pa, pb, polys, n=120):
+    """inside(A) AND NOT inside(B) must equal inside(result), off-boundary."""
+    xs0, ys0, xs1, ys1 = pa.envelope()
+    xb0, yb0, xb1, yb1 = pb.envelope()
+    gx = np.linspace(min(xs0, xb0) - 0.1, max(xs1, xb1) + 0.1, n)
+    gy = np.linspace(min(ys0, yb0) - 0.1, max(ys1, yb1) + 0.1, n)
+    gx = gx + (gx[1] - gx[0]) * 0.137
+    gy = gy + (gy[1] - gy[0]) * 0.241
+    mism = 0
+    for x in gx:
+        la = K.pip_rings(np.full_like(gy, x), gy, pa.rings)
+        lb = K.pip_rings(np.full_like(gy, x), gy, pb.rings)
+        if polys:
+            lr = np.max(np.stack([K.pip_rings(np.full_like(gy, x), gy, p.rings)
+                                  for p in polys]), axis=0)
+        else:
+            lr = np.full_like(la, -1)
+        ok = (la != 0) & (lb != 0) & (lr != 0)
+        mism += int(np.sum((((la == 1) & (lb == -1)) != (lr == 1)) & ok))
+    assert mism == 0
+
+
+def test_difference_hole_case():
+    from geomesa_spark.geom.overlay import poly_poly_difference
+
+    a = _rect(0, 0, 10, 10)
+    b = _rect(3, 3, 5, 5)
+    polys = poly_poly_difference(a, b)
+    assert len(polys) == 1 and len(polys[0].holes) == 1
+    assert ring_area(polys[0].shell) == pytest.approx(100.0)
+    assert ring_area(polys[0].holes[0]) == pytest.approx(-4.0)
+    _pointwise_diff_check(a, b, polys)
+
+
+def test_difference_star_rect_pointwise():
+    from geomesa_spark.geom.overlay import poly_poly_difference
+
+    star = _star(0.0, 0.0, 2.0, 0.8, n=5, phase=0.3)
+    rect = _rect(-1.0, -1.0, 1.5, 1.2)
+    polys = poly_poly_difference(star, rect)
+    assert polys
+    _pointwise_diff_check(star, rect, polys)
+    # A = (A∩B) + (A\B) exactly (same cut coordinates both ways)
+    inter = sum(ring_area(r) for r in poly_poly_intersection(star, rect))
+    diff = sum(ring_area(p.shell) + sum(ring_area(h) for h in p.holes)
+               for p in polys)
+    assert inter + diff == pytest.approx(-ring_area(star.shell[::-1]), rel=1e-12)
+
+
+def test_difference_split_into_components():
+    from geomesa_spark.geom.overlay import poly_poly_difference
+
+    a = _rect(0, 0, 10, 2)
+    b = _rect(4, -1, 6, 3)  # bar cutting A into two pieces
+    polys = poly_poly_difference(a, b)
+    assert len(polys) == 2
+    assert sorted(ring_area(p.shell) for p in polys) == pytest.approx([8.0, 8.0])
+    _pointwise_diff_check(a, b, polys)
+
+
+def test_difference_disjoint_and_covered():
+    from geomesa_spark.geom.overlay import poly_poly_difference
+
+    a = _rect(0, 0, 1, 1)
+    assert len(poly_poly_difference(a, _rect(5, 5, 6, 6))) == 1
+    assert poly_poly_difference(a, _rect(-1, -1, 2, 2)) == []
+
+
+def test_random_star_difference_pointwise():
+    rng = np.random.default_rng(11)
+    from geomesa_spark.geom.overlay import poly_poly_difference
+
+    for trial in range(10):
+        a = _star(0.0, 0.0, 1.0 + rng.uniform(0, 2), 0.3 + rng.uniform(0, 0.6),
+                  n=int(rng.integers(3, 8)), phase=rng.uniform(0, 3.0))
+        b = _star(rng.uniform(-1.5, 1.5), rng.uniform(-1.5, 1.5),
+                  1.0 + rng.uniform(0, 2), 0.3 + rng.uniform(0, 0.6),
+                  n=int(rng.integers(3, 8)), phase=rng.uniform(0, 3.0))
+        try:
+            polys = poly_poly_difference(a, b)
+        except NotImplementedError:
+            continue
+        _pointwise_diff_check(a, b, polys)
+
+
+def test_registry_st_difference_nonconvex(spark):
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.geom.overlay import poly_poly_difference
+    from geomesa_spark.geom.wkb import wkt_write
+
+    a = _rect(0, 0, 10, 10)
+    b = _rect(3, 3, 5, 5)
+    df = spark.createDataFrame([(wkt_write(a), wkt_write(b))], "a string, b string")
+    got = df.select(F.expr(
+        "st_area(st_difference(st_geomFromWKT(a), st_geomFromWKT(b)))").alias("ar")
+    ).collect()[0].ar
+    assert got == pytest.approx(96.0)
