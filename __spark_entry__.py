@@ -159,6 +159,25 @@ def q_disjoint_join(spark, sf_dir):
     return out.select("n_nationkey", "r_regionkey")
 
 
+def q_intersection_area(spark, sf_dir):
+    """Overlay through the SQL surface: spatial join, then
+    st_area(st_intersection(...)) per intersecting pair (registry
+    _intersection -> geom/overlay machinery; rect x rect takes the
+    convex fast path). float32 compare absorbs the shoelace-vs-product
+    last-ulp difference (the transform_3857 convention)."""
+    from geomesa_spark.operators.spatial_join import spatial_join
+
+    l = _nation_rects(spark, sf_dir).select("n_nationkey", "geom")
+    r = (_region_rects(spark, sf_dir).select("r_regionkey", "geom")
+         .withColumnRenamed("geom", "rgeom"))
+    out = spatial_join(l, r, "st_intersects", left_geom="geom",
+                       right_geom="rgeom", broadcast_right=True)
+    return out.select(
+        "n_nationkey", "r_regionkey",
+        F.expr("CAST(st_area(st_intersection(geom, rgeom)) AS float)")
+         .alias("ia32"))
+
+
 def q_dwithin_deg(spark, sf_dir):
     from geomesa_spark.operators.spatial_join import dwithin_join_points
 
@@ -1004,6 +1023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": q_asof_enrich,
         "sessions": q_sessions,
         "disjoint_join": q_disjoint_join,
+        "intersection_area": q_intersection_area,
     }
 
 
@@ -1943,5 +1963,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.n_nationkey, b.r_regionkey FROM a, b
             WHERE NOT (a.xmin <= b.xmax AND b.xmin <= a.xmax
                        AND a.ymin <= b.ymax AND b.ymin <= a.ymax)
+        """,
+        # rect x rect overlay area is box algebra; float32 absorbs the
+        # engine-side shoelace-vs-product last-ulp difference
+        "intersection_area": f"""
+            WITH a AS ({_NATION_SQL}), b AS ({_REGION_SQL})
+            SELECT a.n_nationkey, b.r_regionkey,
+                   CAST((least(a.xmax, b.xmax) - greatest(a.xmin, b.xmin))
+                        * (least(a.ymax, b.ymax) - greatest(a.ymin, b.ymin))
+                        AS REAL) AS ia32
+            FROM a, b
+            WHERE a.xmin <= b.xmax AND b.xmin <= a.xmax
+              AND a.ymin <= b.ymax AND b.ymin <= a.ymax
         """,
     }
