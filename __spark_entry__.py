@@ -941,6 +941,31 @@ def q_sessions(spark, sf_dir):
                          order_col="event_id")
 
 
+def q_stat_dsl(spark, sf_dir):
+    """Stat-spec DSL end-to-end (operators/stats.run_stats — the
+    reference's Stat.Scala DSL analog, geomesa-index-api
+    stats/Stat.scala:195-312): Count + MinMax + TopK + Histogram over
+    events, flattened to one scalar row for the gate. All terms compute
+    in Spark jobs; the returned literal row carries the results."""
+    from geomesa_spark.operators.stats import run_stats
+
+    ev = _t(spark, sf_dir, "events")
+    res = run_stats(
+        ev, "Count();MinMax(value);TopK(event_type,3);Histogram(value,8,0,40)")
+    top = list(res["topk_event_type"].items())
+    hist = res["histogram_value"]
+    row = (int(res["count"]),
+           float(res["minmax_value_min"]), float(res["minmax_value_max"]),
+           top[0][0], int(top[0][1]), top[1][0], int(top[1][1]),
+           top[2][0], int(top[2][1]),
+           *[int(h) for h in hist])
+    schema = ("n long, min_value double, max_value double, "
+              "top1 string, top1_n long, top2 string, top2_n long, "
+              "top3 string, top3_n long, "
+              + ", ".join(f"h{i} long" for i in range(8)))
+    return spark.createDataFrame([row], schema)
+
+
 def q_rep_stats(spark, sf_dir):
     """Gopher-style repetition signals per document
     (operators/text.repetition_stats): word/2-gram duplication
@@ -1024,6 +1049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessions": q_sessions,
         "disjoint_join": q_disjoint_join,
         "intersection_area": q_intersection_area,
+        "stat_dsl": q_stat_dsl,
     }
 
 
@@ -1975,5 +2001,37 @@ def oracle_sql() -> dict[str, str]:
             FROM a, b
             WHERE a.xmin <= b.xmax AND b.xmin <= a.xmax
               AND a.ymin <= b.ymax AND b.ymin <= a.ymax
+        """,
+        # Stat DSL flat row: count/minmax exact; topk ties break on the
+        # attribute; histogram bins mirror the engine's clamped floor
+        "stat_dsl": """
+            WITH t AS (
+              SELECT event_type, count(*) AS c FROM events
+              GROUP BY 1 ORDER BY c DESC, event_type ASC LIMIT 3),
+            tr AS (SELECT event_type, c,
+                          row_number() OVER (ORDER BY c DESC, event_type ASC) AS r
+                   FROM t),
+            h AS (
+              SELECT least(greatest(CAST(floor((value - 0.0) / 5.0) AS BIGINT),
+                                    0), 7) AS bin, count(*) AS c
+              FROM events WHERE value IS NOT NULL GROUP BY 1)
+            SELECT
+              (SELECT count(*) FROM events) AS n,
+              (SELECT min(value) FROM events) AS min_value,
+              (SELECT max(value) FROM events) AS max_value,
+              (SELECT event_type FROM tr WHERE r = 1) AS top1,
+              (SELECT c FROM tr WHERE r = 1) AS top1_n,
+              (SELECT event_type FROM tr WHERE r = 2) AS top2,
+              (SELECT c FROM tr WHERE r = 2) AS top2_n,
+              (SELECT event_type FROM tr WHERE r = 3) AS top3,
+              (SELECT c FROM tr WHERE r = 3) AS top3_n,
+              CAST(coalesce((SELECT c FROM h WHERE bin = 0), 0) AS BIGINT) AS h0,
+              CAST(coalesce((SELECT c FROM h WHERE bin = 1), 0) AS BIGINT) AS h1,
+              CAST(coalesce((SELECT c FROM h WHERE bin = 2), 0) AS BIGINT) AS h2,
+              CAST(coalesce((SELECT c FROM h WHERE bin = 3), 0) AS BIGINT) AS h3,
+              CAST(coalesce((SELECT c FROM h WHERE bin = 4), 0) AS BIGINT) AS h4,
+              CAST(coalesce((SELECT c FROM h WHERE bin = 5), 0) AS BIGINT) AS h5,
+              CAST(coalesce((SELECT c FROM h WHERE bin = 6), 0) AS BIGINT) AS h6,
+              CAST(coalesce((SELECT c FROM h WHERE bin = 7), 0) AS BIGINT) AS h7
         """,
     }
