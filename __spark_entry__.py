@@ -966,6 +966,86 @@ def q_stat_dsl(spark, sf_dir):
     return spark.createDataFrame([row], schema)
 
 
+def q_line_dedup(spark, sf_dir):
+    """C4/CCNet line-level dedup (operators/corpus.line_dedup): segment
+    docs (deterministic literal replace — the synthetic corpus has no
+    newlines), drop every line appearing in >= 2 distinct docs, keep
+    surviving docs with order-preserving reassembly. All shuffles ride
+    8-byte line hashes; AQE skew-join covers boilerplate hot lines."""
+    from geomesa_spark.operators.corpus import line_dedup
+
+    docs = _docs(spark, sf_dir)
+    seg = docs.withColumn(
+        "text", F.replace(F.col("text"), F.lit(" table "), F.lit(" table\n")))
+    return (line_dedup(seg, "doc_id", "text", min_docs=2)
+            .select("doc_id", "text", "n_lines", "n_kept"))
+
+
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination (operators/corpus.decontaminate): flag
+    train docs sharing any word 4-gram with the eval split (doc_id % 50
+    == 0). Eval n-gram hashes broadcast; train side is map-only JVM
+    n-gram expressions + one bounded per-doc agg."""
+    from geomesa_spark.operators.corpus import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    return decontaminate(tr, ev, "doc_id", "text", n=4)
+
+
+_MIX_FRACTIONS_PPM = {"en": 250_000, "de": 800_000, "es": 800_000,
+                      "fr": 800_000, "zh": 600_000}
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language mixing sample
+    (operators/corpus.stratified_sample): keep iff splitmix64(doc_id)
+    mod 1e6 < ppm[lang]. Map-only, shuffle-free, retry-stable — the
+    data-mixing primitive. Oracle mirrors the splitmix64 in HUGEINT."""
+    from geomesa_spark.operators.corpus import stratified_sample
+
+    docs = _docs(spark, sf_dir)
+    return (stratified_sample(docs, "doc_id", "lang", _MIX_FRACTIONS_PPM)
+            .select("doc_id", "lang", "source"))
+
+
+def q_corpus_dedup(spark, sf_dir):
+    """Keep-one-per-cluster corpus filter (operators/corpus.dedup_apply):
+    jaccard pairs -> connected components -> anti-join the non-canonical
+    members out of the corpus. The end-to-end dedup pipeline output."""
+    from geomesa_spark.operators.corpus import dedup_apply
+    from geomesa_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.12)
+    return (dedup_apply(docs, pairs, "doc_id")
+            .select("doc_id", "lang", "source", "n_chars"))
+
+
+def q_mixing_stats(spark, sf_dir):
+    """Per-source corpus mixing report (operators/corpus.mixing_stats):
+    exact integer doc/token/char totals + integer ppm token share."""
+    from geomesa_spark.operators.corpus import mixing_stats
+
+    docs = _docs(spark, sf_dir)
+    return mixing_stats(docs, "source", "doc_id", "text")
+
+
+def q_quantized_ann(spark, sf_dir):
+    """Int8-quantized exact top-k cosine (operators/ann.quantized_topk):
+    per-vector symmetric quantization (floor(x*127/max|x| + 0.5)), exact
+    integer dot products, one sqrt + one divide per pair — 4x smaller
+    vectors and bit-reproducible ranks. Queries: vec_id % 100 == 0."""
+    from geomesa_spark.operators.ann import quantized_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = (emb.filter(F.col("vec_id") % 100 == 0)
+            .select(F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qvec_f")))
+    return quantized_topk(q, emb, k=10)
+
+
 def q_rep_stats(spark, sf_dir):
     """Gopher-style repetition signals per document
     (operators/text.repetition_stats): word/2-gram duplication
@@ -1050,6 +1130,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "disjoint_join": q_disjoint_join,
         "intersection_area": q_intersection_area,
         "stat_dsl": q_stat_dsl,
+        "line_dedup": q_line_dedup,
+        "decontam": q_decontam,
+        "stratified_sample": q_stratified_sample,
+        "corpus_dedup": q_corpus_dedup,
+        "mixing_stats": q_mixing_stats,
+        "quantized_ann": q_quantized_ann,
     }
 
 
@@ -2033,5 +2119,108 @@ def oracle_sql() -> dict[str, str]:
               CAST(coalesce((SELECT c FROM h WHERE bin = 5), 0) AS BIGINT) AS h5,
               CAST(coalesce((SELECT c FROM h WHERE bin = 6), 0) AS BIGINT) AS h6,
               CAST(coalesce((SELECT c FROM h WHERE bin = 7), 0) AS BIGINT) AS h7
+        """,
+        # C4-style line dedup: same literal segmentation, doc-frequency
+        # per line, order-preserving reassembly (Spark joins on the
+        # 64-bit line hash; collision-free at graded scale)
+        "line_dedup": """
+            WITH seg AS (SELECT doc_id,
+                                replace(text, ' table ', ' table' || chr(10)) AS text
+                         FROM documents),
+            lines AS (SELECT doc_id,
+                             unnest(string_split(text, chr(10))) AS line,
+                             generate_subscripts(string_split(text, chr(10)), 1) AS pos
+                      FROM seg),
+            dfreq AS (SELECT line, count(DISTINCT doc_id) AS dd
+                      FROM lines GROUP BY 1),
+            fl AS (SELECT l.doc_id, l.pos, l.line, d.dd < 2 AS keep
+                   FROM lines l JOIN dfreq d USING (line))
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE keep), '') AS text,
+                   count(*) AS n_lines,
+                   CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
+            FROM fl GROUP BY doc_id HAVING n_kept > 0
+        """,
+        # eval-set word-4-gram overlap; same eval split (doc_id % 50)
+        "decontam": """
+            WITH d2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            ev AS (SELECT w FROM d2 WHERE doc_id % 50 = 0 AND len(w) >= 4),
+            tr AS (SELECT doc_id, w FROM d2 WHERE doc_id % 50 <> 0 AND len(w) >= 4),
+            evn AS (SELECT DISTINCT unnest(list_transform(range(0, len(w) - 3),
+                             i -> array_to_string(w[i+1:i+4], ' '))) AS ng FROM ev),
+            trn AS (SELECT doc_id, unnest(list_transform(range(0, len(w) - 3),
+                             i -> array_to_string(w[i+1:i+4], ' '))) AS ng FROM tr)
+            SELECT doc_id, count(*) AS n_hits,
+                   count(DISTINCT t.ng) AS n_distinct_hits
+            FROM trn t JOIN evn e USING (ng) GROUP BY doc_id
+        """,
+        # splitmix64(doc_id) mod 1e6 threshold per lang (HUGEINT mirror
+        # of operators/ann.mix64, same CTE the ivf oracle uses)
+        "stratified_sample": (lambda mix_cte, mix_col: f"""
+            WITH mx0 AS (SELECT doc_id, lang, source FROM documents),
+            {mix_cte}
+            SELECT doc_id, lang, source FROM mxf
+            WHERE ({mix_col}) % 1000000 < (CASE lang {' '.join(
+                f"WHEN '{k}' THEN {v}" for k, v in _MIX_FRACTIONS_PPM.items())}
+                ELSE 0 END)
+        """)(*_sql_mix64_cte("CAST(doc_id AS HUGEINT)")),
+        # transitive closure (same recursive CTE as dedup_clusters) ->
+        # anti-join the non-canonical cluster members out
+        "corpus_dedup": f"""
+            WITH RECURSIVE pairs AS ({_sql_ngram_jaccard(0.12)}),
+            edges AS (
+              SELECT id_a AS v, id_b AS u FROM pairs
+              UNION SELECT id_b AS v, id_a AS u FROM pairs),
+            reach (v, l) AS (
+              SELECT v, v FROM edges
+              UNION SELECT e.v, r.l FROM edges e JOIN reach r ON e.u = r.v),
+            comp AS (SELECT v AS doc_id, MIN(l) AS cluster_id
+                     FROM reach GROUP BY v),
+            losers AS (SELECT doc_id FROM comp WHERE doc_id <> cluster_id)
+            SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+            ANTI JOIN losers l ON d.doc_id = l.doc_id
+        """,
+        # exact integer totals; ppm share is integer division
+        "mixing_stats": r"""
+            WITH per AS (
+              SELECT source, count(*) AS n_docs,
+                     CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+                     CAST(sum(length(text)) AS BIGINT) AS n_chars,
+                     CAST(min(length(text)) AS BIGINT) AS min_chars,
+                     CAST(max(length(text)) AS BIGINT) AS max_chars
+              FROM documents GROUP BY source)
+            SELECT source, n_docs, n_tokens, n_chars, min_chars, max_chars,
+                   CAST((n_tokens * 1000000) // (SELECT sum(n_tokens) FROM per) AS BIGINT)
+                     AS token_share_ppm
+            FROM per
+        """,
+        # int8 symmetric quantization mirrored literally: floor(x*s+0.5),
+        # exact integer dots/norms, one sqrt + one divide per pair
+        "quantized_ann": """
+            WITH e AS (SELECT vec_id,
+                              list_transform(embedding, v -> CAST(v AS DOUBLE)) AS dv
+                       FROM embeddings),
+            m AS (SELECT vec_id, dv,
+                         list_max(list_transform(dv, v -> abs(v))) AS ma FROM e),
+            z AS (SELECT vec_id,
+                         list_transform(dv, v -> CAST(floor(v * (127.0 / ma) + 0.5) AS BIGINT)) AS qv
+                  FROM m WHERE ma > 0),
+            n AS (SELECT vec_id, qv,
+                         CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS nrm
+                  FROM z),
+            p AS (SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+                         CAST(list_sum(list_transform(range(1, len(q.qv) + 1),
+                                i -> q.qv[i] * c.qv[i])) AS BIGINT) AS dot,
+                         q.nrm AS na, c.nrm AS nb
+                  FROM n q, n c WHERE q.vec_id % 100 = 0),
+            r AS (SELECT qid, vec_id,
+                         CAST(dot AS DOUBLE) / sqrt(CAST(na * nb AS DOUBLE)) AS sim_q
+                  FROM p),
+            w AS (SELECT qid, vec_id, sim_q,
+                         CAST(row_number() OVER (PARTITION BY qid
+                              ORDER BY sim_q DESC, vec_id ASC) AS INTEGER) AS rank
+                  FROM r)
+            SELECT qid, vec_id, sim_q, rank FROM w WHERE rank <= 10
         """,
     }

@@ -1,0 +1,209 @@
+"""Corpus-preparation operators: the document-level transforms a
+web-scale training-data pipeline runs between raw crawl and training
+shards — line-level dedup (C4 §2.2 / CCNet style), benchmark
+decontamination (n-gram overlap against an eval set), deterministic
+stratified sampling for data mixing, near-dup cluster application
+(keep-one-per-cluster), and per-stratum mixing statistics.
+
+These extend the reference engine's analytics (its scans/joins/stats
+operate on features; a web corpus is the same shape with text payloads
+— see sources/pages.py) with the operations Lee et al. 2022
+("Deduplicating Training Data Makes Language Models Better"), Raffel
+et al. 2020 (C4), and Rae et al. 2021 (Gopher/MassiveText) describe.
+
+Scale notes (100 TB corpus, 1000 executors):
+
+* ``line_dedup`` is the one genuinely heavy op: it explodes documents
+  into lines. All shuffles are keyed by the 8-byte xxhash64 of the
+  line, never the line text; doc-frequency is a two-level aggregation
+  (map-side partial distinct on (hash, doc)), and the line->frequency
+  join is a plain shuffle join where AQE's skew-join split handles the
+  boilerplate hot keys (a "© 2024" line appearing in 10^8 docs lands
+  on one key; its frequency row is 1 row, so the split is cheap).
+* ``decontaminate`` broadcasts the eval-set n-grams (eval benchmarks
+  are ~10^5 docs; their distinct n-gram hashes fit executor memory by
+  construction) — the 100 TB train side is map-only + one bounded
+  per-doc aggregation.
+* ``stratified_sample`` is map-only and shuffle-free: keep/drop is a
+  pure function of (id, stratum), so it composes with any downstream
+  plan and re-runs reproducibly on resume — the property data-mixing
+  jobs need (Chowdhery et al. 2022 §3).
+* ``dedup_apply`` anti-joins on the id only; document text never
+  enters the shuffle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+__all__ = [
+    "line_dedup", "decontaminate", "stratified_sample", "dedup_apply",
+    "mixing_stats", "word_ngrams",
+]
+
+
+def line_dedup(df: DataFrame, id_col: str, text_col: str, sep: str = "\n",
+               min_docs: int = 2, drop_empty: bool = True) -> DataFrame:
+    """Remove every line that occurs in >= ``min_docs`` distinct
+    documents (C4's "three-sentence span" rule collapsed to lines, the
+    CCNet paragraph-hash dedup): boilerplate navigation, cookie
+    banners, and license blurbs repeat across pages; unique prose does
+    not.
+
+    Returns one row per surviving document: (id, text with offending
+    lines removed and original order preserved, n_lines, n_kept).
+    Documents whose every line is boilerplate disappear when
+    ``drop_empty`` (they carry no signal).
+
+    Plan shape: explode -> per-(line-hash) doc-frequency (two-level
+    agg) -> hash-keyed join back -> per-doc ordered reassembly. Three
+    shuffles, all on 8-byte or (8+8)-byte keys; the full line text
+    travels only inside the doc-keyed reassembly where it must.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep)))
+         .alias("__pos__", "__line__"),
+    ).withColumn("__lh__", F.xxhash64("__line__"))
+    # doc-frequency of each distinct line: distinct (hash, doc) pairs
+    # first so a line repeated inside one doc counts that doc once
+    docfreq = (lines.select("__lh__", id_col).distinct()
+                    .groupBy("__lh__")
+                    .agg(F.count("*").alias("__df__")))
+    flagged = (lines.join(docfreq, on="__lh__")
+                    .withColumn("__keep__", F.col("__df__") < min_docs))
+    parts = F.array_sort(F.collect_list(
+        F.struct(F.col("__pos__"), F.col("__line__"), F.col("__keep__"))))
+    kept = F.filter(parts, lambda s: s["__keep__"])
+    out = (flagged.groupBy(id_col).agg(
+        F.array_join(F.transform(kept, lambda s: s["__line__"]), sep)
+         .alias(text_col),
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("__keep__").cast("long")).alias("n_kept")))
+    if drop_empty:
+        out = out.filter(F.col("n_kept") > 0)
+    return out
+
+
+def word_ngrams(text: Column, n: int, word_sep: str = " ") -> Column:
+    """Array of word ``n``-grams of ``text`` (space-joined), entirely in
+    JVM expressions (split -> sequence -> slice/array_join) so the
+    explode that usually follows stays inside whole-stage codegen.
+    Shorter-than-``n`` texts yield an empty array (sequence() would
+    otherwise count DOWN and fabricate grams)."""
+    words = F.split(text, re.escape(word_sep))
+    n_ = F.lit(n)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - n_),
+        lambda i: F.array_join(F.slice(words, i + 1, n_), word_sep))
+    return F.when(F.size(words) >= n_, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame, id_col: str,
+                  text_col: str, n: int = 8) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / PaLM §3.2 style):
+    flag every training document sharing at least one word ``n``-gram
+    with the evaluation set. Returns (id, n_hits, n_distinct_hits) for
+    flagged docs — the caller anti-joins to drop or audits the counts.
+
+    The eval side collapses to DISTINCT n-gram hashes and broadcasts;
+    the train side is map-only (JVM n-gram expressions, no Python) into
+    a per-doc aggregation. n_hits counts gram *positions* that match;
+    n_distinct_hits counts distinct matching grams.
+    """
+    ev = (eval_df.select(F.explode(word_ngrams(F.col(text_col), n))
+                          .alias("__ng__"))
+                 .select(F.xxhash64("__ng__").alias("__ngh__"))
+                 .distinct())
+    tr = train.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("__ng__"),
+    ).select(id_col, F.xxhash64("__ng__").alias("__ngh__"))
+    return (tr.join(F.broadcast(ev), on="__ngh__")
+              .groupBy(id_col)
+              .agg(F.count("*").alias("n_hits"),
+                   F.countDistinct("__ngh__").alias("n_distinct_hits")))
+
+
+def _mix_bucket_udf(seed: int, buckets: int):
+    from .ann import mix64
+
+    @F.pandas_udf(LongType())
+    def bucket(ids: pd.Series) -> pd.Series:
+        m = mix64(ids.to_numpy(np.int64), seed)
+        return pd.Series((m % np.uint64(buckets)).astype(np.int64))
+
+    return bucket
+
+
+def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
+                      fractions_ppm: dict[str, int], default_ppm: int = 0,
+                      seed: int = 42) -> DataFrame:
+    """Deterministic per-stratum sampling for data mixing: keep a row
+    iff splitmix64(id) mod 1e6 < fractions_ppm[stratum]. Fractions are
+    parts-per-million integers so the predicate is exact (no float
+    compare) and cross-engine reproducible.
+
+    Map-only and shuffle-free — membership is a pure function of
+    (id, stratum), so the sample is stable under retries, resumes, and
+    re-partitioning, unlike df.sample() whose output depends on the
+    partitioning. The splitmix64 finalizer decorrelates the keep set
+    from any id structure (sequential crawl ids, host-prefixed ids).
+    """
+    bucket = _mix_bucket_udf(seed, 1_000_000)
+    limit = F.lit(default_ppm)
+    for key, ppm in sorted(fractions_ppm.items()):
+        limit = F.when(F.col(strata_col) == key, F.lit(int(ppm))).otherwise(limit)
+    return (df.withColumn("__bkt__", bucket(F.col(id_col).cast("long")))
+              .filter(F.col("__bkt__") < limit)
+              .drop("__bkt__"))
+
+
+def dedup_apply(docs: DataFrame, pairs: DataFrame, id_col: str,
+                left_col: str = "id_a", right_col: str = "id_b") -> DataFrame:
+    """Keep-one-per-cluster: resolve the duplicate-pair graph to
+    connected components (dedup.dedup_clusters: min-label + pointer
+    jumping) and keep only each cluster's canonical member (the min
+    id). Returns the surviving rows of ``docs`` unchanged.
+
+    The anti-join ships only ids; at web scale the loser set is the
+    ~30-50% of the corpus dedup typically removes, keyed by 8-byte ids
+    — small next to the document payload it prunes.
+    """
+    from .dedup import dedup_clusters
+
+    cl = dedup_clusters(pairs, left_col, right_col)
+    losers = (cl.filter(F.col("id") != F.col("cluster_id"))
+                .select(F.col("id").alias(id_col)))
+    return docs.join(losers, on=id_col, how="left_anti")
+
+
+def mixing_stats(docs: DataFrame, strata_col: str, id_col: str,
+                 text_col: str) -> DataFrame:
+    """Per-stratum corpus mixing report: document/token/char totals and
+    each stratum's integer token share in ppm — the input to a mixing-
+    weight decision (what fraction of each source/language the training
+    run draws). All sums are exact integers (token counts), so the
+    report is bit-reproducible; the share is integer division, not a
+    float ratio. One aggregation; the global total rides a window over
+    the (tiny) per-stratum frame.
+    """
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+    per = (docs.groupBy(strata_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks.cast("long")).alias("n_tokens"),
+        F.sum(F.length(text_col).cast("long")).alias("n_chars"),
+        F.min(F.length(text_col)).cast("long").alias("min_chars"),
+        F.max(F.length(text_col)).cast("long").alias("max_chars")))
+    total = F.sum("n_tokens").over(Window.partitionBy())
+    return (per.withColumn("__tot__", total)
+               .withColumn("token_share_ppm",
+                           F.expr("(n_tokens * 1000000) DIV __tot__"))
+               .drop("__tot__"))

@@ -1,0 +1,127 @@
+"""Corpus-preparation operators (operators/corpus.py + the quantized
+ANN in operators/ann.py): hand-built frames with known answers."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from geomesa_spark.operators.ann import quantize_int8, quantized_topk
+from geomesa_spark.operators.corpus import (
+    decontaminate, dedup_apply, line_dedup, mixing_stats, stratified_sample,
+    word_ngrams,
+)
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_line_dedup_removes_shared_lines(spark):
+    docs = spark.createDataFrame(
+        [(1, "unique one\nBOILER\nunique two"),
+         (2, "BOILER\nother prose"),
+         (3, "BOILER")],   # nothing left -> dropped
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           line_dedup(docs, "doc_id", "text", min_docs=2).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["text"] == "unique one\nunique two"   # order preserved
+    assert (out[1]["n_lines"], out[1]["n_kept"]) == (3, 2)
+    assert out[2]["text"] == "other prose"
+
+
+def test_line_dedup_intra_doc_repeat_counts_once(spark):
+    # the same line twice in ONE doc is df=1 -> kept (both copies)
+    docs = spark.createDataFrame(
+        [(1, "dup\ndup\nx"), (2, "y")], "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in line_dedup(docs, "doc_id", "text", min_docs=2).collect()}
+    assert out[1] == "dup\ndup\nx"
+
+
+def test_word_ngrams_short_text_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], "t string")
+    got = df.select(word_ngrams(F.col("t"), 3).alias("g")).collect()
+    assert got[0]["g"] == []
+    assert got[1]["g"] == ["a b c", "b c d"]
+
+
+def test_decontaminate_counts(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"),   # 2 hits, overlapping grams
+         (2, "quick brown fox"),             # 1 hit (exactly one gram)
+         (3, "nothing shared here at all"),
+         (4, "ab")],                         # too short for any gram
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(9, "the quick brown fox ran")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_hits"], r["n_distinct_hits"])
+           for r in decontaminate(train, ev, "doc_id", "text", n=3).collect()}
+    # eval 3-grams: {the quick brown, quick brown fox, brown fox ran}
+    assert got == {1: (2, 2), 2: (1, 1)}
+
+
+def test_stratified_sample_deterministic_subset(spark):
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("zh").alias("lang"))
+    half = stratified_sample(docs, "doc_id", "lang",
+                             {"en": 500_000, "zh": 0})
+    rows = sorted(r["doc_id"] for r in half.collect())
+    rows2 = sorted(r["doc_id"] for r in half.collect())
+    assert rows == rows2                       # retry-stable
+    assert all(i % 2 == 0 for i in rows)       # zh fully dropped
+    assert 150 < len(rows) < 350               # ~50% of the 500 en docs
+    everything = stratified_sample(docs, "doc_id", "lang",
+                                   {"en": 1_000_000, "zh": 1_000_000})
+    assert everything.count() == 1000
+
+
+def test_dedup_apply_keeps_canonical_and_singletons(spark):
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(6)],
+                                 "doc_id long, text string")
+    # chain 0-1-2 (cluster min 0) and pair 4-5 (min 4); 3 untouched
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)],
+                                  "id_a long, id_b long")
+    kept = sorted(r["doc_id"]
+                  for r in dedup_apply(docs, pairs, "doc_id").collect())
+    assert kept == [0, 3, 4]
+
+
+def test_mixing_stats_exact(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", "one two three"), (2, "a", "four five"),
+         (3, "b", "six seven eight nine ten")],
+        "doc_id long, source string, text string")
+    got = {r["source"]: r for r in
+           mixing_stats(docs, "source", "doc_id", "text").collect()}
+    assert (got["a"]["n_docs"], got["a"]["n_tokens"]) == (2, 5)
+    assert (got["b"]["n_docs"], got["b"]["n_tokens"]) == (1, 5)
+    assert got["a"]["token_share_ppm"] == 500_000
+    assert got["a"]["n_chars"] == len("one two three") + len("four five")
+    assert got["b"]["min_chars"] == got["b"]["max_chars"] == 24
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, -1.5, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    assert got[1]["qvec"] == [127, -63, 11]   # floor(x*127/3 + .5)
+    assert got[1]["qnorm"] == 127 * 127 + 63 * 63 + 11 * 11
+    assert got[2]["qvec"] is None             # zero vector: no direction
+
+
+def test_quantized_topk_tracks_float_cosine(spark):
+    from geomesa_spark.operators.ann import cosine_topk
+
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    q = (emb.filter(F.col("vec_id") % 20 == 0)
+            .select(F.col("vec_id").alias("qid"),
+                    F.col("embedding").alias("qvec_f")))
+    qk = quantized_topk(q, emb, k=10)
+    got = {(r["qid"], r["vec_id"]) for r in qk.collect()}
+    exact = cosine_topk(
+        q.select("qid", F.col("qvec_f").alias("embedding")), emb, 10)
+    ref = {(r["qid"], r["vec_id"]) for r in exact.collect()}
+    assert len(got) == len(ref) > 0
+    # int8 quantization perturbs sims by ~1e-3; top-10 overlap stays high
+    assert len(got & ref) / len(ref) >= 0.9
