@@ -235,6 +235,19 @@ def q_tile_density(spark, sf_dir):
     return density_points(pts, "lon", "lat", -180.0, -90.0, 180.0, 90.0, 360, 180)
 
 
+def q_tile_pyramid(spark, sf_dir):
+    """Zoom-pyramid density stack (operators/tiling.density_pyramid):
+    64x32 base grid rolled up level-by-level to 2x1 — each level
+    aggregates the previous one (geometric total work, shuffles shrink
+    4x per level), the slippy-map overview scheme."""
+    from geomesa_spark.operators.tiling import density_points, density_pyramid
+
+    pts = _cust_points(spark, sf_dir)
+    base = density_points(pts, "lon", "lat", -180.0, -90.0, 180.0, 90.0,
+                          64, 32)
+    return density_pyramid(base, levels=5)
+
+
 def q_extent(spark, sf_dir):
     pts = _cust_points(spark, sf_dir)
     return pts.agg(F.min("lon").alias("xmin"), F.min("lat").alias("ymin"),
@@ -1074,6 +1087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "z2_cells": q_z2_cells,
         "geohash": q_geohash,
         "tile_density": q_tile_density,
+        "tile_pyramid": q_tile_pyramid,
         "extent": q_extent,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -1676,6 +1690,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST({ti} AS INTEGER) AS i, CAST({tj} AS INTEGER) AS j,
                    CAST(count(*) AS DOUBLE) AS weight
             FROM pts GROUP BY 1, 2
+        """,
+        # zoom pyramid: base grid + 5 halving rollups (i >> s, j >> s);
+        # unit-count doubles are exact integers, so sums are order-free
+        "tile_pyramid": f"""
+            WITH pts AS ({_CUST_SQL}),
+            base AS (
+              SELECT CAST({tg.sql_tile("lon", "-180.0", 5.625, 64)} AS INTEGER) AS i,
+                     CAST({tg.sql_tile("lat", "-90.0", 5.625, 32)} AS INTEGER) AS j,
+                     CAST(count(*) AS DOUBLE) AS weight
+              FROM pts GROUP BY 1, 2)
+            {" UNION ALL ".join(
+                f'''SELECT {lvl} AS level, CAST(i >> {5 - lvl} AS INTEGER) AS i,
+                           CAST(j >> {5 - lvl} AS INTEGER) AS j,
+                           CAST(sum(weight) AS DOUBLE) AS weight
+                    FROM base GROUP BY 1, 2, 3'''
+                for lvl in range(5, -1, -1))}
         """,
         "extent": f"""
             WITH pts AS ({_CUST_SQL})

@@ -43,6 +43,7 @@ HEADLINE = [
     "pip_contains", "pip_intersects", "rect_intersects", "dwithin_deg",
     "knn", "z2_cells", "geohash", "tile_density", "dedup_exact",
     "ngram_dedup_fast", "ann_cosine", "minhash_pairs", "token_topk",
+    "line_dedup", "corpus_dedup", "decontam", "quantized_ann",
 ]
 
 

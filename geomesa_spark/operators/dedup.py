@@ -371,16 +371,47 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     return _attach_cached(out, base)
 
 
+def _unionfind_components(edge_rows) -> list[tuple[int, int]]:
+    """Driver-side union-find (path compression, min-root union) over a
+    BOUNDED edge list; returns (id, min-reachable-id) per node."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:   # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in edge_rows:
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo     # min id stays the root == cluster label
+    return [(v, find(v)) for v in parent]
+
+
 def dedup_clusters(pairs: DataFrame, left_col: str = "id_a",
-                   right_col: str = "id_b", max_iters: int = 25) -> DataFrame:
+                   right_col: str = "id_b", max_iters: int = 25,
+                   driver_threshold: int = 1_000_000) -> DataFrame:
     """Connected components over duplicate pairs: (id, cluster_id).
 
     The last stage of a web-dedup pipeline: minhash/simhash/jaccard
     emit PAIRS, but keep-one-per-group needs the transitive closure —
     cluster_id = min doc id reachable through any chain of pairs.
 
-    Algorithm: min-label propagation with pointer jumping (the
-    two-phase trick of Kiveris et al., "Connected Components in
+    Strategy is size-based, like Spark's own broadcast-vs-shuffle join
+    choice: if at most ``driver_threshold`` distinct edges exist
+    (checked with a bounded ``limit(n+1)`` fetch — never an unbounded
+    collect; 1M (v,u) longs is ~16 MB), a driver-side union-find
+    resolves them in microseconds instead of paying several Spark jobs
+    per propagation round. Pair counts are tiny next to corpus size in
+    real dedup runs, so this is the common case even at 100 TB; beyond
+    the threshold the distributed path takes over.
+
+    Distributed algorithm: min-label propagation with pointer jumping
+    (the two-phase trick of Kiveris et al., "Connected Components in
     MapReduce and Beyond", SoCC'14). Each round (a) lowers every
     node's label to the min over its neighbors' labels, then (b)
     jumps labels through themselves (l <- label(l)), so label chains
@@ -395,6 +426,15 @@ def dedup_clusters(pairs: DataFrame, left_col: str = "id_a",
     Per-round frames persist and the previous round unpersists, so
     lineage stays O(1) deep (no exponential replay).
     """
+    spark = pairs.sparkSession
+    if driver_threshold > 0:
+        directed = (pairs.select(F.col(left_col).cast("long").alias("v"),
+                                 F.col(right_col).cast("long").alias("u"))
+                         .distinct())
+        head = directed.limit(driver_threshold + 1).collect()
+        if len(head) <= driver_threshold:
+            comp = _unionfind_components((r["v"], r["u"]) for r in head)
+            return spark.createDataFrame(comp, "id long, cluster_id long")
     edges = (pairs.select(F.col(left_col).cast("long").alias("v"),
                           F.col(right_col).cast("long").alias("u"))
                   .union(pairs.select(F.col(right_col).cast("long").alias("v"),

@@ -389,3 +389,31 @@ def density_points(df: DataFrame, xcol: str, ycol: str,
           .select(i.alias("i"), j.alias("j"), weight.alias("__w__"))
           .groupBy("i", "j").agg(F.sum("__w__").alias("weight"))
     )
+
+
+def density_pyramid(base: DataFrame, levels: int, icol: str = "i",
+                    jcol: str = "j", wcol: str = "weight") -> DataFrame:
+    """Zoom pyramid over a base density grid: level ``levels`` is the
+    input; each coarser level halves both axes (i >> 1, j >> 1) and
+    sums — the slippy-map / COG-overview scheme the reference's density
+    tiles feed ("geomesa-process .../DensityProcess.scala" renders one
+    zoom; serving a map needs the stack). Returns (level, i, j, weight)
+    for levels ``levels`` down to 0.
+
+    Scale shape: each rollup consumes the PREVIOUS level, not the raw
+    points, so total work is a geometric series (~4/3 of the base
+    aggregation) and each successive shuffle is 4x smaller. Unit-weight
+    sums are integer-valued doubles (exact to 2^53), so the stack is
+    bit-reproducible regardless of aggregation order.
+    """
+    out = base.select(F.lit(levels).alias("level"),
+                      F.col(icol), F.col(jcol), F.col(wcol))
+    cur = base
+    for lvl in range(levels - 1, -1, -1):
+        cur = (cur.groupBy(F.shiftright(F.col(icol), 1).alias(icol),
+                           F.shiftright(F.col(jcol), 1).alias(jcol))
+                  .agg(F.sum(wcol).alias(wcol)))
+        out = out.unionByName(cur.select(F.lit(lvl).alias("level"),
+                                         F.col(icol), F.col(jcol),
+                                         F.col(wcol)))
+    return out

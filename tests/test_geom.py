@@ -290,3 +290,18 @@ class TestCoreReviewRegressions:
         cells = set(render_geometry(seg, grid))
         assert (0, 5) in cells and (4, 5) in cells
         assert all(j == 5 for (_, j) in cells)
+
+
+def test_density_pyramid_levels(spark):
+    from geomesa_spark.operators.tiling import density_pyramid
+
+    base = spark.createDataFrame(
+        [(0, 0, 1.0), (1, 0, 2.0), (2, 3, 4.0)],
+        "i int, j int, weight double")
+    got = {(r["level"], r["i"], r["j"]): r["weight"]
+           for r in density_pyramid(base, levels=2).collect()}
+    assert got == {
+        (2, 0, 0): 1.0, (2, 1, 0): 2.0, (2, 2, 3): 4.0,   # base unchanged
+        (1, 0, 0): 3.0, (1, 1, 1): 4.0,                    # halved once
+        (0, 0, 0): 7.0,                                    # everything
+    }

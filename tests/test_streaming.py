@@ -262,3 +262,33 @@ def test_streaming_sessions(spark, tmp_path):
     assert got[("u1", "2024-01-01 00:00:00")] == 2   # merged 0s+10s
     assert got[("u1", "2024-01-01 00:10:00")] == 1   # > 1 min gap -> new
     assert got[("u2", "2024-01-01 00:00:30")] == 1
+
+
+def test_stream_dedup_exact(spark, tmp_path):
+    from geomesa_spark.streaming.dedup import stream_dedup
+
+    src = str(tmp_path / "src_dd")
+    os.makedirs(src)
+    _write_batch(src, [
+        {"feature_id": "a", "ts": 100, "lon": 1.0, "lat": 2.0},
+        {"feature_id": "b", "ts": 110, "lon": 1.0, "lat": 2.0},  # dup content
+        {"feature_id": "c", "ts": 120, "lon": 3.0, "lat": 4.0},
+    ], "b0")
+    _write_batch(src, [
+        {"feature_id": "d", "ts": 130, "lon": 3.0, "lat": 4.0},  # dup content
+        {"feature_id": "e", "ts": 140, "lon": 5.0, "lat": 6.0},
+    ], "b1")
+
+    stream = (spark.readStream.schema(_IN_SCHEMA).option("maxFilesPerTrigger", 1)
+                   .json(src)
+                   .withColumn("ts", F.timestamp_seconds(F.col("ts"))))
+    out = stream_dedup(stream, ["lon", "lat"], ts_col="ts", delay="1 hour")
+    q = (out.writeStream.format("memory").queryName("dd")
+            .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(40)
+    q.stop()
+
+    rows = sorted((r["lon"], r["lat"])
+                  for r in spark.sql("select * from dd").collect())
+    # one survivor per distinct content, across micro-batches
+    assert rows == [(1.0, 2.0), (3.0, 4.0), (5.0, 6.0)]

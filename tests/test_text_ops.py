@@ -12,15 +12,18 @@ def _clusters(spark, pairs, **kw):
 
 
 def test_dedup_clusters_two_components(spark):
-    got = _clusters(spark, [(1, 2), (2, 3), (5, 6)])
-    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    # both strategies: driver union-find (default) and the distributed
+    # pointer-jumping loop (driver_threshold=0 disables the fast path)
+    for kw in ({}, {"driver_threshold": 0}):
+        got = _clusters(spark, [(1, 2), (2, 3), (5, 6)], **kw)
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
 
 
 def test_dedup_clusters_path_graph_pointer_jumping(spark):
     # worst case for plain propagation: a 33-node path needs 32 naive
     # rounds; pointer jumping must converge well inside max_iters=10
     pairs = [(i, i + 1) for i in range(32)]
-    got = _clusters(spark, pairs, max_iters=10)
+    got = _clusters(spark, pairs, max_iters=10, driver_threshold=0)
     assert got == {i: 0 for i in range(33)}
 
 
@@ -29,8 +32,20 @@ def test_dedup_clusters_empty_pairs(spark):
 
 
 def test_dedup_clusters_reversed_and_duplicate_edges(spark):
-    got = _clusters(spark, [(9, 4), (4, 9), (9, 4), (4, 2)])
-    assert got == {2: 2, 4: 2, 9: 2}
+    for kw in ({}, {"driver_threshold": 0}):
+        got = _clusters(spark, [(9, 4), (4, 9), (9, 4), (4, 2)], **kw)
+        assert got == {2: 2, 4: 2, 9: 2}
+
+
+def test_dedup_clusters_strategies_agree(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    fast = _clusters(spark, pairs)
+    dist = _clusters(spark, pairs, driver_threshold=0)
+    assert fast == dist
 
 
 def test_repetition_stats_exact_values(spark):
