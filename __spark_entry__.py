@@ -1059,6 +1059,27 @@ def q_quantized_ann(spark, sf_dir):
     return quantized_topk(q, emb, k=10)
 
 
+def q_tfidf_terms(spark, sf_dir):
+    """Top-3 TF-IDF keywords per doc (operators/corpus.tfidf_topk_terms):
+    integer idf_ppm = (N*1e6) DIV df — monotone in 1/df, so ranks are
+    TF-IDF ranks with zero float/transcendental parity risk."""
+    from geomesa_spark.operators.corpus import tfidf_topk_terms
+
+    docs = _docs(spark, sf_dir)
+    return tfidf_topk_terms(docs, "doc_id", "text", k=3)
+
+
+def q_unigram_lp(spark, sf_dir):
+    """Mean unigram log-prob quality score
+    (operators/corpus.unigram_logprob, the CCNet LM-filter stand-in):
+    top-20 vocab + floor prob, per-doc fold in sorted-term order, mean
+    cast to float32 (absorbs <=1-ulp ln() library differences)."""
+    from geomesa_spark.operators.corpus import unigram_logprob
+
+    docs = _docs(spark, sf_dir)
+    return unigram_logprob(docs, "doc_id", "text", vocab_size=20)
+
+
 def q_rep_stats(spark, sf_dir):
     """Gopher-style repetition signals per document
     (operators/text.repetition_stats): word/2-gram duplication
@@ -1150,6 +1171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dedup": q_corpus_dedup,
         "mixing_stats": q_mixing_stats,
         "quantized_ann": q_quantized_ann,
+        "tfidf_terms": q_tfidf_terms,
+        "unigram_lp": q_unigram_lp,
     }
 
 
@@ -2224,6 +2247,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n_tokens * 1000000) // (SELECT sum(n_tokens) FROM per) AS BIGINT)
                      AS token_share_ppm
             FROM per
+        """,
+        # integer TF-IDF: idf_ppm = (N*1e6) DIV df; ties break on term
+        "tfidf_terms": r"""
+            WITH ex AS (SELECT doc_id,
+                               unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+                        FROM documents),
+            tfc AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM ex GROUP BY 1, 2),
+            dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS dfv
+                    FROM tfc GROUP BY 1),
+            sc AS (SELECT doc_id, t.term, tf,
+                          CAST((SELECT count(*) FROM documents) * 1000000 // dfv AS BIGINT) AS idf_ppm
+                   FROM tfc t JOIN dfq USING (term)),
+            w AS (SELECT doc_id, term, tf, idf_ppm,
+                         tf * idf_ppm AS score,
+                         CAST(row_number() OVER (PARTITION BY doc_id
+                              ORDER BY tf * idf_ppm DESC, term ASC) AS INTEGER) AS rank
+                  FROM sc)
+            SELECT doc_id, term, tf, idf_ppm, score, rank FROM w WHERE rank <= 3
+        """,
+        # unigram LM score: top-20 vocab + floor count 1; fold in
+        # sorted-term order; REAL cast absorbs ln() library ulps
+        "unigram_lp": r"""
+            WITH ex AS (SELECT doc_id,
+                               unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+                        FROM documents),
+            cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ex GROUP BY 1),
+            tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt),
+            voc AS (SELECT w, c FROM cnt ORDER BY c DESC, w ASC LIMIT 20),
+            lp AS (SELECT e.doc_id, e.w,
+                          ln(CAST(coalesce(v.c, 1) AS DOUBLE) / (SELECT t FROM tot)) AS lp
+                   FROM ex e LEFT JOIN voc v USING (w)),
+            fold AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+                            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(lp ORDER BY w ASC, lp ASC)),
+                                        (a, b) -> a + b) AS s
+                     FROM lp GROUP BY doc_id)
+            SELECT doc_id, n_words, CAST(s / n_words AS REAL) AS logprob_mean32
+            FROM fold
         """,
         # int8 symmetric quantization mirrored literally: floor(x*s+0.5),
         # exact integer dots/norms, one sqrt + one divide per pair

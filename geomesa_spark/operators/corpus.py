@@ -44,7 +44,7 @@ from pyspark.sql.types import LongType
 
 __all__ = [
     "line_dedup", "decontaminate", "stratified_sample", "dedup_apply",
-    "mixing_stats", "word_ngrams",
+    "mixing_stats", "word_ngrams", "tfidf_topk_terms", "unigram_logprob",
 ]
 
 
@@ -207,3 +207,80 @@ def mixing_stats(docs: DataFrame, strata_col: str, id_col: str,
                .withColumn("token_share_ppm",
                            F.expr("(n_tokens * 1000000) DIV __tot__"))
                .drop("__tot__"))
+
+
+def tfidf_topk_terms(docs: DataFrame, id_col: str, text_col: str,
+                     k: int = 5) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — keyword extraction for
+    topic bucketing / quality filtering. Returns (id, term, tf,
+    idf_ppm, score, rank).
+
+    IDF is the integer ratio ``(N * 1e6) DIV doc_freq`` (N = corpus
+    size) rather than a log: monotone in 1/df, so ranks are the
+    classic TF-IDF ranks for any fixed df, and every arithmetic step
+    is exact integers — bit-reproducible across engines and cluster
+    layouts, no transcendental parity to defend. Ties break on the
+    term string.
+
+    Plan shape: explode -> (doc, term) counts (map-side combine) ->
+    term doc-frequency (second small agg) -> join back on the term ->
+    per-doc top-k window. The join key is the term string; at corpus
+    scale the doc-frequency side is Zipf-bounded (vocab << corpus) and
+    usually broadcastable, but the shuffle join is the safe default.
+    """
+    n_docs = docs.count()   # one scalar action; N is a job parameter
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    tf = (docs.select(F.col(id_col), F.explode(words).alias("term"))
+              .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("__df__"))
+    scored = (tf.join(dfreq, on="term")
+                .withColumn("idf_ppm",
+                            F.expr(f"CAST({n_docs} AS BIGINT) * 1000000 "
+                                   f"DIV __df__"))
+                .withColumn("score", F.col("tf") * F.col("idf_ppm")))
+    win = Window.partitionBy(id_col).orderBy(F.col("score").desc(),
+                                             F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(win))
+                  .filter(F.col("rank") <= k)
+                  .select(id_col, "term", "tf", "idf_ppm", "score", "rank"))
+
+
+def unigram_logprob(docs: DataFrame, id_col: str, text_col: str,
+                    vocab_size: int = 65536) -> DataFrame:
+    """Per-document mean unigram log-probability — the lightweight
+    stand-in for the LM-perplexity quality filter of CCNet (Wenzek et
+    al. 2020): boilerplate and gibberish score far from fluent prose
+    under even a unigram model. Returns (id, n_words, logprob_mean32).
+
+    The model is the corpus itself: p(w) = count(w)/total over the top
+    ``vocab_size`` words (deterministic count-then-term tiebreak);
+    rarer words take the floor probability 1/total. The per-document
+    sum folds over terms sorted by word (array_sort -> aggregate), so
+    the float additions happen in a defined order; the mean is cast to
+    float32, absorbing the <=1-ulp ln() differences between math
+    libraries (same trick the CRS transforms use — see
+    sources/tpch_geo.py).
+
+    Scale: the vocab is bounded and broadcast; everything else is one
+    explode-aggregate and a per-doc fold.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    exploded = docs.select(F.col(id_col), F.explode(words).alias("w"))
+    counts = exploded.groupBy("w").agg(F.count("*").alias("c"))
+    total = counts.agg(F.sum("c")).first()[0]
+    vocab = (counts.orderBy(F.col("c").desc(), F.col("w").asc())
+                   .limit(vocab_size))
+    per = (exploded.join(F.broadcast(vocab), on="w", how="left")
+                   .withColumn("__lp__", F.log(
+                       F.coalesce(F.col("c"), F.lit(1)).cast("double")
+                       / F.lit(float(total)))))
+    folded = (per.groupBy(id_col).agg(
+        F.count("*").alias("n_words"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("w"), F.col("__lp__")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["__lp__"]).alias("__sum__")))
+    return folded.select(
+        id_col, "n_words",
+        (F.col("__sum__") / F.col("n_words")).cast("float")
+         .alias("logprob_mean32"))

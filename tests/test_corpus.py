@@ -125,3 +125,41 @@ def test_quantized_topk_tracks_float_cosine(spark):
     assert len(got) == len(ref) > 0
     # int8 quantization perturbs sims by ~1e-3; top-10 overlap stays high
     assert len(got & ref) / len(ref) >= 0.9
+
+
+def test_tfidf_topk_terms_known_answer(spark):
+    from geomesa_spark.operators.corpus import tfidf_topk_terms
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana common"),
+         (2, "banana cherry common"),
+         (3, "common common date")],
+        "doc_id long, text string")
+    got = {(r["doc_id"], r["rank"]): (r["term"], r["tf"], r["idf_ppm"])
+           for r in tfidf_topk_terms(docs, "doc_id", "text", k=2).collect()}
+    # df: apple 1, banana 2, cherry 1, common 3, date 1; N=3
+    # idf_ppm: df=1 -> 3e6, df=2 -> 1.5e6, df=3 -> 1e6
+    assert got[(1, 1)] == ("apple", 2, 3_000_000)    # score 6e6
+    assert got[(1, 2)] == ("banana", 1, 1_500_000)
+    assert got[(2, 1)] == ("cherry", 1, 3_000_000)
+    assert got[(3, 1)] == ("date", 1, 3_000_000)
+    assert got[(3, 2)] == ("common", 2, 1_000_000)
+
+
+def test_unigram_logprob_orders_fluency(spark):
+    import math
+
+    from geomesa_spark.operators.corpus import unigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "the the the the"),            # all high-frequency
+         (2, "the zzz qqq www")],           # mostly floor-prob words
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           unigram_logprob(docs, "doc_id", "text", vocab_size=1).collect()}
+    # total=8, vocab={the: 5}; doc1 mean = ln(5/8); doc2 has 3 floor words
+    assert got[1]["n_words"] == 4
+    assert abs(got[1]["logprob_mean32"] - math.log(5 / 8)) < 1e-6
+    assert got[2]["logprob_mean32"] < got[1]["logprob_mean32"]
+    exp2 = (math.log(5 / 8) + 3 * math.log(1 / 8)) / 4
+    assert abs(got[2]["logprob_mean32"] - exp2) < 1e-6
