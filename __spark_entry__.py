@@ -1080,6 +1080,28 @@ def q_unigram_lp(spark, sf_dir):
     return unigram_logprob(docs, "doc_id", "text", vocab_size=20)
 
 
+def q_url_normalize(spark, sf_dir):
+    """Crawl-frontier URL canonicalization (operators/corpus.
+    normalize_url): lowercase scheme/host, strip www., drop fragment,
+    remove tracking params, sort the rest — pure JVM string/HOF
+    expressions. Input URLs are constructed deterministically from
+    doc_id (documents carry no URL column), identically in both
+    engines."""
+    from geomesa_spark.operators.corpus import normalize_url
+
+    docs = _docs(spark, sf_dir)
+    k = (F.col("doc_id") % 7).cast("string")
+    i = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    suffix = (F.when(m == 0, "?utm_source=x&b=2&a=1#frag")
+               .when(m == 1, "?a=1&ref=abc")
+               .when(m == 2, "#top").otherwise(""))
+    url = F.concat(F.lit("HTTPS://WWW.Site"), k, F.lit(".example/p/"), i,
+                   suffix)
+    return docs.select("doc_id", url.alias("url_raw"),
+                       normalize_url(url).alias("url_norm"))
+
+
 def q_rep_stats(spark, sf_dir):
     """Gopher-style repetition signals per document
     (operators/text.repetition_stats): word/2-gram duplication
@@ -1173,6 +1195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_ann": q_quantized_ann,
         "tfidf_terms": q_tfidf_terms,
         "unigram_lp": q_unigram_lp,
+        "url_normalize": q_url_normalize,
     }
 
 
@@ -2286,6 +2309,52 @@ def oracle_sql() -> dict[str, str]:
                      FROM lp GROUP BY doc_id)
             SELECT doc_id, n_words, CAST(s / n_words AS REAL) AS logprob_mean32
             FROM fold
+        """,
+        # URL canonicalization mirror: same deterministic messy-URL
+        # construction, same lowercase/www-strip/defrag/param rules
+        "url_normalize": """
+            WITH raw AS (
+              SELECT doc_id,
+                     'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example/p/' || CAST(doc_id AS VARCHAR)
+                       || CASE doc_id % 4
+                            WHEN 0 THEN '?utm_source=x&b=2&a=1#frag'
+                            WHEN 1 THEN '?a=1&ref=abc'
+                            WHEN 2 THEN '#top' ELSE '' END AS url_raw
+              FROM documents),
+            parts AS (
+              SELECT doc_id, url_raw,
+                     split_part(url_raw, '#', 1) AS nofrag
+              FROM raw),
+            hp AS (
+              SELECT *, lower(split_part(nofrag, '://', 1)) AS scheme,
+                        split_part(nofrag, '://', 2) AS hostpath
+              FROM parts),
+            h AS (
+              SELECT *,
+                     CASE WHEN starts_with(lower(split_part(hostpath, '/', 1)), 'www.')
+                          THEN substr(lower(split_part(hostpath, '/', 1)), 5)
+                          ELSE lower(split_part(hostpath, '/', 1)) END AS host,
+                     CASE WHEN instr(hostpath, '/') > 0
+                          THEN substr(hostpath, instr(hostpath, '/'))
+                          ELSE '/' END AS pathq
+              FROM hp),
+            pq AS (
+              SELECT *, split_part(pathq, '?', 1) AS path,
+                        CASE WHEN instr(pathq, '?') > 0
+                             THEN split_part(pathq, '?', 2) ELSE '' END AS query
+              FROM h),
+            qn AS (
+              SELECT *, array_to_string(list_sort(list_filter(
+                        string_split(query, '&'),
+                        x -> x <> '' AND NOT starts_with(x, 'utm_')
+                             AND split_part(x, '=', 1) NOT IN ('fbclid', 'gclid', 'ref')
+                   )), '&') AS qnorm
+              FROM pq)
+            SELECT doc_id, url_raw,
+                   scheme || '://' || host || path ||
+                   CASE WHEN qnorm <> '' THEN '?' || qnorm ELSE '' END AS url_norm
+            FROM qn
         """,
         # int8 symmetric quantization mirrored literally: floor(x*s+0.5),
         # exact integer dots/norms, one sqrt + one divide per pair

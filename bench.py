@@ -218,6 +218,36 @@ def _tile_match(spark, n_pages: int = 200_000) -> float:
     return match / len(keys) if keys else 1.0
 
 
+def _text_job(spark, n_pages: int, reps: int = 2) -> float:
+    """Webtext scaling job: minhash signatures (the compute term of a
+    dedup pipeline — Arrow-batched FNV + multiply-shift over shingles)
+    over the seeded page corpus; wall = signature pass + count. Points
+    the same N -> 4N criterion at the Python/Arrow worker path the
+    corpus operators ride, complementing the JVM-kernel PIP criterion.
+    """
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.dedup import minhash_signature_udf
+    from geomesa_spark.sources.pages import generate_pages
+
+    parts = max(spark.sparkContext.defaultParallelism * 4, 64)
+    pages = (generate_pages(spark, n_pages, partitions=parts)
+             .select("url", "text").cache())
+    pages.count()
+    sig = minhash_signature_udf(num_hashes=32, shingle_k=3)
+    job = lambda: (pages.select(F.size(sig(F.col("text"))).alias("n"))  # noqa: E731
+                        .agg(F.sum("n")).collect())
+    job()  # warm: worker spawn + Arrow + numba-free JIT-free numpy paths
+    walls = []
+    for _ in range(reps):
+        _allcore_load()
+        t0 = time.time()
+        job()
+        walls.append(time.time() - t0)
+    pages.unpersist()
+    return min(walls)
+
+
 def main() -> None:
     import __spark_entry__ as entry_mod
 
@@ -313,6 +343,23 @@ def main() -> None:
     }
     if fast_join:
         out["pip_fast_mrows_per_s"] = fast_join[f"mrows_s_local{CPUS}"]
+    if os.environ.get("SPARK_GRAFT_SCALING_TEXT", "0") == "1":
+        # optional second N -> 4N pair on the WEBTEXT path (minhash
+        # signatures): same interleaved-paired-sessions protocol
+        n_text = int(os.environ.get("SPARK_GRAFT_TEXT_PAGES", "2000000"))
+        twalls: dict[int, float] = {}
+        for c, reps in ((2, 2), (8, 2), (2, 2), (8, 2), (CPUS, 2)):
+            s = _session(c)
+            w = _text_job(s, n_text, reps=reps)
+            s.stop()
+            twalls[c] = min(twalls.get(c, float("inf")), w)
+        out["scaling_text"] = {
+            "pages": n_text,
+            "wall_s_local2": round(twalls[2], 2),
+            "wall_s_local8": round(twalls[8], 2),
+            f"wall_s_local{CPUS}": round(twalls[CPUS], 2),
+            "efficiency_2_to_8": round(twalls[2] / (4.0 * twalls[8]), 3),
+        }
     print(json.dumps(out))
 
 

@@ -45,6 +45,7 @@ from pyspark.sql.types import LongType
 __all__ = [
     "line_dedup", "decontaminate", "stratified_sample", "dedup_apply",
     "mixing_stats", "word_ngrams", "tfidf_topk_terms", "unigram_logprob",
+    "normalize_url",
 ]
 
 
@@ -284,3 +285,50 @@ def unigram_logprob(docs: DataFrame, id_col: str, text_col: str,
         id_col, "n_words",
         (F.col("__sum__") / F.col("n_words")).cast("float")
          .alias("logprob_mean32"))
+
+
+_TRACKING_PREFIXES = ("utm_",)
+_TRACKING_PARAMS = ("fbclid", "gclid", "ref")
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical URL (the dedup key of a crawl frontier): lowercase
+    scheme and host, strip ``www.``, drop the fragment, remove tracking
+    parameters (utm_*, fbclid, gclid, ref), sort surviving query
+    parameters. Two pages differing only in these never differ in
+    content, so canonicalization before exact/URL dedup collapses the
+    recrawl noise that dominates raw crawls.
+
+    Pure JVM string/HOF expressions (split / substring_index /
+    filter / array_sort) — no regex beyond what both engines share, no
+    Python, composes inside whole-stage codegen. Assumes an absolute
+    URL with an explicit ``scheme://``.
+    """
+    nofrag = F.substring_index(url, "#", 1)
+    scheme = F.lower(F.substring_index(nofrag, "://", 1))
+    hostpath = F.substring_index(nofrag, "://", -1)
+    rawhost = F.lower(F.substring_index(hostpath, "/", 1))
+    host = F.when(rawhost.startswith("www."),
+                  rawhost.substr(F.lit(5), F.length(rawhost))
+                  ).otherwise(rawhost)
+    slash = F.instr(hostpath, "/")
+    pathq = F.when(slash > 0,
+                   hostpath.substr(slash, F.length(hostpath))
+                   ).otherwise(F.lit("/"))
+    path = F.substring_index(pathq, "?", 1)
+    query = F.when(F.instr(pathq, "?") > 0,
+                   F.substring_index(pathq, "?", -1)).otherwise(F.lit(""))
+    def _param_keep(x):
+        cond = x != ""
+        for p in _TRACKING_PREFIXES:
+            cond = cond & ~x.startswith(p)
+        name = F.substring_index(x, "=", 1)
+        for p in _TRACKING_PARAMS:
+            cond = cond & (name != p)
+        return cond
+
+    keep = F.filter(F.split(query, "&"), _param_keep)
+    qnorm = F.array_join(F.array_sort(keep), "&")
+    return F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")))

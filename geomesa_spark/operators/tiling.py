@@ -400,20 +400,22 @@ def density_pyramid(base: DataFrame, levels: int, icol: str = "i",
     zoom; serving a map needs the stack). Returns (level, i, j, weight)
     for levels ``levels`` down to 0.
 
-    Scale shape: each rollup consumes the PREVIOUS level, not the raw
-    points, so total work is a geometric series (~4/3 of the base
-    aggregation) and each successive shuffle is 4x smaller. Unit-weight
+    Scale shape: every base cell explodes to its ``levels + 1``
+    ancestors (level, i >> s, j >> s) and ONE grouped aggregation sums
+    the whole stack — two exchanges total regardless of depth, with
+    map-side combine doing the per-level rollup. (A per-level cascade
+    reads prettier but Spark recomputes each union branch's lineage:
+    measured 21 exchanges for a 6-level stack vs 2 here.) Unit-weight
     sums are integer-valued doubles (exact to 2^53), so the stack is
     bit-reproducible regardless of aggregation order.
     """
-    out = base.select(F.lit(levels).alias("level"),
-                      F.col(icol), F.col(jcol), F.col(wcol))
-    cur = base
-    for lvl in range(levels - 1, -1, -1):
-        cur = (cur.groupBy(F.shiftright(F.col(icol), 1).alias(icol),
-                           F.shiftright(F.col(jcol), 1).alias(jcol))
-                  .agg(F.sum(wcol).alias(wcol)))
-        out = out.unionByName(cur.select(F.lit(lvl).alias("level"),
-                                         F.col(icol), F.col(jcol),
-                                         F.col(wcol)))
-    return out
+    ancestors = F.array(*[
+        F.struct(F.lit(lvl).alias("level"),
+                 F.shiftright(F.col(icol), levels - lvl).alias(icol),
+                 F.shiftright(F.col(jcol), levels - lvl).alias(jcol))
+        for lvl in range(levels, -1, -1)])
+    return (base.select(F.explode(ancestors).alias("__a__"), F.col(wcol))
+                .groupBy(F.col("__a__.level").alias("level"),
+                         F.col(f"__a__.{icol}").alias(icol),
+                         F.col(f"__a__.{jcol}").alias(jcol))
+                .agg(F.sum(wcol).alias(wcol)))

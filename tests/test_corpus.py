@@ -163,3 +163,19 @@ def test_unigram_logprob_orders_fluency(spark):
     assert got[2]["logprob_mean32"] < got[1]["logprob_mean32"]
     exp2 = (math.log(5 / 8) + 3 * math.log(1 / 8)) / 4
     assert abs(got[2]["logprob_mean32"] - exp2) < 1e-6
+
+
+def test_normalize_url_rules(spark):
+    from geomesa_spark.operators.corpus import normalize_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM/Path/X?utm_source=a&b=2&a=1#frag",
+         "https://example.com/Path/X?a=1&b=2"),   # path case KEPT, www stripped
+        ("http://example.com", "http://example.com/"),
+        ("https://example.com/p?ref=x&gclid=1&fbclid=2", "https://example.com/p"),
+        ("https://sub.www.com/a?z=9&a=1", "https://sub.www.com/a?a=1&z=9"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["n"] for r in
+           df.select(normalize_url(F.col("url")).alias("n")).collect()]
+    assert got == [e for _, e in cases]
