@@ -1102,6 +1102,22 @@ def q_url_normalize(spark, sf_dir):
                        normalize_url(url).alias("url_norm"))
 
 
+def q_shard_stats(spark, sf_dir):
+    """Training-shard writer round trip (operators/corpus.write_shards):
+    splitmix64(doc_id) mod 8 hive shards, one file per shard, then a
+    per-shard rollup of the read-back — exercises the deterministic
+    shard assignment AND the partition-column pushdown path."""
+    from geomesa_spark.operators.corpus import write_shards
+
+    docs = _docs(spark, sf_dir)
+    path = _store_tmp(sf_dir, "shards")
+    write_shards(docs, path, "doc_id", n_shards=8)
+    back = spark.read.parquet(path)
+    return (back.groupBy(F.col("shard").cast("long").alias("shard"))
+                .agg(F.count("*").alias("n_docs"),
+                     F.sum(F.col("n_chars")).alias("sum_chars")))
+
+
 def q_rep_stats(spark, sf_dir):
     """Gopher-style repetition signals per document
     (operators/text.repetition_stats): word/2-gram duplication
@@ -1196,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "unigram_lp": q_unigram_lp,
         "url_normalize": q_url_normalize,
+        "shard_stats": q_shard_stats,
     }
 
 
@@ -2356,6 +2373,15 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN qnorm <> '' THEN '?' || qnorm ELSE '' END AS url_norm
             FROM qn
         """,
+        # shard assignment mirror: splitmix64(doc_id) mod 8
+        "shard_stats": (lambda mix_cte, mix_col: f"""
+            WITH mx0 AS (SELECT doc_id, n_chars FROM documents),
+            {mix_cte}
+            SELECT ({mix_col}) % 8 AS shard,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM mxf GROUP BY 1
+        """)(*_sql_mix64_cte("CAST(doc_id AS HUGEINT)")),
         # int8 symmetric quantization mirrored literally: floor(x*s+0.5),
         # exact integer dots/norms, one sqrt + one divide per pair
         "quantized_ann": """

@@ -45,7 +45,7 @@ from pyspark.sql.types import LongType
 __all__ = [
     "line_dedup", "decontaminate", "stratified_sample", "dedup_apply",
     "mixing_stats", "word_ngrams", "tfidf_topk_terms", "unigram_logprob",
-    "normalize_url",
+    "normalize_url", "write_shards",
 ]
 
 
@@ -332,3 +332,25 @@ def normalize_url(url: Column) -> Column:
     return F.concat(
         scheme, F.lit("://"), host, path,
         F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")))
+
+
+def write_shards(df: DataFrame, path: str, id_col: str, n_shards: int,
+                 seed: int = 42, fmt: str = "parquet",
+                 mode: str = "overwrite") -> None:
+    """Deterministic training-shard writer: shard(id) = splitmix64(id)
+    mod ``n_shards``, written as ``shard=K`` hive directories with one
+    file per shard (repartition on the shard value first).
+
+    Why hash shards and not round-robin repartition: the dataloader
+    contract for a training run is *fixed shard count, size-balanced,
+    reproducible* — a retried/re-run job must land every document in
+    the same shard (checkpointable data order), which round-robin
+    partitioning does not guarantee. splitmix64 balances shard sizes to
+    sqrt-law fluctuations regardless of id structure. The shard column
+    doubles as the pushdown key for shard-subset reads
+    (``read.parquet(path).filter("shard = 7")`` prunes directories).
+    """
+    bucket = _mix_bucket_udf(seed, n_shards)
+    (df.withColumn("shard", bucket(F.col(id_col).cast("long")))
+       .repartition(n_shards, "shard")
+       .write.partitionBy("shard").mode(mode).format(fmt).save(path))

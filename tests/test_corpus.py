@@ -179,3 +179,26 @@ def test_normalize_url_rules(spark):
     got = [r["n"] for r in
            df.select(normalize_url(F.col("url")).alias("n")).collect()]
     assert got == [e for _, e in cases]
+
+
+def test_write_shards_roundtrip(spark, tmp_path):
+    import numpy as np
+
+    from geomesa_spark.operators.ann import mix64
+    from geomesa_spark.operators.corpus import write_shards
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(200)],
+                                 "doc_id long, text string")
+    path = str(tmp_path / "shards")
+    write_shards(docs, path, "doc_id", n_shards=4)
+    back = spark.read.parquet(path)
+    rows = {r["doc_id"]: int(r["shard"]) for r in back.collect()}
+    assert len(rows) == 200                       # nothing lost
+    ids = np.arange(200, dtype=np.int64)
+    expect = (mix64(ids) % np.uint64(4)).astype(int)
+    assert rows == {int(i): int(s) for i, s in zip(ids, expect)}
+    # re-write lands every doc in the same shard (retry-stable)
+    write_shards(docs, path, "doc_id", n_shards=4)
+    again = {r["doc_id"]: int(r["shard"])
+             for r in spark.read.parquet(path).collect()}
+    assert again == rows
