@@ -1118,6 +1118,16 @@ def q_shard_stats(spark, sf_dir):
                      F.sum(F.col("n_chars")).alias("sum_chars")))
 
 
+def q_dup_ngrams(spark, sf_dir):
+    """Duplicated n-gram fraction per doc (operators/corpus.
+    duplicated_ngram_fraction, Lee et al. ExactSubstr document-level
+    signal): share of word 3-grams each doc shares with other docs."""
+    from geomesa_spark.operators.corpus import duplicated_ngram_fraction
+
+    docs = _docs(spark, sf_dir)
+    return duplicated_ngram_fraction(docs, "doc_id", "text", n=3)
+
+
 def q_rep_stats(spark, sf_dir):
     """Gopher-style repetition signals per document
     (operators/text.repetition_stats): word/2-gram duplication
@@ -1213,6 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lp": q_unigram_lp,
         "url_normalize": q_url_normalize,
         "shard_stats": q_shard_stats,
+        "dup_ngrams": q_dup_ngrams,
     }
 
 
@@ -2382,6 +2393,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM mxf GROUP BY 1
         """)(*_sql_mix64_cte("CAST(doc_id AS HUGEINT)")),
+        # self-corpus duplicated 3-gram fraction; one exact division
+        "dup_ngrams": r"""
+            WITH d2 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+            g AS (SELECT doc_id,
+                         unnest(list_transform(range(0, len(w) - 2),
+                                i -> array_to_string(w[i+1:i+3], ' '))) AS ng
+                  FROM d2 WHERE len(w) >= 3),
+            dfq AS (SELECT ng, count(DISTINCT doc_id) AS dd FROM g GROUP BY 1)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(count(*) FILTER (WHERE dd >= 2) AS BIGINT) AS n_dup_grams,
+                   CAST(count(*) FILTER (WHERE dd >= 2) AS DOUBLE) / count(*) AS dup_frac
+            FROM g JOIN dfq USING (ng) GROUP BY doc_id
+        """,
         # int8 symmetric quantization mirrored literally: floor(x*s+0.5),
         # exact integer dots/norms, one sqrt + one divide per pair
         "quantized_ann": """

@@ -45,7 +45,7 @@ from pyspark.sql.types import LongType
 __all__ = [
     "line_dedup", "decontaminate", "stratified_sample", "dedup_apply",
     "mixing_stats", "word_ngrams", "tfidf_topk_terms", "unigram_logprob",
-    "normalize_url", "write_shards",
+    "normalize_url", "write_shards", "duplicated_ngram_fraction",
 ]
 
 
@@ -354,3 +354,34 @@ def write_shards(df: DataFrame, path: str, id_col: str, n_shards: int,
     (df.withColumn("shard", bucket(F.col(id_col).cast("long")))
        .repartition(n_shards, "shard")
        .write.partitionBy("shard").mode(mode).format(fmt).save(path))
+
+
+def duplicated_ngram_fraction(docs: DataFrame, id_col: str, text_col: str,
+                              n: int = 8, min_docs: int = 2) -> DataFrame:
+    """Per-document fraction of word ``n``-grams that also occur in
+    >= ``min_docs`` - 1 OTHER documents — the document-level signal of
+    Lee et al. 2022's ExactSubstr dedup (theirs cuts the duplicated
+    spans via a suffix array; at Spark scale the doc-frequency of
+    fixed-length windows gives the same "how much of this doc is
+    copied" measure as one aggregation). Filter on ``dup_frac`` to drop
+    template pages and near-total copies that survive whole-doc hashing.
+
+    Returns (id, n_grams, n_dup_grams, dup_frac). Shuffle keys are
+    8-byte gram hashes (two-level distinct agg), then one join back and
+    a per-doc rollup; the fraction is a single exact-integer division.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("__ng__"),
+    ).select(id_col, F.xxhash64("__ng__").alias("__ngh__"))
+    dfreq = (grams.select("__ngh__", id_col).distinct()
+                  .groupBy("__ngh__")
+                  .agg(F.count("*").alias("__df__")))
+    return (grams.join(dfreq, on="__ngh__")
+                 .groupBy(id_col)
+                 .agg(F.count("*").alias("n_grams"),
+                      F.sum((F.col("__df__") >= min_docs).cast("long"))
+                       .alias("n_dup_grams"))
+                 .withColumn("dup_frac",
+                             F.col("n_dup_grams").cast("double")
+                             / F.col("n_grams")))

@@ -202,3 +202,31 @@ def test_write_shards_roundtrip(spark, tmp_path):
     again = {r["doc_id"]: int(r["shard"])
              for r in spark.read.parquet(path).collect()}
     assert again == rows
+
+
+def test_duplicated_ngram_fraction_known(spark):
+    from geomesa_spark.operators.corpus import duplicated_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"),       # grams: "a b c", "b c d"
+         (2, "a b c x"),       # grams: "a b c", "b c x"
+         (3, "q r s")],        # gram: "q r s" (unique)
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_frac"])
+           for r in duplicated_ngram_fraction(
+               docs, "doc_id", "text", n=3).collect()}
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (2, 1, 0.5)
+    assert got[3] == (1, 0, 0.0)
+
+
+def test_line_dedup_hot_boilerplate_key(spark):
+    # one line shared by EVERY doc (the AQE skew-key case): all copies
+    # removed, unique remainder intact
+    docs = spark.createDataFrame(
+        [(i, f"unique {i}\nCOOKIE BANNER") for i in range(50)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in line_dedup(docs, "doc_id", "text", min_docs=2).collect()}
+    assert len(out) == 50
+    assert all(out[i] == f"unique {i}" for i in range(50))
