@@ -2356,7 +2356,9 @@ def oracle_sql() -> dict[str, str]:
               FROM raw),
             hp AS (
               SELECT *, lower(split_part(nofrag, '://', 1)) AS scheme,
-                        split_part(nofrag, '://', 2) AS hostpath
+                        CASE WHEN instr(nofrag, '://') > 0
+                             THEN substr(nofrag, instr(nofrag, '://') + 3)
+                             ELSE nofrag END AS hostpath
               FROM parts),
             h AS (
               SELECT *,
@@ -2370,7 +2372,8 @@ def oracle_sql() -> dict[str, str]:
             pq AS (
               SELECT *, split_part(pathq, '?', 1) AS path,
                         CASE WHEN instr(pathq, '?') > 0
-                             THEN split_part(pathq, '?', 2) ELSE '' END AS query
+                             THEN substr(pathq, instr(pathq, '?') + 1)
+                             ELSE '' END AS query
               FROM h),
             qn AS (
               SELECT *, array_to_string(list_sort(list_filter(

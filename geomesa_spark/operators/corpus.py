@@ -42,6 +42,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
+from .cache import attach_cached as _attach_cached
+
 __all__ = [
     "line_dedup", "decontaminate", "stratified_sample", "dedup_apply",
     "mixing_stats", "word_ngrams", "tfidf_topk_terms", "unigram_logprob",
@@ -71,7 +73,11 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str, sep: str = "\n",
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), re.escape(sep)))
          .alias("__pos__", "__line__"),
-    ).withColumn("__lh__", F.xxhash64("__line__"))
+    ).withColumn("__lh__", F.xxhash64("__line__")).persist()
+    # ^ the exploded lines feed BOTH the doc-frequency aggregation and
+    # the join probe; without persist the scan+explode runs twice.
+    # (cache.release(out) frees it; at corpus sizes where caching the
+    # exploded lines is worse than a second scan, unpersist eagerly.)
     # doc-frequency of each distinct line: distinct (hash, doc) pairs
     # first so a line repeated inside one doc counts that doc once
     docfreq = (lines.select("__lh__", id_col).distinct()
@@ -89,7 +95,7 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str, sep: str = "\n",
         F.sum(F.col("__keep__").cast("long")).alias("n_kept")))
     if drop_empty:
         out = out.filter(F.col("n_kept") > 0)
-    return out
+    return _attach_cached(out, lines)
 
 
 def word_ngrams(text: Column, n: int, word_sep: str = " ") -> Column:
@@ -232,7 +238,8 @@ def tfidf_topk_terms(docs: DataFrame, id_col: str, text_col: str,
     n_docs = docs.count()   # one scalar action; N is a job parameter
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     tf = (docs.select(F.col(id_col), F.explode(words).alias("term"))
-              .groupBy(id_col, "term").agg(F.count("*").alias("tf")))
+              .groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+              .persist())   # feeds both the df agg and the join back
     dfreq = tf.groupBy("term").agg(F.count("*").alias("__df__"))
     scored = (tf.join(dfreq, on="term")
                 .withColumn("idf_ppm",
@@ -241,9 +248,10 @@ def tfidf_topk_terms(docs: DataFrame, id_col: str, text_col: str,
                 .withColumn("score", F.col("tf") * F.col("idf_ppm")))
     win = Window.partitionBy(id_col).orderBy(F.col("score").desc(),
                                              F.col("term").asc())
-    return (scored.withColumn("rank", F.row_number().over(win))
-                  .filter(F.col("rank") <= k)
-                  .select(id_col, "term", "tf", "idf_ppm", "score", "rank"))
+    return _attach_cached(
+        scored.withColumn("rank", F.row_number().over(win))
+              .filter(F.col("rank") <= k)
+              .select(id_col, "term", "tf", "idf_ppm", "score", "rank"), tf)
 
 
 def unigram_logprob(docs: DataFrame, id_col: str, text_col: str,
@@ -266,9 +274,10 @@ def unigram_logprob(docs: DataFrame, id_col: str, text_col: str,
     explode-aggregate and a per-doc fold.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
-    exploded = docs.select(F.col(id_col), F.explode(words).alias("w"))
-    counts = exploded.groupBy("w").agg(F.count("*").alias("c"))
-    total = counts.agg(F.sum("c")).first()[0]
+    exploded = (docs.select(F.col(id_col), F.explode(words).alias("w"))
+                    .persist())   # scanned for counts AND the lp join
+    counts = exploded.groupBy("w").agg(F.count("*").alias("c")).persist()
+    total = counts.agg(F.sum("c")).first()[0]   # materializes both
     vocab = (counts.orderBy(F.col("c").desc(), F.col("w").asc())
                    .limit(vocab_size))
     per = (exploded.join(F.broadcast(vocab), on="w", how="left")
@@ -281,10 +290,11 @@ def unigram_logprob(docs: DataFrame, id_col: str, text_col: str,
             F.array_sort(F.collect_list(F.struct(F.col("w"), F.col("__lp__")))),
             F.lit(0.0),
             lambda acc, s: acc + s["__lp__"]).alias("__sum__")))
-    return folded.select(
-        id_col, "n_words",
-        (F.col("__sum__") / F.col("n_words")).cast("float")
-         .alias("logprob_mean32"))
+    return _attach_cached(
+        folded.select(
+            id_col, "n_words",
+            (F.col("__sum__") / F.col("n_words")).cast("float")
+             .alias("logprob_mean32")), exploded, counts)
 
 
 _TRACKING_PREFIXES = ("utm_",)
@@ -306,7 +316,13 @@ def normalize_url(url: Column) -> Column:
     """
     nofrag = F.substring_index(url, "#", 1)
     scheme = F.lower(F.substring_index(nofrag, "://", 1))
-    hostpath = F.substring_index(nofrag, "://", -1)
+    # split on the FIRST occurrence of each delimiter — a query value
+    # may itself contain '://' or '?' (redirect/next params), and a
+    # last-occurrence split would replace the host with query text
+    sep = F.instr(nofrag, "://")
+    hostpath = F.when(sep > 0,
+                      nofrag.substr(sep + 3, F.length(nofrag))
+                      ).otherwise(nofrag)
     rawhost = F.lower(F.substring_index(hostpath, "/", 1))
     host = F.when(rawhost.startswith("www."),
                   rawhost.substr(F.lit(5), F.length(rawhost))
@@ -316,8 +332,9 @@ def normalize_url(url: Column) -> Column:
                    hostpath.substr(slash, F.length(hostpath))
                    ).otherwise(F.lit("/"))
     path = F.substring_index(pathq, "?", 1)
-    query = F.when(F.instr(pathq, "?") > 0,
-                   F.substring_index(pathq, "?", -1)).otherwise(F.lit(""))
+    qpos = F.instr(pathq, "?")
+    query = F.when(qpos > 0,
+                   pathq.substr(qpos + 1, F.length(pathq))).otherwise(F.lit(""))
     def _param_keep(x):
         cond = x != ""
         for p in _TRACKING_PREFIXES:
@@ -373,15 +390,16 @@ def duplicated_ngram_fraction(docs: DataFrame, id_col: str, text_col: str,
     grams = docs.select(
         F.col(id_col),
         F.explode(word_ngrams(F.col(text_col), n)).alias("__ng__"),
-    ).select(id_col, F.xxhash64("__ng__").alias("__ngh__"))
+    ).select(id_col, F.xxhash64("__ng__").alias("__ngh__")).persist()
     dfreq = (grams.select("__ngh__", id_col).distinct()
                   .groupBy("__ngh__")
                   .agg(F.count("*").alias("__df__")))
-    return (grams.join(dfreq, on="__ngh__")
-                 .groupBy(id_col)
-                 .agg(F.count("*").alias("n_grams"),
-                      F.sum((F.col("__df__") >= min_docs).cast("long"))
-                       .alias("n_dup_grams"))
-                 .withColumn("dup_frac",
-                             F.col("n_dup_grams").cast("double")
-                             / F.col("n_grams")))
+    return _attach_cached(
+        grams.join(dfreq, on="__ngh__")
+             .groupBy(id_col)
+             .agg(F.count("*").alias("n_grams"),
+                  F.sum((F.col("__df__") >= min_docs).cast("long"))
+                   .alias("n_dup_grams"))
+             .withColumn("dup_frac",
+                         F.col("n_dup_grams").cast("double")
+                         / F.col("n_grams")), grams)

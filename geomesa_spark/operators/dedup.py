@@ -423,24 +423,36 @@ def dedup_clusters(pairs: DataFrame, left_col: str = "id_a",
     id; document text never enters. Convergence is detected by the sum
     of labels (labels only decrease, so an unchanged decimal-128 sum
     means a fixed point) — one scalar agg per round, no row-diff join.
-    Per-round frames persist and the previous round unpersists, so
-    lineage stays O(1) deep (no exponential replay).
+    Per-round frames are eagerly localCheckpoint-ed (and the previous
+    round's blocks released), so lineage stays O(1) deep — persist
+    alone caches data but leaves the nested logical plan to grow
+    geometrically across rounds (no exponential replay or plan-string
+    blowup).
     """
     spark = pairs.sparkSession
+    directed = (pairs.select(F.col(left_col).cast("long").alias("v"),
+                             F.col(right_col).cast("long").alias("u"))
+                     .distinct()
+                     .persist())   # probe AND (if large) the loop reuse it
     if driver_threshold > 0:
-        directed = (pairs.select(F.col(left_col).cast("long").alias("v"),
-                                 F.col(right_col).cast("long").alias("u"))
-                         .distinct())
-        head = directed.limit(driver_threshold + 1).collect()
+        # Arrow toPandas: two int64 columns, ~16 MB at the 1M cap — not
+        # a collect() of Row objects; bounded by limit(n+1)
+        head = directed.limit(driver_threshold + 1).toPandas()
         if len(head) <= driver_threshold:
-            comp = _unionfind_components((r["v"], r["u"]) for r in head)
+            comp = _unionfind_components(
+                zip(head["v"].to_numpy(), head["u"].to_numpy()))
+            directed.unpersist()
             return spark.createDataFrame(comp, "id long, cluster_id long")
-    edges = (pairs.select(F.col(left_col).cast("long").alias("v"),
-                          F.col(right_col).cast("long").alias("u"))
-                  .union(pairs.select(F.col(right_col).cast("long").alias("v"),
-                                      F.col(left_col).cast("long").alias("u")))
-                  .distinct()
-                  .persist())
+    edges = (directed.union(directed.select(F.col("u").alias("v"),
+                                            F.col("v").alias("u")))
+                     .distinct()
+                     .persist())
+    # materialize BEFORE the loop: every round then plans against a
+    # compact InMemoryTableScan instead of re-nesting the full AQE
+    # lineage — left lazy, the per-round plan strings grow until
+    # AdaptiveSparkPlanExec.onUpdatePlan's explainString OOMs the
+    # driver (observed at 8g on a 32-edge graph)
+    edges.count()
     lab = (edges.groupBy("v").agg(F.min("u").alias("__mn__"))
                 .select("v", F.least("v", "__mn__").alias("l"))
                 .persist())
@@ -455,9 +467,15 @@ def dedup_clusters(pairs: DataFrame, left_col: str = "id_a",
         # (b) pointer jump: l(v) <- min(l(v), l(l(v))) — labels are always
         # node ids, so the self-join resolves every label
         jump = new.select(F.col("v").alias("l"), F.col("l").alias("__jl__"))
+        # eager localCheckpoint, not persist: persist caches the DATA but
+        # the logical plan still nests (the jump self-join doubles the
+        # lineage each round), and AQE re-renders the full plan string
+        # per stage — geometric growth OOMs the driver by round ~8.
+        # Checkpointing truncates the plan to an O(1) RDD scan; blocks
+        # are freed by the ContextCleaner when the frame is dropped.
         new = (new.join(jump, on="l", how="left")
                   .select("v", F.least("l", F.coalesce("__jl__", "l")).alias("l"))
-                  .persist())
+                  .localCheckpoint(eager=True))
         s = new.agg(F.sum(F.col("l").cast("decimal(38,0)"))).first()[0]
         lab.unpersist()
         lab = new
@@ -465,4 +483,4 @@ def dedup_clusters(pairs: DataFrame, left_col: str = "id_a",
             break
         prev_sum = s
     out = lab.select(F.col("v").alias("id"), F.col("l").alias("cluster_id"))
-    return _attach_cached(out, edges, lab)
+    return _attach_cached(out, directed, edges, lab)

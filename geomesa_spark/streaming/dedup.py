@@ -24,12 +24,15 @@ __all__ = ["stream_dedup"]
 def stream_dedup(stream: DataFrame, content_cols: list[str],
                  ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
     """Drop every document whose content digest was already seen within
-    the watermark horizon. ``content_cols`` concatenate (unit-separator
-    delimited, same convention as operators/dedup.exact_dedup) into the
-    digest; the first arrival wins and later copies are suppressed
-    until the watermark passes ``delay`` beyond their event time.
+    the watermark horizon. The digest covers ``content_cols`` as a JSON
+    struct — NOT concat_ws, which silently skips NULL columns and would
+    hash ('x', NULL, 'y') and ('x', 'y', NULL) identically, silently
+    dropping a distinct document. The first arrival wins and later
+    copies are suppressed until the watermark passes ``delay`` beyond
+    their event time.
     """
-    key = F.sha2(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]), 256)
+    key = F.sha2(F.to_json(F.struct(*[F.col(c) for c in content_cols]),
+                           {"ignoreNullFields": "false"}), 256)
     return (stream.withColumn("__key__", key)
                   .withWatermark(ts_col, delay)
                   .dropDuplicatesWithinWatermark(["__key__"])

@@ -174,6 +174,11 @@ def test_normalize_url_rules(spark):
         ("http://example.com", "http://example.com/"),
         ("https://example.com/p?ref=x&gclid=1&fbclid=2", "https://example.com/p"),
         ("https://sub.www.com/a?z=9&a=1", "https://sub.www.com/a?a=1&z=9"),
+        # delimiters INSIDE query values: split must use the first
+        # occurrence, not the last
+        ("https://a.example/r?to=https://b.example/x&b=1",
+         "https://a.example/r?b=1&to=https://b.example/x"),
+        ("https://e.com/p?next=/login?x=1", "https://e.com/p?next=/login?x=1"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["n"] for r in
