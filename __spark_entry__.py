@@ -1138,6 +1138,81 @@ def q_rep_stats(spark, sf_dir):
     return repetition_stats(docs, "doc_id", "text", gram_n=2)
 
 
+def q_pack_seqs(spark, sf_dir):
+    """GPT-style sequence packing (operators/corpus.pack_sequences):
+    global token offsets in splitmix64(doc_id) order via a two-phase
+    distributed prefix sum, chunked into 512-token training sequences.
+    Oracle: the same splitmix64 HUGEINT mirror + a window cumsum."""
+    from geomesa_spark.operators.corpus import pack_sequences
+
+    docs = _docs(spark, sf_dir)
+    return pack_sequences(docs, "doc_id", "text", seq_len=512)
+
+
+# deterministic PII-bearing text built FROM table columns: the synthetic
+# corpus carries no emails/IPs/phones, so the query splices spans whose
+# redaction both engines must agree on (incl. one decoy '#' run that no
+# pattern may touch). Spark/DuckDB expression pairs are kept literal.
+def _pii_text_spark():
+    d = F.col("doc_id")
+    return F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@mail"), (d % 7).cast("string"), F.lit(".com at 10."),
+        (d % 200).cast("string"), F.lit(".0."), (d % 256).cast("string"),
+        F.lit(" or +1 (555) 010-"),
+        F.lpad((d % 10000).cast("string"), 4, "0"),
+        F.lit(" ## "), F.substring("text", 41, 40))
+
+
+_PII_TEXT_SQL = """
+    substr(text, 1, 40) || ' contact user' || CAST(doc_id AS VARCHAR)
+    || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.com at 10.'
+    || CAST(doc_id % 200 AS VARCHAR) || '.0.' || CAST(doc_id % 256 AS VARCHAR)
+    || ' or +1 (555) 010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+    || ' ## ' || substr(text, 41, 40)
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (operators/corpus.redact_pii / pii_stats): typed
+    placeholder substitution for emails, IPv4s, and phone-like runs —
+    pure JVM regexp chain, counts taken on the progressively redacted
+    text so they equal the replacements made."""
+    from geomesa_spark.operators.corpus import pii_stats
+
+    docs = _docs(spark, sf_dir).withColumn("text", _pii_text_spark())
+    return pii_stats(docs, "doc_id", "text")
+
+
+def q_incr_dedup(spark, sf_dir):
+    """Incremental exact dedup (operators/corpus.incremental_dedup):
+    docs with doc_id%3==0 play the already-ingested corpus (digest
+    index only — 32 bytes/doc); the rest arrive as a new batch and
+    survive iff their content is unseen and they are the min-id copy
+    within the batch."""
+    from geomesa_spark.operators.corpus import incremental_dedup
+
+    docs = _docs(spark, sf_dir)
+    seen = (docs.filter(F.col("doc_id") % 3 == 0)
+                .select(F.sha2(F.concat_ws("\x1f", "text"), 256)
+                         .alias("content_hash")))
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return (incremental_dedup(batch, seen, "doc_id", "text")
+            .select("doc_id", "content_hash", "lang", "source"))
+
+
+def q_gopher_quality(spark, sf_dir):
+    """Gopher quality gates (operators/corpus.gopher_quality): word
+    count / mean word length / symbol ratio / alpha fraction / stopword
+    floor as exact-integer predicates, one map-only pass."""
+    from geomesa_spark.operators.corpus import gopher_quality
+
+    docs = _docs(spark, sf_dir)
+    return gopher_quality(docs, "doc_id", "text", min_words=20,
+                          min_stopwords=1)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1224,6 +1299,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "shard_stats": q_shard_stats,
         "dup_ngrams": q_dup_ngrams,
+        "pack_seqs": q_pack_seqs,
+        "pii_redact": q_pii_redact,
+        "incr_dedup": q_incr_dedup,
+        "gopher_quality": q_gopher_quality,
     }
 
 
@@ -1714,6 +1793,65 @@ def _sql_route_search(buffer_deg: float, heading_tol: float) -> str:
                FROM c4)
         SELECT DISTINCT event_id, user_id FROM c5
         WHERE dist <= {buffer_deg} AND hdiff <= {heading_tol}
+    """
+
+
+def _sql_pii() -> str:
+    """DuckDB mirror of operators/corpus.pii_stats over the synthesized
+    PII text: built from the SAME pattern table (PII_PATTERNS) the Spark
+    op applies, chained in the same order so counts are taken on the
+    progressively redacted text. The pattern subset (classes, bounded
+    repeats, non-capturing groups, \\b) parses identically in Java and
+    RE2, and both engines match leftmost-first greedy."""
+    from geomesa_spark.operators.corpus import PII_PATTERNS
+
+    sql = (f"WITH t0 AS (SELECT doc_id, coalesce({_PII_TEXT_SQL}, '') "
+           "AS c0 FROM documents)")
+    prev, cur = "t0", "c0"
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        nxt, ncur = f"t{i + 1}", f"c{i + 1}"
+        sql += (f", {nxt} AS (SELECT *, "
+                f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT)"
+                f" AS n_{name}, "
+                f"regexp_replace({cur}, '{pat}', '{repl}', 'g') AS {ncur}"
+                f" FROM {prev})")
+        prev, cur = nxt, ncur
+    names = ", ".join(f"n_{n}" for n, _, _ in PII_PATTERNS)
+    return sql + f" SELECT doc_id, {names}, {cur} AS redacted FROM {prev}"
+
+
+def _sql_gopher(min_words: int, min_stopwords: int) -> str:
+    """DuckDB mirror of operators/corpus.gopher_quality (defaults for
+    the other gates): every ratio is the same exact-integer
+    cross-multiplication, stopwords come from the same tuple."""
+    from geomesa_spark.operators.corpus import GOPHER_STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+        WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+        w AS (SELECT doc_id, t,
+                     regexp_split_to_array(trim(t), '\\s+') AS ws FROM d),
+        s AS (SELECT doc_id,
+                     CAST(len(ws) AS BIGINT) AS n_words,
+                     CAST(list_sum(list_transform(ws, x -> length(x)))
+                          AS BIGINT) AS n_word_chars,
+                     CAST(length(t) - length(replace(t, '#', ''))
+                          AS BIGINT) AS n_hash,
+                     CAST(len(list_filter(ws,
+                          x -> regexp_matches(x, '[A-Za-z]')))
+                          AS BIGINT) AS n_alpha_words,
+                     CAST(len(list_filter(ws, x -> lower(x) IN ({stops})))
+                          AS BIGINT) AS n_stopwords
+              FROM w)
+        SELECT doc_id, n_words, n_word_chars, n_hash, n_alpha_words,
+               n_stopwords,
+               (n_words >= {min_words} AND n_words <= 100000
+                AND n_word_chars >= 3 * n_words
+                AND n_word_chars <= 10 * n_words
+                AND n_hash * 1000000 <= 100000 * n_words
+                AND n_alpha_words * 1000000 >= 800000 * n_words
+                AND n_stopwords >= {min_stopwords}) AS keep
+        FROM s
     """
 
 
@@ -2438,4 +2576,40 @@ def oracle_sql() -> dict[str, str]:
                   FROM r)
             SELECT qid, vec_id, sim_q, rank FROM w WHERE rank <= 10
         """,
+        # splitmix64-ordered global cumsum; DIV mirrors Spark's integer
+        # sequence-id arithmetic (float division would drop ulps at
+        # web-scale offsets)
+        "pack_seqs": (lambda mix_cte, mix_col: f"""
+            WITH mx0 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_split_to_array(trim(coalesce(text, '')),
+                          '\\s+')) AS BIGINT) AS nt
+              FROM documents WHERE doc_id IS NOT NULL),
+            {mix_cte},
+            c AS (SELECT doc_id, nt,
+                         CAST(sum(nt) OVER (ORDER BY {mix_col}, doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - nt AS BIGINT) AS st
+                  FROM mxf)
+            SELECT doc_id, nt AS n_tokens, st AS start_offset,
+                   st // 512 AS seq_first,
+                   (st + nt - 1) // 512 AS seq_last
+            FROM c
+        """)(*_sql_mix64_cte("CAST(doc_id AS HUGEINT)")),
+        "pii_redact": _sql_pii(),
+        # digest index anti-join + min-id-per-digest within the batch;
+        # sha256(text) == Spark sha2(concat_ws over the single column)
+        "incr_dedup": """
+            WITH h AS (SELECT doc_id, lang, source, sha256(text) AS content_hash
+                       FROM documents),
+            seen AS (SELECT DISTINCT content_hash FROM h WHERE doc_id % 3 = 0),
+            b AS (SELECT * FROM h WHERE doc_id % 3 <> 0),
+            fresh AS (SELECT b.* FROM b ANTI JOIN seen s
+                      ON b.content_hash = s.content_hash),
+            k AS (SELECT content_hash, min(doc_id) AS doc_id
+                  FROM fresh GROUP BY 1)
+            SELECT f.doc_id, f.content_hash, f.lang, f.source
+            FROM fresh f SEMI JOIN k USING (content_hash, doc_id)
+        """,
+        "gopher_quality": _sql_gopher(min_words=20, min_stopwords=1),
     }

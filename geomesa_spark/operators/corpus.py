@@ -48,6 +48,8 @@ __all__ = [
     "line_dedup", "decontaminate", "stratified_sample", "dedup_apply",
     "mixing_stats", "word_ngrams", "tfidf_topk_terms", "unigram_logprob",
     "normalize_url", "write_shards", "duplicated_ngram_fraction",
+    "pack_sequences", "redact_pii", "pii_stats", "incremental_dedup",
+    "gopher_quality",
 ]
 
 
@@ -403,3 +405,217 @@ def duplicated_ngram_fraction(docs: DataFrame, id_col: str, text_col: str,
              .withColumn("dup_frac",
                          F.col("n_dup_grams").cast("double")
                          / F.col("n_grams")), grams)
+
+
+def _token_count(text_col: str) -> Column:
+    """Whitespace token count, same convention as mixing_stats (empty
+    text counts one empty token — consistent cross-engine with
+    len(regexp_split_to_array(trim(text), '\\s+')))."""
+    return F.size(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))),
+                          r"\s+")).cast("long")
+
+
+def pack_sequences(docs: DataFrame, id_col: str, text_col: str,
+                   seq_len: int, seed: int = 42,
+                   num_partitions: int | None = None) -> DataFrame:
+    """GPT-style sequence packing offsets: concatenate every document
+    (in a deterministic splitmix64-shuffled order) into one virtual
+    token stream and chunk it into fixed-length training sequences of
+    ``seq_len`` tokens, documents straddling boundaries (Brown et al.
+    2020 §2.1 packing). Returns per document::
+
+        (id, n_tokens, start_offset, seq_first, seq_last)
+
+    where ``start_offset`` is the document's position in the global
+    stream, ``seq_first``/``seq_last`` the training-sequence ids its
+    tokens land in. The dataloader contract this feeds needs the
+    assignment to be a pure function of the corpus content — stable
+    under retries, resumes, and re-partitioning — so the order key is
+    splitmix64(id) (decorrelates crawl-id structure; the same mix the
+    sampling/shard ops use), never a nondeterministic zipWithIndex.
+
+    Scale shape (the interesting part — a global running sum is the
+    textbook "doesn't distribute" trap): one range-repartition shuffle
+    of 24-byte (key, id, n_tokens) rows establishes a total order;
+    per-partition token subtotals (one map-side agg down to
+    #partitions rows) come to the driver, an exclusive prefix over
+    them is broadcast back, and a map-only pass adds partition-local
+    running sums to the partition's base offset. No global window, no
+    single-task sort, no second shuffle: classic two-phase parallel
+    prefix sum. Document text never moves — only the three integer
+    columns enter the shuffle. (At extreme scale, pack per shard
+    instead and prefix seq ids by shard id: drops the global shuffle
+    entirely at the cost of shard-local order.)
+    """
+    from .ann import mix64
+
+    @F.pandas_udf(LongType())
+    def _mixkey(ids: pd.Series) -> pd.Series:
+        return pd.Series(mix64(ids.to_numpy(np.int64), seed)
+                         .astype(np.int64))
+
+    spark = docs.sparkSession
+    k = num_partitions or spark.sparkContext.defaultParallelism
+    slim = (docs.filter(F.col(id_col).isNotNull())
+                .select(F.col(id_col).cast("long").alias("__id__"),
+                        _token_count(text_col).alias("__nt__"))
+                .withColumn("__key__", _mixkey(F.col("__id__"))))
+    ranged = (slim.repartitionByRange(k, "__key__", "__id__")
+                  .sortWithinPartitions("__key__", "__id__")
+                  .withColumn("__pid__", F.spark_partition_id())
+                  .persist())
+    # partition subtotals -> driver (k rows) -> exclusive prefix
+    totals = {r["__pid__"]: r["s"] for r in
+              ranged.groupBy("__pid__").agg(F.sum("__nt__").alias("s"))
+                    .collect()}
+    base, offsets = 0, {}
+    for pid in range(k):
+        offsets[pid] = base
+        base += int(totals.get(pid, 0) or 0)
+
+    def _scan(batches):
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets[int(pdf["__pid__"].iloc[0])]
+            nt = pdf["__nt__"].to_numpy(np.int64)
+            ends = nt.cumsum() + run
+            run = int(ends[-1])
+            yield pd.DataFrame({"__id__": pdf["__id__"],
+                                "__nt__": pdf["__nt__"],
+                                "__start__": ends - nt})
+
+    packed = ranged.mapInPandas(
+        _scan, schema="__id__ long, __nt__ long, __start__ long")
+    # DIV, not float division: a 100 TB corpus is ~2.5e13 tokens and
+    # double division starts dropping ulps past 2^53 — seq ids must be
+    # exact integers at any offset
+    out = packed.select(
+        F.col("__id__").alias(id_col),
+        F.col("__nt__").alias("n_tokens"),
+        F.col("__start__").alias("start_offset"),
+        F.expr(f"__start__ DIV {int(seq_len)}").alias("seq_first"),
+        F.expr(f"(__start__ + __nt__ - 1) DIV {int(seq_len)}")
+            .alias("seq_last"))
+    return _attach_cached(out, ranged)
+
+
+# PII patterns: the Java (Spark) and RE2 (DuckDB/common tooling) regex
+# dialects agree on this subset — character classes, bounded repeats,
+# non-capturing groups, \b — so redaction is cross-engine reproducible.
+# Applied in order: emails first (their digit runs must not be eaten by
+# the phone pattern), then dotted quads, then phone-like digit runs.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9() .-]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4 addresses, and phone-like digit runs with
+    typed placeholder tokens — the standard pre-training scrub (C4 and
+    successors strip pages on badword lists; modern pipelines redact
+    spans instead so the surrounding prose survives). Pure JVM
+    regexp_replace chain: map-only, shuffle-free, whole-stage codegen.
+    """
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document redaction report: the redacted text plus a count
+    per PII class. Counts are taken on the progressively redacted text
+    (emails removed before IPs are counted, etc.) so they equal the
+    number of replacements actually made, and sum to the total spans
+    redacted — double-counting a dotted quad inside an email as both
+    classes would break that audit identity.
+    """
+    cur = F.coalesce(F.col(text_col), F.lit(""))
+    cols = [F.col(id_col)]
+    for name, pat, repl in PII_PATTERNS:
+        cols.append(F.size(F.regexp_extract_all(cur, F.lit(pat), F.lit(0)))
+                     .cast("long").alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, repl)
+    return docs.select(*cols, cur.alias("redacted"))
+
+
+def incremental_dedup(batch: DataFrame, seen_hashes: DataFrame,
+                      id_col: str, *content_cols: str) -> DataFrame:
+    """Exact dedup of an incoming batch against an already-ingested
+    corpus: drop rows whose content digest appears in ``seen_hashes``
+    (one column ``content_hash``), then keep min-id per digest within
+    the batch. Returns the surviving rows with their ``content_hash``
+    attached — append that column back to the digest index to make the
+    next batch incremental.
+
+    This is how exact dedup actually runs at 100 TB: the corpus is
+    never re-scanned — the digest index (32-byte hash + nothing else)
+    is ~0.1% of corpus bytes, the anti-join shuffles only (hash, id),
+    and each day's crawl joins against it. Digest convention matches
+    operators/dedup.exact_dedup, so an index bootstrapped by a full
+    exact_dedup pass is directly reusable.
+    """
+    key = F.sha2(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]), 256)
+    hashed = batch.withColumn("content_hash", key)
+    fresh = hashed.join(seen_hashes.select("content_hash").distinct(),
+                        on="content_hash", how="left_anti")
+    win_min = (fresh.groupBy("content_hash")
+                    .agg(F.min(F.col(id_col)).alias(id_col)))
+    return fresh.join(win_min, on=["content_hash", id_col], how="left_semi")
+
+
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(docs: DataFrame, id_col: str, text_col: str,
+                   min_words: int = 50, max_words: int = 100_000,
+                   min_mean_word_len: int = 3, max_mean_word_len: int = 10,
+                   max_hash_word_ratio_ppm: int = 100_000,
+                   min_alpha_word_ppm: int = 800_000,
+                   min_stopwords: int = 2) -> DataFrame:
+    """Gopher quality gates (Rae et al. 2021 table A1) as one map-only
+    pass: word count bounds, mean word length bounds, '#'-symbol to
+    word ratio, fraction of words containing an alphabetic character,
+    and a minimum stop-word count. Returns the per-doc signals plus the
+    combined ``keep`` flag.
+
+    Every ratio test is an exact integer cross-multiplication (ppm
+    thresholds), never a float divide — the keep set is bit-identical
+    across engines, retries, and hardware, which a 0.1 float threshold
+    straddled by rounding is not. Shuffle-free: pure split/filter HOF
+    expressions, whole-stage codegen, composable with repetition_stats
+    (the corpus-level duplication gates) by a map-side join on id.
+    """
+    words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    lw = F.transform(words, lambda w: F.lower(w))
+    n_words = F.size(words).cast("long")
+    n_word_chars = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.length(w)).alias("n_word_chars")
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    n_hash = (F.length(txt)
+              - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+              ).cast("long")
+    n_alpha = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("long")
+    n_stop = F.size(F.filter(
+        lw, lambda w: w.isin(*GOPHER_STOPWORDS))).cast("long")
+    sig = docs.select(
+        F.col(id_col), n_words.alias("n_words"),
+        n_word_chars.alias("n_word_chars"), n_hash.alias("n_hash"),
+        n_alpha.alias("n_alpha_words"), n_stop.alias("n_stopwords"))
+    keep = (
+        (F.col("n_words") >= min_words) & (F.col("n_words") <= max_words)
+        & (F.col("n_word_chars") >= min_mean_word_len * F.col("n_words"))
+        & (F.col("n_word_chars") <= max_mean_word_len * F.col("n_words"))
+        & (F.col("n_hash") * 1_000_000
+           <= F.lit(max_hash_word_ratio_ppm) * F.col("n_words"))
+        & (F.col("n_alpha_words") * 1_000_000
+           >= F.lit(min_alpha_word_ppm) * F.col("n_words"))
+        & (F.col("n_stopwords") >= min_stopwords))
+    return sig.withColumn("keep", keep)

@@ -235,3 +235,102 @@ def test_line_dedup_hot_boilerplate_key(spark):
            for r in line_dedup(docs, "doc_id", "text", min_docs=2).collect()}
     assert len(out) == 50
     assert all(out[i] == f"unique {i}" for i in range(50))
+
+
+def test_pack_sequences_matches_serial_reference(spark):
+    import numpy as np
+    from geomesa_spark.operators.ann import mix64
+    from geomesa_spark.operators.corpus import pack_sequences
+
+    n = 80
+    docs = spark.createDataFrame(
+        [(i, " ".join("w%d" % j for j in range(i % 7 + 1))) for i in range(n)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["start_offset"],
+                         r["seq_first"], r["seq_last"])
+           for r in pack_sequences(docs, "doc_id", "text", seq_len=16,
+                                   num_partitions=5).collect()}
+    ids = np.arange(n, dtype=np.int64)
+    keys = mix64(ids, 42).astype(np.int64)
+    nt = (ids % 7 + 1).astype(np.int64)
+    cum = 0
+    for i in np.lexsort((ids, keys)):
+        assert got[i] == (int(nt[i]), cum, cum // 16, (cum + nt[i] - 1) // 16)
+        cum += int(nt[i])
+    assert len(got) == n
+
+
+def test_pack_sequences_partition_invariant(spark):
+    # the offsets are a pure function of the corpus, not of parallelism
+    from geomesa_spark.operators.corpus import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, "a b c"[: (i % 3) * 2 + 1]) for i in range(30)],
+        "doc_id long, text string")
+    a = sorted(map(tuple, pack_sequences(
+        docs, "doc_id", "text", 8, num_partitions=1).collect()))
+    b = sorted(map(tuple, pack_sequences(
+        docs.repartition(7), "doc_id", "text", 8, num_partitions=6).collect()))
+    assert a == b
+
+
+def test_pii_redaction_classes(spark):
+    from geomesa_spark.operators.corpus import pii_stats
+
+    docs = spark.createDataFrame(
+        [(1, "mail bob.smith+x@sub.example.co.uk now"),
+         (2, "server at 10.0.255.3 port 80"),
+         (3, "call +1 (555) 010-1234 today or 555-867-5309"),
+         (4, "a@b.io from 192.168.0.1 tel 0800 123 4567"),
+         (5, None),
+         (6, "clean text, no spans")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           pii_stats(docs, "doc_id", "text").collect()}
+    assert got[1]["redacted"] == "mail <EMAIL> now"
+    assert got[2]["redacted"] == "server at <IP> port 80"
+    assert got[3]["redacted"] == "call <PHONE> today or <PHONE>"
+    assert got[4]["redacted"] == "<EMAIL> from <IP> tel <PHONE>"
+    assert (got[4]["n_email"], got[4]["n_ip"], got[4]["n_phone"]) == (1, 1, 1)
+    assert got[5]["redacted"] == ""          # null-safe
+    assert got[6]["redacted"] == "clean text, no spans"
+
+
+def test_incremental_dedup_against_index_and_within_batch(spark):
+    from geomesa_spark.operators.corpus import incremental_dedup
+
+    day1 = spark.createDataFrame(
+        [(1, "aa"), (2, "bb")], "id long, text string")
+    day2 = spark.createDataFrame(
+        [(10, "aa"),            # already ingested on day 1 -> dropped
+         (11, "cc"), (12, "cc"),  # within-batch dup -> min id wins
+         (13, "dd")],
+        "id long, text string")
+    key = F.sha2(F.concat_ws("\x1f", "text"), 256)
+    index = day1.select(key.alias("content_hash"))
+    out = incremental_dedup(day2, index, "id", "text")
+    assert sorted(r["id"] for r in out.collect()) == [11, 13]
+    # survivors carry the digest so the index can be appended
+    assert "content_hash" in out.columns
+    # appending makes the NEXT batch incremental
+    index2 = index.union(out.select("content_hash"))
+    day3 = spark.createDataFrame([(20, "cc"), (21, "ee")],
+                                 "id long, text string")
+    assert sorted(r["id"] for r in
+                  incremental_dedup(day3, index2, "id", "text").collect()) == [21]
+
+
+def test_gopher_quality_gates(spark):
+    from geomesa_spark.operators.corpus import gopher_quality
+
+    good = " ".join(["the word is of good quality and that have be to with x"] * 8)
+    docs = spark.createDataFrame(
+        [(1, good),                          # passes all gates
+         (2, "too short"),                   # word count
+         (3, " ".join(["#"] * 60)),          # symbol ratio + alpha + stopwords
+         (4, " ".join(["supercalifragilistic"] * 60)),  # mean word len > 10
+         (5, None)],                         # null-safe
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["keep"] for r in
+           gopher_quality(docs, "doc_id", "text").collect()}
+    assert got == {1: True, 2: False, 3: False, 4: False, 5: False}
