@@ -248,6 +248,23 @@ def q_tile_pyramid(spark, sf_dir):
     return density_pyramid(base, levels=5)
 
 
+_VEC_BREAKS = (2.0, 5.0, 10.0)
+
+
+def q_tile_vectorize(spark, sf_dir):
+    """Raster -> vector (tiling.vectorize_grid): density grid dissolved
+    into per-band rectilinear polygons via gaps-and-islands row-run
+    merging — the inverse direction of the density raster. One window +
+    one grouped agg, both over occupied cells only; pure JVM
+    expressions."""
+    from geomesa_spark.operators.tiling import density_points, vectorize_grid
+
+    pts = _cust_points(spark, sf_dir)
+    grid = density_points(pts, "lon", "lat", -180.0, -90.0, 180.0, 90.0, 72, 36)
+    return vectorize_grid(grid, -180.0, -90.0, 180.0, 90.0, 72, 36,
+                          list(_VEC_BREAKS))
+
+
 def q_extent(spark, sf_dir):
     pts = _cust_points(spark, sf_dir)
     return pts.agg(F.min("lon").alias("xmin"), F.min("lat").alias("ymin"),
@@ -861,6 +878,29 @@ def q_store_s2(spark, sf_dir):
     return bbox_query_s2(spark, path, x0, y0, x1, y1).select("c_custkey", "lon", "lat")
 
 
+_S3_STBOX = (-45.0, -20.0, 80.0, 50.0, 1704067200, 1705276800)  # Jan 1 - Jan 15
+
+
+def q_store_s3(spark, sf_dir):
+    """S3 spatio-temporal store round trip: write_indexed_s3 (S2 cell +
+    week bin partitions, S3IndexKeySpace.scala:97-131 key order cell-
+    before-offset) -> bin-range x covering-prefix pruned scan. Oracle =
+    plain bbox+time filter; proves the time-independent S2 covering
+    loses no rows across bins."""
+    from geomesa_spark.plans.store import stbox_query_s3, write_indexed_s3
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"),
+        F.unix_timestamp("ts").alias("secs"))
+    path = _store_tmp(sf_dir, "s3")
+    write_indexed_s3(ev, path)
+    x0, y0, x1, y1, t0, t1 = _S3_STBOX
+    out = stbox_query_s3(spark, path, x0, y0, x1, y1, t0, t1)
+    return out.select("event_id", "lon", "lat", "secs")
+
+
 def q_route_search(spark, sf_dir):
     """RouteSearchProcess analog: events within a buffer of a route whose
     heading matches the local segment azimuth (bidirectional). The route
@@ -1232,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash": q_geohash,
         "tile_density": q_tile_density,
         "tile_pyramid": q_tile_pyramid,
+        "tile_vectorize": q_tile_vectorize,
         "extent": q_extent,
         "dedup_exact": q_dedup_exact,
         "text_stats": q_text_stats,
@@ -1277,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_stbox": q_store_stbox,
         "store_xz2": q_store_xz2,
         "store_s2": q_store_s2,
+        "store_s3": q_store_s3,
         "store_cql": q_store_cql,
         "route_search": q_route_search,
         "transform_3857": q_transform_3857,
@@ -1919,6 +1961,31 @@ def oracle_sql() -> dict[str, str]:
                     FROM base GROUP BY 1, 2, 3'''
                 for lvl in range(5, -1, -1))}
         """,
+        "tile_vectorize": f"""
+            WITH pts AS ({_CUST_SQL}),
+            grid AS (
+              SELECT CAST({tg.sql_tile("lon", "-180.0", 5.0, 72)} AS INTEGER) AS i,
+                     CAST({tg.sql_tile("lat", "-90.0", 5.0, 36)} AS INTEGER) AS j,
+                     CAST(count(*) AS DOUBLE) AS weight
+              FROM pts GROUP BY 1, 2),
+            banded AS (
+              SELECT i, j, weight,
+                     {" + ".join(f"CAST(weight >= {b} AS INTEGER)"
+                                 for b in _VEC_BREAKS)} AS band
+              FROM grid),
+            runs AS (
+              SELECT band, j, i, weight,
+                     i - row_number() OVER (PARTITION BY band, j ORDER BY i) AS grp
+              FROM banded)
+            SELECT band, j, CAST(min(i) AS INTEGER) AS i0,
+                   CAST(max(i) AS INTEGER) AS i1,
+                   count(*) AS ncells, sum(weight) AS total_weight,
+                   CAST(-180.0 + min(i) * 5.0 AS DOUBLE) AS x0,
+                   CAST(-90.0 + j * 5.0 AS DOUBLE) AS y0,
+                   CAST(-180.0 + (max(i) + 1) * 5.0 AS DOUBLE) AS x1,
+                   CAST(-90.0 + (j + 1) * 5.0 AS DOUBLE) AS y1
+            FROM runs GROUP BY band, j, grp
+        """,
         "extent": f"""
             WITH pts AS ({_CUST_SQL})
             SELECT min(lon) AS xmin, min(lat) AS ymin, max(lon) AS xmax, max(lat) AS ymax FROM pts
@@ -2206,6 +2273,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT c_custkey, lon, lat FROM c
             WHERE lon >= {_S2_BOX[0]} AND lon <= {_S2_BOX[2]}
               AND lat >= {_S2_BOX[1]} AND lat <= {_S2_BOX[3]}
+        """,
+        "store_s3": f"""
+            WITH e AS (SELECT event_id,
+                              {tg.sql_point_lon('event_id', _e['mlon'], _e['olon'])} AS lon,
+                              {tg.sql_point_lat('event_id', _e['mlat'], _e['olat'])} AS lat,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events)
+            SELECT event_id, lon, lat, secs FROM e
+            WHERE lon >= {_S3_STBOX[0]} AND lon <= {_S3_STBOX[2]}
+              AND lat >= {_S3_STBOX[1]} AND lat <= {_S3_STBOX[3]}
+              AND secs >= {_S3_STBOX[4]} AND secs < {_S3_STBOX[5]}
         """,
         "route_search": _sql_route_search(buffer_deg=2.5, heading_tol=45.0),
         "transform_3857": f"""

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import (
     ArrayType, DoubleType, IntegerType, StructField, StructType,
 )
@@ -39,7 +39,7 @@ from ..geom.wkb import Geometry, Point, Polygon, wkb_read
 
 __all__ = [
     "GridSnap", "bresenham_cells", "render_geometry",
-    "density", "density_points",
+    "density", "density_points", "density_pyramid", "vectorize_grid",
 ]
 
 
@@ -419,3 +419,50 @@ def density_pyramid(base: DataFrame, levels: int, icol: str = "i",
                          F.col(f"__a__.{icol}").alias(icol),
                          F.col(f"__a__.{jcol}").alias(jcol))
                 .agg(F.sum(wcol).alias(wcol)))
+
+
+def vectorize_grid(grid: DataFrame,
+                   xmin: float, ymin: float, xmax: float, ymax: float,
+                   w: int, h: int, breaks: list[float],
+                   icol: str = "i", jcol: str = "j",
+                   wcol: str = "weight") -> DataFrame:
+    """Raster -> vector: dissolve a density grid into per-band
+    rectilinear polygons (the inverse of ``density``; together they are
+    the raster<->vector tiling pair — the reference renders rasters from
+    vectors via DensityScan, this recovers vector regions from the
+    raster for downstream spatial joins).
+
+    ``breaks`` are ascending band thresholds: a cell with weight ``v``
+    lands in band ``#{b in breaks : v >= b}`` (band 0 = below every
+    break). Adjacent same-band cells in a row are merged into one
+    rectangle by gaps-and-islands (run key = i - row_number per
+    (band, j) — one window, one grouped agg; both stages shuffle only
+    the occupied-cell rows, bounded by w*h regardless of input size).
+
+    Returns one row per run: (band, j, i0, i1, ncells, total_weight,
+    x0, y0, x1, y1) with world-coordinate rectangle edges. Every
+    expression is a Spark built-in — whole-stage codegen end to end,
+    and the identical formulation runs in ANSI SQL (the driver oracle).
+    """
+    if list(breaks) != sorted(breaks):
+        raise ValueError(f"breaks must be ascending: {breaks}")
+    dx = (xmax - xmin) / w
+    dy = (ymax - ymin) / h
+    v = F.col(wcol).cast("double")
+    band = sum((v >= F.lit(float(b))).cast("int") for b in breaks)
+
+    win = Window.partitionBy("band", jcol).orderBy(icol)
+    runs = (grid.select(F.col(icol), F.col(jcol), v.alias("__v__"),
+                        band.alias("band"))
+                .withColumn("__grp__", F.col(icol) - F.row_number().over(win)))
+    out = (runs.groupBy("band", jcol, "__grp__")
+               .agg(F.min(icol).alias("i0"), F.max(icol).alias("i1"),
+                    F.count("*").alias("ncells"),
+                    F.sum("__v__").alias("total_weight"))
+               .drop("__grp__"))
+    return out.select(
+        "band", F.col(jcol).alias("j"), "i0", "i1", "ncells", "total_weight",
+        (F.lit(xmin) + F.col("i0") * F.lit(dx)).alias("x0"),
+        (F.lit(ymin) + F.col(jcol) * F.lit(dy)).alias("y0"),
+        (F.lit(xmin) + (F.col("i1") + 1) * F.lit(dx)).alias("x1"),
+        (F.lit(ymin) + (F.col(jcol) + 1) * F.lit(dy)).alias("y1"))

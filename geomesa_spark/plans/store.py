@@ -37,7 +37,7 @@ __all__ = ["write_indexed", "read_indexed", "bbox_query", "bbox_partition_prefix
            "xz2_partition_prefixes", "write_indexed_z3", "stbox_query_z3",
            "z3_partition_prefixes", "write_indexed_xz3", "stbox_query_xz3",
            "xz3_partition_prefixes", "write_indexed_s2", "bbox_query_s2",
-           "s2_partition_prefixes"]
+           "s2_partition_prefixes", "write_indexed_s3", "stbox_query_s3"]
 
 _LON = normalized_lon(31)
 _LAT = normalized_lat(31)
@@ -544,4 +544,51 @@ def bbox_query_s2(spark, path: str, xmin: float, ymin: float, xmax: float,
     cond = F.col("s2_p").isin(prefixes)
     exact = ((F.col("lon") >= xmin) & (F.col("lon") <= xmax)
              & (F.col("lat") >= ymin) & (F.col("lat") <= ymax))
+    return df.filter(cond & exact)
+
+
+# ---------------------------------------------------------------------------
+# S3 store: S2 cell + time bin (S3IndexKeySpace semantics — the reference
+# keys points by (bin: Short, s2CellId: Long, timeOffset: Int);
+# geomesa-index-api .../index/s3/S3IndexKeySpace.scala:97-131 toIndexKey,
+# .../index/s3/package.scala:19 S3IndexKey. Unlike Z3, time is NOT
+# interleaved with space — the cell id precedes the offset — so pruning
+# is bin-range x S2-covering-prefix and the within-bin offset window is
+# a pushed residual predicate, exactly the reference's BoundedRange
+# (S3IndexKey(bin, s.lower, t0), S3IndexKey(bin, s.upper, t1)) fan-out
+# at S3IndexKeySpace.scala:227.)
+
+
+def write_indexed_s3(df: DataFrame, path: str, x: str = "lon", y: str = "lat",
+                     secs: str = "secs", digits: int = 2) -> None:
+    """Spatio-temporal point DataFrame -> (s3_bin, s3_p) partitioned
+    store: week bin + first ``digits`` hex chars of the level-30 S2 cell
+    id. ``secs`` is epoch seconds (long)."""
+    enc = s2_hex_udf()
+    out = (df.withColumn("s2_hex", enc(F.col(x), F.col(y)))
+             .withColumn("s3_bin", F.floor(F.col(secs) / F.lit(_WEEK_S)).cast("int"))
+             .withColumn("s3_p", F.substring("s2_hex", 1, digits)))
+    out.write.mode("overwrite").partitionBy("s3_bin", "s3_p").parquet(path)
+
+
+def stbox_query_s3(spark, path: str, xmin: float, ymin: float, xmax: float,
+                   ymax: float, t0: int, t1: int, digits: int = 2,
+                   x: str = "lon", y: str = "lat", secs: str = "secs") -> DataFrame:
+    """Planned spatio-temporal box scan over the s3 store: bin-range x
+    S2-covering-prefix partition pruning + exact pushed lon/lat/secs
+    range predicates. [t0, t1) in epoch seconds.
+
+    The spatial prefix set is time-independent (the S3 key orders cell
+    before offset), so one covering serves every bin — the per-bin work
+    the Z3 planner must do disappears here by key design.
+    """
+    df = spark.read.parquet(path)
+    if t1 <= t0:  # empty half-open interval: nothing can match
+        return df.filter(F.lit(False))
+    prefixes = s2_partition_prefixes(xmin, ymin, xmax, ymax, digits)
+    b0, b1 = t0 // _WEEK_S, (t1 - 1) // _WEEK_S
+    cond = (F.col("s3_bin").between(b0, b1) & F.col("s3_p").isin(prefixes))
+    exact = ((F.col(x) >= xmin) & (F.col(x) <= xmax)
+             & (F.col(y) >= ymin) & (F.col(y) <= ymax)
+             & (F.col(secs) >= t0) & (F.col(secs) < t1))
     return df.filter(cond & exact)

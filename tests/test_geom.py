@@ -305,3 +305,26 @@ def test_density_pyramid_levels(spark):
         (1, 0, 0): 3.0, (1, 1, 1): 4.0,                    # halved once
         (0, 0, 0): 7.0,                                    # everything
     }
+
+
+def test_vectorize_grid_runs(spark):
+    """Raster -> vector dissolve: adjacent same-band cells in a row merge
+    into one rectangle; band changes and column gaps split runs."""
+    from geomesa_spark.operators.tiling import vectorize_grid
+
+    # row j=0: cols 0,1 band 1 (w>=2), col 2 band 0, col 4 band 1 (gap at 3)
+    # row j=1: cols 0-2 all band 2 (w>=5)
+    base = spark.createDataFrame(
+        [(0, 0, 2.0), (1, 0, 3.0), (2, 0, 1.0), (4, 0, 2.0),
+         (0, 1, 5.0), (1, 1, 9.0), (2, 1, 6.0)],
+        "i int, j int, weight double")
+    out = vectorize_grid(base, 0.0, 0.0, 10.0, 4.0, 10, 4, [2.0, 5.0])
+    got = {(r["band"], r["j"], r["i0"], r["i1"]):
+           (r["ncells"], r["total_weight"], r["x0"], r["y0"], r["x1"], r["y1"])
+           for r in out.collect()}
+    assert got == {
+        (1, 0, 0, 1): (2, 5.0, 0.0, 0.0, 2.0, 1.0),
+        (0, 0, 2, 2): (1, 1.0, 2.0, 0.0, 3.0, 1.0),
+        (1, 0, 4, 4): (1, 2.0, 4.0, 0.0, 5.0, 1.0),
+        (2, 1, 0, 2): (3, 20.0, 0.0, 1.0, 3.0, 2.0),
+    }

@@ -239,6 +239,43 @@ def test_z3_store_stbox_query(spark, tmp_path):
     assert 0 < len(pfx) < 256
 
 
+def test_s3_store_stbox_query(spark, tmp_path):
+    """S3 store (S2 cell + week bin): bin-range x covering-prefix pruning
+    returns exactly the box-and-interval rows; the spatial prefix set is
+    shared across bins (key orders cell before offset)."""
+    import numpy as np
+
+    from geomesa_spark.plans.store import (
+        s2_partition_prefixes, stbox_query_s3, write_indexed_s3)
+
+    rng = np.random.RandomState(7)
+    n = 5000
+    base = 1_600_000_000
+    rows = [(int(i),
+             float(rng.uniform(-170, 170)), float(rng.uniform(-80, 80)),
+             int(base + rng.randint(0, 4 * 604_800)))   # 4 weeks
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "pid long, lon double, lat double, secs long")
+    path = str(tmp_path / "s3_store")
+    write_indexed_s3(df, path)
+
+    qx0, qy0, qx1, qy1 = -60.0, -30.0, 40.0, 35.0
+    t0 = base + 3 * 86400
+    t1 = base + 16 * 86400
+    got = {r["pid"] for r in
+           stbox_query_s3(spark, path, qx0, qy0, qx1, qy1, t0, t1).collect()}
+    want = {r[0] for r in rows
+            if qx0 <= r[1] <= qx1 and qy0 <= r[2] <= qy1 and t0 <= r[3] < t1}
+    assert got == want and got
+
+    # pruning is real: the covering's prefixes are a strict subset
+    pfx = s2_partition_prefixes(qx0, qy0, qx1, qy1, digits=2)
+    assert 0 < len(pfx) < 256
+
+    # empty interval short-circuits
+    assert stbox_query_s3(spark, path, qx0, qy0, qx1, qy1, t0, t0).count() == 0
+
+
 def test_xz3_store_stbox_query(spark, tmp_path):
     """Extended geometries + time: (bin, xz3-prefix) pruning returns
     exactly the envelope-and-interval rows."""
