@@ -1133,10 +1133,13 @@ def q_url_normalize(spark, sf_dir):
     k = (F.col("doc_id") % 7).cast("string")
     i = F.col("doc_id").cast("string")
     m = F.col("doc_id") % 4
+    # m == 3: query with NO path ('host?x=1') — the host must stop at
+    # the first '?', not swallow the query
+    path = F.when(m == 3, F.lit("")).otherwise(F.concat(F.lit("/p/"), i))
     suffix = (F.when(m == 0, "?utm_source=x&b=2&a=1#frag")
                .when(m == 1, "?a=1&ref=abc")
-               .when(m == 2, "#top").otherwise(""))
-    url = F.concat(F.lit("HTTPS://WWW.Site"), k, F.lit(".example/p/"), i,
+               .when(m == 2, "#top").otherwise("?utm_campaign=c&z=9"))
+    url = F.concat(F.lit("HTTPS://WWW.Site"), k, F.lit(".example"), path,
                    suffix)
     return docs.select("doc_id", url.alias("url_raw"),
                        normalize_url(url).alias("url_norm"))
@@ -2510,7 +2513,8 @@ def oracle_sql() -> dict[str, str]:
                      CAST(max(length(text)) AS BIGINT) AS max_chars
               FROM documents GROUP BY source)
             SELECT source, n_docs, n_tokens, n_chars, min_chars, max_chars,
-                   CAST((n_tokens * 1000000) // (SELECT sum(n_tokens) FROM per) AS BIGINT)
+                   CAST((CAST(n_tokens AS HUGEINT) * 1000000)
+                        // (SELECT sum(n_tokens) FROM per) AS BIGINT)
                      AS token_share_ppm
             FROM per
         """,
@@ -2559,22 +2563,35 @@ def oracle_sql() -> dict[str, str]:
             WITH raw AS (
               SELECT doc_id,
                      'HTTPS://WWW.Site' || CAST(doc_id % 7 AS VARCHAR)
-                       || '.example/p/' || CAST(doc_id AS VARCHAR)
+                       || '.example'
+                       || CASE WHEN doc_id % 4 = 3 THEN ''
+                               ELSE '/p/' || CAST(doc_id AS VARCHAR) END
                        || CASE doc_id % 4
                             WHEN 0 THEN '?utm_source=x&b=2&a=1#frag'
                             WHEN 1 THEN '?a=1&ref=abc'
-                            WHEN 2 THEN '#top' ELSE '' END AS url_raw
+                            WHEN 2 THEN '#top'
+                            ELSE '?utm_campaign=c&z=9' END AS url_raw
               FROM documents),
             parts AS (
               SELECT doc_id, url_raw,
                      split_part(url_raw, '#', 1) AS nofrag
               FROM raw),
-            hp AS (
+            hp0 AS (
               SELECT *, lower(split_part(nofrag, '://', 1)) AS scheme,
                         CASE WHEN instr(nofrag, '://') > 0
                              THEN substr(nofrag, instr(nofrag, '://') + 3)
-                             ELSE nofrag END AS hostpath
+                             ELSE nofrag END AS hostpath0
               FROM parts),
+            hp AS (
+              -- host ends at the first '/' OR '?': insert the implied
+              -- '/' when a query arrives with no path
+              SELECT *, CASE WHEN instr(hostpath0, '?') > 0
+                              AND (instr(hostpath0, '/') = 0
+                                   OR instr(hostpath0, '?') < instr(hostpath0, '/'))
+                             THEN substr(hostpath0, 1, instr(hostpath0, '?') - 1)
+                                  || '/' || substr(hostpath0, instr(hostpath0, '?'))
+                             ELSE hostpath0 END AS hostpath
+              FROM hp0),
             h AS (
               SELECT *,
                      CASE WHEN starts_with(lower(split_part(hostpath, '/', 1)), 'www.')

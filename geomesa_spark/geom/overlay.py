@@ -196,7 +196,11 @@ def poly_poly_difference(pa: Polygon, pb: Polygon) -> list[Polygon]:
     shells: list[np.ndarray] = []
     holes: list[np.ndarray] = []
     for ring in _stitch(pieces):
-        (shells if ring_area(ring) > 0 else holes).append(ring)
+        a = ring_area(ring)
+        if a == 0:
+            continue  # collinear-cut sliver: no interior either way
+                      # (the intersection path drops these identically)
+        (shells if a > 0 else holes).append(ring)
     out = [Polygon(s) for s in shells]
     for h in holes:
         owner = [p for p in out

@@ -146,8 +146,18 @@ def _mix_bucket_udf(seed: int, buckets: int):
 
     @F.pandas_udf(LongType())
     def bucket(ids: pd.Series) -> pd.Series:
-        m = mix64(ids.to_numpy(np.int64), seed)
-        return pd.Series((m % np.uint64(buckets)).astype(np.int64))
+        # null-in/null-out: a single NULL id (or a string id that
+        # cast('long') nulled) must not kill the task — Arrow hands
+        # nullable longs over as float64/NaN, and to_numpy(int64) on
+        # that raises
+        mask = ids.notna().to_numpy()
+        out = pd.array(np.zeros(len(ids), dtype=np.int64), dtype="Int64")
+        out[~mask] = pd.NA
+        if mask.any():
+            vals = ids[mask].astype(np.int64).to_numpy()
+            m = mix64(vals, seed)
+            out[mask] = (m % np.uint64(buckets)).astype(np.int64)
+        return pd.Series(out)
 
     return bucket
 
@@ -212,9 +222,13 @@ def mixing_stats(docs: DataFrame, strata_col: str, id_col: str,
         F.min(F.length(text_col)).cast("long").alias("min_chars"),
         F.max(F.length(text_col)).cast("long").alias("max_chars")))
     total = F.sum("n_tokens").over(Window.partitionBy())
+    # decimal multiply: n_tokens * 1e6 overflows int64 past ~9.2e12
+    # tokens — below a 100 TB corpus's ~2.5e13; DECIMAL(38,0) keeps the
+    # share exact at any scale (the DuckDB mirror uses HUGEINT)
     return (per.withColumn("__tot__", total)
                .withColumn("token_share_ppm",
-                           F.expr("(n_tokens * 1000000) DIV __tot__"))
+                           F.expr("CAST((CAST(n_tokens AS DECIMAL(38,0)) "
+                                  "* 1000000) DIV __tot__ AS BIGINT)"))
                .drop("__tot__"))
 
 
@@ -325,6 +339,15 @@ def normalize_url(url: Column) -> Column:
     hostpath = F.when(sep > 0,
                       nofrag.substr(sep + 3, F.length(nofrag))
                       ).otherwise(nofrag)
+    # a URL may carry a query with NO path ('host?a=1'): the host ends at
+    # the first '/' OR '?', whichever comes first — insert the implied
+    # '/' so the host never swallows the query string
+    q0 = F.instr(hostpath, "?")
+    s0 = F.instr(hostpath, "/")
+    hostpath = F.when((q0 > 0) & ((s0 == 0) | (q0 < s0)),
+                      F.concat(hostpath.substr(F.lit(1), q0 - 1), F.lit("/"),
+                               hostpath.substr(q0, F.length(hostpath)))
+                      ).otherwise(hostpath)
     rawhost = F.lower(F.substring_index(hostpath, "/", 1))
     host = F.when(rawhost.startswith("www."),
                   rawhost.substr(F.lit(5), F.length(rawhost))
@@ -456,9 +479,11 @@ def pack_sequences(docs: DataFrame, id_col: str, text_col: str,
 
     spark = docs.sparkSession
     k = num_partitions or spark.sparkContext.defaultParallelism
-    slim = (docs.filter(F.col(id_col).isNotNull())
-                .select(F.col(id_col).cast("long").alias("__id__"),
+    slim = (docs.select(F.col(id_col).cast("long").alias("__id__"),
                         _token_count(text_col).alias("__nt__"))
+                .filter(F.col("__id__").isNotNull())
+                # ^ filter AFTER the cast: a string id the cast nulls
+                # must not reach the int64 mix UDF
                 .withColumn("__key__", _mixkey(F.col("__id__"))))
     ranged = (slim.repartitionByRange(k, "__key__", "__id__")
                   .sortWithinPartitions("__key__", "__id__")
@@ -560,13 +585,18 @@ def incremental_dedup(batch: DataFrame, seen_hashes: DataFrame,
     operators/dedup.exact_dedup, so an index bootstrapped by a full
     exact_dedup pass is directly reusable.
     """
-    key = F.sha2(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]), 256)
-    hashed = batch.withColumn("content_hash", key)
+    from .dedup import content_digest
+
+    hashed = batch.withColumn("content_hash", content_digest(*content_cols))
     fresh = hashed.join(seen_hashes.select("content_hash").distinct(),
-                        on="content_hash", how="left_anti")
+                        on="content_hash", how="left_anti").persist()
+    # ^ fresh feeds BOTH the min-id agg and the final semi-join probe;
+    # without persist the digest + anti-join run twice (cache.release
+    # frees it)
     win_min = (fresh.groupBy("content_hash")
                     .agg(F.min(F.col(id_col)).alias(id_col)))
-    return fresh.join(win_min, on=["content_hash", id_col], how="left_semi")
+    out = fresh.join(win_min, on=["content_hash", id_col], how="left_semi")
+    return _attach_cached(out, fresh)
 
 
 GOPHER_STOPWORDS: tuple[str, ...] = (

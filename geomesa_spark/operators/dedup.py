@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 __all__ = [
-    "exact_dedup", "minhash_signature_udf", "minhash_dedup_pairs",
+    "exact_dedup", "content_digest", "minhash_signature_udf", "minhash_dedup_pairs",
     "simhash_udf", "simhash_dedup_pairs", "ngram_jaccard_pairs",
     "dedup_clusters", "shingle_mults", "release",
 ]
@@ -44,10 +44,32 @@ def exact_dedup(df: DataFrame, id_col: str, *content_cols: str) -> DataFrame:
 
     keep_id = min(id) per group (deterministic winner).
     """
-    key = F.sha2(F.concat_ws("\x1f", *[F.col(c) for c in content_cols]), 256)
+    key = content_digest(*content_cols)
     return (df.withColumn("content_hash", key)
               .groupBy("content_hash")
               .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count")))
+
+
+def content_digest(*content_cols: str) -> "F.Column":
+    """sha256 content digest — THE exact-dedup key convention, shared by
+    ``exact_dedup`` and ``corpus.incremental_dedup`` (an index built by
+    one is probed by the other).
+
+    Single column: sha2(value) directly (null -> null digest; null-
+    content rows group under the null key). Multiple columns: each value
+    is length-prefixed before joining, so values shifting across null
+    or adjacent columns cannot collide — concat_ws alone would give
+    ('x', NULL) and (NULL, 'x') the same bytes and silently drop a
+    distinct document as a duplicate.
+    """
+    cols = [F.col(c).cast("string") for c in content_cols]
+    if len(cols) == 1:
+        return F.sha2(cols[0], 256)
+    parts = [F.concat_ws(":",
+                         F.coalesce(F.length(c).cast("string"), F.lit("-1")),
+                         F.coalesce(c, F.lit("")))
+             for c in cols]
+    return F.sha2(F.concat_ws("\x1f", *parts), 256)
 
 
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)

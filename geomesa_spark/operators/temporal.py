@@ -61,6 +61,11 @@ def asof_join(
     if clash:
         raise ValueError(f"rename right columns colliding with left: {sorted(clash)}")
     rstruct = F.struct(*[F.col(c) for c in rpay_cols])
+    # a NULL right timestamp sorts before everything and would be
+    # carried forward as "state" whose matched_<ts> is null — leaking
+    # payload into rows a consumer reads as unmatched; it can never be
+    # a legitimate as-of match, so drop it up front
+    right = right.filter(F.col(right_ts).isNotNull())
     r = right.select(
         F.col(on).alias("__k__"), F.col(right_ts).alias("__t__"),
         F.lit(0).alias("__side__"),

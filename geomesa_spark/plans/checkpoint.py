@@ -52,9 +52,11 @@ class StageResult:
         return self.manifest["fingerprint"]
 
 
-def _fingerprint(stage: str, inputs: list[str], params: dict) -> str:
+def _fingerprint(stage: str, inputs: list[str], params: dict,
+                 layout: dict | None = None) -> str:
     payload = json.dumps({"stage": stage, "inputs": sorted(inputs),
-                          "params": params}, sort_keys=True)
+                          "params": params, "layout": layout or {}},
+                         sort_keys=True)
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
@@ -62,8 +64,13 @@ def read_manifest(path: str) -> dict | None:
     p = os.path.join(path, MANIFEST)
     if not os.path.exists(p):
         return None
-    with open(p) as f:
-        return json.load(f)
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except (json.JSONDecodeError, OSError):
+        # truncated manifest from a crash mid-write: treat as cache
+        # miss so the stage rebuilds instead of poisoning every resume
+        return None
 
 
 def cell_histogram(df: DataFrame, cell_col: str, top_n: int = 64) -> dict:
@@ -93,37 +100,60 @@ def run_stage(
     """
     params = dict(params or {})
     in_fps = [r.fingerprint for r in (inputs or [])]
-    fp = _fingerprint(stage, in_fps, params)
+    # the physical layout is part of the stage identity: changing
+    # partition_by (or the skew-metric column) must re-run, not return
+    # the stale layout
+    fp = _fingerprint(stage, in_fps, params,
+                      layout={"partition_by": partition_by,
+                              "cell_col": cell_col})
 
     existing = read_manifest(path)
     if existing is not None and existing.get("fingerprint") == fp:
         return StageResult(spark.read.parquet(path), existing, path, skipped=True)
 
+    # sweep scratch left by earlier crashed/failed attempts (single
+    # driver per stage path by contract; each failure would otherwise
+    # strand a full-size copy of the stage output)
+    parent, base = os.path.split(os.path.abspath(path))
+    if os.path.isdir(parent):
+        for d in os.listdir(parent):
+            if d.startswith(base + ".tmp-") or d.startswith(base + ".old-"):
+                shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
     t0 = time.time()
-    df = build()
-    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(tmp)
+    token = uuid.uuid4().hex[:8]
+    tmp = f"{path}.tmp-{token}"
+    try:
+        df = build()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(tmp)
 
-    out = spark.read.parquet(tmp)
-    row_count = out.count()
-    hist = cell_histogram(out, cell_col) if cell_col else None
-    part_counts = None
-    if partition_by:
-        # per-partition lineage/metrics: row count per physical partition
-        # (skew surface for the salt planner; validates no partition was
-        # lost on resume). Capped — at 100 TB a partition spec should be
-        # O(thousands) of values, not millions.
-        from pyspark.sql import functions as F
-        rows = (out.groupBy(*partition_by).count()
-                   .orderBy(*partition_by).limit(4096).collect())
-        part_counts = {"|".join(str(r[c]) for c in partition_by): r["count"]
-                       for r in rows}
+        out = spark.read.parquet(tmp)
+        row_count = out.count()
+        hist = cell_histogram(out, cell_col) if cell_col else None
+        part_counts = None
+        if partition_by:
+            # per-partition lineage/metrics: row count per physical partition
+            # (skew surface for the salt planner; validates no partition was
+            # lost on resume). Capped — at 100 TB a partition spec should be
+            # O(thousands) of values, not millions.
+            from pyspark.sql import functions as F
+            rows = (out.groupBy(*partition_by).count()
+                       .orderBy(*partition_by).limit(4096).collect())
+            part_counts = {"|".join(str(r[c]) for c in partition_by): r["count"]
+                           for r in rows}
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
 
+    # commit: move the old checkpoint ASIDE (never delete-then-rename —
+    # a crash between the two would lose the last good copy too), swap
+    # the new one in, write the manifest atomically, then drop the old
+    old = f"{path}.old-{token}"
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.rename(path, old)
     os.rename(tmp, path)
 
     manifest = {
@@ -137,6 +167,9 @@ def run_stage(
         "wall_s": round(time.time() - t0, 3),
         "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
-    with open(os.path.join(path, MANIFEST), "w") as f:
+    mtmp = os.path.join(path, MANIFEST + ".tmp")
+    with open(mtmp, "w") as f:
         json.dump(manifest, f, indent=1)
+    os.replace(mtmp, os.path.join(path, MANIFEST))
+    shutil.rmtree(old, ignore_errors=True)
     return StageResult(spark.read.parquet(path), manifest, path, skipped=False)

@@ -179,6 +179,10 @@ def test_normalize_url_rules(spark):
         ("https://a.example/r?to=https://b.example/x&b=1",
          "https://a.example/r?b=1&to=https://b.example/x"),
         ("https://e.com/p?next=/login?x=1", "https://e.com/p?next=/login?x=1"),
+        # query with NO path: the host must stop at the first '?', not
+        # swallow (and lowercase) the query string
+        ("https://WWW.Host.com?utm_source=x&B=1", "https://host.com/?B=1"),
+        ("http://Host.com?a=2", "http://host.com/?a=2"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r["n"] for r in
@@ -334,3 +338,43 @@ def test_gopher_quality_gates(spark):
     got = {r["doc_id"]: r["keep"] for r in
            gopher_quality(docs, "doc_id", "text").collect()}
     assert got == {1: True, 2: False, 3: False, 4: False, 5: False}
+
+
+def test_stratified_sample_null_id_dropped_not_crashed(spark):
+    """A NULL id (or a string id that cast('long') nulls) must not kill
+    the mix UDF's Arrow batch — null-in/null-out, row excluded."""
+    from geomesa_spark.operators.corpus import stratified_sample
+
+    df = spark.createDataFrame(
+        [(1, "web", "a"), (None, "web", "b"), (2, "web", "c")],
+        "id long, src string, text string")
+    out = stratified_sample(df, "id", "src", {"web": 1_000_000})
+    ids = {r["id"] for r in out.collect()}
+    assert ids == {1, 2}   # ppm=1e6 keeps every valid row; null dropped
+
+
+def test_incremental_dedup_null_shift_no_collision(spark):
+    """('x', NULL) and (NULL, 'x') are different content: the length-
+    prefixed multi-column digest must not collapse them (concat_ws
+    alone would)."""
+    from geomesa_spark.operators.corpus import incremental_dedup
+
+    batch = spark.createDataFrame(
+        [(1, "x", None), (2, None, "x")],
+        "id long, title string, body string")
+    seen = spark.createDataFrame([], "content_hash string")
+    out = incremental_dedup(batch, seen, "id", "title", "body")
+    assert {r["id"] for r in out.collect()} == {1, 2}
+
+
+def test_content_digest_single_column_matches_plain_sha2(spark):
+    """Single-column digest stays sha2(value) — the convention the
+    DuckDB oracles and pre-existing indexes rely on."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.dedup import content_digest
+
+    df = spark.createDataFrame([("hello",)], "text string")
+    got = df.select(content_digest("text").alias("a"),
+                    F.sha2(F.col("text"), 256).alias("b")).first()
+    assert got["a"] == got["b"]

@@ -29,10 +29,23 @@ def test_checkpoint_resume_and_lineage(spark, tmp_path):
     assert r1.manifest["row_count"] == 1000
     assert len(r1.manifest["cell_histogram"]) > 0
 
-    # identical params -> skip, no rebuild
-    r2 = run_stage(spark, "points", p, build, params={"n": 1000})
+    # identical params AND layout -> skip, no rebuild
+    r2 = run_stage(spark, "points", p, build, params={"n": 1000},
+                   cell_col="page_id")
     assert r2.skipped and calls["n"] == 1
     assert r2.df.count() == 1000
+
+    # changed LAYOUT (cell_col) is part of the stage identity -> rebuild
+    r2b = run_stage(spark, "points", p, build, params={"n": 1000})
+    assert not r2b.skipped and calls["n"] == 2
+
+    # truncated manifest (crash mid-write) -> cache miss, rebuild, heal
+    import os
+    with open(os.path.join(p, "_manifest.json"), "w") as fh:
+        fh.write('{"stage": "poi')   # torn write
+    r2c = run_stage(spark, "points", p, build, params={"n": 1000})
+    assert not r2c.skipped and calls["n"] == 3
+    assert read_manifest(p)["row_count"] == 1000
 
     # changed params -> rebuild
     def build2():
@@ -40,7 +53,7 @@ def test_checkpoint_resume_and_lineage(spark, tmp_path):
         return generate_points(spark, 500, partitions=2)
 
     r3 = run_stage(spark, "points", p, build2, params={"n": 500})
-    assert not r3.skipped and calls["n"] == 2
+    assert not r3.skipped and calls["n"] == 4
     assert r3.manifest["row_count"] == 500
 
     # downstream stage re-runs when upstream fingerprint changes

@@ -101,3 +101,21 @@ def test_sessionize_single_shuffle_plan(spark):
     # partial ordering — pin the current single-exchange shape)
     assert plan.count("Exchange hashpartitioning") <= 2
     assert plan.count("Exchange hashpartitioning(user_id") >= 1
+
+
+def test_asof_join_ignores_null_right_ts(spark):
+    """A right row with NULL ts can never be an as-of match; it must not
+    be carried forward as leaked payload on 'left' rows."""
+    from geomesa_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100, _ts(5))],
+                                 "event_id long, user_id long, ts timestamp")
+    right = spark.createDataFrame(
+        [(100, None, 7, 1.0)],
+        "user_id long, ts timestamp, view_id long, view_value double")
+    rows = asof_join(left, right, on="user_id", right_order="view_id",
+                     how="left").collect()
+    assert len(rows) == 1
+    assert rows[0].view_id is None and rows[0].matched_ts is None
+    assert asof_join(left, right, on="user_id", right_order="view_id",
+                     how="inner").count() == 0
