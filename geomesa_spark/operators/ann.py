@@ -193,6 +193,13 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
     are vectorized pUDFs. Recall grows with n_probe (== n_centroids ->
     exact).
     """
+    if init == "sample" and iters:
+        # validate BEFORE any Spark action: the centroid-pick collect is
+        # an expensive job to run just to crash on a bad argument combo
+        raise ValueError(
+            "init='sample' is the deterministic (oracle-mirrorable) coarse "
+            "quantizer and supports no Lloyd refinement; pass iters=0 or "
+            "use init='kmeans'")
     if init == "sample":
         @F.pandas_udf(LongType())
         def _mix(ids: pd.Series) -> pd.Series:
@@ -215,11 +222,6 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
                                  replace=False)].copy()
     else:
         raise ValueError(f"unknown init {init!r} (expected 'kmeans' or 'sample')")
-    if init == "sample" and iters:
-        raise ValueError(
-            "init='sample' is the deterministic (oracle-mirrorable) coarse "
-            "quantizer and supports no Lloyd refinement; pass iters=0 or "
-            "use init='kmeans'")
     for _ in range(iters if sample is not None else 0):
         # mini k-means (cosine = dot on normalized vectors)
         assign = (sample @ cent.T).argmax(axis=1)

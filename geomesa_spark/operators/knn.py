@@ -126,7 +126,12 @@ def knn_join(
         counts = cand.groupBy(query_id).agg(F.count("*").alias("__n__"))
         need = (live.join(counts, on=query_id, how="left")
                     .fillna({"__n__": 0})
-                    .filter(F.col("__n__") < k))
+                    .filter((F.col("__n__") < k)
+                            # already capped at max_radius: the window
+                            # cannot grow, so re-running the identical
+                            # cover/join/count every remaining round is
+                            # pure waste — retire the query with what it has
+                            & (F.col("__r__") < float(max_radius))))
         if need.isEmpty():
             break
         # Liu/Lim/Ng radius update (KNearestNeighborSearchProcess.scala:

@@ -42,6 +42,7 @@ from ..curves.zorder import z2_encode
 from ..curves.norm import normalized_lat, normalized_lon
 from ..geom import kernels as K
 from ..geom import measures as M
+from ..geom.measures import EARTH_MEAN_RADIUS_M
 from ..geom.wkb import Point, Polygon, wkb_read
 from ..functions.registry import dwithin_geoms
 
@@ -98,7 +99,6 @@ def cell_of_points(level: int = DEFAULT_LEVEL):
 
 def cells_of_bbox_arrays(xmin, ymin, xmax, ymax, level: int):
     """Vectorized bbox -> list of covering cell ids (python list per row)."""
-    n = 1 << level
     shift = 31 - level
     ix0 = (_LON.normalize(np.clip(xmin, -180.0, 180.0)) >> shift).astype(np.int64)
     ix1 = (_LON.normalize(np.clip(xmax, -180.0, 180.0)) >> shift).astype(np.int64)
@@ -153,8 +153,13 @@ def sphere_expand_degrees(ys, radius_m):
     ys = np.asarray(ys, dtype=np.float64)
     r = np.broadcast_to(np.asarray(radius_m, dtype=np.float64), ys.shape)
     rlat = r / 110_540.0
-    phi = np.clip(np.abs(ys) + rlat, 0.0, 89.9)
-    rlon = r / (110_540.0 * np.cos(np.radians(phi)))
+    # a disk reaching toward a pole spans rapidly widening longitudes —
+    # clamping phi below 90 would UNDER-cover there (drop true matches);
+    # instead let cos -> 0 blow the window up and cap at the full wrap
+    # (180 deg covers every longitude; cells_of_disk_arrays clips it)
+    phi = np.minimum(np.abs(ys) + rlat, 90.0)
+    cosphi = np.cos(np.radians(phi))  # cos(radians(90)) ~ 6e-17 > 0
+    rlon = np.minimum(r / (110_540.0 * cosphi), 180.0)
     return rlon, rlat
 
 
@@ -252,6 +257,15 @@ def _cells_ij_of_geom(level: int = DEFAULT_LEVEL, expand_deg: float = 0.0,
             rlon, rlat = sphere_expand_degrees(ys_eff, expand_m)
             xmin, xmax = xmin - rlon, xmax + rlon
             ymin, ymax = ymin - rlat, ymax + rlat
+            # window crossing the antimeridian: widen to the full lon
+            # range instead of splitting — the report-once canonical-cell
+            # rule needs CONTIGUOUS per-row covers (a two-piece cover can
+            # place the canonical cell outside one side's cover and drop
+            # the pair); the envelope sidecar opens with it, and the
+            # refine resolves the +-360 shift exactly
+            wrap = (xmin < -180.0) | (xmax > 180.0)
+            xmin = np.where(wrap, -180.0, xmin)
+            xmax = np.where(wrap, 180.0, xmax)
         elif expand_deg:
             xmin, xmax = xmin - expand_deg, xmax + expand_deg
             ymin, ymax = ymin - expand_deg, ymax + expand_deg
@@ -697,8 +711,9 @@ def _pip_refine_by_pid_udf(predicate: str, bmap, with_flag: bool = False):
         else:
             codes, uniques = pd.factorize(pid)
             base = np.arange(len(xs))
-        order = base[np.argsort(codes, kind="stable")]
-        sorted_codes = codes[np.argsort(codes, kind="stable")]
+        perm = np.argsort(codes, kind="stable")
+        order = base[perm]
+        sorted_codes = codes[perm]
         starts = np.searchsorted(sorted_codes, np.arange(len(uniques)))
         ends = np.append(starts[1:], len(sorted_codes))
         pmap = bmap.value
@@ -762,8 +777,6 @@ def dwithin_join_points(
     distance refine. metric 'degrees' = cartesian (st_distance), 'sphere' =
     haversine meters (st_distanceSphere two-stage accept).
     """
-    from pyspark.sql.types import ArrayType
-
     @pandas_udf(ArrayType(LongType()))
     def cover_pt(x: pd.Series, y: pd.Series) -> pd.Series:
         xs = x.to_numpy(np.float64)
@@ -788,7 +801,7 @@ def dwithin_join_points(
         sd = F.sin((la2 - la1) / 2)
         sl = F.sin((F.radians(F.col(rx)) - F.radians(F.col(lx))) / 2)
         a = sd * sd + F.cos(la1) * F.cos(la2) * sl * sl
-        dist = F.lit(2.0 * 6371008.7714) * F.asin(F.sqrt(a))
+        dist = F.lit(2.0 * EARTH_MEAN_RADIUS_M) * F.asin(F.sqrt(a))
     return cand.withColumn("dist", dist).filter(F.col("dist") < radius)
 
 
@@ -1014,8 +1027,21 @@ def _geom_refine_udf(predicate: str, meters: float | None = None,
             return pd.Series(out)  # empty uniq arrays can't be indexed below
 
         if meters is not None:
+            from ..geom.measures import translate as _shift
+            lenvs = [g.envelope() if g is not None else None for g in lgeoms]
+            renvs = [g.envelope() if g is not None else None for g in rgeoms]
             for i in np.where(valid)[0]:
-                out[i] = dwithin_geoms(lgeoms[lcodes[i]], rgeoms[rcodes[i]], meters)
+                lg, rg = lgeoms[lcodes[i]], rgeoms[rcodes[i]]
+                le, re_ = lenvs[lcodes[i]], renvs[rcodes[i]]
+                # pair straddling the antimeridian: bring the right
+                # geometry into the left's local frame (planar
+                # nearest-point math is local; a 359.98-deg planar gap
+                # is really 0.02 deg)
+                if le[0] - re_[2] > 180.0:
+                    rg = _shift(rg, 360.0, 0.0)
+                elif re_[0] - le[2] > 180.0:
+                    rg = _shift(rg, -360.0, 0.0)
+                out[i] = dwithin_geoms(lg, rg, meters)
             return pd.Series(out)
 
         lenv = np.array([g.envelope() if g is not None else (0.0,) * 4
@@ -1187,10 +1213,20 @@ def spatial_join(
                 x0, y0, x1, y1 = (F.col(c) for c in env_cols)
                 if expand_m is not None:
                     rlat = F.lit(expand_m / 110_540.0)
+                    # pole-safe: clamp phi at 90 (cos(radians(90)) is a
+                    # positive ~6e-17 in doubles, so the division is
+                    # finite) and cap the window at the full wrap —
+                    # clamping phi below 90 under-covers near the poles
                     phi = F.least(F.greatest(F.abs(y0), F.abs(y1)) + rlat,
-                                  F.lit(89.9))
-                    rlon = rlat / F.cos(F.radians(phi))
+                                  F.lit(90.0))
+                    rlon = F.least(rlat / F.cos(F.radians(phi)), F.lit(180.0))
                     x0, y0, x1, y1 = x0 - rlon, y0 - rlat, x1 + rlon, y1 + rlat
+                    # antimeridian-crossing window: widen to the full lon
+                    # range (contiguous cover for the report-once rule;
+                    # the refine resolves the +-360 shift exactly)
+                    wrap = (x0 < F.lit(-180.0)) | (x1 > F.lit(180.0))
+                    x0 = F.when(wrap, F.lit(-180.0)).otherwise(x0)
+                    x1 = F.when(wrap, F.lit(180.0)).otherwise(x1)
                 out = _explode_bbox_ij(df, x0, y0, x1, y1, level, tag)
                 return (out.withColumn(f"__{tag}x0__", x0)
                            .withColumn(f"__{tag}y0__", y0)

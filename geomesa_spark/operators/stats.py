@@ -145,8 +145,23 @@ def run_stats(df: DataFrame, spec: str, max_enum: int = 10_000) -> dict:
     terms = parse_stats(spec)
     result: dict = {}
     simple = []
+    used: set = set()
+
+    def uniq(lbl: str) -> str:
+        # two terms sharing a base label (e.g. Histogram(a,10,..) and
+        # Histogram(a,20,..), or Z3Frequency at two levels) must not
+        # silently overwrite each other in the result dict
+        if lbl not in used:
+            used.add(lbl)
+            return lbl
+        k = 2
+        while f"{lbl}_{k}" in used:
+            k += 1
+        used.add(f"{lbl}_{k}")
+        return f"{lbl}_{k}"
+
     for idx, (name, args) in enumerate(terms):
-        label = f"{name.lower()}_{args[0]}" if args else name.lower()
+        label = uniq(f"{name.lower()}_{args[0]}" if args else name.lower())
         if name in ("Enumeration", "TopK"):
             a = args[0]
             k = (int(args[1]) if name == "TopK" and len(args) > 1 else 10) \
@@ -175,7 +190,9 @@ def run_stats(df: DataFrame, spec: str, max_enum: int = 10_000) -> dict:
                       .orderBy(F.col("count").desc(), F.col("bin").asc(),
                                F.col("cell").asc())
                       .limit(max_enum).collect())
-            result[f"z3histogram_{x}_{y}_{t}"] = {
+            # level in the key: two Z3Histogram terms over the same
+            # columns at different levels must not overwrite each other
+            result[uniq(f"z3histogram_{x}_{y}_{t}_{level}")] = {
                 (r["bin"], r["cell"]): r["count"] for r in rows}
         elif name == "IteratorStackCount":
             result[label] = (df.select(F.spark_partition_id().alias("p"))
@@ -186,10 +203,14 @@ def run_stats(df: DataFrame, spec: str, max_enum: int = 10_000) -> dict:
             sub_label = (f"{sub_name.lower()}_{sub_args[0]}"
                          if sub_args else sub_name.lower())
             aggs = _simple_aggs(sub_name, sub_args, sub_label)
-            rows = (df.groupBy(key).agg(*aggs)
-                      .orderBy(F.col(key).asc()).limit(max_enum).collect())
-            result[f"groupby_{key}_{sub_label}"] = {
-                r[0]: (r[1] if len(r) == 2 else tuple(r)[1:]) for r in rows}
+            # cap keeps the LARGEST groups (the docstring's most-frequent-
+            # first contract) — ascending-key truncation would drop
+            # exactly the hot groups a stats consumer wants
+            rows = (df.groupBy(key).agg(F.count("*").alias("__n__"), *aggs)
+                      .orderBy(F.col("__n__").desc(), F.col(key).asc())
+                      .limit(max_enum).collect())
+            result[uniq(f"groupby_{key}_{sub_label}")] = {
+                r[0]: (r[2] if len(r) == 3 else tuple(r)[2:]) for r in rows}
         else:
             simple.extend(_simple_aggs(name, args, label))
     if simple:

@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+from ..geom.measures import EARTH_MEAN_RADIUS_M
+
 from .spatial_join import (
     DEFAULT_LEVEL, cell_expr_of_points, cells_of_disk_arrays,
     sphere_expand_degrees,
@@ -72,7 +74,7 @@ def tube_select(
     sd = F.sin((la2 - la1) / 2)
     sl = F.sin((F.radians(F.col("__tx__")) - F.radians(F.col(dx))) / 2)
     a = sd * sd + F.cos(la1) * F.cos(la2) * sl * sl
-    dist = F.lit(2.0 * 6371008.7714) * F.asin(F.sqrt(a))
+    dist = F.lit(2.0 * EARTH_MEAN_RADIUS_M) * F.asin(F.sqrt(a))
     dt_ok = F.abs(F.col(dts) - F.col("__tts__")) <= window_s
 
     hits = cand.filter((dist < meters) & dt_ok)

@@ -206,7 +206,7 @@ def test_stat_dsl_spatiotemporal_terms(spark):
     assert isinstance(out["z3frequency_lon"], (bytes, bytearray))
 
     # the JVM z3 expression matches the numpy curve bit-for-bit
-    hist = out["z3histogram_lon_lat_secs"]
+    hist = out["z3histogram_lon_lat_secs_5"]
     assert sum(hist.values()) == n
     sfc = Z3SFC("week")
     bins, z = sfc.index_millis(lon, lat, secs.astype(np.int64) * 1000)
@@ -271,7 +271,7 @@ def test_z3_cell_expr_domain_boundary(spark):
            (180.0, -90.0, 50_000), (179.9999999, 89.9999999, 1000),
            (0.0, 0.0, 604799)]
     df = spark.createDataFrame(pts, "lon double, lat double, secs long")
-    hist = run_stats(df, "Z3Histogram(lon,lat,secs,5)")["z3histogram_lon_lat_secs"]
+    hist = run_stats(df, "Z3Histogram(lon,lat,secs,5)")["z3histogram_lon_lat_secs_5"]
 
     lon = np.array([p[0] for p in pts])
     lat = np.array([p[1] for p in pts])
@@ -283,3 +283,35 @@ def test_z3_cell_expr_domain_boundary(spark):
     for b, c in zip(bins, cells):
         expected[(int(b), int(c))] = expected.get((int(b), int(c)), 0) + 1
     assert hist == expected
+
+
+def test_run_stats_label_collisions_and_groupby_cap(spark):
+    """Repeated terms must not silently overwrite each other, and the
+    GroupBy cap keeps the LARGEST groups (most-frequent-first), not the
+    smallest keys."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.stats import run_stats
+
+    df = spark.range(0, 100).select(
+        F.col("id").cast("double").alias("v"),
+        (F.col("id") % 10).alias("tag"),          # tag 0..9, 10 rows each
+        (F.col("id") % 3).cast("double").alias("w"))
+    out = run_stats(df, "Histogram(v,2,0,100);Histogram(v,4,0,100)")
+    assert out["histogram_v"] == [50, 50]
+    assert out["histogram_v_2"] == [25, 25, 25, 25]
+
+    # two Z3-histogram levels: distinct keys
+    df2 = spark.createDataFrame([(10.0, 20.0, 1000), (11.0, 21.0, 2000)],
+                                "lon double, lat double, secs long")
+    out2 = run_stats(df2, "Z3Histogram(lon,lat,secs,3);Z3Histogram(lon,lat,secs,5)")
+    assert "z3histogram_lon_lat_secs_3" in out2
+    assert "z3histogram_lon_lat_secs_5" in out2
+
+    # GroupBy cap: skewed tags — the cap keeps the biggest groups
+    sk = spark.range(0, 100).select(
+        F.when(F.col("id") < 60, "hot")
+         .when(F.col("id") < 90, "warm").otherwise("cold").alias("tag"),
+        F.col("id").cast("double").alias("v"))
+    capped = run_stats(sk, "GroupBy(tag,Count())", max_enum=2)
+    assert set(capped["groupby_tag_count"]) == {"hot", "warm"}

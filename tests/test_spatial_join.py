@@ -399,3 +399,35 @@ def test_auto_broadcast_picks_path_by_plan_size(spark, tmp_path):
     rows_forced = sorted((r.lid, r.rid)
                          for r in forced.select("lid", "rid").collect())
     assert rows_auto == rows_ns == rows_forced == [(10, 1)]
+
+
+def test_dwithin_geom_join_antimeridian_pair(spark):
+    """A dwithin pair straddling the +-180 line: the expanded cover must
+    wrap (full-lon window for the crossing rows) and the refine must
+    resolve the +-360 shift — clipping at 180 silently dropped these."""
+    from geomesa_spark.geom.wkb import Point, wkb_write
+    from geomesa_spark.operators.spatial_join import spatial_join
+
+    left = spark.createDataFrame(
+        [(1, bytearray(wkb_write(Point(179.99, 10.0))))], "lid long, geom binary")
+    right = spark.createDataFrame(
+        [(2, bytearray(wkb_write(Point(-179.99, 10.0)))),   # ~2.2 km away
+         (3, bytearray(wkb_write(Point(-179.5, 10.0))))],   # ~55 km away
+        "rid long, rgeom binary")
+    out = spatial_join(left, right, "st_dwithin", left_geom="geom",
+                       right_geom="rgeom", meters=5000.0)
+    assert [(r.lid, r.rid) for r in out.select("lid", "rid").collect()] == [(1, 2)]
+
+
+def test_dwithin_points_near_pole_cover(spark):
+    """sphere_expand_degrees at lat 89.95: 1.2 deg of longitude is only
+    ~116 m — the old 89.9-deg clamp under-covered the window and dropped
+    the true match."""
+    from geomesa_spark.operators.spatial_join import dwithin_join_points
+
+    left = spark.createDataFrame([(1, 10.0, 89.95)], "lid long, lx double, ly double")
+    right = spark.createDataFrame([(2, 11.2, 89.95), (3, 60.0, 89.95)],
+                                  "rid long, rx double, ry double")
+    out = dwithin_join_points(left, right, 150.0, "lx", "ly", "rx", "ry",
+                              metric="sphere", level=12)
+    assert [(r.lid, r.rid) for r in out.select("lid", "rid").collect()] == [(1, 2)]
