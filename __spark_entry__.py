@@ -1613,15 +1613,25 @@ def _sql_minhash_pairs(num_hashes: int = 64, bands: int = 16, shingle_k: int = 3
 
 def _sql_simhash_pairs(max_hamming: int = 8, shingle_k: int = 2) -> str:
     """DuckDB mirror of simhash_dedup_pairs: per-bit majority vote over
-    the distinct shingle hashes, 4x16-bit chunk banding, hamming verify."""
+    the distinct shingle hashes, (max_hamming+1)-chunk banding (the
+    engine's exact-recall default — last chunk takes the remainder
+    bits), hamming verify."""
+    c = max_hamming + 1
+    w = 64 // c
+    start_case = " ".join(f"WHEN {i} THEN {i * w}" for i in range(c))
+    mask_case = " ".join(
+        f"WHEN {i} THEN {(1 << (w if i < c - 1 else 64 - i * w)) - 1}"
+        for i in range(c))
     return f"""
         WITH {_sql_shingles_cte(shingle_k)},
         sim AS (SELECT doc_id, list_aggregate(list_transform(range(0, 64), b ->
                   CASE WHEN 2 * len(list_filter(sh, s -> (s >> b) & 1 = 1)) > len(sh)
                        THEN (CAST(1 AS HUGEINT) << b) ELSE CAST(0 AS HUGEINT) END),
                   'sum') AS h FROM sh),
-        ch AS (SELECT doc_id, h, t.c, (h >> (16 * t.c)) & 65535 AS v
-               FROM sim, unnest(range(0, 4)) AS t(c)),
+        ch AS (SELECT doc_id, h, t.c,
+                      (h >> (CASE t.c {start_case} END))
+                        & (CASE t.c {mask_case} END) AS v
+               FROM sim, unnest(range(0, {c})) AS t(c)),
         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.h AS ha, b.h AS hb
                  FROM ch a JOIN ch b ON a.c = b.c AND a.v = b.v
                  WHERE a.doc_id < b.doc_id)
@@ -2173,7 +2183,7 @@ def oracle_sql() -> dict[str, str]:
               AND 2.0 * 6371008.7714 * asin(sqrt(
                     sin((la2 - la1) / 2) * sin((la2 - la1) / 2)
                   + cos(la1) * cos(la2) * sin((lo2 - lo1) / 2) * sin((lo2 - lo1) / 2)
-                  )) < 1000000.0
+                  )) <= 1000000.0
         """,
         "cql_select": f"""
             WITH pts AS ({_CUST_SQL})

@@ -280,19 +280,41 @@ def simhash_udf(shingle_k: int = 2):
 
 
 def simhash_dedup_pairs(df: DataFrame, id_col: str, text_col: str,
-                        max_hamming: int = 3, shingle_k: int = 2) -> DataFrame:
-    """Near-dup pairs by SimHash: band on 4x16-bit chunks (any pair within
-    hamming distance 3 shares at least one exact chunk), verify hamming."""
+                        max_hamming: int = 3, shingle_k: int = 2,
+                        bands: int | None = None) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into
+    ``bands`` chunks, candidates share at least one exact chunk, verify
+    hamming.
+
+    Recall is EXACT iff ``bands > max_hamming`` (pigeonhole: a pair
+    differing in <= h bits cannot differ in all h+1 chunks) — the
+    default ``bands = max_hamming + 1`` guarantees it. Passing a smaller
+    ``bands`` (e.g. the classic 4x16-bit split) trades recall beyond
+    ``bands - 1`` bit flips for wider chunk keys / fewer candidates —
+    the Manku et al. 2007 block trade-off; at web scale prefer raising
+    shingle quality over shrinking chunks below ~8 bits (a w-bit chunk
+    key buckets n docs into 2^w groups, so candidate volume grows as
+    bands * n^2 / 2^w).
+    """
+    c = int(bands) if bands is not None else int(max_hamming) + 1
+    if not 1 <= c <= 64:
+        raise ValueError(f"bands must be in [1, 64], got {c}")
+    w = 64 // c
     sim = simhash_udf(shingle_k)
     # persist: the chunk explode references this from both join sides
     s = df.select(F.col(id_col).alias("__id__"), sim(F.col(text_col)).alias("__h__")).persist()
+
+    def _chunk(i: int):
+        start = i * w
+        width = w if i < c - 1 else 64 - start
+        mask = (1 << width) - 1 if width < 64 else -1
+        return F.struct(
+            F.lit(i).alias("c"),
+            F.shiftright("__h__", start).bitwiseAND(F.lit(mask)).alias("v"))
+
     chunks = s.select(
         "__id__", "__h__",
-        F.explode(F.array(*[
-            F.struct(F.lit(c).alias("c"),
-                     F.shiftright("__h__", 16 * c).bitwiseAND(F.lit(0xFFFF)).alias("v"))
-            for c in range(4)
-        ])).alias("__k__"))
+        F.explode(F.array(*[_chunk(i) for i in range(c)])).alias("__k__"))
     l = chunks.select(F.col("__id__").alias("id_a"), F.col("__h__").alias("__ha__"), "__k__")
     r = chunks.select(F.col("__id__").alias("id_b"), F.col("__h__").alias("__hb__"), "__k__")
     cand = (l.join(r, on="__k__").filter(F.col("id_a") < F.col("id_b"))

@@ -68,8 +68,12 @@ def quality_score(df: DataFrame, id_col: str, text_col: str,
     """
     s = text_stats(df, id_col, text_col)
     len_ok = (F.col("n_tokens") >= min_tokens)
-    wlen_ok = (F.col("mean_word_len_x100") <= int(max_mean_wlen * 100))
-    punct_ok = (F.col("n_punct") * 10 <= F.col("n_chars") * int(max_punct_ratio * 10))
+    # round, never truncate, caller thresholds: int(0.25 * 10) == 2 would
+    # silently tighten a 0.25 gate to 0.20; ppm resolution keeps any
+    # reasonable threshold exact (cross-multiplication stays integer)
+    wlen_ok = (F.col("mean_word_len_x100") <= int(round(max_mean_wlen * 100)))
+    punct_ok = (F.col("n_punct") * 1_000_000
+                <= F.col("n_chars") * int(round(max_punct_ratio * 1_000_000)))
     rep_ok = (F.col("n_distinct_tokens") * 4 >= F.col("n_tokens"))  # <=4x repetition
     score = (len_ok.cast("int") * 25 + wlen_ok.cast("int") * 25
              + punct_ok.cast("int") * 25 + rep_ok.cast("int") * 25)
@@ -200,7 +204,10 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str,
     "fraction of chars in the most frequent word"), n_grams,
     top_gram_count, dup_gram_frac.
     """
-    t = F.col(text_col)
+    # null text folds to the empty string (one empty token) so the doc
+    # still emits a signals row — silently vanishing from the output
+    # would desync this frame from text_stats/quality_score on a join
+    t = F.coalesce(F.col(text_col), F.lit(""))
     words = F.split(F.trim(t), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - gram_n, F.lit(0))),

@@ -77,6 +77,6 @@ def tube_select(
     dist = F.lit(2.0 * EARTH_MEAN_RADIUS_M) * F.asin(F.sqrt(a))
     dt_ok = F.abs(F.col(dts) - F.col("__tts__")) <= window_s
 
-    hits = cand.filter((dist < meters) & dt_ok)
+    hits = cand.filter((dist <= meters) & dt_ok)  # inclusive, DWITHIN convention
     return (hits.dropDuplicates([data_id])
                 .drop("__tx__", "__ty__", "__tts__", "__cell__", "__bucket__"))

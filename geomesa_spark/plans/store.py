@@ -103,17 +103,20 @@ def bbox_partition_prefixes(xmin: float, ymin: float, xmax: float, ymax: float,
 
 
 def bbox_query(spark, path: str, xmin: float, ymin: float, xmax: float,
-               ymax: float, digits: int = 2, loose: bool = False) -> DataFrame:
+               ymax: float, digits: int = 2, loose: bool = False,
+               x: str = "lon", y: str = "lat") -> DataFrame:
     """Planned bbox scan: partition pruning + pushed range predicates.
 
-    loose=True skips nothing here (bbox is exact for points) — the flag
-    mirrors the reference's loose-bbox semantics for parity.
+    ``x``/``y`` must name the same columns the store was written with
+    (write_indexed's x/y). loose=True skips nothing here (bbox is exact
+    for points) — the flag mirrors the reference's loose-bbox semantics
+    for parity.
     """
     df = spark.read.parquet(path)
     prefixes = bbox_partition_prefixes(xmin, ymin, xmax, ymax, digits)
     cond = F.col("z2_p").isin(prefixes)
-    exact = ((F.col("lon") >= xmin) & (F.col("lon") <= xmax)
-             & (F.col("lat") >= ymin) & (F.col("lat") <= ymax))
+    exact = ((F.col(x) >= xmin) & (F.col(x) <= xmax)
+             & (F.col(y) >= ymin) & (F.col(y) <= ymax))
     return df.filter(cond & exact)
 
 
@@ -536,14 +539,16 @@ def s2_partition_prefixes(xmin: float, ymin: float, xmax: float, ymax: float,
 
 
 def bbox_query_s2(spark, path: str, xmin: float, ymin: float, xmax: float,
-                  ymax: float, digits: int = 2) -> DataFrame:
+                  ymax: float, digits: int = 2,
+                  x: str = "lon", y: str = "lat") -> DataFrame:
     """Planned bbox scan over the s2 store: covering-prefix partition
-    pruning + exact pushed lon/lat range predicates."""
+    pruning + exact pushed coordinate range predicates. ``x``/``y`` must
+    name the same columns the store was written with."""
     df = spark.read.parquet(path)
     prefixes = s2_partition_prefixes(xmin, ymin, xmax, ymax, digits)
     cond = F.col("s2_p").isin(prefixes)
-    exact = ((F.col("lon") >= xmin) & (F.col("lon") <= xmax)
-             & (F.col("lat") >= ymin) & (F.col("lat") <= ymax))
+    exact = ((F.col(x) >= xmin) & (F.col(x) <= xmax)
+             & (F.col(y) >= ymin) & (F.col(y) <= ymax))
     return df.filter(cond & exact)
 
 

@@ -24,15 +24,18 @@ __all__ = ["stream_dedup"]
 def stream_dedup(stream: DataFrame, content_cols: list[str],
                  ts_col: str = "ts", delay: str = "10 minutes") -> DataFrame:
     """Drop every document whose content digest was already seen within
-    the watermark horizon. The digest covers ``content_cols`` as a JSON
-    struct — NOT concat_ws, which silently skips NULL columns and would
-    hash ('x', NULL, 'y') and ('x', 'y', NULL) identically, silently
-    dropping a distinct document. The first arrival wins and later
-    copies are suppressed until the watermark passes ``delay`` beyond
-    their event time.
+    the watermark horizon. The digest is operators/dedup.content_digest —
+    THE shared exact-dedup key (null-safe length-prefixed encoding for
+    multi-column content), so the stream's implicit digest state speaks
+    the same language as the batch index: a corpus deduped at ingest can
+    later be probed/merged by exact_dedup / corpus.incremental_dedup
+    without re-hashing under a second convention. The first arrival wins
+    and later copies are suppressed until the watermark passes ``delay``
+    beyond their event time.
     """
-    key = F.sha2(F.to_json(F.struct(*[F.col(c) for c in content_cols]),
-                           {"ignoreNullFields": "false"}), 256)
+    from ..operators.dedup import content_digest
+
+    key = content_digest(*content_cols)
     return (stream.withColumn("__key__", key)
                   .withWatermark(ts_col, delay)
                   .dropDuplicatesWithinWatermark(["__key__"])

@@ -76,12 +76,27 @@ class LambdaStore:
 
     def persist(self, transient: DataFrame) -> None:
         """Fold transient into the persistent tier and compact to the
-        latest state (tombstones physically removed)."""
-        merged = self.merged_view(transient)
-        tmp = self.path + ".compact"
-        merged.write.mode("overwrite").parquet(tmp)
-        out = self.spark.read.parquet(tmp)
-        out.write.mode("overwrite").parquet(self.path)
-        import shutil
+        latest state (tombstones physically removed).
 
-        shutil.rmtree(tmp)
+        Atomic-by-rename (same commit discipline as plans/checkpoint):
+        the compacted state lands in a scratch directory while the live
+        tier is still readable, then swaps in via rename — an in-place
+        overwrite would delete the ONLY copy before the new write
+        commits, so a crash mid-persist would destroy the store.
+        """
+        import shutil
+        import uuid
+
+        merged = self.merged_view(transient)
+        token = uuid.uuid4().hex[:8]
+        tmp = f"{self.path}.compact-{token}"
+        try:
+            merged.write.mode("overwrite").parquet(tmp)
+        except BaseException:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
+        old = f"{self.path}.old-{token}"
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)

@@ -71,18 +71,33 @@ def ttl_by_cql_expr(rules: list[tuple[str, int]],
 def upsert_cache(updates: DataFrame, ttl_ms: int | None = None,
                  id_col: str = "feature_id", ts_col: str = "ts",
                  x_col: str = "lon", y_col: str = "lat",
-                 ttl_by_cql: list[tuple[str, int]] | None = None) -> DataFrame:
+                 ttl_by_cql: list[tuple[str, int]] | None = None,
+                 order_col: str | None = None) -> DataFrame:
     """updates (streaming) -> live-state change feed.
 
     Emits one row per input update: op='upsert' when it advanced the
     state, 'reject_stale' when an older event arrived after a newer one
-    (event-time ordering), 'delete' for tombstones (null lon).
+    (event-time ordering — applies to UPDATES; deletes are unconditional,
+    matching KafkaFeatureCacheImpl.remove which ignores feature time, so
+    a replayed pre-delete update CAN resurrect a feature — the reference's
+    own at-least-once semantics), 'delete' for tombstones (null lon or
+    null lat).
+
+    Within a micro-batch, rows fold in ARRIVAL order (the reference
+    consumes the Kafka partition log in offset order; event-time
+    ordering means arrivals older than the current state are rejected,
+    not that the batch is re-sorted). applyInPandasWithState preserves
+    the source order for a single-partition source but gives no
+    guaranteed cross-shuffle order in general — pass ``order_col`` (a
+    per-message sequence/offset column) to pin a deterministic fold
+    order when the source has one.
 
     ``ttl_ms`` is the uniform state TTL; ``ttl_by_cql`` is the reference's
     dynamic-expiry list — per-update TTL resolved by the first matching
     CQL predicate (see :func:`ttl_by_cql_expr`), falling back to
-    ``ttl_ms``. The resolved TTL re-arms the state timeout on every
-    accepted upsert.
+    ``ttl_ms``. The resolved TTL re-arms the state timeout on each
+    accepted upsert only — a batch of rejected stale replays must NOT
+    keep a feature alive past its expiry.
     """
 
     def update_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
@@ -92,31 +107,37 @@ def upsert_cache(updates: DataFrame, ttl_ms: int | None = None,
             return
         cur_ts = state.get[0] if state.exists else None
         live_ttl = state.get[3] if state.exists else None
-        out = []
+        accepted = False
+        rows = []
         for pdf in pdfs:
-            # arrival order preserved: the cache applies messages as they
-            # come and rejects those with stale event time (the reference's
-            # message-time vs event-time distinction)
+            if order_col is not None:
+                pdf = pdf.sort_values(order_col, kind="stable")
             for _, row in pdf.iterrows():
                 ts = int(row[ts_col])
                 ttl = row["__ttl__"]
                 ttl = None if pd.isna(ttl) else int(ttl)
-                if row[x_col] is None or pd.isna(row[x_col]):
-                    if state.exists:
-                        state.remove()
-                    cur_ts = None
-                    live_ttl = None
-                    out.append((fid, ts, None, None, "delete"))
-                    continue
-                if cur_ts is not None and ts < cur_ts:
-                    out.append((fid, ts, float(row[x_col]), float(row[y_col]),
-                                "reject_stale"))
-                    continue
-                cur_ts = ts
-                live_ttl = ttl
-                state.update((ts, float(row[x_col]), float(row[y_col]), ttl))
-                out.append((fid, ts, float(row[x_col]), float(row[y_col]), "upsert"))
-        if state.exists and live_ttl is not None:
+                x, y = row[x_col], row[y_col]
+                tomb = (x is None or pd.isna(x) or y is None or pd.isna(y))
+                rows.append((ts, tomb, None if tomb else float(x),
+                             None if tomb else float(y), ttl))
+        out = []
+        for ts, tomb, x, y, ttl in rows:
+            if tomb:
+                if state.exists:
+                    state.remove()
+                cur_ts = None
+                live_ttl = None
+                out.append((fid, ts, None, None, "delete"))
+                continue
+            if cur_ts is not None and ts < cur_ts:
+                out.append((fid, ts, x, y, "reject_stale"))
+                continue
+            cur_ts = ts
+            live_ttl = ttl
+            accepted = True
+            state.update((ts, x, y, ttl))
+            out.append((fid, ts, x, y, "upsert"))
+        if accepted and state.exists and live_ttl is not None:
             state.setTimeoutDuration(live_ttl)
         yield pd.DataFrame(out, columns=["feature_id", "ts", "lon", "lat", "op"])
 
@@ -134,7 +155,8 @@ def upsert_cache(updates: DataFrame, ttl_ms: int | None = None,
     keyed = src.select(
         F.col(id_col).alias("feature_id"),
         F.col(ts_col).cast("long").alias(ts_col) if ts_col != "ts" else F.col("ts").cast("long"),
-        F.col(x_col), F.col(y_col), "__ttl__")
+        F.col(x_col), F.col(y_col), "__ttl__",
+        *([F.col(order_col)] if order_col else []))
     return (keyed.groupBy("feature_id")
                  .applyInPandasWithState(update_fn, _OUT_SCHEMA, _STATE_SCHEMA,
                                          "append", timeout))

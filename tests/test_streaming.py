@@ -292,3 +292,63 @@ def test_stream_dedup_exact(spark, tmp_path):
                   for r in spark.sql("select * from dd").collect())
     # one survivor per distinct content, across micro-batches
     assert rows == [(1.0, 2.0), (3.0, 4.0), (5.0, 6.0)]
+
+
+def test_upsert_cache_same_batch_fold_deterministic(spark, tmp_path):
+    """Deletes are unconditional regardless of event time (reference
+    KafkaFeatureCacheImpl.remove ignores feature time), and a null-LAT
+    row is a tombstone, not a crash."""
+    import json
+    import os
+
+    from geomesa_spark.streaming.upsert import upsert_cache
+
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    rows = [
+        {"feature_id": "a", "ts": 10, "lon": 1.0, "lat": 2.0},   # upsert
+        {"feature_id": "a", "ts": 5, "lon": None, "lat": None},  # older delete
+        {"feature_id": "b", "ts": 7, "lon": 3.0, "lat": None},   # null lat -> delete
+    ]
+    with open(os.path.join(src, "batch0.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    stream = (spark.readStream.schema(
+        "feature_id string, ts long, lon double, lat double").json(src))
+    out = upsert_cache(stream)
+    q = (out.writeStream.format("memory").queryName("upsfold")
+            .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.feature_id, r.ts): r.op
+           for r in spark.sql("select * from upsfold").collect()}
+    # a: delete(ts=5) folds BEFORE upsert(ts=10) -> final state lives
+    assert got[("a", 5)] == "delete"
+    assert got[("a", 10)] == "upsert"
+    # b: malformed half-null coordinate handled as tombstone, not a crash
+    assert got[("b", 7)] == "delete"
+
+
+def test_simhash_banding_exact_recall_default(spark):
+    """Default bands = max_hamming + 1: the pair set equals the brute-
+    force hamming join (no pair lost to chunk banding) at a threshold
+    the old fixed 4x16 banding could not guarantee."""
+    import numpy as np
+
+    from geomesa_spark.operators import cache
+    from geomesa_spark.operators.dedup import simhash_dedup_pairs, simhash_udf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sim = simhash_udf(2)
+    sigs = {r["doc_id"]: r["h"]
+            for r in docs.select("doc_id", sim(F.col("text")).alias("h")).collect()}
+    ids = sorted(sigs)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            ham = bin((sigs[a] ^ sigs[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if ham <= 6:
+                want.add((a, b))
+    out = simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=6)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    cache.release(out)
+    assert got == want and got
