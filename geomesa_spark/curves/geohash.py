@@ -48,13 +48,21 @@ def geohash_encode(lon, lat, prec_bits: int) -> np.ndarray:
     return out
 
 
-def geohash_decode_bbox(gh: str):
-    """geohash string → (xmin, ymin, xmax, ymax)."""
+def geohash_decode_bbox(gh: str, max_bits: int | None = None):
+    """geohash string → (xmin, ymin, xmax, ymax).
+
+    ``max_bits`` truncates the decode to the first N interleaved bits —
+    precision in the reference GeoHash API is bit-granular, not
+    restricted to whole base-32 characters."""
     lo_x, hi_x, lo_y, hi_y = -180.0, 180.0, -90.0, 90.0
     even = True
+    used = 0
     for c in gh:
         v = _BASE32_INV[c]
         for shift in range(4, -1, -1):
+            if max_bits is not None and used >= max_bits:
+                return lo_x, lo_y, hi_x, hi_y
+            used += 1
             bit = (v >> shift) & 1
             if even:
                 mid = (lo_x + hi_x) / 2

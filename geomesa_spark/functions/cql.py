@@ -384,8 +384,11 @@ def _to_sql(n: Node) -> str:
             return f"({a} IS NOT NULL)"
     if isinstance(n, Spatial):
         lit = f"st_geomFromWKT('{n.wkt}')"
+        # inclusive <=, matching st_dwithin / JTS isWithinDistance;
+        # BEYOND is its exact complement so the two are exhaustive at
+        # the boundary distance
         if n.fn == "DWITHIN":
-            return f"(st_distanceSphere({n.attr}, {lit}) < {n.meters!r})"
+            return f"(st_distanceSphere({n.attr}, {lit}) <= {n.meters!r})"
         if n.fn == "BEYOND":
             return f"(st_distanceSphere({n.attr}, {lit}) > {n.meters!r})"
         return f"({_SPATIAL_SQL[n.fn]}({n.attr}, {lit}))"
@@ -428,7 +431,13 @@ def _bbox_intersect(a, b):
 def _expand_for_dwithin(bbox, meters):
     """Conservative window expansion — reuses the join cover's rule so
     both prefilters over-cover the same spherical disk (an under-expanded
-    window silently drops rows the exact predicate accepts)."""
+    window silently drops rows the exact predicate accepts).
+
+    Returns a LIST of windows: a disk whose expansion crosses the
+    antimeridian splits into the two wrapped windows (the same IDL
+    handling the BBOX parser applies) — clamping at +-180 would prune
+    rows on the far side of the dateline that the exact predicate
+    accepts."""
     import numpy as np
 
     from ..operators.spatial_join import sphere_expand_degrees
@@ -437,8 +446,16 @@ def _expand_for_dwithin(bbox, meters):
     phi_edge = max(abs(y0), abs(y1))
     dlon, dlat = sphere_expand_degrees(np.array([phi_edge]), float(meters))
     dlon, dlat = float(dlon[0]), float(dlat[0])
-    return (max(x0 - dlon, -180.0), max(y0 - dlat, -90.0),
-            min(x1 + dlon, 180.0), min(y1 + dlat, 90.0))
+    ylo, yhi = max(y0 - dlat, -90.0), min(y1 + dlat, 90.0)
+    xlo, xhi = x0 - dlon, x1 + dlon
+    if xhi - xlo >= 360.0:
+        return [(-180.0, ylo, 180.0, yhi)]
+    out = [(max(xlo, -180.0), ylo, min(xhi, 180.0), yhi)]
+    if xlo < -180.0:
+        out.append((xlo + 360.0, ylo, 180.0, yhi))
+    if xhi > 180.0:
+        out.append((-180.0, ylo, xhi - 360.0, yhi))
+    return out
 
 
 def extract_bounds(cql: str, geom_attr: str):
@@ -458,7 +475,7 @@ def extract_bounds(cql: str, geom_attr: str):
             if n.fn in ("DISJOINT", "BEYOND"):
                 return None
             if n.fn == "DWITHIN":
-                return [_expand_for_dwithin(n.bbox, n.meters)]
+                return _expand_for_dwithin(n.bbox, n.meters)
             return [tuple(n.bbox)]
         if isinstance(n, Logic):
             if n.op == "NOT":

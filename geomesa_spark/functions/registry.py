@@ -248,7 +248,19 @@ def _is_simple(g) -> bool:
             adjacent = pa == pb and abs(ia - ib) == 1
             closing = pa == pb and {ia, ib} == {0, len(paths[pa]) - 2} and \
                 np.all(paths[pa][0] == paths[pa][-1])
-            if adjacent or closing:
+
+            def _endpoint_of(pi):
+                # SFS/JTS: elements of a MultiLineString may touch at
+                # mutual BOUNDARY points; a closed element has an empty
+                # boundary (mod-2 rule), so its endpoints don't count
+                p = paths[pi]
+                if np.all(p[0] == p[-1]):
+                    return False
+                return ((x == p[0][0] and y == p[0][1])
+                        or (x == p[-1][0] and y == p[-1][1]))
+
+            boundary_touch = pa != pb and _endpoint_of(pa) and _endpoint_of(pb)
+            if adjacent or closing or boundary_touch:
                 continue
             return False
     return True
@@ -307,12 +319,80 @@ def _antimeridian_safe(g):
     if shift:
         g = M.translate(g, shift, 0.0)
         xmin, ymin, xmax, ymax = g.envelope()
-    if xmax > 180 and isinstance(g, Polygon):
-        # split at the antimeridian into a 2-part multipolygon
-        left = Polygon(np.array([[xmin, ymin], [xmin, ymax], [180, ymax], [180, ymin], [xmin, ymin]]))
-        right = Polygon(np.array([[-180, ymin], [-180, ymax], [xmax - 360, ymax], [xmax - 360, ymin], [-180, ymin]]))
-        return MultiPolygon([left, right])
+    if xmax > 180:
+        # split the ACTUAL geometry at the antimeridian (the reference
+        # intersects with each hemisphere; an envelope-rectangle stand-in
+        # would discard the shape): piece A = clip to the world window,
+        # piece B = clip of the -360-translated copy
+        if isinstance(g, Polygon):
+            if g.holes:
+                raise NotImplementedError(
+                    "st_antimeridianSafeGeom: IDL-crossing polygon with holes")
+            parts = []
+            for cand in (g, M.translate(g, -360.0, 0.0)):
+                ring = _clip_ring_world(cand.shell)
+                if ring is not None:
+                    parts.append(Polygon(ring))
+            if len(parts) == 1:
+                return parts[0]
+            return MultiPolygon(parts)
+        if isinstance(g, LineString):
+            pieces = (_clip_path_world(g.coords)
+                      + _clip_path_world(g.coords - np.array([360.0, 0.0])))
+            if len(pieces) == 1:
+                return LineString(pieces[0])
+            return MultiLineString([LineString(p) for p in pieces])
+        raise NotImplementedError(
+            f"st_antimeridianSafeGeom: IDL-crossing {type(g).__name__}")
     return g
+
+
+class _WorldRect:
+    xmin, xmax, ymin, ymax = -180.0, 180.0, -90.0, 90.0
+
+
+def _clip_ring_world(shell: np.ndarray):
+    """Sutherland-Hodgman clip of a closed shell ring to the world
+    window; None when the clipped area is empty."""
+    from ..operators.tiling import _clip_ring_to_envelope
+
+    from ..geom.measures import ring_area
+
+    out = _clip_ring_to_envelope(np.asarray(shell, dtype=np.float64),
+                                 _WorldRect)
+    if len(out) < 4 or ring_area(out) == 0.0:
+        return None
+    return out
+
+
+def _clip_path_world(coords: np.ndarray) -> list:
+    """Liang-Barsky clip of a line path to the world window, merging
+    consecutive surviving subsegments into maximal pieces."""
+    from ..operators.tiling import _clip_segment
+
+    pieces: list[list] = []
+    cur: list = []
+    c = np.asarray(coords, dtype=np.float64)
+    for i in range(len(c) - 1):
+        seg = _clip_segment(c[i, 0], c[i, 1], c[i + 1, 0], c[i + 1, 1],
+                            _WorldRect)
+        if seg is None:
+            if len(cur) >= 2:
+                pieces.append(cur)
+            cur = []
+            continue
+        x0, y0, x1, y1 = seg
+        if (x0, y0) == (x1, y1):
+            continue
+        if cur and cur[-1] == (x0, y0):
+            cur.append((x1, y1))
+        else:
+            if len(cur) >= 2:
+                pieces.append(cur)
+            cur = [(x0, y0), (x1, y1)]
+    if len(cur) >= 2:
+        pieces.append(cur)
+    return [np.asarray(p, dtype=np.float64) for p in pieces]
 
 
 _WGS84_A = 6378137.0
@@ -805,7 +885,9 @@ def register_functions(spark):
             if gh is None or p is None:
                 out.append(None)
                 continue
-            xmin, ymin, xmax, ymax = geohash_decode_bbox(gh[: int(p) // 5] if int(p) % 5 == 0 else gh)
+            # precision is in BITS (reference GeoHash API): truncate the
+            # decode at p bits, not at whole base-32 chars only
+            xmin, ymin, xmax, ymax = geohash_decode_bbox(gh, int(p))
             ring = np.array([[xmin, ymin], [xmin, ymax], [xmax, ymax], [xmax, ymin], [xmin, ymin]])
             out.append(wkb_write(Polygon(ring)))
         return pd.Series(out, dtype=object)
@@ -885,7 +967,16 @@ def register_functions(spark):
     reg("st_castToPoint", _geom_unary(lambda g: g if isinstance(g, Point) else None, B))
     reg("st_castToPolygon", _geom_unary(lambda g: g if isinstance(g, Polygon) else None, B))
     reg("st_castToLineString", _geom_unary(lambda g: g if isinstance(g, LineString) else None, B))
-    reg("st_castToGeometry", _geom_unary(lambda g: g, B))
+    @pandas_udf(B)
+    def _cast_to_geometry(s: pd.Series) -> pd.Series:
+        # identity on the engine's LE-WKB convention (see st_asBinary)
+        return pd.Series(
+            [None if v is None
+             else (bytes(v) if len(v) > 0 and v[0] == 1
+                   else wkb_write(wkb_read(bytes(v)))) for v in s],
+            dtype=object)
+
+    reg("st_castToGeometry", _cast_to_geometry)
 
     @pandas_udf(B)
     def st_byteArray(s: pd.Series) -> pd.Series:
@@ -894,7 +985,22 @@ def register_functions(spark):
     reg("st_byteArray", st_byteArray)
 
     # ---- outputs ----
-    reg("st_asBinary", _geom_unary(lambda g: g, B))
+    @pandas_udf(B)
+    def st_asBinary(s: pd.Series) -> pd.Series:
+        # identity on the engine's own little-endian WKB convention
+        # (wkb.py): pass bytes through instead of a per-row decode +
+        # re-encode; big-endian input still normalizes through the codec
+        out = []
+        for v in s:
+            if v is None:
+                out.append(None)
+            elif len(v) > 0 and v[0] == 1:
+                out.append(bytes(v))
+            else:
+                out.append(wkb_write(wkb_read(bytes(v))))
+        return pd.Series(out, dtype=object)
+
+    reg("st_asBinary", st_asBinary)
     reg("st_asText", _geom_unary(wkt_write, S))
     reg("st_asGeoJSON", _geom_unary(geojson_write, S))
     reg("st_asLatLonText", _geom_unary(
@@ -1049,7 +1155,11 @@ def register_functions(spark):
     def st_dwithin(s1: pd.Series, s2: pd.Series, meters: pd.Series) -> pd.Series:
         p1 = try_decode_points(s1)
         p2 = try_decode_points(s2)
-        if p1 is not None and p2 is not None and meters.nunique() == 1 and meters.notna().any():
+        if (p1 is not None and p2 is not None
+                and meters.notna().all() and meters.nunique() == 1):
+            # fast path requires ALL meters non-null: a null distance must
+            # propagate null (module null contract), not borrow the
+            # batch's shared value
             x1, y1, n1 = p1
             x2, y2, n2 = p2
             m_ = float(meters.dropna().iloc[0])
@@ -1061,8 +1171,9 @@ def register_functions(spark):
         g2 = decode_geoms(s2)
         out = []
         for a, b_, m_ in zip(g1, g2, meters):
-            if a is None or b_ is None or m_ is None:
-                out.append(None)
+            if a is None or b_ is None or m_ is None or pd.isna(m_):
+                out.append(None)   # NaN: pandas hands nullable doubles
+                # over as NaN, never None
             else:
                 out.append(dwithin_geoms(a, b_, float(m_)))
         return pd.Series(out, dtype=object)

@@ -178,8 +178,14 @@ def _wkb_read_at(mv: memoryview, off: int):
     big = mv[off] == 0
     endian = ">" if big else "<"
     (tid,) = struct.unpack_from(endian + "I", mv, off + 1)
-    tid = tid & 0xFF  # strip any SRID/dimensionality flags (2D only)
     off += 5
+    if tid & 0xC0000000:
+        # EWKB Z (0x80000000) / M (0x40000000): extra coordinates per
+        # vertex — silently reading 2 of 3 doubles would corrupt shapes
+        raise NotImplementedError("EWKB Z/M coordinates are not supported")
+    if tid & 0x20000000:
+        off += 4  # EWKB SRID flag: a 4-byte SRID payload precedes coords
+    tid = tid & 0xFF  # strip consumed flag bits (2D only)
     if tid == WKB_POINT:
         x, y = struct.unpack_from(endian + "2d", mv, off)
         return Point(x, y), off + 16

@@ -142,24 +142,31 @@ def decontaminate(train: DataFrame, eval_df: DataFrame, id_col: str,
 
 
 def _mix_bucket_udf(seed: int, buckets: int):
+    """(coalesced id, is-null flag) -> bucket, null on null id.
+
+    Two columns instead of one nullable long on purpose: Arrow hands a
+    long batch CONTAINING nulls to pandas as float64, which silently
+    rounds ids above 2^53 — a 64-bit hash id would land in a different
+    bucket depending on whether its batch happened to contain a null,
+    breaking the deterministic shard/sample contract. The coalesced
+    column is null-free, so every batch arrives as exact int64.
+    """
     from .ann import mix64
 
     @F.pandas_udf(LongType())
-    def bucket(ids: pd.Series) -> pd.Series:
-        # null-in/null-out: a single NULL id (or a string id that
-        # cast('long') nulled) must not kill the task — Arrow hands
-        # nullable longs over as float64/NaN, and to_numpy(int64) on
-        # that raises
-        mask = ids.notna().to_numpy()
+    def bucket(ids: pd.Series, isnull: pd.Series) -> pd.Series:
+        mask = ~isnull.to_numpy(dtype=bool)
         out = pd.array(np.zeros(len(ids), dtype=np.int64), dtype="Int64")
         out[~mask] = pd.NA
         if mask.any():
-            vals = ids[mask].astype(np.int64).to_numpy()
-            m = mix64(vals, seed)
+            m = mix64(ids.to_numpy(np.int64)[mask], seed)
             out[mask] = (m % np.uint64(buckets)).astype(np.int64)
         return pd.Series(out)
 
-    return bucket
+    def apply(col: Column) -> Column:
+        return bucket(F.coalesce(col, F.lit(0)), col.isNull())
+
+    return apply
 
 
 def stratified_sample(df: DataFrame, id_col: str, strata_col: str,

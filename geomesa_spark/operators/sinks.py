@@ -50,6 +50,18 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     w.parquet(path)
 
 
+def _int32(v, what: str) -> int:
+    """Range-checked int32 for the BIN format: the reference writes true
+    int32 fields — out-of-range values (64-bit track hashes, pre-epoch or
+    post-2038 timestamps) must fail loudly, never be silently bit-masked
+    into a colliding/garbage value."""
+    v = int(v)
+    if not -2147483648 <= v <= 2147483647:
+        raise ValueError(f"BIN {what} {v} does not fit int32; remap it "
+                         "(e.g. pmod(xxhash64(id), 2**31)) before export")
+    return v
+
+
 def bin_records(df: DataFrame, track_col: str, x: str = "lon", y: str = "lat",
                 ts_col: str = "dtg", label_col: str | None = None) -> DataFrame:
     """Packed record per row — the reference BIN format
@@ -64,8 +76,9 @@ def bin_records(df: DataFrame, track_col: str, x: str = "lon", y: str = "lat",
                  dtg: pd.Series) -> pd.Series:
             out = []
             for t, la, lo, d in zip(track, lat, lon, dtg):
-                out.append(struct.pack("<iffi", int(t) & 0x7FFFFFFF, float(la),
-                                       float(lo), int(d) & 0x7FFFFFFF))
+                out.append(struct.pack("<iffi", _int32(t, "trackId"),
+                                       float(la), float(lo),
+                                       _int32(d, "dtg")))
             return pd.Series(out)
 
         return df.select(pack(F.col(track_col), F.col(y), F.col(x),
@@ -76,8 +89,8 @@ def bin_records(df: DataFrame, track_col: str, x: str = "lon", y: str = "lat",
                dtg: pd.Series, label: pd.Series) -> pd.Series:
         out = []
         for t, la, lo, d, lb in zip(track, lat, lon, dtg, label):
-            out.append(struct.pack("<iffiq", int(t) & 0x7FFFFFFF, float(la),
-                                   float(lo), int(d) & 0x7FFFFFFF, int(lb)))
+            out.append(struct.pack("<iffiq", _int32(t, "trackId"), float(la),
+                                   float(lo), _int32(d, "dtg"), int(lb)))
         return pd.Series(out)
 
     return df.select(pack24(F.col(track_col), F.col(y), F.col(x),

@@ -202,3 +202,27 @@ class TestReviewRegressions:
         d = 2 * 6371008.7714 * np.arcsin(abs(np.sin(lo / 2)))
         assert d < 100_000
         assert w[0] <= lon <= w[2]
+
+
+def test_dwithin_bounds_wrap_at_dateline(spark):
+    """extract_bounds for a DWITHIN disk near +-180 must include a
+    window on the far side (IDL split), or the store prefilter prunes
+    true matches."""
+    b = extract_bounds(
+        "DWITHIN(geom, POINT(179.9 0), 100, kilometers)", "geom")
+    assert len(b) == 2
+    near = [w for w in b if w[2] == 180.0]
+    far = [w for w in b if w[0] == -180.0]
+    assert near and far
+    # the far window covers the point at lon=-179.97 (~14.5 km away)
+    fx = far[0]
+    assert fx[0] <= -179.97 <= fx[2]
+
+
+def test_dwithin_inclusive_boundary(spark):
+    """CQL DWITHIN is inclusive (JTS isWithinDistance); BEYOND is its
+    strict complement — the compiled SQL carries <= and >."""
+    sql = cql_to_sql("DWITHIN(geom, POINT(0 0), 1000, meters)")
+    assert "<=" in sql
+    sql_b = cql_to_sql("BEYOND(geom, POINT(0 0), 1000, meters)")
+    assert ">" in sql_b and "<=" not in sql_b

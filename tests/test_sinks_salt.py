@@ -133,3 +133,17 @@ def test_leaflet_export(spark, tmp_path):
     assert data["type"] == "FeatureCollection" and len(data["features"]) == 2
     coords = sorted(f["geometry"]["coordinates"] for f in data["features"])
     assert coords == [[-30.0, 40.0], [10.0, 20.0]]
+
+
+def test_bin_records_rejects_out_of_range_int32(spark):
+    """The BIN format writes true int32 fields — a 64-bit track id must
+    fail loudly, never be bit-masked into a colliding value."""
+    import pytest
+
+    from pyspark.errors import PythonException
+
+    df = spark.createDataFrame(
+        [(1 << 40, 1.0, 2.0, 1_600_000_000)],
+        "track long, lat double, lon double, ts long")
+    with pytest.raises(PythonException, match="int32"):
+        bin_records(df, "track", "lon", "lat", "ts").collect()

@@ -347,3 +347,75 @@ class TestPolarLaeaTransform:
         pts2 = np.column_stack([np.array([-175.0, 175.0]), np.full(2, 55.0)])
         back2 = C.laea_inverse(C.laea_forward(pts2, **kw2), **kw2)
         assert (back2[:, 0] >= -180.0).all() and (back2[:, 0] < 180.0).all()
+
+
+def test_geohash_bit_precision(spark):
+    """st_geomFromGeoHash precision is bit-granular: 22 bits is exactly
+    2x wider in longitude than 23 bits (the next bit splits x)."""
+    r = spark.sql(
+        "select st_envelope(st_geomFromGeoHash('9q8yyk8y', 22)) as a,"
+        "       st_envelope(st_geomFromGeoHash('9q8yyk8y', 23)) as b").collect()[0]
+    from geomesa_spark.geom.wkb import wkb_read
+
+    ea, eb = wkb_read(bytes(r["a"])).envelope(), wkb_read(bytes(r["b"])).envelope()
+    assert abs((ea[2] - ea[0]) - 2 * (eb[2] - eb[0])) < 1e-12
+    assert (ea[3] - ea[1]) == (eb[3] - eb[1])          # lat unchanged
+    assert eb[0] >= ea[0] and eb[2] <= ea[2]           # nested
+
+
+def test_dwithin_null_distance_propagates(spark):
+    """Null meters -> null result even when other rows in the Arrow
+    batch carry a constant distance (the vectorized fast path)."""
+    df = spark.createDataFrame(
+        [(1, 1000.0), (2, None)], "id long, m double")
+    df.createOrReplaceTempView("dwnull")
+    rows = {r["id"]: r["ok"] for r in spark.sql(
+        "select id, st_dwithin(st_makePoint(0,0), st_makePoint(0.001,0), m) as ok "
+        "from dwnull").collect()}
+    assert rows[1] is True and rows[2] is None
+
+
+def test_wkb_ewkb_srid_and_zm(spark):
+    """EWKB SRID payload is skipped (coordinates parse correctly);
+    Z/M-flagged EWKB raises instead of silently misparsing."""
+    import struct
+
+    import pytest as _pytest
+
+    from geomesa_spark.geom.wkb import wkb_read
+
+    ewkb = struct.pack("<BIi2d", 1, 0x20000001, 4326, 12.5, -3.25)
+    g = wkb_read(ewkb)
+    assert (g.x, g.y) == (12.5, -3.25)
+    zwkb = struct.pack("<BI3d", 1, 0x80000001, 1.0, 2.0, 3.0)
+    with _pytest.raises(NotImplementedError):
+        wkb_read(zwkb)
+
+
+def test_is_simple_multiline_endpoint_touch(spark):
+    """Elements touching at mutual endpoints are simple (SFS boundary
+    rule); interior contact and closed-element contact are not."""
+    assert q1(spark, "select st_isSimple(st_geomFromWKT("
+              "'MULTILINESTRING((0 0, 1 1), (1 1, 2 0))'))") is True
+    assert q1(spark, "select st_isSimple(st_geomFromWKT("
+              "'MULTILINESTRING((0 0, 2 2), (1 1, 2 0))'))") is False
+    # closed element: empty boundary, so endpoint contact is NOT allowed
+    assert q1(spark, "select st_isSimple(st_geomFromWKT("
+              "'MULTILINESTRING((0 0, 1 0, 1 1, 0 0), (0 0, -1 -1))'))") is False
+
+
+def test_antimeridian_safe_preserves_shape(spark):
+    """IDL split keeps the actual polygon shape: the two pieces' area
+    equals the original triangle's area (not its envelope's)."""
+    from geomesa_spark.geom.measures import ring_area
+    from geomesa_spark.geom.wkb import MultiPolygon, Polygon, wkb_read
+
+    wkb = q1(spark, "select st_antimeridianSafeGeom(st_geomFromWKT("
+             "'POLYGON((170 0, 190 10, 190 0, 170 0))'))")
+    g = wkb_read(bytes(wkb))
+    assert isinstance(g, MultiPolygon) and len(g.geoms) == 2
+    area = sum(abs(ring_area(p.shell)) for p in g.geoms)
+    assert abs(area - 100.0) < 1e-9        # triangle area = 20*10/2
+    for p in g.geoms:
+        x0, _, x1, _ = p.envelope()
+        assert -180.0 <= x0 <= x1 <= 180.0
