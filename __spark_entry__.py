@@ -235,6 +235,15 @@ def q_tile_density(spark, sf_dir):
     return density_points(pts, "lon", "lat", -180.0, -90.0, 180.0, 90.0, 360, 180)
 
 
+def q_hex_density(spark, sf_dir):
+    """Hex-binned density (operators/tiling.hex_density): H3-style axial
+    hex cell assignment as pure-JVM closed-form math, one combining agg."""
+    from geomesa_spark.operators.tiling import hex_density
+
+    pts = _cust_points(spark, sf_dir)
+    return hex_density(pts, "lon", "lat", size_deg=5.0)
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Zoom-pyramid density stack (operators/tiling.density_pyramid):
     64x32 base grid rolled up level-by-level to 2x1 — each level
@@ -952,6 +961,16 @@ def q_cosine_dedup(spark, sf_dir):
     return cosine_dedup_pairs(emb, tau=0.42, blocks=3)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup survivors (cluster embeddings with the deterministic
+    splitmix64 sample quantizer, drop docs with a >=tau smaller-id
+    in-cluster neighbor). tau matches q_cosine_dedup's margin analysis."""
+    from geomesa_spark.operators.ann import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, tau=0.42, n_clusters=4, blocks=2)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive closure of the jaccard duplicate pairs: per-doc
     cluster assignment (cluster_id = min reachable doc id) + cluster
@@ -1256,6 +1275,15 @@ def q_gopher_quality(spark, sf_dir):
                           min_stopwords=1)
 
 
+def q_chunk_text(spark, sf_dir):
+    """Overlapping fixed-token chunking (operators/corpus.chunk_text):
+    map-only JVM split/sequence/slice HOFs, stride = chunk - overlap."""
+    from geomesa_spark.operators.corpus import chunk_text
+
+    docs = _docs(spark, sf_dir)
+    return chunk_text(docs, "doc_id", "text", chunk_tokens=40, overlap=10)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -1274,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "z2_cells": q_z2_cells,
         "geohash": q_geohash,
         "tile_density": q_tile_density,
+        "hex_density": q_hex_density,
         "tile_pyramid": q_tile_pyramid,
         "tile_vectorize": q_tile_vectorize,
         "extent": q_extent,
@@ -1326,6 +1355,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "route_search": q_route_search,
         "transform_3857": q_transform_3857,
         "cosine_dedup": q_cosine_dedup,
+        "semantic_dedup": q_semantic_dedup,
         "dedup_clusters": q_dedup_clusters,
         "rep_stats": q_rep_stats,
         "asof_enrich": q_asof_enrich,
@@ -1348,6 +1378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact": q_pii_redact,
         "incr_dedup": q_incr_dedup,
         "gopher_quality": q_gopher_quality,
+        "chunk_text": q_chunk_text,
     }
 
 
@@ -1722,6 +1753,37 @@ def _sql_ivf_ann(k: int = 5, n_centroids: int = 8, n_probe: int = 3) -> str:
     """
 
 
+def _sql_semantic_dedup(tau: float = 0.42, n_clusters: int = 4) -> str:
+    """DuckDB mirror of semantic_dedup: centroids = the n_clusters vectors
+    with smallest splitmix64(vec_id) (cluster_id = position in that
+    order), assignment = arg-max dot against normalized centroids (argmax
+    is row-norm invariant, so the unnormalized row vector is fine), drop
+    rule = exists a smaller-id in-cluster neighbor with
+    list_cosine_similarity >= tau (matching cosine_sim_col's sequential
+    double accumulation)."""
+    mix_cte, mix_col = _sql_mix64_cte("CAST(vec_id AS HUGEINT)")
+    return f"""
+        WITH mx0 AS (SELECT vec_id, embedding FROM embeddings),
+        {mix_cte},
+        ranked AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv0,
+                          row_number() OVER (ORDER BY {mix_col}, vec_id) - 1 AS cidx
+                   FROM mxf ORDER BY {mix_col}, vec_id LIMIT {n_clusters}),
+        centn AS (SELECT cidx, list_transform(cv0,
+                      x -> x / sqrt(list_dot_product(cv0, cv0))) AS cv FROM ranked),
+        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        asg AS (SELECT e.vec_id, arg_max(c.cidx, list_dot_product(e.v, c.cv)) AS cluster_id
+                FROM e, centn c GROUP BY e.vec_id),
+        drops AS (SELECT DISTINCT b.vec_id AS id_b
+                  FROM asg a JOIN asg b
+                       ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+                  JOIN e ea ON ea.vec_id = a.vec_id
+                  JOIN e eb ON eb.vec_id = b.vec_id
+                  WHERE list_cosine_similarity(ea.v, eb.v) >= {tau})
+        SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id
+        FROM asg a ANTI JOIN drops d ON a.vec_id = d.id_b
+    """
+
+
 def _sql_geoparse_pages(n: int = 2000) -> str:
     """DuckDB mirror of generate_pages(n, place_mentions=True) |> geoparse
     |> groupBy(lang).count(): every generated page yields exactly one
@@ -1957,6 +2019,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST({ti} AS INTEGER) AS i, CAST({tj} AS INTEGER) AS j,
                    CAST(count(*) AS DOUBLE) AS weight
             FROM pts GROUP BY 1, 2
+        """,
+        # hex binning mirror of tiling.hex_cell_cols: identical literal
+        # constants and expression shape (axial fractional coords + cube
+        # rounding with floor(t + 0.5)), so cell ids match bit-for-bit
+        "hex_density": f"""
+            WITH pts AS ({_CUST_SQL}),
+            f AS (SELECT (CAST(0.5773502691896257 AS DOUBLE) * lon
+                          - lat / CAST(3.0 AS DOUBLE)) / CAST(5.0 AS DOUBLE) AS qf,
+                         (lat * CAST(0.6666666666666666 AS DOUBLE))
+                          / CAST(5.0 AS DOUBLE) AS rf
+                  FROM pts),
+            g AS (SELECT qf, rf, -qf - rf AS yf FROM f),
+            h AS (SELECT qf, rf, yf, floor(qf + 0.5) AS rx,
+                         floor(yf + 0.5) AS ry, floor(rf + 0.5) AS rz
+                  FROM g),
+            k AS (SELECT rx, ry, rz, abs(rx - qf) AS dx, abs(ry - yf) AS dy,
+                         abs(rz - rf) AS dz
+                  FROM h),
+            c AS (SELECT CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz
+                                   ELSE rx END AS BIGINT) AS hq,
+                         CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz)
+                                   THEN -rx - ry ELSE rz END AS BIGINT) AS hr
+                  FROM k)
+            SELECT hq, hr, CAST(count(*) AS DOUBLE) AS weight
+            FROM c GROUP BY 1, 2
         """,
         # zoom pyramid: base grid + 5 halving rollups (i >> s, j >> s);
         # unit-count doubles are exact integers, so sums are order-free
@@ -2306,6 +2393,7 @@ def oracle_sql() -> dict[str, str]:
             FROM pts
             WHERE abs(lat) <= 85.055
         """,
+        "semantic_dedup": _sql_semantic_dedup(),
         "cosine_dedup": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -2716,4 +2804,30 @@ def oracle_sql() -> dict[str, str]:
             FROM fresh f SEMI JOIN k USING (content_hash, doc_id)
         """,
         "gopher_quality": _sql_gopher(min_words=20, min_stopwords=1),
+        # chunk_text mirror: same stride/suffix rules; chunk_idx = rank of
+        # the kept start (row_number over s), list slice is 1-based
+        # inclusive in DuckDB => words[s+1 : s+chunk]
+        "chunk_text": """
+            WITH d AS (
+              SELECT doc_id,
+                     regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS words,
+                     CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
+                     END AS n
+              FROM documents),
+            st AS (
+              SELECT doc_id, words, n, s.s AS s
+              FROM d, unnest(range(0, CAST(n AS BIGINT), 30)) AS s(s)
+              WHERE n > 0 AND (s.s = 0 OR s.s - 30 + 40 < n)),
+            c AS (
+              SELECT doc_id,
+                     CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+                          AS INTEGER) AS chunk_idx,
+                     words[s + 1 : s + 40] AS piece
+              FROM st)
+            SELECT doc_id, chunk_idx,
+                   CAST(len(piece) AS INTEGER) AS n_tokens,
+                   array_to_string(piece, ' ') AS chunk_text
+            FROM c
+        """,
     }

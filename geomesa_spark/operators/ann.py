@@ -26,7 +26,9 @@ from pyspark.sql.types import (
 
 __all__ = ["cosine_topk", "cosine_topk_sql", "lsh_topk", "ivf_topk",
            "cosine_dedup_pairs", "cosine_sim_col", "mix64",
-           "quantize_int8", "quantized_topk"]
+           "quantize_int8", "quantized_topk", "semantic_dedup"]
+
+from .cache import attach_cached as _attach_cached  # noqa: E402
 
 
 def cosine_sim_col(a, b) -> F.Column:
@@ -372,3 +374,101 @@ def quantized_topk(queries: DataFrame, corpus: DataFrame, k: int,
     return (pairs.withColumn("rank", F.row_number().over(win))
                  .filter(F.col("rank") <= k)
                  .select("qid", "vec_id", "sim_q", "rank"))
+
+
+def semantic_dedup(corpus: DataFrame, tau: float, n_clusters: int = 8,
+                   seed: int = 42, id_col: str = "vec_id",
+                   vec_col: str = "embedding", blocks: int = 1,
+                   eps: float = 1e-6) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
+    embedding space, then drop every document that is >= ``tau``
+    cosine-similar to a LOWER-id document in the same cluster. Returns
+    the survivors as (``id_col``, cluster_id).
+
+    The drop rule is the deterministic greedy form (a doc is removed iff
+    any smaller-id in-cluster neighbor passes tau) — unlike transitive
+    closure it needs no iteration, and it is exactly SQL-expressible, so
+    the DuckDB oracle mirrors it verbatim.
+
+    Clustering is the deterministic sample quantizer of :func:`ivf_topk`
+    (centroids = the ``n_clusters`` corpus vectors with smallest
+    splitmix64(id); cluster_id = position in that order; assignment = max
+    dot against the NORMALIZED centroids, which is argmax-invariant to
+    the row's own norm, so the mirror skips row normalization).
+
+    Scale shape (the SemDeDup design point): assignment is one
+    broadcast-centroid map-only scan — no shuffle, no Python on the
+    centroid side; the near-dup scan shuffles on (cluster, triangle
+    block-pair) keys so each task GEMMs one bounded tile. ``n_clusters``
+    grows with the corpus to keep clusters (and the O(c^2) intra-cluster
+    work) bounded — raise ``blocks`` when a single cluster outgrows one
+    task. Candidates pass at ``tau - eps`` (GEMM summation order) and the
+    reported set re-filters with :func:`cosine_sim_col` built-ins, so
+    membership is engine-order independent.
+    """
+    B = int(blocks)
+    if B < 1:
+        raise ValueError(f"blocks must be >= 1, got {blocks}")
+    if n_clusters < 1:
+        raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
+
+    @F.pandas_udf(LongType())
+    def _mixu(ids: pd.Series) -> pd.Series:
+        return pd.Series(mix64(ids.to_numpy(np.int64), seed).astype(np.int64))
+
+    picked = (corpus.select(F.col(id_col).cast("long").alias("__i__"),
+                            F.col(vec_col).alias("__v__"))
+                    .withColumn("__m__", _mixu("__i__"))
+                    .orderBy("__m__", "__i__").limit(n_clusters).collect())
+    cent = np.array([r["__v__"] for r in picked], dtype=np.float64)
+    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast(cent)
+
+    @F.pandas_udf(LongType())
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.array(list(vecs), dtype=np.float64)
+        # ties resolve to the smallest centroid index (np.argmax first-max)
+        return pd.Series((mat @ bc.value.T).argmax(axis=1).astype(np.int64))
+
+    assigned = (corpus.select(F.col(id_col).cast("long").alias("__id__"),
+                              F.col(vec_col).alias("__v__"))
+                      .withColumn("cluster_id", assign("__v__"))
+                      .persist())
+
+    thresh = float(tau) - float(eps)
+    c = assigned.withColumn(
+        "__b__", F.pmod(F.xxhash64("__id__"), F.lit(B)).cast("int"))
+    pair_keys = F.array(*[
+        F.least(F.col("__b__"), F.lit(o)) * B + F.greatest(F.col("__b__"), F.lit(o))
+        for o in range(B)])
+    keyed = c.withColumn("__k__", F.explode(F.array_distinct(pair_keys)))
+
+    def tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["__id__"].to_numpy(np.int64)
+        mat = np.array(list(pdf["__v__"]), dtype=np.float64)
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+        blk = pdf["__b__"].to_numpy()
+        bi, bj = divmod(int(pdf["__k__"].iloc[0]), B)
+        if bi == bj:
+            sims = mat @ mat.T
+            ii, jj = np.nonzero(np.triu(sims >= thresh, k=1))
+            a, b = ids[ii], ids[jj]
+        else:
+            li, rj = blk == bi, blk == bj
+            sims = mat[li] @ mat[rj].T
+            ii, jj = np.nonzero(sims >= thresh)
+            a, b = ids[li][ii], ids[rj][jj]
+        return pd.DataFrame({"id_a": np.minimum(a, b).astype(np.int64),
+                             "id_b": np.maximum(a, b).astype(np.int64)})
+
+    cand = keyed.groupBy("cluster_id", "__k__").applyInPandas(
+        tile, "id_a long, id_b long")
+    va = assigned.select(F.col("__id__").alias("id_a"), F.col("__v__").alias("__va__"))
+    vb = assigned.select(F.col("__id__").alias("id_b"), F.col("__v__").alias("__vb__"))
+    drops = (cand.join(va, "id_a").join(vb, "id_b")
+                 .filter(cosine_sim_col("__va__", "__vb__") >= tau)
+                 .select(F.col("id_b").alias("__id__"))
+                 .distinct())
+    out = (assigned.join(drops, "__id__", "left_anti")
+                   .select(F.col("__id__").alias(id_col), "cluster_id"))
+    return _attach_cached(out, assigned)

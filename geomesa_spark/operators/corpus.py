@@ -49,7 +49,7 @@ __all__ = [
     "mixing_stats", "word_ngrams", "tfidf_topk_terms", "unigram_logprob",
     "normalize_url", "write_shards", "duplicated_ngram_fraction",
     "pack_sequences", "redact_pii", "pii_stats", "incremental_dedup",
-    "gopher_quality",
+    "gopher_quality", "chunk_text",
 ]
 
 
@@ -443,6 +443,54 @@ def _token_count(text_col: str) -> Column:
     len(regexp_split_to_array(trim(text), '\\s+')))."""
     return F.size(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))),
                           r"\s+")).cast("long")
+
+
+def chunk_text(docs: DataFrame, id_col: str, text_col: str,
+               chunk_tokens: int = 512, overlap: int = 64) -> DataFrame:
+    """Split documents into overlapping fixed-token windows — the
+    context-window chunking step of a RAG/embedding/training pipeline
+    (the HF tokenizers ``stride`` convention). Returns one row per
+    chunk::
+
+        (id, chunk_idx, n_tokens, chunk_text)
+
+    Tokens are whitespace words (the ``mixing_stats`` counting
+    convention); windows start every ``chunk_tokens - overlap`` words; a
+    trailing window is emitted only if it reaches PAST the previous
+    window's end (no chunk is a suffix of its predecessor), so short
+    documents yield exactly one chunk and empty documents none.
+
+    Scale shape: map-only, shuffle-free — one pure-JVM whole-stage pass
+    (split / sequence / slice / array_join HOF expressions, no Python),
+    so it pipelines into the downstream embed/pack stage with zero extra
+    exchanges, and chunk identity is a pure function of (id, text) — a
+    re-run after failure reproduces the same chunk keys (idempotent
+    resume, same property as ``stratified_sample``).
+    """
+    chunk_tokens, overlap = int(chunk_tokens), int(overlap)
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
+    stride = chunk_tokens - overlap
+    words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    n = F.when(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0,
+               F.lit(0)).otherwise(F.size(words))
+    # candidate starts 0, stride, 2*stride, ... < n; keep a start only if
+    # its window extends past the previous window's end (s - stride +
+    # chunk_tokens < n) so the tail never re-emits a pure suffix
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: (s == 0) | (s - stride + chunk_tokens < n))
+    base = (docs.select(F.col(id_col), F.col(text_col), n.alias("__n__"))
+                .filter(F.col("__n__") > 0)
+                .select(id_col, text_col,
+                        F.posexplode(starts).alias("chunk_idx", "__s__")))
+    piece = F.slice(words, F.col("__s__") + 1, chunk_tokens)
+    return base.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(piece).alias("n_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"))
 
 
 def pack_sequences(docs: DataFrame, id_col: str, text_col: str,

@@ -40,7 +40,74 @@ from ..geom.wkb import Geometry, Point, Polygon, wkb_read
 __all__ = [
     "GridSnap", "bresenham_cells", "render_geometry",
     "density", "density_points", "density_pyramid", "vectorize_grid",
+    "hex_cell_cols", "hex_center_cols", "hex_density",
 ]
+
+# sqrt(3)/3 and 2/3 as fixed double literals so every engine (Spark,
+# DuckDB, a reimplementation) evaluates the IDENTICAL expression tree —
+# cell assignment is then bit-reproducible across engines
+_SQRT3_3 = 0.5773502691896257
+_TWO_3 = 0.6666666666666666
+_SQRT3 = 1.7320508075688772
+
+
+def hex_cell_cols(lon, lat, size_deg: float) -> tuple[F.Column, F.Column]:
+    """Axial (q, r) cell of a pointy-top hexagonal grid with circumradius
+    ``size_deg`` degrees — the hex-binning analog of H3 cell assignment
+    (true H3 is an icosahedral aperture-7 grid requiring its own cell
+    database; the planar axial grid delivers the same hex-tiling
+    semantics over lon/lat with closed-form math that any engine
+    reproduces bit-for-bit).
+
+    Fractional axial coords (Red Blob Games' canonical formulation):
+    qf = (sqrt(3)/3 * x - y/3) / s, rf = (2/3 * y) / s; then cube
+    rounding (round each of x=q, z=r, y=-q-r with floor(t + 0.5),
+    re-derive the axis with the largest residual from the other two so
+    q + r + s == 0 holds). floor(t + 0.5) is spelled literally — not
+    round() — so engines with different half-rounding modes agree.
+    """
+    lon = F.col(lon) if isinstance(lon, str) else lon
+    lat = F.col(lat) if isinstance(lat, str) else lat
+    s = float(size_deg)
+    qf = (F.lit(_SQRT3_3) * lon - lat / F.lit(3.0)) / F.lit(s)
+    rf = (lat * F.lit(_TWO_3)) / F.lit(s)
+    yf = -qf - rf
+    rx, ry, rz = (F.floor(t + F.lit(0.5)) for t in (qf, yf, rf))
+    dx = F.abs(rx.cast("double") - qf)
+    dy = F.abs(ry.cast("double") - yf)
+    dz = F.abs(rz.cast("double") - rf)
+    c1 = (dx > dy) & (dx > dz)
+    q = F.when(c1, -ry - rz).otherwise(rx).cast("long")
+    r = F.when(~c1 & ~(dy > dz), -rx - ry).otherwise(rz).cast("long")
+    return q, r
+
+
+def hex_center_cols(q, r, size_deg: float) -> tuple[F.Column, F.Column]:
+    """Center (lon, lat) of axial hex cell (q, r) — the inverse of
+    :func:`hex_cell_cols` for rendering/vector export."""
+    q = F.col(q) if isinstance(q, str) else q
+    r = F.col(r) if isinstance(r, str) else r
+    s = F.lit(float(size_deg))
+    lon = s * (F.lit(_SQRT3) * q.cast("double")
+               + F.lit(_SQRT3) / F.lit(2.0) * r.cast("double"))
+    lat = s * (F.lit(1.5) * r.cast("double"))
+    return lon, lat
+
+
+def hex_density(df: DataFrame, xcol: str, ycol: str, size_deg: float,
+                weight_col: str | None = None) -> DataFrame:
+    """Hex-binned density: (hq, hr, weight) per occupied hex cell.
+
+    The hexagonal twin of :func:`density_points` — pure-JVM whole-stage
+    expressions (no Python), ONE map-side-combining aggregation whose
+    shuffle carries only occupied (q, r, partial-sum) rows. Hot urban
+    cells are single post-combine rows, so skew is absorbed before the
+    exchange — the same argument as the rectangular density scan.
+    """
+    q, r = hex_cell_cols(xcol, ycol, size_deg)
+    weight = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    return (df.select(q.alias("hq"), r.alias("hr"), weight.alias("__w__"))
+              .groupBy("hq", "hr").agg(F.sum("__w__").alias("weight")))
 
 
 class GridSnap:

@@ -378,3 +378,67 @@ def test_content_digest_single_column_matches_plain_sha2(spark):
     got = df.select(content_digest("text").alias("a"),
                     F.sha2(F.col("text"), 256).alias("b")).first()
     assert got["a"] == got["b"]
+
+
+def test_semantic_dedup_matches_brute_force_rule(spark):
+    """semantic_dedup survivors == the greedy rule computed by hand:
+    drop a doc iff a smaller-id SAME-CLUSTER doc has cosine >= tau."""
+    import numpy as np
+
+    from geomesa_spark.operators.ann import mix64, semantic_dedup
+
+    rng = np.random.RandomState(7)
+    n, dim, k, tau = 120, 16, 3, 0.9
+    base = rng.standard_normal((n, dim))
+    # plant near-duplicates: rows 50..59 are jittered copies of rows 0..9
+    base[50:60] = base[0:10] + 0.02 * rng.standard_normal((10, dim))
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {(r["vec_id"], r["cluster_id"])
+           for r in semantic_dedup(df, tau=tau, n_clusters=k, blocks=2).collect()}
+
+    # brute force in numpy with the operator's exact conventions
+    order = np.lexsort((np.arange(n), mix64(np.arange(n))))[:k]
+    cent = base[order] / np.linalg.norm(base[order], axis=1, keepdims=True)
+    cl = (base @ cent.T).argmax(axis=1)
+    normed = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    want = set()
+    for i in range(n):
+        dropped = any(sims[i, j] >= tau and cl[j] == cl[i] for j in range(i))
+        if not dropped:
+            want.add((i, int(cl[i])))
+    assert got == want
+    assert len(got) < n  # the planted dups actually dropped something
+
+
+def test_chunk_text_windows_and_tail_rule(spark):
+    from geomesa_spark.operators.corpus import chunk_text
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [(1, words),        # n=10, chunk=8, overlap=4 -> starts 0,4 (8 is a suffix)
+         (2, "a b c"),      # short -> one chunk
+         (3, ""),           # empty -> none
+         (4, None),         # null -> none
+         (5, "  x  ")],     # whitespace-padded single token
+        "doc_id long, text string")
+    out = chunk_text(docs, "doc_id", "text", chunk_tokens=8, overlap=4)
+    rows = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+            for r in out.collect()}
+    assert set(rows) == {(1, 0), (1, 1), (2, 0), (5, 0)}
+    assert rows[(1, 0)] == (8, " ".join(f"w{i}" for i in range(8)))
+    assert rows[(1, 1)] == (6, " ".join(f"w{i}" for i in range(4, 10)))
+    assert rows[(2, 0)] == (3, "a b c")
+    assert rows[(5, 0)] == (1, "x")
+
+
+def test_chunk_text_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from geomesa_spark.operators.corpus import chunk_text
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_text(docs, "doc_id", "text", chunk_tokens=8, overlap=8)

@@ -328,3 +328,32 @@ def test_vectorize_grid_runs(spark):
         (1, 0, 4, 4): (1, 2.0, 4.0, 0.0, 5.0, 1.0),
         (2, 1, 0, 2): (3, 20.0, 0.0, 1.0, 3.0, 2.0),
     }
+
+
+def test_hex_cells_center_roundtrip_and_partition(spark):
+    """Every hex center assigns back to its own cell; jittered points
+    within the in-radius stay in the cell (the axial-grid geometry)."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.tiling import hex_cell_cols, hex_center_cols
+
+    s = 2.5
+    cells = [(q, r) for q in range(-6, 7) for r in range(-6, 7)]
+    df = spark.createDataFrame(cells, "q long, r long")
+    lon, lat = hex_center_cols("q", "r", s)
+    centered = df.select("q", "r", lon.alias("lon"), lat.alias("lat"))
+    hq, hr = hex_cell_cols("lon", "lat", s)
+    back = centered.select("q", "r", hq.alias("hq"), hr.alias("hr"))
+    bad = back.filter((F.col("q") != F.col("hq")) | (F.col("r") != F.col("hr")))
+    assert bad.count() == 0
+
+    # jitter strictly inside the in-radius (sqrt(3)/2 * s) keeps the cell
+    import math
+    inr = math.sqrt(3) / 2 * s * 0.95
+    for dx, dy in ((inr, 0.0), (-inr, 0.0), (0.0, inr * 0.99), (0.0, -inr * 0.99)):
+        j = centered.select("q", "r", (F.col("lon") + dx).alias("lon"),
+                            (F.col("lat") + dy).alias("lat"))
+        hq2, hr2 = hex_cell_cols("lon", "lat", s)
+        jb = j.select("q", "r", hq2.alias("hq"), hr2.alias("hr"))
+        assert jb.filter((F.col("q") != F.col("hq"))
+                         | (F.col("r") != F.col("hr"))).count() == 0
