@@ -348,6 +348,20 @@ def q_track_last(spark, sf_dir):
               .select("user_id", "event_id"))
 
 
+def q_track_interp(spark, sf_dir):
+    """Fixed-cadence track resampling (operators/route.track_interpolate):
+    per-user linear interpolation at 6-hour epoch ticks, half-open
+    (t0, t1] segments, exact integer-microsecond time math."""
+    from geomesa_spark.operators.route import track_interpolate
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"))
+    return track_interpolate(ev, "user_id", "ts", "lon", "lat",
+                             step_s=21600, order_col="event_id")
+
+
 def q_longest_legs(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts",
@@ -1275,6 +1289,16 @@ def q_gopher_quality(spark, sf_dir):
                           min_stopwords=1)
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Hashed linear quality scorer (operators/corpus.quality_classifier)
+    in its deterministic cross-engine mode (sha256-derived pseudo-weights
+    — same plumbing as a learned fastText filter, reproducible oracle)."""
+    from geomesa_spark.operators.corpus import quality_classifier
+
+    docs = _docs(spark, sf_dir)
+    return quality_classifier(docs, "doc_id", "text")
+
+
 def q_chunk_text(spark, sf_dir):
     """Overlapping fixed-token chunking (operators/corpus.chunk_text):
     map-only JVM split/sequence/slice HOFs, stride = chunk - overlap."""
@@ -1315,6 +1339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_topk": q_events_topk,
         "track_last": q_track_last,
         "longest_legs": q_longest_legs,
+        "track_interp": q_track_interp,
         "sampling": q_sampling,
         "unique_vals": q_unique_vals,
         "stats_minmax": q_stats_minmax,
@@ -1379,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incr_dedup": q_incr_dedup,
         "gopher_quality": q_gopher_quality,
         "chunk_text": q_chunk_text,
+        "quality_classifier": q_quality_classifier,
     }
 
 
@@ -2163,6 +2189,33 @@ def oracle_sql() -> dict[str, str]:
             WHERE next_event_id IS NOT NULL
             ORDER BY dist DESC, user_id ASC, event_id ASC LIMIT 20
         """,
+        # track_interpolate mirror: same half-open (t0, t1] tick rule,
+        # exact integer microseconds (epoch_us), identical fraction and
+        # interpolation expression shape; k ticks via range() (half-open
+        # upper bound -> k1 + 1)
+        "track_interp": f"""
+            WITH e AS ({_EVT_SQL}),
+            seg AS (
+              SELECT user_id, epoch_us(ts) AS t0,
+                     lead(epoch_us(ts)) OVER w AS t1,
+                     lon AS x0, lat AS y0,
+                     lead(lon) OVER w AS x1, lead(lat) OVER w AS y1
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+            live AS (SELECT * FROM seg WHERE t1 IS NOT NULL AND t1 > t0),
+            ks AS (
+              SELECT user_id, t0, t1, x0, y0, x1, y1, k.k AS k
+              FROM live, unnest(range(CAST(floor(t0 / 21600000000) AS BIGINT) + 1,
+                                      CAST(floor(t1 / 21600000000) AS BIGINT) + 1)) AS k(k)),
+            s AS (
+              SELECT user_id, k * 21600000000 AS t,
+                     CAST(k * 21600000000 - t0 AS DOUBLE)
+                       / CAST(t1 - t0 AS DOUBLE) AS f,
+                     x0, y0, x1, y1
+              FROM ks)
+            SELECT user_id, make_timestamp(t) AS sample_ts,
+                   x0 + f * (x1 - x0) AS x, y0 + f * (y1 - y0) AS y
+            FROM s
+        """,
         "sampling": """
             SELECT event_id, user_id, event_type FROM events WHERE user_id % 20 = 0
         """,
@@ -2829,5 +2882,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(piece) AS INTEGER) AS n_tokens,
                    array_to_string(piece, ' ') AS chunk_text
             FROM c
+        """,
+        # quality_classifier mirror (default pseudo-weight mode): token
+        # weight = (int(sha256 hex digits 9..16) % 2001 - 1000)/1000,
+        # score = left-fold sum / token count (same order, bit-identical)
+        "quality_classifier": r"""
+            WITH d AS (SELECT doc_id, lower(trim(coalesce(text, ''))) AS t
+                       FROM documents),
+            w AS (SELECT doc_id, t,
+                         list_transform(regexp_split_to_array(t, '\s+'),
+                             s -> (CAST('0x' || substr(sha256(s), 9, 8) AS BIGINT)
+                                   % 2001 - 1000) / CAST(1000.0 AS DOUBLE)) AS ws
+                  FROM d),
+            s AS (SELECT doc_id,
+                         CASE WHEN length(t) > 0
+                              THEN CAST(0.0 AS DOUBLE)
+                                   + list_reduce(ws, (a, b) -> a + b) / len(ws)
+                         END AS score
+                  FROM w)
+            SELECT doc_id, score, score >= CAST(0.0 AS DOUBLE) AS keep FROM s
         """,
     }

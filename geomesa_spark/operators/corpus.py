@@ -49,7 +49,7 @@ __all__ = [
     "mixing_stats", "word_ngrams", "tfidf_topk_terms", "unigram_logprob",
     "normalize_url", "write_shards", "duplicated_ngram_fraction",
     "pack_sequences", "redact_pii", "pii_stats", "incremental_dedup",
-    "gopher_quality", "chunk_text",
+    "gopher_quality", "chunk_text", "quality_classifier",
 ]
 
 
@@ -491,6 +491,56 @@ def chunk_text(docs: DataFrame, id_col: str, text_col: str,
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
         F.size(piece).alias("n_tokens"),
         F.array_join(piece, " ").alias("chunk_text"))
+
+
+def quality_classifier(docs: DataFrame, id_col: str, text_col: str,
+                       weights: list[float] | None = None, bias: float = 0.0,
+                       threshold: float = 0.0, dim: int = 1024) -> DataFrame:
+    """fastText-style hashed linear document scorer — the model-based
+    quality-filter stage of CCNet / DCLM pipelines (Wenzek et al. 2020;
+    Li et al. 2024): each token hashes to a weight, the document score is
+    the mean token weight plus a bias, ``keep`` thresholds it. Returns
+    (id, score, keep); empty/null documents score NULL.
+
+    Two weight sources:
+
+    * ``weights`` (a learned model): the hashing trick — bucket =
+      int(sha256(token)[:8 hex]) mod ``dim``, weight = weights[bucket].
+      ``dim`` floats inline into the plan as an array literal (a real
+      fastText bigram model is ~10^6 buckets — still a few MB, and the
+      literal ships once per task, not per row).
+    * default (``weights=None``): deterministic pseudo-weights derived
+      from hex digits 9..16 of the token's sha256 — the cross-engine
+      reproducible mode the DuckDB oracle mirrors (a stand-in proving
+      the plumbing; swap in learned weights for a real filter).
+
+    Scale shape: map-only and shuffle-free — tokenize/hash/fold are all
+    JVM HOF expressions (sha256 per token is the same per-row cost the
+    exact-dedup digest already pays), composing with any downstream plan.
+    The per-doc fold runs in document token order, so the float sum is
+    bit-reproducible run-to-run and across engines.
+    """
+    t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
+    toks = F.split(t, r"\s+")
+    if weights is None:
+        def wexpr(tok):
+            h = F.conv(F.substring(F.sha2(tok, 256), 9, 8), 16, 10).cast("long")
+            return (h % 2001 - 1000) / F.lit(1000.0)
+    else:
+        if len(weights) != int(dim):
+            raise ValueError(f"weights must have dim={dim} entries, got {len(weights)}")
+        warr = F.array(*[F.lit(float(w)) for w in weights])
+
+        def wexpr(tok):
+            b = F.conv(F.substring(F.sha2(tok, 256), 1, 8), 16, 10).cast("long")
+            return F.element_at(warr, (b % dim + 1).cast("int"))
+    ws = F.transform(toks, wexpr)
+    total = F.aggregate(ws, F.lit(0.0), lambda a, x: a + x)
+    score = F.when(F.length(t) > 0,
+                   F.lit(float(bias)) + total / F.size(toks))
+    return docs.select(
+        F.col(id_col), score.alias("score"),
+        (score >= F.lit(float(threshold))).alias("keep"))
 
 
 def pack_sequences(docs: DataFrame, id_col: str, text_col: str,

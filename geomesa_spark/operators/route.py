@@ -22,7 +22,7 @@ from pyspark.sql.types import ArrayType, LongType
 
 from .spatial_join import DEFAULT_LEVEL, cell_expr_of_points, cells_of_disk_arrays
 
-__all__ = ["route_search"]
+__all__ = ["route_search", "track_interpolate"]
 
 
 def route_search(
@@ -90,3 +90,65 @@ def route_search(
     hits = cand.filter((dist <= buffer_deg) & (diff <= heading_tol))
     return (hits.dropDuplicates([data_id])
                 .drop("__x0__", "__y0__", "__x1__", "__y1__", "__az__", "__cell__"))
+
+
+def track_interpolate(df: DataFrame, track_col: str, ts_col: str,
+                      x_col: str, y_col: str, step_s: int,
+                      order_col: str | None = None) -> DataFrame:
+    """Resample tracks to a fixed time grid: for each consecutive fix
+    pair within a track (ordered by ``ts_col``, then ``order_col`` as a
+    deterministic tiebreak) emit linearly interpolated positions at every
+    epoch-aligned multiple of ``step_s`` in the HALF-OPEN interval
+    (t0, t1] — a tick landing exactly on a fix shared by two segments is
+    emitted once. Returns (track, sample_ts, x, y).
+
+    The densification stage of the reference's track pipeline (the BIN
+    scan / st_aggregateDistanceSphere family operates on fixes;
+    map-matching and regular-cadence exports need fixes on a grid).
+
+    Time math is exact integer microseconds (``unix_micros``); only the
+    interpolation fraction is floating point, computed with one fixed
+    expression shape so any engine reproduces it bit-for-bit.
+
+    Scale shape: ONE shuffle (the per-track lead window — at 100 TB,
+    partitioned by track id so state is one fix row); tick generation is
+    a JVM ``sequence`` explode (output rows ~ duration/step), no Python
+    anywhere, and the explode pipelines into downstream cell-keying
+    without another exchange.
+    """
+    step_us = int(step_s) * 1_000_000
+    if step_us <= 0:
+        raise ValueError(f"step_s must be positive, got {step_s}")
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col).asc()]
+    if order_col:
+        order.append(F.col(order_col).asc())
+    w = Window.partitionBy(track_col).orderBy(*order)
+    # epoch micros for TIMESTAMP and TIMESTAMP_NTZ alike (unix_micros
+    # rejects NTZ): exact integer diff from the matching-type epoch
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    epoch = F.lit("1970-01-01 00:00:00").cast(ts_type)
+    t0 = F.timestamp_diff("MICROSECOND", epoch, F.col(ts_col))
+    keep = [track_col, ts_col, x_col, y_col] + ([order_col] if order_col else [])
+    seg = (df.select(*[F.col(c) for c in keep])
+             .withColumn("__t0__", t0)
+             .withColumn("__t1__", F.lead("__t0__").over(w))
+             .withColumn("__x1__", F.lead(x_col).over(w))
+             .withColumn("__y1__", F.lead(y_col).over(w))
+             .filter(F.col("__t1__").isNotNull() & (F.col("__t1__") > F.col("__t0__"))))
+    k0 = F.floor(F.col("__t0__") / F.lit(step_us)) + F.lit(1)
+    k1 = F.floor(F.col("__t1__") / F.lit(step_us))
+    ks = F.when(k1 >= k0, F.sequence(k0, k1)).otherwise(
+        F.array().cast("array<long>"))
+    samp = seg.select(
+        F.col(track_col), "__t0__", "__t1__", x_col, y_col, "__x1__", "__y1__",
+        F.explode(ks).alias("__k__"))
+    t = F.col("__k__") * F.lit(step_us)
+    f = (t - F.col("__t0__")).cast("double") / \
+        (F.col("__t1__") - F.col("__t0__")).cast("double")
+    return samp.select(
+        F.col(track_col),
+        F.timestamp_add("MICROSECOND", t, epoch).alias("sample_ts"),
+        (F.col(x_col) + f * (F.col("__x1__") - F.col(x_col))).alias("x"),
+        (F.col(y_col) + f * (F.col("__y1__") - F.col(y_col))).alias("y"))

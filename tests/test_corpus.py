@@ -442,3 +442,31 @@ def test_chunk_text_rejects_bad_overlap(spark):
     docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_text(docs, "doc_id", "text", chunk_tokens=8, overlap=8)
+
+
+def test_quality_classifier_learned_weights_and_nulls(spark):
+    """Hashing-trick path: score == mean(weights[bucket(token)]) + bias;
+    empty/null docs score NULL and keep NULL."""
+    import hashlib
+
+    from geomesa_spark.operators.corpus import quality_classifier
+
+    dim = 16
+    weights = [round((i - 8) / 8.0, 3) for i in range(dim)]
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha"), (3, ""), (4, None)],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["score"], r["keep"])
+           for r in quality_classifier(docs, "doc_id", "text",
+                                       weights=weights, bias=0.25,
+                                       threshold=0.0, dim=dim).collect()}
+
+    def w(tok):
+        b = int(hashlib.sha256(tok.encode()).hexdigest()[:8], 16) % dim
+        return weights[b]
+
+    exp1 = 0.25 + (w("alpha") + w("beta") + w("gamma")) / 3
+    exp2 = 0.25 + w("alpha")
+    assert abs(out[1][0] - exp1) < 1e-12 and out[1][1] == (exp1 >= 0.0)
+    assert abs(out[2][0] - exp2) < 1e-12 and out[2][1] == (exp2 >= 0.0)
+    assert out[3] == (None, None) and out[4] == (None, None)

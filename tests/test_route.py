@@ -74,3 +74,33 @@ def test_route_search_brute_force_equivalence(spark):
         if ok:
             want.append(eid)
     assert got == sorted(want)
+
+
+def test_track_interpolate_half_open_grid(spark):
+    """Hand-checkable resampling: ticks land on (t0, t1] multiples of
+    step, linear in x/y; single-fix tracks and duplicate timestamps
+    produce nothing."""
+    import datetime as dt
+
+    from geomesa_spark.operators.route import track_interpolate
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, 0) + dt.timedelta(seconds=s)
+    rows = [
+        ("a", t(0), 0.0, 0.0, 1),
+        ("a", t(100), 10.0, -10.0, 2),
+        ("a", t(160), 16.0, -16.0, 3),
+        ("b", t(5), 1.0, 1.0, 4),      # single fix -> no samples
+        ("c", t(50), 2.0, 2.0, 5),     # duplicate ts -> zero-length segment
+        ("c", t(50), 3.0, 3.0, 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "track string, ts timestamp_ntz, x double, y double, oid int")
+    out = track_interpolate(df, "track", "ts", "x", "y", step_s=25,
+                            order_col="oid")
+    got = sorted((r["track"], r["sample_ts"].second + r["sample_ts"].minute * 60,
+                  r["x"], r["y"]) for r in out.collect())
+    # base ts is midnight-aligned, so ticks are 25,50,75,100 then 125,150
+    assert got == [
+        ("a", 25, 2.5, -2.5), ("a", 50, 5.0, -5.0), ("a", 75, 7.5, -7.5),
+        ("a", 100, 10.0, -10.0), ("a", 125, 12.5, -12.5), ("a", 150, 15.0, -15.0),
+    ]
