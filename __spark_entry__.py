@@ -244,6 +244,18 @@ def q_hex_density(spark, sf_dir):
     return hex_density(pts, "lon", "lat", size_deg=5.0)
 
 
+def q_zonal_stats(spark, sf_dir):
+    """Zonal statistics (operators/tiling.zonal_stats): customer density
+    grid aggregated per nation rectangle by the cell-center rule."""
+    from geomesa_spark.operators.tiling import density_points, zonal_stats
+
+    pts = _cust_points(spark, sf_dir)
+    grid = density_points(pts, "lon", "lat", -180.0, -90.0, 180.0, 90.0, 360, 180)
+    zones = _nation_rects(spark, sf_dir)
+    return zonal_stats(grid, zones, "n_nationkey", "geom",
+                       -180.0, -90.0, 180.0, 90.0, 360, 180)
+
+
 def q_tile_pyramid(spark, sf_dir):
     """Zoom-pyramid density stack (operators/tiling.density_pyramid):
     64x32 base grid rolled up level-by-level to 2x1 — each level
@@ -360,6 +372,20 @@ def q_track_interp(spark, sf_dir):
         tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"))
     return track_interpolate(ev, "user_id", "ts", "lon", "lat",
                              step_s=21600, order_col="event_id")
+
+
+def q_stay_points(spark, sf_dir):
+    """Stay-point detection (operators/route.stay_points): chain-rule
+    stays per user (consecutive-fix distance <= 60 deg, >= 1 h span)."""
+    from geomesa_spark.operators.route import stay_points
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"))
+    return stay_points(ev, "user_id", "ts", "lon", "lat",
+                       radius_deg=60.0, min_duration_s=3600,
+                       order_col="event_id")
 
 
 def q_longest_legs(spark, sf_dir):
@@ -1327,6 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geohash": q_geohash,
         "tile_density": q_tile_density,
         "hex_density": q_hex_density,
+        "zonal_stats": q_zonal_stats,
         "tile_pyramid": q_tile_pyramid,
         "tile_vectorize": q_tile_vectorize,
         "extent": q_extent,
@@ -1340,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "track_last": q_track_last,
         "longest_legs": q_longest_legs,
         "track_interp": q_track_interp,
+        "stay_points": q_stay_points,
         "sampling": q_sampling,
         "unique_vals": q_unique_vals,
         "stats_minmax": q_stats_minmax,
@@ -2046,6 +2074,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS DOUBLE) AS weight
             FROM pts GROUP BY 1, 2
         """,
+        # zonal_stats mirror: rebuild the 360x180 density grid, cell
+        # centers at xmin + (i + 0.5) * dx (identical expression shape),
+        # inclusive containment (st_intersects convention); unit-count
+        # weights make the double sums exact, so mean = total / n is
+        # engine-order independent
+        "zonal_stats": f"""
+            WITH pts AS ({_CUST_SQL}),
+            base AS (
+              SELECT CAST({ti} AS INTEGER) AS i, CAST({tj} AS INTEGER) AS j,
+                     CAST(count(*) AS DOUBLE) AS weight
+              FROM pts GROUP BY 1, 2),
+            cells AS (
+              SELECT CAST(-180.0 AS DOUBLE)
+                       + (CAST(i AS DOUBLE) + 0.5) * CAST(1.0 AS DOUBLE) AS cx,
+                     CAST(-90.0 AS DOUBLE)
+                       + (CAST(j AS DOUBLE) + 0.5) * CAST(1.0 AS DOUBLE) AS cy,
+                     weight
+              FROM base),
+            rects AS ({_NATION_SQL})
+            SELECT r.n_nationkey,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   sum(weight) AS total,
+                   sum(weight) / count(*) AS mean_w,
+                   min(weight) AS min_w, max(weight) AS max_w
+            FROM cells c, rects r
+            WHERE c.cx >= r.xmin AND c.cx <= r.xmax
+              AND c.cy >= r.ymin AND c.cy <= r.ymax
+            GROUP BY 1
+        """,
         # hex binning mirror of tiling.hex_cell_cols: identical literal
         # constants and expression shape (axial fractional coords + cube
         # rounding with floor(t + 0.5)), so cell ids match bit-for-bit
@@ -2188,6 +2245,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, event_id, next_event_id, dist FROM legs
             WHERE next_event_id IS NOT NULL
             ORDER BY dist DESC, user_id ASC, event_id ASC LIMIT 20
+        """,
+        # stay_points mirror: same chain rule (lag distance), gaps-and-
+        # islands run ids, exact integer-microsecond duration, float32
+        # centroids (absorbs cross-engine summation-order ulps)
+        "stay_points": f"""
+            WITH e AS ({_EVT_SQL}),
+            d AS (SELECT user_id, ts, event_id, lon, lat,
+                         sqrt((lon - lag(lon) OVER w) * (lon - lag(lon) OVER w)
+                            + (lat - lag(lat) OVER w) * (lat - lag(lat) OVER w)) AS dist
+                  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+            r AS (SELECT *, CASE WHEN dist IS NULL OR dist > 60.0 THEN 1 ELSE 0 END AS nw
+                  FROM d),
+            i AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC
+                                 ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS stay_idx
+                  FROM r),
+            g AS (SELECT user_id, stay_idx, min(ts) AS t_start, max(ts) AS t_end,
+                         max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
+                         CAST(avg(lon) AS REAL) AS cx, CAST(avg(lat) AS REAL) AS cy,
+                         CAST(count(*) AS BIGINT) AS n_fixes
+                  FROM i GROUP BY 1, 2)
+            SELECT user_id, stay_idx, t_start, t_end, duration_us, cx, cy, n_fixes
+            FROM g
+            WHERE duration_us >= CAST(3600 AS BIGINT) * 1000000 AND n_fixes >= 2
         """,
         # track_interpolate mirror: same half-open (t0, t1] tick rule,
         # exact integer microseconds (epoch_us), identical fraction and

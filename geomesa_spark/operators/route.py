@@ -22,7 +22,7 @@ from pyspark.sql.types import ArrayType, LongType
 
 from .spatial_join import DEFAULT_LEVEL, cell_expr_of_points, cells_of_disk_arrays
 
-__all__ = ["route_search", "track_interpolate"]
+__all__ = ["route_search", "track_interpolate", "stay_points"]
 
 
 def route_search(
@@ -152,3 +152,58 @@ def track_interpolate(df: DataFrame, track_col: str, ts_col: str,
         F.timestamp_add("MICROSECOND", t, epoch).alias("sample_ts"),
         (F.col(x_col) + f * (F.col("__x1__") - F.col(x_col))).alias("x"),
         (F.col(y_col) + f * (F.col("__y1__") - F.col(y_col))).alias("y"))
+
+
+def stay_points(df: DataFrame, track_col: str, ts_col: str,
+                x_col: str, y_col: str, radius_deg: float,
+                min_duration_s: float, order_col: str | None = None) -> DataFrame:
+    """Stay-point detection: maximal runs of consecutive fixes where each
+    fix is within ``radius_deg`` (planar degrees, the dwithin_deg
+    convention) of its PREDECESSOR, kept when the run spans at least
+    ``min_duration_s`` and two fixes. Returns::
+
+        (track, stay_idx, t_start, t_end, duration_us, cx, cy, n_fixes)
+
+    This is the chain-rule variant of Li et al. 2008 ("Mining user
+    similarity based on location history" stay points): the anchor-based
+    original grows a region from the first fix — an inherently sequential
+    scan — while the consecutive-distance chain is a pure windowed
+    computation (lag + running sum = gaps-and-islands, the same shape as
+    ``temporal.sessionize``), so it distributes and mirrors exactly in
+    SQL. Centroids are float32 (sum order across engines differs at the
+    ulp; the cast absorbs it — the ``unigram_logprob`` convention);
+    duration is exact integer microseconds.
+
+    Scale shape: ONE shuffle (the per-track window) feeding one combining
+    aggregation on (track, stay_idx); no Python anywhere.
+    """
+    from pyspark.sql import Window
+
+    radius = float(radius_deg)
+    min_us = int(float(min_duration_s) * 1_000_000)
+    order = [F.col(ts_col).asc()]
+    if order_col:
+        order.append(F.col(order_col).asc())
+    w = Window.partitionBy(track_col).orderBy(*order)
+    dx = F.col(x_col) - F.lag(x_col).over(w)
+    dy = F.col(y_col) - F.lag(y_col).over(w)
+    dist = F.sqrt(dx * dx + dy * dy)
+    new_run = F.when(dist.isNull() | (dist > F.lit(radius)), 1).otherwise(0)
+    run = (df.withColumn("__new__", new_run)
+             .withColumn("stay_idx",
+                         F.sum("__new__").over(
+                             w.rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)) - 1))
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    epoch = F.lit("1970-01-01 00:00:00").cast(ts_type)
+    tus = F.timestamp_diff("MICROSECOND", epoch, F.col(ts_col))
+    agg = (run.withColumn("__tus__", tus)
+              .groupBy(track_col, "stay_idx")
+              .agg(F.min(ts_col).alias("t_start"),
+                   F.max(ts_col).alias("t_end"),
+                   (F.max("__tus__") - F.min("__tus__")).alias("duration_us"),
+                   F.avg(x_col).cast("float").alias("cx"),
+                   F.avg(y_col).cast("float").alias("cy"),
+                   F.count("*").alias("n_fixes")))
+    return agg.filter((F.col("duration_us") >= min_us)
+                      & (F.col("n_fixes") >= 2))

@@ -40,7 +40,7 @@ from ..geom.wkb import Geometry, Point, Polygon, wkb_read
 __all__ = [
     "GridSnap", "bresenham_cells", "render_geometry",
     "density", "density_points", "density_pyramid", "vectorize_grid",
-    "hex_cell_cols", "hex_center_cols", "hex_density",
+    "hex_cell_cols", "hex_center_cols", "hex_density", "zonal_stats",
 ]
 
 # sqrt(3)/3 and 2/3 as fixed double literals so every engine (Spark,
@@ -108,6 +108,44 @@ def hex_density(df: DataFrame, xcol: str, ycol: str, size_deg: float,
     weight = F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
     return (df.select(q.alias("hq"), r.alias("hr"), weight.alias("__w__"))
               .groupBy("hq", "hr").agg(F.sum("__w__").alias("weight")))
+
+
+def zonal_stats(grid: DataFrame, zones: DataFrame, zone_id_col: str,
+                geom_col: str, xmin: float, ymin: float, xmax: float,
+                ymax: float, w: int, h: int, weight_col: str = "weight",
+                icol: str = "i", jcol: str = "j",
+                predicate: str = "st_intersects") -> DataFrame:
+    """Zonal statistics: per-zone count/sum/mean/min/max of raster-grid
+    cell weights whose cell CENTER falls in the zone — the raster→vector
+    aggregation twin of :func:`vectorize_grid` (the center rule, matching
+    ``render_geometry``'s cell assignment). ``grid`` is a density-style
+    frame (i, j, weight) over the given envelope; ``zones`` carries
+    polygon WKB. Returns (zone_id, n_cells, total, mean_w, min_w, max_w).
+
+    Scale shape: cell rows carry (center, weight) only — 24 bytes —
+    into the broadcast cell-cover PIP join (zones are the small side by
+    construction), then ONE combining aggregation on the zone id. With
+    integer-valued weights (density counts) the per-zone double sums are
+    exact, so results are summation-order independent.
+    """
+    from .spatial_join import pip_join
+    dx = (xmax - xmin) / w
+    dy = (ymax - ymin) / h
+    pts = grid.select(
+        (F.lit(float(xmin)) + (F.col(icol).cast("double") + F.lit(0.5))
+         * F.lit(float(dx))).alias("__cx__"),
+        (F.lit(float(ymin)) + (F.col(jcol).cast("double") + F.lit(0.5))
+         * F.lit(float(dy))).alias("__cy__"),
+        F.col(weight_col).alias("__w__"))
+    zs = zones.select(F.col(zone_id_col), F.col(geom_col))
+    hits = pip_join(pts, zs, "__cx__", "__cy__", geom_col,
+                    predicate=predicate, broadcast_polys=True)
+    return (hits.groupBy(zone_id_col)
+                .agg(F.count("*").alias("n_cells"),
+                     F.sum("__w__").alias("total"),
+                     (F.sum("__w__") / F.count("*")).alias("mean_w"),
+                     F.min("__w__").alias("min_w"),
+                     F.max("__w__").alias("max_w")))
 
 
 class GridSnap:

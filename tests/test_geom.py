@@ -357,3 +357,28 @@ def test_hex_cells_center_roundtrip_and_partition(spark):
         jb = j.select("q", "r", hq2.alias("hq"), hr2.alias("hr"))
         assert jb.filter((F.col("q") != F.col("hq"))
                          | (F.col("r") != F.col("hr"))).count() == 0
+
+
+def test_zonal_stats_center_rule(spark):
+    """Hand-built 4x4 grid over [0,4]x[0,4]: zone rect [0.9, 0.9, 3.1, 3.1]
+    contains the four centers (1.5, 2.5) x (1.5, 2.5)."""
+    from geomesa_spark.geom.wkb import wkb_write, wkt_read
+    from geomesa_spark.operators.tiling import zonal_stats
+
+    grid = spark.createDataFrame(
+        [(i, j, float(10 * i + j)) for i in range(4) for j in range(4)],
+        "i int, j int, weight double")
+    wkb = wkb_write(wkt_read(
+        "POLYGON ((0.9 0.9, 3.1 0.9, 3.1 3.1, 0.9 3.1, 0.9 0.9))"))
+    zones = spark.createDataFrame([(7, bytearray(wkb))],
+                                  "zone long, geom binary")
+    got = zonal_stats(grid, zones, "zone", "geom",
+                      0.0, 0.0, 4.0, 4.0, 4, 4).collect()
+    assert len(got) == 1
+    r = got[0]
+    # centers (1.5,1.5),(1.5,2.5),(2.5,1.5),(2.5,2.5) -> cells (1,1),(1,2),(2,1),(2,2)
+    want = [11.0, 12.0, 21.0, 22.0]
+    assert r["n_cells"] == 4
+    assert r["total"] == sum(want)
+    assert r["mean_w"] == sum(want) / 4
+    assert (r["min_w"], r["max_w"]) == (11.0, 22.0)

@@ -104,3 +104,31 @@ def test_track_interpolate_half_open_grid(spark):
         ("a", 25, 2.5, -2.5), ("a", 50, 5.0, -5.0), ("a", 75, 7.5, -7.5),
         ("a", 100, 10.0, -10.0), ("a", 125, 12.5, -12.5), ("a", 150, 15.0, -15.0),
     ]
+
+
+def test_stay_points_chain_rule(spark):
+    """Hand-built track: a 3-fix stay (span 1200 s) qualifies; the later
+    2-fix stay (span 600 s) fails the duration gate; lone jumps never
+    form a stay."""
+    import datetime as dt
+
+    from geomesa_spark.operators.route import stay_points
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    rows = [
+        ("a", t(0), 0.0, 0.0, 1),
+        ("a", t(600), 0.5, 0.0, 2),
+        ("a", t(1200), 1.0, 0.0, 3),
+        ("a", t(1800), 50.0, 50.0, 4),   # jump -> new run
+        ("a", t(2400), 50.2, 50.0, 5),   # 2-fix run but only 600 s
+        ("b", t(0), 9.0, 9.0, 6),        # single fix
+    ]
+    df = spark.createDataFrame(
+        rows, "track string, ts timestamp_ntz, x double, y double, oid int")
+    got = stay_points(df, "track", "ts", "x", "y", radius_deg=1.0,
+                      min_duration_s=900, order_col="oid").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["track"], r["n_fixes"], r["duration_us"]) == ("a", 3, 1_200_000_000)
+    assert abs(r["cx"] - 0.5) < 1e-6 and r["cy"] == 0.0
+    assert r["t_start"] == t(0) and r["t_end"] == t(1200)
