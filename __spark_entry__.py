@@ -1817,16 +1817,25 @@ def _sql_semantic_dedup(tau: float = 0.42, n_clusters: int = 4) -> str:
     double accumulation)."""
     mix_cte, mix_col = _sql_mix64_cte("CAST(vec_id AS HUGEINT)")
     return f"""
-        WITH mx0 AS (SELECT vec_id, embedding FROM embeddings),
+        WITH live AS (SELECT vec_id, embedding,
+                             CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings
+                      WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[])) > 0),
+        mx0 AS (SELECT vec_id, v FROM live),
         {mix_cte},
-        ranked AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv0,
+        ranked AS (SELECT vec_id, v AS cv0,
                           row_number() OVER (ORDER BY {mix_col}, vec_id) - 1 AS cidx
                    FROM mxf ORDER BY {mix_col}, vec_id LIMIT {n_clusters}),
         centn AS (SELECT cidx, list_transform(cv0,
                       x -> x / sqrt(list_dot_product(cv0, cv0))) AS cv FROM ranked),
-        e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        asg AS (SELECT e.vec_id, arg_max(c.cidx, list_dot_product(e.v, c.cv)) AS cluster_id
-                FROM e, centn c GROUP BY e.vec_id),
+        e AS (SELECT vec_id, v FROM live),
+        asg AS (SELECT vec_id, cluster_id FROM (
+                  SELECT e.vec_id, c.cidx AS cluster_id,
+                         row_number() OVER (PARTITION BY e.vec_id
+                             ORDER BY list_dot_product(e.v, c.cv) DESC,
+                                      c.cidx ASC) AS rn
+                  FROM e, centn c) WHERE rn = 1),
         drops AS (SELECT DISTINCT b.vec_id AS id_b
                   FROM asg a JOIN asg b
                        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
@@ -2528,8 +2537,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE abs(lat) <= 85.055
         """,
         "semantic_dedup": _sql_semantic_dedup(),
+        # zero-norm vectors excluded (cosine vs them is NaN; DuckDB sorts
+        # NaN greatest while numpy drops the comparison — the operator
+        # filters them, so the mirror must too)
         "cosine_dedup": """
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                       WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])) > 0),
             p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                          list_cosine_similarity(a.v, b.v) AS s
                   FROM e a, e b WHERE a.vec_id < b.vec_id)
@@ -2944,10 +2958,10 @@ def oracle_sql() -> dict[str, str]:
         "chunk_text": """
             WITH d AS (
               SELECT doc_id,
-                     regexp_split_to_array(trim(coalesce(text, '')), '\\s+') AS words,
-                     CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
-                          ELSE len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))
-                     END AS n
+                     list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                 x -> x <> '') AS words,
+                     len(list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                                     x -> x <> '')) AS n
               FROM documents),
             st AS (
               SELECT doc_id, words, n, s.s AS s
@@ -2968,15 +2982,18 @@ def oracle_sql() -> dict[str, str]:
         # weight = (int(sha256 hex digits 9..16) % 2001 - 1000)/1000,
         # score = left-fold sum / token count (same order, bit-identical)
         "quality_classifier": r"""
-            WITH d AS (SELECT doc_id, lower(trim(coalesce(text, ''))) AS t
+            WITH d AS (SELECT doc_id,
+                              list_filter(regexp_split_to_array(
+                                  lower(coalesce(text, '')), '\s+'),
+                                  x -> x <> '') AS toks
                        FROM documents),
-            w AS (SELECT doc_id, t,
-                         list_transform(regexp_split_to_array(t, '\s+'),
+            w AS (SELECT doc_id,
+                         list_transform(toks,
                              s -> (CAST('0x' || substr(sha256(s), 9, 8) AS BIGINT)
                                    % 2001 - 1000) / CAST(1000.0 AS DOUBLE)) AS ws
                   FROM d),
             s AS (SELECT doc_id,
-                         CASE WHEN length(t) > 0
+                         CASE WHEN len(ws) > 0
                               THEN CAST(0.0 AS DOUBLE)
                                    + list_reduce(ws, (a, b) -> a + b) / len(ws)
                          END AS score

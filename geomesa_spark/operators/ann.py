@@ -103,41 +103,34 @@ def cosine_topk_sql(queries: DataFrame, corpus: DataFrame, k: int,
                   .select("qid", "vec_id", "sim", "rank"))
 
 
-def cosine_dedup_pairs(corpus: DataFrame, tau: float,
-                       id_col: str = "vec_id", vec_col: str = "embedding",
-                       blocks: int = 4, eps: float = 1e-6) -> DataFrame:
-    """Exact embedding-cosine near-duplicate pairs: (id_a < id_b) with
-    cosine(a, b) >= tau.
+def _sq_norm_col(vec) -> F.Column:
+    """Exact squared norm of an array column as a built-in fold (the
+    zero-vector guard: a zero embedding has no direction, so cosine
+    against it is NaN — numpy drops NaN comparisons while DuckDB sorts
+    NaN greatest, a cross-engine divergence unless such rows are
+    excluded up front)."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    dv = F.transform(v, lambda x: x.cast("double"))
+    return F.aggregate(dv, F.lit(0.0), lambda acc, x: acc + x * x)
 
-    Triangle block join: every row hashes to one of ``blocks`` buckets;
-    each unordered bucket pair (bi <= bj) is a shuffle key, so a row
-    replicates exactly ``blocks`` times and each task sees one
-    (n/B x n/B) tile — ONE numpy GEMM per tile, per-task memory bounded
-    by the tile, total work the unavoidable O(n^2/2) of an exact
-    similarity self-join. Candidates pass at ``tau - eps`` (GEMM
-    summation order differs from sequential accumulation at ~1e-15
-    relative); the reported row set is then re-filtered with
-    :func:`cosine_sim_col` (sequential-double built-ins, matching the
-    DuckDB mirror) so output membership is engine-order independent.
 
-    At web scale exact n^2 is the *verifier*, not the planner: generate
-    candidates with :func:`lsh_topk` buckets / minhash bands and feed
-    pairs through the same ``cosine_sim_col >= tau`` refine.
-    """
-    B = int(blocks)
-    if B < 1:
-        raise ValueError(f"blocks must be >= 1, got {blocks}")
-    c = (corpus.select(F.col(id_col).cast("long").alias("__id__"),
-                       F.col(vec_col).alias("__v__"))
-               .withColumn("__b__", F.pmod(F.xxhash64("__id__"), F.lit(B)).cast("int")))
+def _blocked(c: DataFrame, B: int) -> DataFrame:
+    """Attach triangle block-pair keys to a frame with (__id__, __v__):
+    every row hashes to one of ``B`` buckets and explodes to its B
+    unordered bucket-pair keys __k__ (each row replicates exactly B
+    times; each (bi <= bj) tile lands in one task)."""
+    c = c.withColumn("__b__", F.pmod(F.xxhash64("__id__"), F.lit(B)).cast("int"))
     pair_keys = F.array(*[
         F.least(F.col("__b__"), F.lit(o)) * B + F.greatest(F.col("__b__"), F.lit(o))
         for o in range(B)])
-    keyed = c.withColumn("__k__", F.explode(F.array_distinct(pair_keys)))
+    return c.withColumn("__k__", F.explode(F.array_distinct(pair_keys)))
 
-    out_schema = StructType([StructField("id_a", LongType()),
-                             StructField("id_b", LongType())])
-    thresh = float(tau) - float(eps)
+
+def _tile_pairs(keyed: DataFrame, B: int, thresh: float,
+                group_cols: list[str]) -> DataFrame:
+    """One GEMM per (group, block-pair) tile over normalized vectors,
+    emitting candidate (id_a < id_b) pairs with sim >= thresh (GEMM
+    summation order — callers re-filter with :func:`cosine_sim_col`)."""
 
     def tile(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf["__id__"].to_numpy(np.int64)
@@ -157,11 +150,66 @@ def cosine_dedup_pairs(corpus: DataFrame, tau: float,
         return pd.DataFrame({"id_a": np.minimum(a, b).astype(np.int64),
                              "id_b": np.maximum(a, b).astype(np.int64)})
 
-    cand = keyed.groupBy("__k__").applyInPandas(tile, out_schema)
-    va = corpus.select(F.col(id_col).cast("long").alias("id_a"),
-                       F.col(vec_col).alias("__va__"))
-    vb = corpus.select(F.col(id_col).cast("long").alias("id_b"),
-                       F.col(vec_col).alias("__vb__"))
+    out_schema = StructType([StructField("id_a", LongType()),
+                             StructField("id_b", LongType())])
+    return keyed.groupBy(*group_cols).applyInPandas(tile, out_schema)
+
+
+def _sample_centroids(corpus: DataFrame, id_col: str, vec_col: str,
+                      n: int, seed: int) -> np.ndarray:
+    """Deterministic coarse quantizer shared by :func:`ivf_topk`
+    (init='sample') and :func:`semantic_dedup`: the ``n`` corpus vectors
+    with smallest splitmix64(id) (ties by id), NORMALIZED — fully
+    reproducible, so SQL oracles mirror the pick with the same mix.
+    Zero-norm vectors must be filtered by the caller (they would yield
+    NaN centroids that poison every argmax)."""
+
+    @F.pandas_udf(LongType())
+    def _mixu(ids: pd.Series) -> pd.Series:
+        return pd.Series(mix64(ids.to_numpy(np.int64), seed).astype(np.int64))
+
+    picked = (corpus.select(F.col(id_col).cast("long").alias("__i__"),
+                            F.col(vec_col).alias("__v__"))
+                    .withColumn("__m__", _mixu("__i__"))
+                    .orderBy("__m__", "__i__").limit(n).collect())
+    cent = np.array([r["__v__"] for r in picked], dtype=np.float64)
+    if cent.size:
+        cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    return cent
+
+
+def cosine_dedup_pairs(corpus: DataFrame, tau: float,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       blocks: int = 4, eps: float = 1e-6) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: (id_a < id_b) with
+    cosine(a, b) >= tau.
+
+    Triangle block join: every row hashes to one of ``blocks`` buckets;
+    each unordered bucket pair (bi <= bj) is a shuffle key, so a row
+    replicates exactly ``blocks`` times and each task sees one
+    (n/B x n/B) tile — ONE numpy GEMM per tile, per-task memory bounded
+    by the tile, total work the unavoidable O(n^2/2) of an exact
+    similarity self-join. Candidates pass at ``tau - eps`` (GEMM
+    summation order differs from sequential accumulation at ~1e-15
+    relative); the reported row set is then re-filtered with
+    :func:`cosine_sim_col` (sequential-double built-ins, matching the
+    DuckDB mirror) so output membership is engine-order independent.
+    Zero-norm (direction-free) vectors are excluded — cosine against
+    them is NaN, which numpy and SQL engines order differently.
+
+    At web scale exact n^2 is the *verifier*, not the planner: generate
+    candidates with :func:`lsh_topk` buckets / minhash bands and feed
+    pairs through the same ``cosine_sim_col >= tau`` refine.
+    """
+    B = int(blocks)
+    if B < 1:
+        raise ValueError(f"blocks must be >= 1, got {blocks}")
+    c = (corpus.select(F.col(id_col).cast("long").alias("__id__"),
+                       F.col(vec_col).alias("__v__"))
+               .filter(_sq_norm_col("__v__") > 0))
+    cand = _tile_pairs(_blocked(c, B), B, float(tau) - float(eps), ["__k__"])
+    va = c.select(F.col("__id__").alias("id_a"), F.col("__v__").alias("__va__"))
+    vb = c.select(F.col("__id__").alias("id_b"), F.col("__v__").alias("__vb__"))
     return (cand.join(va, "id_a").join(vb, "id_b")
                 .filter(cosine_sim_col("__va__", "__vb__") >= tau)
                 .select("id_a", "id_b"))
@@ -203,16 +251,8 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int,
             "quantizer and supports no Lloyd refinement; pass iters=0 or "
             "use init='kmeans'")
     if init == "sample":
-        @F.pandas_udf(LongType())
-        def _mix(ids: pd.Series) -> pd.Series:
-            return pd.Series(mix64(ids.to_numpy(np.int64), seed).astype(np.int64))
-
-        picked = (corpus.select(F.col(corpus_id).alias("__i__"),
-                                F.col(corpus_vec).alias("__v__"))
-                        .withColumn("__m__", _mix("__i__"))
-                        .orderBy("__m__", "__i__").limit(n_centroids).collect())
-        cent = np.array([r["__v__"] for r in picked], dtype=np.float64)
-        cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+        cent = _sample_centroids(corpus, corpus_id, corpus_vec,
+                                 n_centroids, seed)
         sample = None
     elif init == "kmeans":
         sample = np.array([r[0] for r in
@@ -383,7 +423,8 @@ def semantic_dedup(corpus: DataFrame, tau: float, n_clusters: int = 8,
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): coarse-cluster the
     embedding space, then drop every document that is >= ``tau``
     cosine-similar to a LOWER-id document in the same cluster. Returns
-    the survivors as (``id_col``, cluster_id).
+    the survivors as (``id_col``, cluster_id). Zero-norm (direction-free)
+    vectors are excluded from clustering and output.
 
     The drop rule is the deterministic greedy form (a doc is removed iff
     any smaller-id in-cluster neighbor passes tau) — unlike transitive
@@ -412,57 +453,30 @@ def semantic_dedup(corpus: DataFrame, tau: float, n_clusters: int = 8,
     if n_clusters < 1:
         raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
 
-    @F.pandas_udf(LongType())
-    def _mixu(ids: pd.Series) -> pd.Series:
-        return pd.Series(mix64(ids.to_numpy(np.int64), seed).astype(np.int64))
-
-    picked = (corpus.select(F.col(id_col).cast("long").alias("__i__"),
-                            F.col(vec_col).alias("__v__"))
-                    .withColumn("__m__", _mixu("__i__"))
-                    .orderBy("__m__", "__i__").limit(n_clusters).collect())
-    cent = np.array([r["__v__"] for r in picked], dtype=np.float64)
-    cent /= np.linalg.norm(cent, axis=1, keepdims=True)
+    # zero-norm (direction-free) vectors are excluded from clustering AND
+    # output: cosine against them is NaN (numpy drops NaN comparisons,
+    # SQL engines sort NaN greatest — a silent cross-engine divergence),
+    # and a zero centroid would poison every argmax
+    live = (corpus.select(F.col(id_col).cast("long").alias("__id__"),
+                          F.col(vec_col).alias("__v__"))
+                  .filter(_sq_norm_col("__v__") > 0))
+    cent = _sample_centroids(live, "__id__", "__v__", n_clusters, seed)
+    if not cent.size:
+        return corpus.sparkSession.createDataFrame(
+            [], f"{id_col} long, cluster_id long")
     bc = corpus.sparkSession.sparkContext.broadcast(cent)
 
     @F.pandas_udf(LongType())
     def assign(vecs: pd.Series) -> pd.Series:
         mat = np.array(list(vecs), dtype=np.float64)
-        # ties resolve to the smallest centroid index (np.argmax first-max)
+        # ties resolve to the smallest centroid index (np.argmax first-max;
+        # the SQL mirror orders by (dot DESC, cidx ASC) to match)
         return pd.Series((mat @ bc.value.T).argmax(axis=1).astype(np.int64))
 
-    assigned = (corpus.select(F.col(id_col).cast("long").alias("__id__"),
-                              F.col(vec_col).alias("__v__"))
-                      .withColumn("cluster_id", assign("__v__"))
-                      .persist())
+    assigned = live.withColumn("cluster_id", assign("__v__")).persist()
 
-    thresh = float(tau) - float(eps)
-    c = assigned.withColumn(
-        "__b__", F.pmod(F.xxhash64("__id__"), F.lit(B)).cast("int"))
-    pair_keys = F.array(*[
-        F.least(F.col("__b__"), F.lit(o)) * B + F.greatest(F.col("__b__"), F.lit(o))
-        for o in range(B)])
-    keyed = c.withColumn("__k__", F.explode(F.array_distinct(pair_keys)))
-
-    def tile(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = pdf["__id__"].to_numpy(np.int64)
-        mat = np.array(list(pdf["__v__"]), dtype=np.float64)
-        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-        blk = pdf["__b__"].to_numpy()
-        bi, bj = divmod(int(pdf["__k__"].iloc[0]), B)
-        if bi == bj:
-            sims = mat @ mat.T
-            ii, jj = np.nonzero(np.triu(sims >= thresh, k=1))
-            a, b = ids[ii], ids[jj]
-        else:
-            li, rj = blk == bi, blk == bj
-            sims = mat[li] @ mat[rj].T
-            ii, jj = np.nonzero(sims >= thresh)
-            a, b = ids[li][ii], ids[rj][jj]
-        return pd.DataFrame({"id_a": np.minimum(a, b).astype(np.int64),
-                             "id_b": np.maximum(a, b).astype(np.int64)})
-
-    cand = keyed.groupBy("cluster_id", "__k__").applyInPandas(
-        tile, "id_a long, id_b long")
+    cand = _tile_pairs(_blocked(assigned, B), B, float(tau) - float(eps),
+                       ["cluster_id", "__k__"])
     va = assigned.select(F.col("__id__").alias("id_a"), F.col("__v__").alias("__va__"))
     vb = assigned.select(F.col("__id__").alias("id_b"), F.col("__v__").alias("__vb__"))
     drops = (cand.join(va, "id_a").join(vb, "id_b")

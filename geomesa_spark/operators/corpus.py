@@ -472,9 +472,12 @@ def chunk_text(docs: DataFrame, id_col: str, text_col: str,
         raise ValueError(
             f"need 0 <= overlap < chunk_tokens, got {overlap}/{chunk_tokens}")
     stride = chunk_tokens - overlap
-    words = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
-    n = F.when(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) == 0,
-               F.lit(0)).otherwise(F.size(words))
+    # filter empty fragments instead of trim(): trim strips SPACES only,
+    # so text starting/ending with \n or \t would contribute a phantom
+    # '' token that shifts every chunk boundary
+    words = F.filter(F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+                     lambda t: t != F.lit(""))
+    n = F.size(words)
     # candidate starts 0, stride, 2*stride, ... < n; keep a start only if
     # its window extends past the previous window's end (s - stride +
     # chunk_tokens < n) so the tail never re-emits a pure suffix
@@ -520,8 +523,11 @@ def quality_classifier(docs: DataFrame, id_col: str, text_col: str,
     The per-doc fold runs in document token order, so the float sum is
     bit-reproducible run-to-run and across engines.
     """
-    t = F.lower(F.trim(F.coalesce(F.col(text_col), F.lit(""))))
-    toks = F.split(t, r"\s+")
+    # empty fragments filtered, not trim()-ed: leading \n/\t would
+    # otherwise add a phantom '' token whose sha-weight skews the mean
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != F.lit(""))
     if weights is None:
         def wexpr(tok):
             h = F.conv(F.substring(F.sha2(tok, 256), 9, 8), 16, 10).cast("long")
@@ -529,14 +535,18 @@ def quality_classifier(docs: DataFrame, id_col: str, text_col: str,
     else:
         if len(weights) != int(dim):
             raise ValueError(f"weights must have dim={dim} entries, got {len(weights)}")
-        warr = F.array(*[F.lit(float(w)) for w in weights])
+        # single ArrayType literal, NOT F.array(*[F.lit(w) ...]): a real
+        # fastText model is ~10^6 buckets, and a million-child CreateArray
+        # costs a py4j call per element plus a million-node tree for the
+        # analyzer; one Literal ships once per task either way
+        warr = F.lit([float(w) for w in weights])
 
         def wexpr(tok):
             b = F.conv(F.substring(F.sha2(tok, 256), 1, 8), 16, 10).cast("long")
             return F.element_at(warr, (b % dim + 1).cast("int"))
     ws = F.transform(toks, wexpr)
     total = F.aggregate(ws, F.lit(0.0), lambda a, x: a + x)
-    score = F.when(F.length(t) > 0,
+    score = F.when(F.size(toks) > 0,
                    F.lit(float(bias)) + total / F.size(toks))
     return docs.select(
         F.col(id_col), score.alias("score"),

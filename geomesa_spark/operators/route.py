@@ -94,7 +94,8 @@ def route_search(
 
 def track_interpolate(df: DataFrame, track_col: str, ts_col: str,
                       x_col: str, y_col: str, step_s: int,
-                      order_col: str | None = None) -> DataFrame:
+                      order_col: str | None = None,
+                      max_ticks: int | None = 1_000_000) -> DataFrame:
     """Resample tracks to a fixed time grid: for each consecutive fix
     pair within a track (ordered by ``ts_col``, then ``order_col`` as a
     deterministic tiebreak) emit linearly interpolated positions at every
@@ -139,7 +140,16 @@ def track_interpolate(df: DataFrame, track_col: str, ts_col: str,
              .filter(F.col("__t1__").isNotNull() & (F.col("__t1__") > F.col("__t0__"))))
     k0 = F.floor(F.col("__t0__") / F.lit(step_us)) + F.lit(1)
     k1 = F.floor(F.col("__t1__") / F.lit(step_us))
-    ks = F.when(k1 >= k0, F.sequence(k0, k1)).otherwise(
+    emit = k1 >= k0
+    if max_ticks is not None:
+        # dirty-GPS guard: a multi-year gap between consecutive fixes at a
+        # small step would explode one row into ~1e8+ sequence elements and
+        # abort the job at Spark's array cap. A gap needing more than
+        # max_ticks samples is treated as a track break (interpolating
+        # across it is meaningless) and emits nothing; pass None to
+        # disable when gaps are known-bounded.
+        emit = emit & (k1 - k0 < F.lit(int(max_ticks)))
+    ks = F.when(emit, F.sequence(k0, k1)).otherwise(
         F.array().cast("array<long>"))
     samp = seg.select(
         F.col(track_col), "__t0__", "__t1__", x_col, y_col, "__x1__", "__y1__",

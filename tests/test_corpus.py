@@ -470,3 +470,45 @@ def test_quality_classifier_learned_weights_and_nulls(spark):
     assert abs(out[1][0] - exp1) < 1e-12 and out[1][1] == (exp1 >= 0.0)
     assert abs(out[2][0] - exp2) < 1e-12 and out[2][1] == (exp2 >= 0.0)
     assert out[3] == (None, None) and out[4] == (None, None)
+
+
+def test_chunk_text_nonspace_whitespace_no_phantom_token(spark):
+    """Leading \\n / lone \\t must not create a phantom '' token (trim()
+    strips spaces only; the tokenizer filters empty fragments instead)."""
+    from geomesa_spark.operators.corpus import chunk_text
+
+    docs = spark.createDataFrame(
+        [(1, "\nhello world"), (2, "\t"), (3, "  a\tb\nc  ")],
+        "doc_id long, text string")
+    rows = {(r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+            for r in chunk_text(docs, "doc_id", "text",
+                                chunk_tokens=8, overlap=2).collect()}
+    assert rows == {(1, 0): (2, "hello world"), (3, 0): (3, "a b c")}
+
+
+def test_quality_classifier_ignores_leading_whitespace(spark):
+    from geomesa_spark.operators.corpus import quality_classifier
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "\nalpha beta"), (3, "\t")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["score"]
+           for r in quality_classifier(docs, "doc_id", "text").collect()}
+    assert got[1] == got[2]          # phantom '' token would skew doc 2
+    assert got[3] is None            # whitespace-only -> no tokens
+
+
+def test_semantic_dedup_excludes_zero_vectors(spark):
+    import numpy as np
+
+    from geomesa_spark.operators.ann import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    rows = [(int(i), [float(x) for x in rng.standard_normal(8)])
+            for i in range(30)]
+    rows.append((30, [0.0] * 8))     # direction-free: excluded, not NaN
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"] for r in
+           semantic_dedup(df, tau=0.95, n_clusters=2).collect()}
+    assert 30 not in got
+    assert got == set(range(30))     # random 8-dim vectors: no 0.95 pairs

@@ -132,3 +132,24 @@ def test_stay_points_chain_rule(spark):
     assert (r["track"], r["n_fixes"], r["duration_us"]) == ("a", 3, 1_200_000_000)
     assert abs(r["cx"] - 0.5) < 1e-6 and r["cy"] == 0.0
     assert r["t_start"] == t(0) and r["t_end"] == t(1200)
+
+
+def test_track_interpolate_max_ticks_breaks_dirty_gaps(spark):
+    """A multi-year gap with a small step is a track break, not a job
+    abort: the capped segment emits nothing, neighbors still emit."""
+    import datetime as dt
+
+    from geomesa_spark.operators.route import track_interpolate
+
+    t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+    rows = [("a", t(0), 0.0, 0.0, 1),
+            ("a", t(100), 10.0, 10.0, 2),        # 4 ticks at step 25
+            ("a", t(200_000_100), 99.0, 99.0, 3)]  # ~8e6 ticks -> capped
+    df = spark.createDataFrame(
+        rows, "track string, ts timestamp_ntz, x double, y double, oid int")
+    out = track_interpolate(df, "track", "ts", "x", "y", step_s=25,
+                            order_col="oid", max_ticks=1000)
+    assert out.count() == 4
+    full = track_interpolate(df.limit(2), "track", "ts", "x", "y",
+                             step_s=25, order_col="oid", max_ticks=None)
+    assert full.count() == 4
