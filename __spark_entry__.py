@@ -204,6 +204,25 @@ def q_knn(spark, sf_dir):
     return out.select("qid", "c_custkey", "rank")
 
 
+def q_all_knn(spark, sf_dir):
+    """All-kNN join (operators/knn.all_knn_join): the large x large
+    regime — nothing broadcast or collected; a phase-1 same-cell pass
+    seeds each query's exact kth-distance search radius and
+    expanding-disk shuffle rounds resolve the sparse-cell stragglers."""
+    from geomesa_spark.operators.knn import all_knn_join
+
+    s = tg.SUPP
+    left = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        tg.point_lon("s_suppkey", s["mlon"], s["olon"]).alias("sx"),
+        tg.point_lat("s_suppkey", s["mlat"], s["olat"]).alias("sy"))
+    right = _cust_points(spark, sf_dir)
+    out = all_knn_join(left, right, k=3, left_id="s_suppkey", lx="sx",
+                       ly="sy", right_id="c_custkey", rx="lon", ry="lat",
+                       metric="degrees", level=5)
+    return out.select("s_suppkey", "c_custkey", "rank")
+
+
 def q_z2_cells(spark, sf_dir):
     from geomesa_spark.operators.spatial_join import cell_of_points
 
@@ -1349,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rect_intersects": q_rect_intersects,
         "dwithin_deg": q_dwithin_deg,
         "knn": q_knn,
+        "all_knn": q_all_knn,
         "z2_cells": q_z2_cells,
         "geohash": q_geohash,
         "tile_density": q_tile_density,
@@ -2068,6 +2088,16 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY sqrt((qx - lon) * (qx - lon) + (qy - lat) * (qy - lat)) ASC,
                          c_custkey ASC) AS INTEGER) AS rank
             FROM q, c QUALIFY rank <= 5
+        """,
+        "all_knn": f"""
+            WITH s AS (SELECT s_suppkey, lon AS sx, lat AS sy
+                       FROM ({_SUPP_SQL})),
+                 c AS ({_CUST_SQL})
+            SELECT s_suppkey, c_custkey, CAST(row_number() OVER (
+                PARTITION BY s_suppkey
+                ORDER BY sqrt((sx - lon) * (sx - lon) + (sy - lat) * (sy - lat)) ASC,
+                         c_custkey ASC) AS INTEGER) AS rank
+            FROM s, c QUALIFY rank <= 3
         """,
         "z2_cells": f"""
             WITH pts AS ({_CUST_SQL})

@@ -150,3 +150,105 @@ def knn_join(
                 .filter(F.col("rank") <= k)
                 .drop("__r__"))
     return attach_cached(out, *cached)
+
+
+def all_knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    k: int,
+    left_id: str,
+    lx: str,
+    ly: str,
+    right_id: str,
+    rx: str,
+    ry: str,
+    metric: str = "degrees",
+    level: int = DEFAULT_LEVEL,
+    max_rounds: int = 6,
+    max_radius: float | None = None,
+) -> DataFrame:
+    """k nearest ``right`` points per ``left`` point — BOTH sides large.
+
+    :func:`knn_join` broadcasts the query side (the reference process's
+    shape: thousands of queries against a big store). This is the other
+    regime — an all-kNN join where neither side fits on one node — so
+    nothing is broadcast or collected:
+
+    - Phase 1 (seed): both sides co-shuffle on their Z2 cell; the in-cell
+      kth distance is an EXACT per-left search-radius upper bound (the
+      true kth neighbor can only be closer). Lefts whose cell held < k
+      candidates seed from the cell diagonal instead.
+    - Rounds: each live left explodes to the cells covering its own disk
+      and shuffle-joins ``right`` on the cell (the same expanding-window
+      re-query as knn_join, minus the broadcast). A left retires when its
+      disk holds >= k candidates; otherwise its radius doubles (capped at
+      ``max_radius``, reference Liu/Lim/Ng growth,
+      KNearestNeighborSearchProcess.scala:292-302).
+
+    Exactness: if disk(r) holds >= k candidates then the true kth
+    distance is <= r, the cell cover is a superset of the closed disk,
+    and the final window top-k over in-radius candidates is the true
+    top-k with deterministic (dist, right_id) tie-break.
+
+    Scale shape: shuffles carry (cell, id, x, y) rows only; hot cells are
+    plain shuffle-join skew (AQE splits them). Pick ``level`` so the
+    right side holds roughly 4k-100 points per cell — the phase-1 cell
+    join is |L_c| x |R_c| per cell, so cells should stay people-sized.
+    Left and right column names must be disjoint.
+    """
+    if max_radius is None:
+        max_radius = 405.0 if metric == "degrees" else math.pi * EARTH_RADIUS_M
+    diag = math.hypot(360.0 / (1 << level), 180.0 / (1 << level))
+    seed_r = diag if metric == "degrees" else diag * 111_320.0
+
+    rc = right.withColumn("__cell__", cell_expr_of_points(rx, ry, level))
+    dist = _dist_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry), metric)
+
+    # phase 1: same-cell kth distance as the exact radius seed
+    lc = left.withColumn("__cell__", cell_expr_of_points(lx, ly, level))
+    w0 = Window.partitionBy(left_id).orderBy(
+        F.col("__d0__").asc(), F.col(right_id).asc())
+    kth = (lc.join(rc, on="__cell__", how="inner")
+             .withColumn("__d0__", dist)
+             .withColumn("__rn__", F.row_number().over(w0))
+             .filter(F.col("__rn__") <= k)
+             .groupBy(left_id)
+             .agg(F.max("__d0__").alias("__dk__"),
+                  F.count("*").alias("__n0__")))
+    live = (left.join(kth, on=left_id, how="left")
+                .withColumn("__r__", F.when(F.col("__n0__") >= k, F.col("__dk__"))
+                                      .otherwise(F.lit(float(seed_r))))
+                .drop("__dk__", "__n0__"))
+
+    all_cand = None
+    cached = []
+    for rnd in range(max_rounds):
+        qc = _query_cells(live, lx, ly, "__r__", level, metric)
+        qe = qc.withColumn("__cell__", F.explode("__cells__")).drop("__cells__")
+        cand = (qe.join(rc, on="__cell__", how="inner")
+                  .withColumn("dist", dist)
+                  .filter(F.col("dist") <= F.col("__r__"))
+                  .drop("__cell__")
+                  .persist())
+        cached.append(cand)
+        all_cand = cand if all_cand is None else all_cand.unionByName(cand)
+        if rnd == max_rounds - 1:
+            break
+        counts = cand.groupBy(left_id).agg(F.count("*").alias("__n__"))
+        need = (live.join(counts, on=left_id, how="left")
+                    .fillna({"__n__": 0})
+                    .filter((F.col("__n__") < k)
+                            & (F.col("__r__") < float(max_radius))))
+        if need.isEmpty():
+            break
+        live = (need.withColumn(
+                    "__r__",
+                    F.least(F.col("__r__") * 2, F.lit(float(max_radius))))
+                    .drop("__n__"))
+
+    dedup = all_cand.dropDuplicates([left_id, right_id])
+    win = Window.partitionBy(left_id).orderBy(F.col("dist").asc(), F.col(right_id).asc())
+    out = (dedup.withColumn("rank", F.row_number().over(win))
+                .filter(F.col("rank") <= k)
+                .drop("__r__"))
+    return attach_cached(out, *cached)
