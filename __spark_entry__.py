@@ -1306,6 +1306,23 @@ def q_pii_redact(spark, sf_dir):
     return pii_stats(docs, "doc_id", "text")
 
 
+def q_html_extract(spark, sf_dir):
+    """HTML -> text extraction (operators/corpus.extract_html_text): the
+    warc ingest stage — comments/script/style/head/nav/footer stripped,
+    tags to spaces, minimal entities decoded (&amp; last), whitespace
+    collapsed; pure JVM regexp chain in the Java∩RE2 dialect subset.
+    Input goes through a binary cast to exercise the html:binary column
+    shape of the input_hint."""
+    from geomesa_spark.operators.corpus import extract_html_text, wrap_html
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        "doc_id", wrap_html(F.col("text"), F.col("doc_id")).alias("html"))
+    return pages.select(
+        "doc_id",
+        extract_html_text(F.col("html").cast("binary")).alias("text_out"))
+
+
 def q_incr_dedup(spark, sf_dir):
     """Incremental exact dedup (operators/corpus.incremental_dedup):
     docs with doc_id%3==0 play the already-ingested corpus (digest
@@ -1449,6 +1466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_ngrams": q_dup_ngrams,
         "pack_seqs": q_pack_seqs,
         "pii_redact": q_pii_redact,
+        "html_extract": q_html_extract,
         "incr_dedup": q_incr_dedup,
         "gopher_quality": q_gopher_quality,
         "chunk_text": q_chunk_text,
@@ -1994,6 +2012,37 @@ def _sql_route_search(buffer_deg: float, heading_tol: float) -> str:
         SELECT DISTINCT event_id, user_id FROM c5
         WHERE dist <= {buffer_deg} AND hdiff <= {heading_tol}
     """
+
+
+def _sql_html_extract() -> str:
+    """DuckDB mirror of operators/corpus.extract_html_text over the SAME
+    wrap_html template: the pattern table (_HTML_BLOCK_TAGS/_HTML_TAG/
+    _HTML_ENTITIES) is imported from the operator module so both engines
+    chain identical patterns in identical order; the regex subset
+    (inline (?is), lazy .*?, \\b, char classes) parses identically in
+    Java and RE2."""
+    from geomesa_spark.operators.corpus import (
+        _HTML_BLOCK_TAGS, _HTML_COMMENT, _HTML_ENTITIES, _HTML_TAG, _WS_RUN)
+
+    esc = ("replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), "
+           "'>', '&gt;')")
+    html = (
+        "'<html><head><title>doc ' || CAST(doc_id AS VARCHAR) || "
+        "'</title><script type=\"text/javascript\">var t = 1 < 2;"
+        "</script><style>p { margin: 0 }</style></head><body>"
+        "<nav><a href=\"/\">Home</a> &amp; <a href=\"/about\">About</a>"
+        "</nav>' || chr(10) || '<p>' || " + esc + " || '</p>' || chr(10) || "
+        "'<!-- generated --><footer>&copy; example&nbsp;site</footer>"
+        "</body></html>'")
+    s = f"regexp_replace({html}, '{_HTML_COMMENT}', ' ', 'g')"
+    for tag in _HTML_BLOCK_TAGS:
+        s = (f"regexp_replace({s}, "
+             f"'(?is)<{tag}\\b[^>]*>.*?</{tag}>', ' ', 'g')")
+    s = f"regexp_replace({s}, '{_HTML_TAG}', ' ', 'g')"
+    for ent, ch in _HTML_ENTITIES:
+        s = f"replace({s}, '{ent}', '{ch.replace(chr(39), chr(39) * 2)}')"
+    s = f"trim(regexp_replace({s}, '{_WS_RUN}', ' ', 'g'))"
+    return f"SELECT doc_id, {s} AS text_out FROM documents"
 
 
 def _sql_pii() -> str:
@@ -2967,6 +3016,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """)(*_sql_mix64_cte("CAST(doc_id AS HUGEINT)")),
         "pii_redact": _sql_pii(),
+        "html_extract": _sql_html_extract(),
         # digest index anti-join + min-id-per-digest within the batch;
         # sha256(text) == Spark sha2(concat_ws over the single column)
         "incr_dedup": """

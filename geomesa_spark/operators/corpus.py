@@ -50,7 +50,77 @@ __all__ = [
     "normalize_url", "write_shards", "duplicated_ngram_fraction",
     "pack_sequences", "redact_pii", "pii_stats", "incremental_dedup",
     "gopher_quality", "chunk_text", "quality_classifier",
+    "extract_html_text", "html_escape", "wrap_html",
 ]
+
+
+# ---------------------------------------------------------------------------
+# HTML -> text extraction (the warc ingest stage)
+
+# Block elements whose CONTENT is boilerplate, not page text (trafilatura/
+# jusText-style main-content extraction, reduced to a deterministic rule
+# set). RE2 (DuckDB) has no backreferences, so each tag gets its own
+# literal open..close pattern instead of <(a|b)>.*?</\1>. Patterns live
+# in the Java-regex ∩ RE2 dialect subset (same convention as
+# PII_PATTERNS): inline (?is) flags, lazy quantifiers, no lookaround.
+_HTML_BLOCK_TAGS = ("script", "style", "head", "nav", "footer", "aside")
+_HTML_COMMENT = r"(?s)<!--.*?-->"
+_HTML_TAG = r"(?s)<[^>]*>"
+# minimal entity set; &amp; decoded LAST so double-escapes stay literal
+_HTML_ENTITIES = (
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ("&nbsp;", " "), ("&amp;", "&"),
+)
+_WS_RUN = "[ \t\n\r]+"
+
+
+def extract_html_text(html: Column) -> Column:
+    """Deterministic HTML -> visible-text extraction as a pure JVM
+    expression chain (map-only, shuffle-free, whole-stage codegen — the
+    10^12-page ingest stage never leaves Tungsten):
+
+    1. drop comments, then script/style/head/nav/footer/aside blocks
+       (content included), 2. strip remaining tags to a space,
+    3. decode the minimal entity set (&amp; last), 4. collapse
+    [ \\t\\n\\r]+ runs to one space and trim.
+
+    The per-row invariant of the corpus (BASELINE input_hint: byte-
+    identical extracted text per url) holds because every step is a pure
+    function of the html bytes. Accepts a binary or string column.
+    """
+    s = html.cast("string")
+    s = F.regexp_replace(s, _HTML_COMMENT, " ")
+    for tag in _HTML_BLOCK_TAGS:
+        s = F.regexp_replace(s, rf"(?is)<{tag}\b[^>]*>.*?</{tag}>", " ")
+    s = F.regexp_replace(s, _HTML_TAG, " ")
+    for ent, ch in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, _WS_RUN, " "))
+
+
+def html_escape(text: Column) -> Column:
+    """Minimal-entity escape (&, <, > — in that order) so arbitrary text
+    embeds losslessly in an element body."""
+    out = F.replace(text, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    return F.replace(out, F.lit(">"), F.lit("&gt;"))
+
+
+def wrap_html(text: Column, doc_id: Column) -> Column:
+    """Deterministic messy-page template around escaped ``text``: title/
+    script/style in head, nav + footer boilerplate (with entities and a
+    bare ``<`` inside the script body) around the one real paragraph.
+    ``extract_html_text(wrap_html(t, i))`` == whitespace-normalized
+    ``t`` — the round-trip the ingest invariant test pins down."""
+    return F.concat(
+        F.lit("<html><head><title>doc "), doc_id.cast("string"),
+        F.lit('</title><script type="text/javascript">var t = 1 < 2;'
+              '</script><style>p { margin: 0 }</style></head><body>'
+              '<nav><a href="/">Home</a> &amp; <a href="/about">About</a>'
+              '</nav>\n<p>'),
+        html_escape(text),
+        F.lit("</p>\n<!-- generated -->"
+              "<footer>&copy; example&nbsp;site</footer></body></html>"))
 
 
 def line_dedup(df: DataFrame, id_col: str, text_col: str, sep: str = "\n",

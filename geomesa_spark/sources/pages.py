@@ -132,7 +132,19 @@ def generate_pages(spark, n: int, partitions: int | None = None,
                 place_text = ("page " + ids_s + " located in " + cities
                               + " token " + filler)
                 text = text.where(~pd.Series(is_place), place_text)
-            html = ("<html><body>" + text + "</body></html>").str.encode("utf-8")
+            # messy-page template matching operators/corpus.wrap_html:
+            # head/script/style + nav/footer boilerplate around the one
+            # real paragraph, so corpus.extract_html_text(html) == text
+            # byte-identically (the input_hint per-row invariant; text
+            # here is single-spaced with no &<> so escaping is identity)
+            html = (
+                "<html><head><title>doc " + ids_s
+                + '</title><script type="text/javascript">var t = 1 < 2;'
+                + "</script><style>p { margin: 0 }</style></head><body>"
+                + '<nav><a href="/">Home</a> &amp; <a href="/about">About</a>'
+                + "</nav>\n<p>" + text + "</p>\n<!-- generated -->"
+                + "<footer>&copy; example&nbsp;site</footer></body></html>"
+            ).str.encode("utf-8")
             yield pd.DataFrame({
                 "url": urls, "warc_ts": ts, "html": html, "text": text, "lang": lang,
             })

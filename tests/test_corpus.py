@@ -512,3 +512,52 @@ def test_semantic_dedup_excludes_zero_vectors(spark):
            semantic_dedup(df, tau=0.95, n_clusters=2).collect()}
     assert 30 not in got
     assert got == set(range(30))     # random 8-dim vectors: no 0.95 pairs
+
+
+def test_extract_html_round_trip_nasty_text(spark):
+    from geomesa_spark.operators.corpus import extract_html_text, wrap_html
+
+    texts = [
+        "plain words only",
+        "a & b < c > d",                      # escape/decode round trip
+        "double &amp; stays literal",          # &amp;->& exactly once
+        "tabs\tand\nnewlines   collapse",      # ws-normalized on extract
+        "quote \" and ' apostrophe",
+        "sneaky <script>alert(1)</script> payload",  # escaped, survives
+        "",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string")
+    out = df.select("doc_id",
+                    extract_html_text(wrap_html(F.col("text"),
+                                                F.col("doc_id"))).alias("got"))
+    got = {r["doc_id"]: r["got"] for r in out.collect()}
+    import re
+    for i, t in enumerate(texts):
+        expect = re.sub(r"[ \t\n\r]+", " ", t).strip()
+        assert got[i] == expect, (t, got[i])
+
+
+def test_extract_html_strips_boilerplate_blocks(spark):
+    from geomesa_spark.operators.corpus import extract_html_text
+
+    html = ('<html><head><title>T</title></head><body>'
+            '<NAV class="x">menu</NAV><p>keep &lt;this&gt;</p>'
+            '<!-- secret --><aside>ad</aside>'
+            '<footer>foot</footer></body></html>')
+    df = spark.createDataFrame([(html,)], "html string")
+    got = df.select(extract_html_text(F.col("html")).alias("t")).first()["t"]
+    assert got == "keep <this>"
+
+
+def test_pages_html_extraction_invariant(spark):
+    """BASELINE input_hint per-row invariant: extracting the generated
+    html byte-identically reproduces the text column (and therefore the
+    geoparsed geometry) per url."""
+    from geomesa_spark.operators.corpus import extract_html_text
+    from geomesa_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 500, place_mentions=True)
+    bad = pages.filter(
+        extract_html_text(F.col("html")) != F.col("text")).count()
+    assert bad == 0
