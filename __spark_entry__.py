@@ -1045,6 +1045,37 @@ def q_dedup_clusters(spark, sf_dir):
               .withColumn("cluster_size", F.count("*").over(w)))
 
 
+def _dbscan_points(spark, sf_dir):
+    """Deterministic clustered point layer for DBSCAN: 24 planted
+    Gaussian-ish blobs (LCG-jittered around a center grid) + a scattered
+    remainder, every arithmetic step BIGINT-then-double so DuckDB
+    reproduces the coordinates bit-identically."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    cid = F.col("c_custkey") % 30
+    h1 = (F.col("c_custkey") * F.lit(2654435761) + 40503) % F.lit(2147483647)
+    h2 = (F.col("c_custkey") * F.lit(1103515245) + 12345) % F.lit(2147483647)
+    lon = F.when(cid < 24,
+                 ((cid % 6) * 50 - 125)
+                 + (h1 % 2001 - 1000) / F.lit(1000.0) * 1.5) \
+           .otherwise((h1 % 36000) / F.lit(100.0) - 180.0)
+    lat = F.when(cid < 24,
+                 (F.floor(cid / F.lit(6)) * 35 - 52)
+                 + (h2 % 2001 - 1000) / F.lit(1000.0) * 1.5) \
+           .otherwise((h2 % 18000) / F.lit(100.0) - 90.0)
+    return c.select("c_custkey", lon.alias("lon"), lat.alias("lat"))
+
+
+def q_dbscan(spark, sf_dir):
+    """DBSCAN density clustering (operators/cluster.dbscan): eps-disk
+    cell-cover self-join -> core rule -> connected components over
+    core-core edges -> deterministic min-label border assignment.
+    Roles core/border/noise; cluster_id = min core id (NULL = noise)."""
+    from geomesa_spark.operators.cluster import dbscan
+
+    pts = _dbscan_points(spark, sf_dir)
+    return dbscan(pts, eps=0.8, min_pts=8, id_col="c_custkey", level=9)
+
+
 def q_asof_enrich(spark, sf_dir):
     """Backward as-of join (operators/temporal.asof_join): each purchase
     event picks up the user's latest view event at-or-before it — the
@@ -1447,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dedup": q_cosine_dedup,
         "semantic_dedup": q_semantic_dedup,
         "dedup_clusters": q_dedup_clusters,
+        "dbscan": q_dbscan,
         "rep_stats": q_rep_stats,
         "asof_enrich": q_asof_enrich,
         "sessions": q_sessions,
@@ -2645,6 +2677,55 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cluster_id,
                    COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
             FROM comp
+        """,
+        # DBSCAN: inclusive squared-distance pairs over the LCG-jittered
+        # blob layer, textbook core rule, recursive-CTE components over
+        # core-core edges, min-label border rule — the operator's exact
+        # deterministic conventions
+        "dbscan": """
+            WITH RECURSIVE pts AS (
+              SELECT c_custkey AS id,
+                CASE WHEN cid < 24
+                     THEN ((cid % 6) * 50 - 125)
+                          + (h1 % 2001 - 1000) / 1000.0 * 1.5
+                     ELSE (h1 % 36000) / 100.0 - 180.0 END AS lon,
+                CASE WHEN cid < 24
+                     THEN ((cid // 6) * 35 - 52)
+                          + (h2 % 2001 - 1000) / 1000.0 * 1.5
+                     ELSE (h2 % 18000) / 100.0 - 90.0 END AS lat
+              FROM (SELECT c_custkey, c_custkey % 30 AS cid,
+                           (c_custkey * 2654435761 + 40503)
+                             % 2147483647 AS h1,
+                           (c_custkey * 1103515245 + 12345)
+                             % 2147483647 AS h2
+                    FROM customer)),
+            pairs AS (
+              SELECT a.id AS ia, b.id AS ib FROM pts a JOIN pts b
+              ON a.id <> b.id
+                 AND (a.lon-b.lon)*(a.lon-b.lon)
+                     + (a.lat-b.lat)*(a.lat-b.lat) <= 0.8 * 0.8),
+            deg AS (SELECT ia AS id, count(*) AS nbrs FROM pairs
+                    GROUP BY ia),
+            core AS (SELECT id FROM deg WHERE nbrs + 1 >= 8),
+            cedges AS (SELECT ia AS v, ib AS u FROM pairs
+                       WHERE ia IN (SELECT id FROM core)
+                         AND ib IN (SELECT id FROM core)),
+            reach AS (
+              SELECT id AS v, id AS l FROM core
+              UNION
+              SELECT e.v, r.l FROM cedges e JOIN reach r ON e.u = r.v),
+            comp AS (SELECT v AS id, MIN(l) AS cluster_id FROM reach
+                     GROUP BY v),
+            border AS (SELECT p.ia AS id, MIN(c.cluster_id) AS cluster_id
+                       FROM pairs p JOIN comp c ON p.ib = c.id
+                       WHERE p.ia NOT IN (SELECT id FROM core)
+                       GROUP BY p.ia),
+            lab AS (SELECT id, cluster_id, 'core' AS role FROM comp
+                    UNION ALL
+                    SELECT id, cluster_id, 'border' AS role FROM border)
+            SELECT p.id AS c_custkey, l.cluster_id,
+                   COALESCE(l.role, 'noise') AS role
+            FROM pts p LEFT JOIN lab l ON p.id = l.id
         """,
         # token/2-gram frequency rollups; fractions are single divisions
         # of exact integers -> bit-identical doubles in both engines
