@@ -407,6 +407,35 @@ def q_stay_points(spark, sf_dir):
                        order_col="event_id")
 
 
+def q_geofence(spark, sf_dir):
+    """Geofencing (operators/route.geofence_sequence): per-(user, nation
+    rect) visit intervals — enter/exit fix sequence numbers, exact
+    integer-microsecond dwell — over the events fix stream."""
+    from geomesa_spark.operators.route import geofence_sequence
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"))
+    zones = _nation_rects(spark, sf_dir).select("n_nationkey", "geom")
+    return geofence_sequence(ev, zones, "user_id", "ts", "lon", "lat",
+                             zone_id="n_nationkey", order_col="event_id")
+
+
+def q_hotspot(spark, sf_dir):
+    """Gi* hotspot detection (operators/hotspot.gi_star): statistically
+    significant hot cells of the 360x180 customer density grid.
+    Integer-count sums are exact in doubles, so the z-score chain is
+    bit-reproducible across engines."""
+    from geomesa_spark.operators.hotspot import gi_star
+    from geomesa_spark.operators.tiling import density_points
+
+    pts = _cust_points(spark, sf_dir)
+    grid = density_points(pts, "lon", "lat", -180.0, -90.0, 180.0, 90.0,
+                          360, 180)
+    return gi_star(grid, 360, 180)
+
+
 def q_longest_legs(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts",
@@ -1436,6 +1465,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "longest_legs": q_longest_legs,
         "track_interp": q_track_interp,
         "stay_points": q_stay_points,
+        "geofence": q_geofence,
+        "hotspot": q_hotspot,
         "sampling": q_sampling,
         "unique_vals": q_unique_vals,
         "stats_minmax": q_stats_minmax,
@@ -2389,6 +2420,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, stay_idx, t_start, t_end, duration_us, cx, cy, n_fixes
             FROM g
             WHERE duration_us >= CAST(3600 AS BIGINT) * 1000000 AND n_fixes >= 2
+        """,
+        # geofence mirror: row_number fix sequencing (ts, event_id),
+        # inclusive rect membership (st_intersects), gaps-and-islands
+        # per (user, zone) on consecutive seq numbers, exact integer
+        # microseconds for dwell (max - min cancels any epoch offset)
+        "geofence": f"""
+            WITH e AS ({_EVT_SQL}), rects AS ({_NATION_SQL}),
+            seq AS (SELECT user_id, ts, lon, lat,
+                           CAST(row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS INTEGER) AS s
+                    FROM e),
+            m AS (SELECT q.user_id, q.ts, q.s, r.n_nationkey
+                  FROM seq q, rects r
+                  WHERE q.lon >= r.xmin AND q.lon <= r.xmax
+                    AND q.lat >= r.ymin AND q.lat <= r.ymax),
+            g AS (SELECT *, CASE WHEN lag(s) OVER w IS NULL
+                                   OR s - lag(s) OVER w > 1
+                                 THEN 1 ELSE 0 END AS nw
+                  FROM m WINDOW w AS (PARTITION BY user_id, n_nationkey
+                                      ORDER BY s ASC)),
+            v AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id, n_nationkey
+                                 ORDER BY s ASC ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS visit
+                  FROM g)
+            SELECT user_id, n_nationkey, visit,
+                   min(s) AS enter_seq, max(s) AS exit_seq,
+                   min(ts) AS enter_ts, max(ts) AS exit_ts,
+                   CAST(count(*) AS BIGINT) AS n_fixes,
+                   max(epoch_us(ts)) - min(epoch_us(ts)) AS dwell_us
+            FROM v GROUP BY 1, 2, 3
+        """,
+        # Gi* mirror: identical 9-way queen scatter over the sparse
+        # 360x180 count grid (integer sums -> exact doubles), identical
+        # moment/z-score expression shape so the sqrt/divide chain is
+        # bit-identical
+        "hotspot": f"""
+            WITH pts AS ({_CUST_SQL}),
+            base AS (
+              SELECT CAST({ti} AS INTEGER) AS i, CAST({tj} AS INTEGER) AS j,
+                     CAST(count(*) AS DOUBLE) AS x
+              FROM pts GROUP BY 1, 2),
+            offs AS (SELECT di, dj FROM (VALUES (-1,-1),(-1,0),(-1,1),
+                     (0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)) AS t(di, dj)),
+            contrib AS (
+              SELECT i + di AS ni, j + dj AS nj, x
+              FROM base, offs
+              WHERE i + di >= 0 AND i + di < 360
+                AND j + dj >= 0 AND j + dj < 180),
+            nsum AS (SELECT ni, nj, sum(x) AS swx FROM contrib GROUP BY 1, 2),
+            tot AS (SELECT sum(x) AS sx, sum(x * x) AS sxx FROM base),
+            st AS (SELECT sx / CAST(64800 AS DOUBLE) AS xbar,
+                          sqrt(sxx / CAST(64800 AS DOUBLE)
+                               - (sx / CAST(64800 AS DOUBLE))
+                                 * (sx / CAST(64800 AS DOUBLE))) AS s
+                   FROM tot),
+            wis AS (
+              SELECT b.i, b.j, b.x, n.swx,
+                     CAST((least(b.i + 1, 359) - greatest(b.i - 1, 0) + 1)
+                          * (least(b.j + 1, 179) - greatest(b.j - 1, 0) + 1)
+                          AS DOUBLE) AS wi
+              FROM base b JOIN nsum n ON b.i = n.ni AND b.j = n.nj)
+            SELECT w.i, w.j, w.x AS weight, w.wi,
+                   (w.swx - st.xbar * w.wi)
+                     / (st.s * sqrt((CAST(64800 AS DOUBLE) * w.wi
+                                     - w.wi * w.wi)
+                                    / CAST(64799 AS DOUBLE))) AS gi_z
+            FROM wis w CROSS JOIN st
         """,
         # track_interpolate mirror: same half-open (t0, t1] tick rule,
         # exact integer microseconds (epoch_us), identical fraction and

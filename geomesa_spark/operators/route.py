@@ -22,7 +22,8 @@ from pyspark.sql.types import ArrayType, LongType
 
 from .spatial_join import DEFAULT_LEVEL, cell_expr_of_points, cells_of_disk_arrays
 
-__all__ = ["route_search", "track_interpolate", "stay_points"]
+__all__ = ["route_search", "track_interpolate", "stay_points",
+           "geofence_sequence"]
 
 
 def route_search(
@@ -217,3 +218,78 @@ def stay_points(df: DataFrame, track_col: str, ts_col: str,
                    F.count("*").alias("n_fixes")))
     return agg.filter((F.col("duration_us") >= min_us)
                       & (F.col("n_fixes") >= 2))
+
+
+def geofence_sequence(fixes: DataFrame, zones: DataFrame,
+                      track_col: str, ts_col: str,
+                      x_col: str, y_col: str,
+                      zone_id: str = "zone_id", zone_geom: str = "geom",
+                      order_col: str | None = None,
+                      level: int | None = None,
+                      broadcast_zones: bool | None = True) -> DataFrame:
+    """Geofencing: per (track, zone) visit intervals — enter fix, exit
+    fix, dwell — from a fix stream and a polygon zone layer. Returns::
+
+        (track, zone_id, visit, enter_seq, exit_seq, enter_ts, exit_ts,
+         n_fixes, dwell_us)
+
+    The enter/exit event stream the reference's live Kafka cache +
+    CQL-filtered listeners are typically used to build (zone predicates
+    over a feature stream); batch-expressed it is a composition of two
+    operators this engine already has:
+
+    1. per-track fix sequencing (ONE window shuffle: row_number over
+       (ts, order_col) — the track_interpolate/stay_points ordering
+       convention, order_col breaking ts ties deterministically),
+    2. zone membership via the cell-cover PIP join
+       (spatial_join.pip_join, st_intersects: the boundary counts as
+       inside — CQL INTERSECTS semantics),
+    3. gaps-and-islands over MEMBER rows only, per (track, zone): a
+       fix run with consecutive seq numbers is one visit (sessionize's
+       shape keyed by sequence gaps instead of time gaps). Non-member
+       fixes never enter the window, so the state after the PIP join is
+       proportional to time-inside, not track length.
+
+    Dwell is exact integer microseconds (last member fix minus first —
+    the sampled dwell; boundary-crossing interpolation would need the
+    neighbor fixes and is out of scope). A visit of one fix has dwell 0.
+
+    Scale shape: the PIP join is the engine's scale-safe cell join
+    (broadcast zones by default — fence layers are small; set
+    broadcast_zones=None for the auto plan-size rule), then one window +
+    one combining agg keyed (track, zone) over member rows only.
+    """
+    from pyspark.sql import Window
+
+    from .spatial_join import pip_join
+
+    order = [F.col(ts_col).asc()]
+    if order_col:
+        order.append(F.col(order_col).asc())
+    seqw = Window.partitionBy(track_col).orderBy(*order)
+    seq = fixes.withColumn("__seq__", F.row_number().over(seqw))
+
+    member = pip_join(seq, zones, x_col, y_col, zone_geom,
+                      predicate="st_intersects", level=level,
+                      broadcast_polys=broadcast_zones)
+
+    vw = Window.partitionBy(track_col, zone_id).orderBy(F.col("__seq__"))
+    gap = F.when(
+        F.lag("__seq__").over(vw).isNull()
+        | (F.col("__seq__") - F.lag("__seq__").over(vw) > 1), 1).otherwise(0)
+    runs = (member.withColumn("__new__", gap)
+                  .withColumn("visit",
+                              F.sum("__new__").over(
+                                  vw.rowsBetween(Window.unboundedPreceding,
+                                                 Window.currentRow))))
+    ts_type = fixes.schema[ts_col].dataType.simpleString()
+    epoch = F.lit("1970-01-01 00:00:00").cast(ts_type)
+    tus = F.timestamp_diff("MICROSECOND", epoch, F.col(ts_col))
+    return (runs.withColumn("__tus__", tus)
+                .groupBy(track_col, zone_id, "visit")
+                .agg(F.min("__seq__").alias("enter_seq"),
+                     F.max("__seq__").alias("exit_seq"),
+                     F.min(ts_col).alias("enter_ts"),
+                     F.max(ts_col).alias("exit_ts"),
+                     F.count("*").alias("n_fixes"),
+                     (F.max("__tus__") - F.min("__tus__")).alias("dwell_us")))

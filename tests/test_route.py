@@ -153,3 +153,56 @@ def test_track_interpolate_max_ticks_breaks_dirty_gaps(spark):
     full = track_interpolate(df.limit(2), "track", "ts", "x", "y",
                              step_s=25, order_col="oid", max_ticks=None)
     assert full.count() == 4
+
+
+class TestGeofence:
+    """geofence_sequence: visit intervals per (track, zone)."""
+
+    def _zones(self, spark):
+        from tests.test_spatial_join import _rect_wkb
+
+        return spark.createDataFrame(
+            [(1, _rect_wkb(0.5, -1.0, 3.5, 1.0)),
+             (2, _rect_wkb(4.5, -1.0, 7.5, 1.0))],
+            "zone int, geom binary")
+
+    def _fixes(self, spark):
+        import datetime as dt
+
+        t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+        lons = [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 2.0]
+        rows = [("u1", t(60 * i), lon, 0.0, i) for i, lon in enumerate(lons)]
+        rows += [("u2", t(0), 1.0, 0.0, 0), ("u2", t(60), 6.0, 0.0, 1)]
+        return spark.createDataFrame(
+            rows, "track string, ts timestamp_ntz, x double, y double, oid int")
+
+    def test_visits(self, spark):
+        from geomesa_spark.operators.route import geofence_sequence
+
+        out = geofence_sequence(self._fixes(spark), self._zones(spark),
+                                "track", "ts", "x", "y",
+                                zone_id="zone", order_col="oid")
+        got = {(r["track"], r["zone"], r["visit"]):
+               (r["enter_seq"], r["exit_seq"], r["n_fixes"], r["dwell_us"])
+               for r in out.collect()}
+        assert got == {
+            ("u1", 1, 1): (2, 4, 3, 120_000_000),
+            ("u1", 1, 2): (10, 10, 1, 0),
+            ("u1", 2, 1): (6, 8, 3, 120_000_000),
+            ("u2", 1, 1): (1, 1, 1, 0),
+            ("u2", 2, 1): (2, 2, 1, 0),
+        }
+
+    def test_boundary_is_inside(self, spark):
+        """st_intersects semantics: a fix exactly on the fence counts."""
+        import datetime as dt
+
+        from geomesa_spark.operators.route import geofence_sequence
+
+        fixes = spark.createDataFrame(
+            [("u", dt.datetime(2024, 1, 1), 0.5, 0.0, 0)],
+            "track string, ts timestamp_ntz, x double, y double, oid int")
+        out = geofence_sequence(fixes, self._zones(spark),
+                                "track", "ts", "x", "y",
+                                zone_id="zone", order_col="oid").collect()
+        assert len(out) == 1 and out[0]["zone"] == 1
