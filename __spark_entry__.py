@@ -436,6 +436,102 @@ def q_hotspot(spark, sf_dir):
     return gi_star(grid, 360, 180)
 
 
+def q_local_moran(spark, sf_dir):
+    """Local Moran's I LISA (operators/hotspot.local_moran): cluster /
+    outlier classification of the customer density grid — the companion
+    statistic to the Gi* hotspot scan, same exact-integer-sum shape."""
+    from geomesa_spark.operators.hotspot import local_moran
+    from geomesa_spark.operators.tiling import density_points
+
+    pts = _cust_points(spark, sf_dir)
+    grid = density_points(pts, "lon", "lat", -180.0, -90.0, 180.0, 90.0,
+                          360, 180)
+    return local_moran(grid, 360, 180)
+
+
+def q_idw(spark, sf_dir):
+    """IDW surface interpolation (operators/interpolate.idw_grid):
+    supplier-key-derived sample values gridded to 5-degree cells,
+    deterministic ordered-fold mode so the double chain is
+    bit-reproducible against the DuckDB mirror."""
+    from geomesa_spark.operators.interpolate import idw_grid
+
+    pts = _supp_points(spark, sf_dir).withColumn(
+        "v", ((F.col("s_suppkey") % 89) + 1).cast("double"))
+    return idw_grid(pts, "lon", "lat", "v", -180.0, -90.0, 180.0, 90.0,
+                    72, 36, radius_cells=2, id_col="s_suppkey",
+                    deterministic=True)
+
+
+def q_od_matrix(spark, sf_dir):
+    """Origin-destination flow matrix (operators/route.od_matrix): trip
+    counts between consecutive nation-zone visits per user, composed on
+    the geofence visit intervals."""
+    from geomesa_spark.operators.route import od_matrix
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"))
+    zones = _nation_rects(spark, sf_dir).select("n_nationkey", "geom")
+    return od_matrix(ev, zones, "user_id", "ts", "lon", "lat",
+                     zone_id="n_nationkey", order_col="event_id")
+
+
+def _event_cube(spark, sf_dir):
+    """Sparse space-time cube: events binned to 10-degree cells x day
+    bins (Jan 2024 -> t in [0, 30)), weight = count."""
+    ev = _t(spark, sf_dir, "events").select(
+        "ts",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"))
+    epoch = F.lit("1970-01-01 00:00:00").cast(
+        ev.schema["ts"].dataType.simpleString())
+    tus = F.timestamp_diff("MICROSECOND", epoch, F.col("ts"))
+    i = F.least(F.floor((F.col("lon") - (-180.0)) / 10.0), F.lit(35)).cast("int")
+    j = F.least(F.floor((F.col("lat") - (-90.0)) / 10.0), F.lit(17)).cast("int")
+    t = (F.floor(tus / F.lit(86400000000.0)) - F.lit(19723)).cast("int")
+    return (ev.filter((F.col("lon") >= -180.0) & (F.col("lon") <= 180.0)
+                      & (F.col("lat") >= -90.0) & (F.col("lat") <= 90.0))
+              .select(i.alias("i"), j.alias("j"), t.alias("t"))
+              .groupBy("i", "j", "t")
+              .agg(F.count("*").cast("double").alias("weight")))
+
+
+def q_hotspot_st(spark, sf_dir):
+    """Space-time Gi* (operators/hotspot.gi_star_st): emerging-hotspot
+    scan over the events day-binned space-time cube (3x3x3 queen+time
+    neighborhood); exact integer count sums keep the z chain
+    bit-reproducible."""
+    from geomesa_spark.operators.hotspot import gi_star_st
+
+    return gi_star_st(_event_cube(spark, sf_dir), 36, 18, 30)
+
+
+def q_trend_cells(spark, sf_dir):
+    """Mann-Kendall trend (operators/hotspot.mann_kendall): per-cell
+    nonparametric trend over the densified day series of the events
+    cube — all-integer pairwise scan, exact S statistic."""
+    from geomesa_spark.operators.hotspot import mann_kendall
+
+    return mann_kendall(_event_cube(spark, sf_dir), 30)
+
+
+def q_trajectory_sim(spark, sf_dir):
+    """Trajectory similarity (operators/trajectory.hausdorff_join):
+    symmetric Hausdorff distance between sampled user tracks — bounded
+    per-track point arrays, nested JVM max/min folds (order-independent
+    comparisons -> bit-exact), no Python."""
+    from geomesa_spark.operators.trajectory import hausdorff_join
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("user_id") % 10 == 0)
+          .select("event_id", "user_id",
+                  tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+                  tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat")))
+    return hausdorff_join(ev, "user_id", "lon", "lat", "event_id")
+
+
 def q_longest_legs(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts",
@@ -1467,6 +1563,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stay_points": q_stay_points,
         "geofence": q_geofence,
         "hotspot": q_hotspot,
+        "local_moran": q_local_moran,
+        "idw": q_idw,
+        "od_matrix": q_od_matrix,
+        "hotspot_st": q_hotspot_st,
+        "trend_cells": q_trend_cells,
+        "trajectory_sim": q_trajectory_sim,
         "sampling": q_sampling,
         "unique_vals": q_unique_vals,
         "stats_minmax": q_stats_minmax,
@@ -2167,11 +2269,47 @@ def _sql_gopher(min_words: int, min_stopwords: int) -> str:
     """
 
 
+
+def _evt_cube_sql(ti10: str, tj10: str) -> str:
+    """Day-binned 10-degree event cube (i, j, t, x) — mirror of
+    _event_cube: identical tile and epoch-day expressions."""
+    return (f"SELECT CAST({ti10} AS INTEGER) AS i, "
+            f"CAST({tj10} AS INTEGER) AS j, "
+            f"CAST(CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) "
+            f"- 19723 AS INTEGER) AS t, "
+            f"CAST(count(*) AS DOUBLE) AS x "
+            f"FROM ({_EVT_SQL}) GROUP BY 1, 2, 3")
+
+
+# shared CTE chain of the geofence/od_matrix mirrors: fix sequencing,
+# inclusive rect membership, gaps-and-islands visit ids (ends at table v)
+_GEOFENCE_VISITS_SQL = f"""e AS ({_EVT_SQL}), rects AS ({_NATION_SQL}),
+            seq AS (SELECT user_id, ts, lon, lat,
+                           CAST(row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS INTEGER) AS s
+                    FROM e),
+            m AS (SELECT q.user_id, q.ts, q.s, r.n_nationkey
+                  FROM seq q, rects r
+                  WHERE q.lon >= r.xmin AND q.lon <= r.xmax
+                    AND q.lat >= r.ymin AND q.lat <= r.ymax),
+            g AS (SELECT *, CASE WHEN lag(s) OVER w IS NULL
+                                   OR s - lag(s) OVER w > 1
+                                 THEN 1 ELSE 0 END AS nw
+                  FROM m WINDOW w AS (PARTITION BY user_id, n_nationkey
+                                      ORDER BY s ASC)),
+            v AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id, n_nationkey
+                                 ORDER BY s ASC ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT) AS visit
+                  FROM g)"""
+
+
 def oracle_sql() -> dict[str, str]:
     z2 = tg.sql_z2_cell("lon", "lat", 8)
     gh = tg.sql_geohash("lon", "lat", 6)
     gh4 = tg.sql_geohash("lon", "lat", 4)
     ti = tg.sql_tile("lon", "-180.0", 1.0, 360)
+    ti10 = tg.sql_tile("lon", "-180.0", 10.0, 36)
+    tj10 = tg.sql_tile("lat", "-90.0", 10.0, 18)
     tj = tg.sql_tile("lat", "-90.0", 1.0, 180)
     return {
         "pip_contains": f"""
@@ -2426,30 +2564,27 @@ def oracle_sql() -> dict[str, str]:
         # per (user, zone) on consecutive seq numbers, exact integer
         # microseconds for dwell (max - min cancels any epoch offset)
         "geofence": f"""
-            WITH e AS ({_EVT_SQL}), rects AS ({_NATION_SQL}),
-            seq AS (SELECT user_id, ts, lon, lat,
-                           CAST(row_number() OVER (PARTITION BY user_id
-                                ORDER BY ts ASC, event_id ASC) AS INTEGER) AS s
-                    FROM e),
-            m AS (SELECT q.user_id, q.ts, q.s, r.n_nationkey
-                  FROM seq q, rects r
-                  WHERE q.lon >= r.xmin AND q.lon <= r.xmax
-                    AND q.lat >= r.ymin AND q.lat <= r.ymax),
-            g AS (SELECT *, CASE WHEN lag(s) OVER w IS NULL
-                                   OR s - lag(s) OVER w > 1
-                                 THEN 1 ELSE 0 END AS nw
-                  FROM m WINDOW w AS (PARTITION BY user_id, n_nationkey
-                                      ORDER BY s ASC)),
-            v AS (SELECT *, CAST(sum(nw) OVER (PARTITION BY user_id, n_nationkey
-                                 ORDER BY s ASC ROWS UNBOUNDED PRECEDING)
-                            AS BIGINT) AS visit
-                  FROM g)
+            WITH {_GEOFENCE_VISITS_SQL}
             SELECT user_id, n_nationkey, visit,
                    min(s) AS enter_seq, max(s) AS exit_seq,
                    min(ts) AS enter_ts, max(ts) AS exit_ts,
                    CAST(count(*) AS BIGINT) AS n_fixes,
                    max(epoch_us(ts)) - min(epoch_us(ts)) AS dwell_us
             FROM v GROUP BY 1, 2, 3
+        """,
+        # OD matrix mirror: same visit CTE, lead over enter_seq per
+        # user, consecutive visit pairs counted per (from, to) zone
+        "od_matrix": f"""
+            WITH {_GEOFENCE_VISITS_SQL},
+            vis AS (SELECT user_id, n_nationkey, visit,
+                           min(s) AS enter_seq
+                    FROM v GROUP BY 1, 2, 3),
+            tr AS (SELECT n_nationkey AS from_zone,
+                          lead(n_nationkey) OVER (PARTITION BY user_id
+                               ORDER BY enter_seq ASC) AS to_zone
+                   FROM vis)
+            SELECT from_zone, to_zone, CAST(count(*) AS BIGINT) AS n_trips
+            FROM tr WHERE to_zone IS NOT NULL GROUP BY 1, 2
         """,
         # Gi* mirror: identical 9-way queen scatter over the sparse
         # 360x180 count grid (integer sums -> exact doubles), identical
@@ -2487,6 +2622,184 @@ def oracle_sql() -> dict[str, str]:
                                      - w.wi * w.wi)
                                     / CAST(64799 AS DOUBLE))) AS gi_z
             FROM wis w CROSS JOIN st
+        """,
+        # Local Moran mirror: 8-way scatter (self excluded), LEFT-join
+        # zero for isolated cells, identical moment / lag / I expression
+        # order over exact integer sums
+        "local_moran": f"""
+            WITH pts AS ({_CUST_SQL}),
+            base AS (
+              SELECT CAST({ti} AS INTEGER) AS i, CAST({tj} AS INTEGER) AS j,
+                     CAST(count(*) AS DOUBLE) AS x
+              FROM pts GROUP BY 1, 2),
+            offs AS (SELECT di, dj FROM (VALUES (-1,-1),(-1,0),(-1,1),
+                     (0,-1),(0,1),(1,-1),(1,0),(1,1)) AS t(di, dj)),
+            contrib AS (
+              SELECT i + di AS ni_, j + dj AS nj_, x
+              FROM base, offs
+              WHERE i + di >= 0 AND i + di < 360
+                AND j + dj >= 0 AND j + dj < 180),
+            nsum AS (SELECT ni_, nj_, sum(x) AS sn FROM contrib GROUP BY 1, 2),
+            tot AS (SELECT sum(x) AS sx, sum(x * x) AS sxx FROM base),
+            st AS (SELECT sx / CAST(64800 AS DOUBLE) AS xbar,
+                          sxx / CAST(64800 AS DOUBLE)
+                            - (sx / CAST(64800 AS DOUBLE))
+                              * (sx / CAST(64800 AS DOUBLE)) AS m2
+                   FROM tot),
+            pre AS (
+              SELECT b.i, b.j, b.x, coalesce(n.sn, CAST(0 AS DOUBLE)) AS sn,
+                     CAST((least(b.i + 1, 359) - greatest(b.i - 1, 0) + 1)
+                          * (least(b.j + 1, 179) - greatest(b.j - 1, 0) + 1)
+                          - 1 AS DOUBLE) AS ni
+              FROM base b LEFT JOIN nsum n ON b.i = n.ni_ AND b.j = n.nj_),
+            lg AS (
+              SELECT p.i, p.j, p.x, p.ni, p.x - st.xbar AS z,
+                     (p.sn - p.ni * st.xbar) / p.ni AS lag, st.m2
+              FROM pre p CROSS JOIN st)
+            SELECT i, j, x AS weight, ni, z, lag, (z / m2) * lag AS moran_i
+            FROM lg
+        """,
+        # IDW mirror: identical cell assignment, 5x5 scatter, weight
+        # formula, and the same ordered left fold (list ORDER BY sid +
+        # list_reduce; 0.0 + x == x for finite positive x, so Spark's
+        # zero-seeded fold and DuckDB's first-element fold agree)
+        "idw": f"""
+            WITH pts AS ({_SUPP_SQL}),
+            s AS (SELECT s_suppkey AS sid, lon, lat,
+                         CAST((s_suppkey % 89) + 1 AS DOUBLE) AS v
+                  FROM pts
+                  WHERE lon >= -180.0 AND lon <= 180.0
+                    AND lat >= -90.0 AND lat <= 90.0),
+            celld AS (SELECT sid, lon, lat, v,
+                             CAST(least(floor((lon - CAST(-180.0 AS DOUBLE))
+                                  / CAST(5.0 AS DOUBLE)), 71) AS INTEGER) AS pi,
+                             CAST(least(floor((lat - CAST(-90.0 AS DOUBLE))
+                                  / CAST(5.0 AS DOUBLE)), 35) AS INTEGER) AS pj
+                      FROM s),
+            offs AS (SELECT CAST(a.range AS INTEGER) AS di,
+                            CAST(b.range AS INTEGER) AS dj
+                     FROM range(-2, 3) a, range(-2, 3) b),
+            tgt AS (SELECT sid, lon, lat, v,
+                           pi + di AS i, pj + dj AS j
+                    FROM celld, offs
+                    WHERE pi + di >= 0 AND pi + di < 72
+                      AND pj + dj >= 0 AND pj + dj < 36),
+            wts AS (SELECT sid, i, j, v,
+                           CAST(1.0 AS DOUBLE)
+                             / (((lon - (CAST(-180.0 AS DOUBLE)
+                                   + (CAST(i AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                                     * CAST(5.0 AS DOUBLE)))
+                                 * (lon - (CAST(-180.0 AS DOUBLE)
+                                   + (CAST(i AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                                     * CAST(5.0 AS DOUBLE)))
+                                + (lat - (CAST(-90.0 AS DOUBLE)
+                                   + (CAST(j AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                                     * CAST(5.0 AS DOUBLE)))
+                                  * (lat - (CAST(-90.0 AS DOUBLE)
+                                   + (CAST(j AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                                     * CAST(5.0 AS DOUBLE)))) + 1e-12) AS wt
+                    FROM tgt),
+            folded AS (
+              SELECT i, j,
+                     CAST(len(list(wt ORDER BY sid)) AS BIGINT) AS n_src,
+                     list_reduce(list(wt ORDER BY sid),
+                                 (a, b) -> a + b) AS swt,
+                     list_reduce(list(wt * v ORDER BY sid),
+                                 (a, b) -> a + b) AS swv
+              FROM wts GROUP BY 1, 2)
+            SELECT i, j, n_src, swv / swt AS est FROM folded
+        """,
+        # space-time Gi* mirror: 27-way scatter over the day-binned
+        # event cube, exact integer sums, identical moment expression
+        # order; n = 36*18*30 = 19440
+        "hotspot_st": f"""
+            WITH base AS ({_evt_cube_sql(ti10, tj10)}),
+            offs AS (SELECT CAST(a.range AS INTEGER) AS di,
+                            CAST(b.range AS INTEGER) AS dj,
+                            CAST(c.range AS INTEGER) AS dt
+                     FROM range(-1, 2) a, range(-1, 2) b, range(-1, 2) c),
+            contrib AS (
+              SELECT i + di AS ni, j + dj AS nj, t + dt AS nt_, x
+              FROM base, offs
+              WHERE i + di >= 0 AND i + di < 36
+                AND j + dj >= 0 AND j + dj < 18
+                AND t + dt >= 0 AND t + dt < 30),
+            nsum AS (SELECT ni, nj, nt_, sum(x) AS swx
+                     FROM contrib GROUP BY 1, 2, 3),
+            tot AS (SELECT sum(x) AS sx, sum(x * x) AS sxx FROM base),
+            st AS (SELECT sx / CAST(19440 AS DOUBLE) AS xbar,
+                          sqrt(sxx / CAST(19440 AS DOUBLE)
+                               - (sx / CAST(19440 AS DOUBLE))
+                                 * (sx / CAST(19440 AS DOUBLE))) AS s
+                   FROM tot),
+            wis AS (
+              SELECT b.i, b.j, b.t, b.x, n.swx,
+                     CAST((least(b.i + 1, 35) - greatest(b.i - 1, 0) + 1)
+                          * (least(b.j + 1, 17) - greatest(b.j - 1, 0) + 1)
+                          * (least(b.t + 1, 29) - greatest(b.t - 1, 0) + 1)
+                          AS DOUBLE) AS wi
+              FROM base b JOIN nsum n
+                ON b.i = n.ni AND b.j = n.nj AND b.t = n.nt_)
+            SELECT w.i, w.j, w.t, w.x AS weight, w.wi,
+                   (w.swx - st.xbar * w.wi)
+                     / (st.s * sqrt((CAST(19440 AS DOUBLE) * w.wi
+                                     - w.wi * w.wi)
+                                    / CAST(19439 AS DOUBLE))) AS gi_z
+            FROM wis w CROSS JOIN st
+        """,
+        # Mann-Kendall mirror: densified 30-bin day series per occupied
+        # cell (absent bins = exact zeros), all-integer pairwise sign
+        # sum, continuity-corrected z with the identical VAR(S) double
+        "trend_cells": f"""
+            WITH base AS ({_evt_cube_sql(ti10, tj10)}),
+            cells AS (SELECT DISTINCT i, j FROM base),
+            dense AS (
+              SELECT c.i, c.j, CAST(g.range AS INTEGER) AS t,
+                     coalesce(b.x, CAST(0 AS DOUBLE)) AS x
+              FROM cells c CROSS JOIN range(0, 30) g
+              LEFT JOIN base b
+                ON b.i = c.i AND b.j = c.j AND b.t = CAST(g.range AS INTEGER)),
+            s AS (
+              SELECT d1.i, d1.j,
+                     CAST(sum(CAST(sign(d2.x - d1.x) AS BIGINT)) AS BIGINT) AS s_stat
+              FROM dense d1 JOIN dense d2
+                ON d1.i = d2.i AND d1.j = d2.j AND d2.t > d1.t
+              GROUP BY 1, 2)
+            SELECT i, j, s_stat,
+                   CASE WHEN s_stat > 0
+                        THEN (CAST(s_stat AS DOUBLE) - CAST(1.0 AS DOUBLE))
+                             / sqrt(CAST(56550 AS DOUBLE) / CAST(18 AS DOUBLE))
+                        WHEN s_stat < 0
+                        THEN (CAST(s_stat AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                             / sqrt(CAST(56550 AS DOUBLE) / CAST(18 AS DOUBLE))
+                        ELSE CAST(0.0 AS DOUBLE) END AS z
+            FROM s
+        """,
+        # Hausdorff mirror: per-direction min-per-point / max-per-track
+        # aggregates (pure comparisons over identical sqrt chains — no
+        # summation order anywhere), sampled user tracks
+        "trajectory_sim": f"""
+            WITH e AS ({_EVT_SQL}),
+            p AS (SELECT user_id AS uid, event_id AS eid, lon, lat
+                  FROM e WHERE user_id % 10 = 0),
+            n AS (SELECT uid, CAST(count(*) AS BIGINT) AS n
+                  FROM p GROUP BY 1),
+            d1 AS (SELECT a.uid AS ua, b.uid AS ub, a.eid,
+                          min(sqrt((a.lon - b.lon) * (a.lon - b.lon)
+                                 + (a.lat - b.lat) * (a.lat - b.lat))) AS md
+                   FROM p a JOIN p b ON a.uid < b.uid GROUP BY 1, 2, 3),
+            h1 AS (SELECT ua, ub, max(md) AS h FROM d1 GROUP BY 1, 2),
+            d2 AS (SELECT a.uid AS ua, b.uid AS ub, b.eid,
+                          min(sqrt((a.lon - b.lon) * (a.lon - b.lon)
+                                 + (a.lat - b.lat) * (a.lat - b.lat))) AS md
+                   FROM p a JOIN p b ON a.uid < b.uid GROUP BY 1, 2, 3),
+            h2 AS (SELECT ua, ub, max(md) AS h FROM d2 GROUP BY 1, 2)
+            SELECT h1.ua AS track_a, h1.ub AS track_b,
+                   na.n AS n_a, nb.n AS n_b,
+                   greatest(h1.h, h2.h) AS hausdorff
+            FROM h1 JOIN h2 ON h1.ua = h2.ua AND h1.ub = h2.ub
+            JOIN n na ON na.uid = h1.ua
+            JOIN n nb ON nb.uid = h1.ub
         """,
         # track_interpolate mirror: same half-open (t0, t1] tick rule,
         # exact integer microseconds (epoch_us), identical fraction and

@@ -23,7 +23,7 @@ from pyspark.sql.types import ArrayType, LongType
 from .spatial_join import DEFAULT_LEVEL, cell_expr_of_points, cells_of_disk_arrays
 
 __all__ = ["route_search", "track_interpolate", "stay_points",
-           "geofence_sequence"]
+           "geofence_sequence", "od_matrix"]
 
 
 def route_search(
@@ -293,3 +293,35 @@ def geofence_sequence(fixes: DataFrame, zones: DataFrame,
                      F.max(ts_col).alias("exit_ts"),
                      F.count("*").alias("n_fixes"),
                      (F.max("__tus__") - F.min("__tus__")).alias("dwell_us")))
+
+
+def od_matrix(fixes: DataFrame, zones: DataFrame,
+              track_col: str, ts_col: str,
+              x_col: str, y_col: str,
+              zone_id: str = "zone_id", zone_geom: str = "geom",
+              order_col: str | None = None,
+              level: int | None = None,
+              broadcast_zones: bool | None = True) -> DataFrame:
+    """Origin-destination flow matrix: trip counts between consecutive
+    zone visits per track. Returns (from_zone, to_zone, n_trips).
+
+    Composes on `geofence_sequence`: visits per track ordered by their
+    enter fix sequence number, each consecutive visit pair is one trip
+    edge (a revisit of the same zone after leaving counts — it is a
+    real round trip). One extra window + one combining agg on top of
+    the geofence shape; the flow matrix is at most |zones|^2 rows, so
+    the final shuffle is trivially small at any data scale.
+    """
+    from pyspark.sql import Window
+
+    visits = geofence_sequence(fixes, zones, track_col, ts_col,
+                               x_col, y_col, zone_id=zone_id,
+                               zone_geom=zone_geom, order_col=order_col,
+                               level=level, broadcast_zones=broadcast_zones)
+    w = Window.partitionBy(track_col).orderBy(F.col("enter_seq").asc())
+    return (visits
+            .withColumn("__to__", F.lead(zone_id).over(w))
+            .filter(F.col("__to__").isNotNull())
+            .groupBy(F.col(zone_id).alias("from_zone"),
+                     F.col("__to__").alias("to_zone"))
+            .agg(F.count("*").alias("n_trips")))

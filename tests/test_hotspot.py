@@ -59,3 +59,144 @@ def test_gi_star_hot_blob_beats_background(spark):
     got = {(r["i"], r["j"]): r["gi_z"] for r in gi_star(df, 16, 16).collect()}
     assert got[(8, 8)] > got[(0, 0)]
     assert got[(8, 8)] == max(got.values())
+
+
+def _brute_moran(grid, w, h):
+    n = w * h
+    xbar = grid.sum() / n
+    z = grid - xbar
+    m2 = (z * z).sum() / n
+    out = {}
+    for i in range(w):
+        for j in range(h):
+            i0, i1 = max(i - 1, 0), min(i + 1, w - 1)
+            j0, j1 = max(j - 1, 0), min(j + 1, h - 1)
+            ni = (i1 - i0 + 1) * (j1 - j0 + 1) - 1
+            lag = (z[i0:i1 + 1, j0:j1 + 1].sum() - z[i, j]) / ni
+            out[(i, j)] = (float(ni), z[i, j] / m2 * lag)
+    return out
+
+
+def test_local_moran_matches_brute_force(spark):
+    from geomesa_spark.operators.hotspot import local_moran
+
+    rng = np.random.default_rng(11)
+    w, h = 10, 7
+    grid = np.zeros((w, h))
+    occ = sorted(set((int(a), int(b)) for a, b in
+                     zip(rng.integers(0, w, 20), rng.integers(0, h, 20))))
+    for i, j in occ:
+        grid[i, j] = float(rng.integers(1, 40))
+    df = spark.createDataFrame([(i, j, float(grid[i, j])) for i, j in occ],
+                               "i int, j int, weight double")
+    got = {(r["i"], r["j"]): (r["ni"], r["moran_i"])
+           for r in local_moran(df, w, h).collect()}
+    exp = _brute_moran(grid, w, h)
+    assert set(got) == set(occ)
+    for k, (ni, mi) in got.items():
+        assert ni == exp[k][0]
+        assert abs(mi - exp[k][1]) < 1e-9
+
+
+def test_local_moran_isolated_cell_has_zero_occupied_neighbors(spark):
+    """An isolated spike gets a LEFT-join zero, not a dropped row, and
+    its lag is the pure absent-neighbor term -xbar."""
+    from geomesa_spark.operators.hotspot import local_moran
+
+    df = spark.createDataFrame([(5, 5, 100.0)], "i int, j int, weight double")
+    rows = local_moran(df, 16, 16).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    xbar = 100.0 / 256.0
+    assert r["ni"] == 8.0
+    assert abs(r["lag"] - (-xbar)) < 1e-12
+    assert r["moran_i"] < 0  # high value among zeros = high-low outlier
+
+
+def _brute_gi_st(cube, w, h, nt):
+    n = w * h * nt
+    xbar = cube.sum() / n
+    s = np.sqrt((cube * cube).sum() / n - xbar * xbar)
+    out = {}
+    for i in range(w):
+        for j in range(h):
+            for t in range(nt):
+                i0, i1 = max(i - 1, 0), min(i + 1, w - 1)
+                j0, j1 = max(j - 1, 0), min(j + 1, h - 1)
+                t0, t1 = max(t - 1, 0), min(t + 1, nt - 1)
+                wi = float((i1 - i0 + 1) * (j1 - j0 + 1) * (t1 - t0 + 1))
+                swx = cube[i0:i1 + 1, j0:j1 + 1, t0:t1 + 1].sum()
+                z = (swx - xbar * wi) / (s * np.sqrt((n * wi - wi * wi) / (n - 1)))
+                out[(i, j, t)] = (wi, z)
+    return out
+
+
+def test_gi_star_st_matches_brute_force(spark):
+    from geomesa_spark.operators.hotspot import gi_star_st
+
+    rng = np.random.default_rng(13)
+    w, h, nt = 6, 5, 4
+    cube = np.zeros((w, h, nt))
+    occ = sorted(set((int(a), int(b), int(c)) for a, b, c in
+                     zip(rng.integers(0, w, 30), rng.integers(0, h, 30),
+                         rng.integers(0, nt, 30))))
+    for k in occ:
+        cube[k] = float(rng.integers(1, 30))
+    df = spark.createDataFrame([(i, j, t, float(cube[i, j, t]))
+                                for i, j, t in occ],
+                               "i int, j int, t int, weight double")
+    got = {(r["i"], r["j"], r["t"]): (r["wi"], r["gi_z"])
+           for r in gi_star_st(df, w, h, nt).collect()}
+    exp = _brute_gi_st(cube, w, h, nt)
+    assert set(got) == set(occ)
+    for k, (wi, z) in got.items():
+        assert wi == exp[k][0]
+        assert abs(z - exp[k][1]) < 1e-9
+
+
+def _brute_mk(series):
+    s = 0
+    nt = len(series)
+    for a in range(nt - 1):
+        for b in range(a + 1, nt):
+            s += int(np.sign(series[b] - series[a]))
+    var = nt * (nt - 1) * (2 * nt + 5) / 18.0
+    if s > 0:
+        z = (s - 1.0) / np.sqrt(var)
+    elif s < 0:
+        z = (s + 1.0) / np.sqrt(var)
+    else:
+        z = 0.0
+    return s, z
+
+
+def test_mann_kendall_matches_brute_force(spark):
+    from geomesa_spark.operators.hotspot import mann_kendall
+
+    rng = np.random.default_rng(17)
+    nt = 8
+    rows, exp = [], {}
+    for c, (i, j) in enumerate([(0, 0), (1, 2), (3, 3), (4, 1)]):
+        series = np.zeros(nt)
+        bins = sorted(set(int(b) for b in rng.integers(0, nt, 5)))
+        for b in bins:
+            series[b] = float(rng.integers(1, 20))
+            rows.append((i, j, b, float(series[b])))
+        exp[(i, j)] = _brute_mk(series)
+    df = spark.createDataFrame(rows, "i int, j int, t int, weight double")
+    got = {(r["i"], r["j"]): (r["s_stat"], r["z"])
+           for r in mann_kendall(df, nt).collect()}
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert abs(got[k][1] - exp[k][1]) < 1e-12
+
+
+def test_mann_kendall_monotone_series(spark):
+    from geomesa_spark.operators.hotspot import mann_kendall
+
+    rows = [(0, 0, t, float(t + 1)) for t in range(6)]       # strictly up
+    rows += [(1, 1, t, float(6 - t)) for t in range(6)]      # strictly down
+    df = spark.createDataFrame(rows, "i int, j int, t int, weight double")
+    got = {(r["i"], r["j"]): r["s_stat"] for r in mann_kendall(df, 6).collect()}
+    assert got[(0, 0)] == 15 and got[(1, 1)] == -15

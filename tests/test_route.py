@@ -206,3 +206,28 @@ class TestGeofence:
                                 "track", "ts", "x", "y",
                                 zone_id="zone", order_col="oid").collect()
         assert len(out) == 1 and out[0]["zone"] == 1
+
+
+class TestODMatrix:
+    def test_flows(self, spark):
+        import datetime as dt
+
+        from geomesa_spark.operators.route import od_matrix
+        from tests.test_spatial_join import _rect_wkb
+
+        zones = spark.createDataFrame(
+            [(1, _rect_wkb(0.5, -1.0, 3.5, 1.0)),
+             (2, _rect_wkb(4.5, -1.0, 7.5, 1.0))],
+            "zone int, geom binary")
+        t = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+        # u1: zone 1 -> zone 2 -> zone 1 (round trip); u2: 1 -> 2
+        lons_u1 = [1.0, 4.0, 5.0, 4.0, 2.0]
+        rows = [("u1", t(60 * i), lon, 0.0, i) for i, lon in enumerate(lons_u1)]
+        rows += [("u2", t(0), 1.0, 0.0, 0), ("u2", t(60), 6.0, 0.0, 1)]
+        fixes = spark.createDataFrame(
+            rows, "track string, ts timestamp_ntz, x double, y double, oid int")
+        out = od_matrix(fixes, zones, "track", "ts", "x", "y",
+                        zone_id="zone", order_col="oid")
+        got = {(r["from_zone"], r["to_zone"]): r["n_trips"]
+               for r in out.collect()}
+        assert got == {(1, 2): 2, (2, 1): 1}

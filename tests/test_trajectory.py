@@ -1,0 +1,64 @@
+"""Hausdorff trajectory join vs a numpy brute force."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geomesa_spark.operators.trajectory import hausdorff_join
+
+
+def _hausdorff(a, b):
+    d = np.sqrt(((a[:, None, :] - b[None, :, :]) ** 2).sum(-1))
+    return max(d.min(axis=1).max(), d.min(axis=0).max())
+
+
+def _tracks(rng, n_tracks=6, n_pts=9):
+    tracks = {}
+    for t in range(n_tracks):
+        ox, oy = rng.uniform(-50, 50, 2)
+        pts = np.column_stack([ox + np.cumsum(rng.uniform(-1, 1, n_pts)),
+                               oy + np.cumsum(rng.uniform(-1, 1, n_pts))])
+        tracks[t] = pts
+    return tracks
+
+
+def test_hausdorff_matches_brute_force(spark):
+    rng = np.random.default_rng(23)
+    tracks = _tracks(rng)
+    rows = [(t, k, float(p[0]), float(p[1]))
+            for t, pts in tracks.items() for k, p in enumerate(pts)]
+    df = spark.createDataFrame(rows, "tid int, o int, x double, y double")
+    got = {(r["track_a"], r["track_b"]): r["hausdorff"]
+           for r in hausdorff_join(df, "tid", "x", "y", "o").collect()}
+    assert len(got) == 15  # 6 choose 2
+    for (ta, tb), hd in got.items():
+        assert ta < tb
+        assert abs(hd - _hausdorff(tracks[ta], tracks[tb])) < 1e-9
+
+
+def test_hausdorff_threshold_prunes_and_filters(spark):
+    rows = [(0, k, float(k), 0.0) for k in range(3)]          # near origin
+    rows += [(1, k, float(k), 0.5) for k in range(3)]         # 0.5 above
+    rows += [(2, k, 1000.0 + k, 0.0) for k in range(3)]       # far away
+    df = spark.createDataFrame(rows, "tid int, o int, x double, y double")
+    got = {(r["track_a"], r["track_b"]): r["hausdorff"]
+           for r in hausdorff_join(df, "tid", "x", "y", "o",
+                                   threshold=1.0).collect()}
+    assert set(got) == {(0, 1)}
+    assert abs(got[(0, 1)] - 0.5) < 1e-12
+
+
+def test_hausdorff_identical_tracks_zero(spark):
+    rows = [(t, k, float(k), float(k)) for t in (0, 1) for k in range(4)]
+    df = spark.createDataFrame(rows, "tid int, o int, x double, y double")
+    r = hausdorff_join(df, "tid", "x", "y", "o").collect()
+    assert len(r) == 1 and r[0]["hausdorff"] == 0.0
+
+
+def test_hausdorff_max_points_guard(spark):
+    import pytest
+
+    rows = [(0, k, float(k), 0.0) for k in range(10)]
+    df = spark.createDataFrame(rows, "tid int, o int, x double, y double")
+    with pytest.raises(Exception, match="max_points"):
+        hausdorff_join(df, "tid", "x", "y", "o", max_points=5).collect()
