@@ -532,6 +532,61 @@ def q_trajectory_sim(spark, sf_dir):
     return hausdorff_join(ev, "user_id", "lon", "lat", "event_id")
 
 
+def q_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means (operators/kmeans.kmeans_assign): 2
+    update rounds over the quantized embeddings, broadcast-literal
+    centroids, one k x dim combining agg per round; final assignment
+    (vec_id, cluster, dist) is bit-identical to the unrolled DuckDB
+    iteration mirror."""
+    from geomesa_spark.operators.kmeans import kmeans_assign
+
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"), k=8, iters=2,
+                         dim=64)
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 retrieval scoring (operators/text.bm25_score): corpus-wide
+    relevance against a literal query over the documents table — one
+    map-only token pass + one scalar-stats agg broadcast back."""
+    from geomesa_spark.operators.text import bm25_score
+
+    return bm25_score(_docs(spark, sf_dir), "doc_id", "text",
+                      ["hash", "join", "vector"])
+
+
+def q_pagerank(spark, sf_dir):
+    """PageRank (operators/graph.pagerank): URL-importance power
+    iteration over the deterministic synthetic doc link graph
+    (doc_id -> (doc_id*31 + j) % N, j in 1..3); deterministic ordered
+    folds so the DuckDB unrolled-iteration mirror is bit-identical."""
+    from geomesa_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    nd = docs.count()
+    edges = (docs.select("doc_id",
+                         F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+                          .alias("j"))
+                 .select(F.col("doc_id").alias("src"),
+                         ((F.col("doc_id") * 31 + F.col("j")) % nd)
+                         .alias("dst")))
+    return pagerank(edges, iters=3, deterministic=True)
+
+
+def q_co_travel(spark, sf_dir):
+    """Co-travel / rendezvous detection (operators/trajectory.co_travel):
+    sampled user pairs with fixes within 5 degrees and 1 day — the
+    (Z2 cell, time bin) keyed spatiotemporal proximity self-join."""
+    from geomesa_spark.operators.trajectory import co_travel
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("user_id") % 5 == 0)
+          .select("user_id", "ts",
+                  tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+                  tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat")))
+    return co_travel(ev, "user_id", "ts", "lon", "lat",
+                     eps_deg=5.0, eps_s=86400, min_hits=1, level=6)
+
+
 def q_longest_legs(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts",
@@ -1569,6 +1624,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hotspot_st": q_hotspot_st,
         "trend_cells": q_trend_cells,
         "trajectory_sim": q_trajectory_sim,
+        "kmeans": q_kmeans,
+        "bm25": q_bm25,
+        "pagerank": q_pagerank,
+        "co_travel": q_co_travel,
         "sampling": q_sampling,
         "unique_vals": q_unique_vals,
         "stats_minmax": q_stats_minmax,
@@ -1960,6 +2019,132 @@ def _sql_lsh_ann(k: int = 5, dim: int = 64, n_bits: int = 16, bands: int = 4,
                           AS INTEGER) AS rank
               FROM cand)
         SELECT qid, vec_id, rank FROM r WHERE rank <= {k}
+    """
+
+
+def _sql_kmeans(k: int = 8, iters: int = 2, dim: int = 64,
+                scale: float = 256.0) -> str:
+    """DuckDB mirror of operators/kmeans.kmeans_assign: same quantize
+    (floor(x*scale) -> exact ints), same splitmix64 seed pick, the same
+    Lloyd iterations UNROLLED as CTE pairs (assign a{t} / update c{t+1});
+    ties to the smallest centroid id; exact integer sums + identical
+    divides make every iteration bit-identical."""
+    mix_cte, mix_col = _sql_mix64_cte("CAST(vec_id AS HUGEINT)")
+    qx = f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {scale!r}) AS BIGINT))"
+    cx = f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {scale!r}) AS DOUBLE))"
+    dist = (f"list_reduce(list_transform(range(1, {dim + 1}), "
+            f"i -> (q[i] - cv[i]) * (q[i] - cv[i])), (a, b) -> a + b)")
+    sums = ", ".join(f"sum(q[{d + 1}]) AS s{d}" for d in range(dim))
+    means = ", ".join(f"CAST(s.s{d} AS DOUBLE) / CAST(s.n AS DOUBLE)"
+                      for d in range(dim))
+    parts = [f"""mx0 AS (SELECT vec_id, embedding FROM embeddings),
+        {mix_cte},
+        qt AS (SELECT vec_id AS id, {qx} AS q FROM embeddings),
+        c0 AS (SELECT CAST(row_number() OVER (ORDER BY {mix_col}, vec_id) - 1
+                           AS INTEGER) AS cid, {cx} AS cv
+               FROM mxf ORDER BY {mix_col}, vec_id LIMIT {k})"""]
+    for t in range(iters + 1):
+        parts.append(f"""a{t} AS (
+            SELECT id, q, cid AS cluster, {dist} AS dist,
+                   row_number() OVER (PARTITION BY id
+                       ORDER BY {dist} ASC, cid ASC) AS rn
+            FROM qt, c{t})""")
+        if t < iters:
+            parts.append(f"""s{t} AS (
+            SELECT cluster, CAST(count(*) AS BIGINT) AS n, {sums}
+            FROM a{t} WHERE rn = 1 GROUP BY 1)""")
+            parts.append(f"""c{t + 1} AS (
+            SELECT c.cid,
+                   CASE WHEN s.n IS NULL THEN c.cv
+                        ELSE list_value({means}) END AS cv
+            FROM c{t} c LEFT JOIN s{t} s ON s.cluster = c.cid)""")
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT id AS vec_id, cluster, dist FROM a{iters} WHERE rn = 1
+    """
+
+
+def _sql_bm25(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB mirror of text.bm25_score: identical tokenization, exact
+    integer corpus stats, the same fixed-order double chain, float32
+    output absorbing ln() libm ulps (the unigram_logprob convention)."""
+    tf_cols = ",\n                   ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t.lower()}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms)))
+    k1s = f"CAST({k1!r} AS DOUBLE)"
+    bs = f"CAST({b!r} AS DOUBLE)"
+    k1p1 = f"({k1s} + CAST(1.0 AS DOUBLE))"
+    avgdl = "(CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))"
+    score = "CAST(0.0 AS DOUBLE)"
+    for i in range(len(terms)):
+        idf = (f"ln((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+               f" / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)")
+        denom = (f"(CAST(tf{i} AS DOUBLE) + {k1s} * (CAST(1.0 AS DOUBLE) - {bs}"
+                 f" + {bs} * CAST(dl AS DOUBLE) / {avgdl}))")
+        score = f"{score} + {idf} * (CAST(tf{i} AS DOUBLE) * {k1p1}) / {denom}"
+    return f"""
+        WITH d AS (SELECT doc_id,
+                          regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                   FROM documents),
+        base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                   {tf_cols}
+                 FROM d),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS sdl, {df_cols}
+              FROM base),
+        s AS (SELECT b.doc_id, b.dl, CAST({score} AS REAL) AS score32
+              FROM base b CROSS JOIN g)
+        SELECT doc_id, dl, score32 FROM s WHERE score32 > 0
+    """
+
+
+def _sql_pagerank(iters: int = 3, d: float = 0.85) -> str:
+    """DuckDB mirror of operators/graph.pagerank(deterministic=True)
+    over the synthetic doc link graph: iterations UNROLLED, each node's
+    in-contributions folded in src order and the dangling mass folded
+    in node order (matching Spark's array_sort + aggregate), identical
+    teleport/damping double chain."""
+    ds = f"CAST({d!r} AS DOUBLE)"
+    parts = ["""nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        eg AS (SELECT doc_id AS s, (doc_id * 31 + j.j) % (SELECT n FROM nd) AS t
+               FROM documents, (VALUES (1), (2), (3)) AS j(j)),
+        vs AS (SELECT DISTINCT s AS node FROM eg
+               UNION SELECT DISTINCT t FROM eg),
+        dg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM eg GROUP BY 1),
+        base AS (SELECT v.node, d.deg FROM vs v LEFT JOIN dg d ON d.s = v.node),
+        pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / CAST((SELECT n FROM nd) AS DOUBLE) AS pr
+                FROM base)"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f"""cb{t} AS (
+            SELECT e.t AS node,
+                   list_reduce(list(p.pr / CAST(b.deg AS DOUBLE) ORDER BY e.s),
+                               (a, x) -> a + x) AS insum
+            FROM eg e JOIN pr{p} p ON p.node = e.s
+                      JOIN base b ON b.node = e.s
+            GROUP BY 1)""")
+        parts.append(f"""dm{t} AS (
+            SELECT coalesce(list_reduce(list(p.pr ORDER BY p.node),
+                                        (a, x) -> a + x), CAST(0.0 AS DOUBLE)) AS dm
+            FROM pr{p} p JOIN base b ON b.node = p.node
+            WHERE b.deg IS NULL)""")
+        parts.append(f"""pr{t} AS (
+            SELECT b.node,
+                   (CAST(1.0 AS DOUBLE) - {ds})
+                     * (CAST(1.0 AS DOUBLE) / CAST((SELECT n FROM nd) AS DOUBLE))
+                   + {ds} * (coalesce(c.insum, CAST(0.0 AS DOUBLE))
+                             + m.dm * (CAST(1.0 AS DOUBLE)
+                                       / CAST((SELECT n FROM nd) AS DOUBLE))) AS pr
+            FROM base b LEFT JOIN cb{t} c ON c.node = b.node
+            CROSS JOIN dm{t} m)""")
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT node, pr FROM pr{iters}
     """
 
 
@@ -2800,6 +2985,27 @@ def oracle_sql() -> dict[str, str]:
             FROM h1 JOIN h2 ON h1.ua = h2.ua AND h1.ub = h2.ub
             JOIN n na ON na.uid = h1.ua
             JOIN n nb ON nb.uid = h1.ub
+        """,
+        "kmeans": _sql_kmeans(),
+        "bm25": _sql_bm25(["hash", "join", "vector"]),
+        "pagerank": _sql_pagerank(),
+        # co-travel mirror: brute self-join on the sampled users with
+        # the identical strict squared-distance / inclusive-microsecond
+        # predicates (counting + exact compares only, nothing to drift)
+        "co_travel": f"""
+            WITH e AS ({_EVT_SQL}),
+            p AS (SELECT user_id AS uid, ts, epoch_us(ts) AS tu, lon, lat
+                  FROM e WHERE user_id % 5 = 0)
+            SELECT a.uid AS track_a, b.uid AS track_b,
+                   CAST(count(*) AS BIGINT) AS n_hits,
+                   min(least(a.ts, b.ts)) AS t_first,
+                   max(greatest(a.ts, b.ts)) AS t_last
+            FROM p a JOIN p b
+              ON a.uid < b.uid
+             AND (a.lon - b.lon) * (a.lon - b.lon)
+                 + (a.lat - b.lat) * (a.lat - b.lat) < CAST(25.0 AS DOUBLE)
+             AND abs(a.tu - b.tu) <= 86400000000
+            GROUP BY 1, 2
         """,
         # track_interpolate mirror: same half-open (t0, t1] tick rule,
         # exact integer microseconds (epoch_us), identical fraction and

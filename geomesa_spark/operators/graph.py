@@ -1,0 +1,90 @@
+"""Link-graph analytics: PageRank for web-corpus importance scoring.
+
+Common-Crawl-scale pipelines rank URLs/hosts by link centrality to
+gate crawl priority and quality weighting; PageRank is the canonical
+statistic. The reference engine has no graph operator — this is part
+of the training-data-pipeline surface, like dedup/ANN.
+
+Spark-first power iteration: ranks live in a (node, pr) frame; each
+round is one join edges->ranks (contributions), one combining groupBy
+on the destination, and one union with the teleport term — shuffles
+keyed by node id only, rank state never collected to the driver.
+Dangling mass (nodes with no out-links) is redistributed uniformly,
+so total rank is conserved at every round.
+
+Two summation modes (the `interpolate.idw_grid` convention):
+``deterministic=False`` uses plain partial-agg sums (the scale path);
+``deterministic=True`` folds each node's in-contributions sorted by
+source id and the dangling mass sorted by node id — fixed addition
+order, bit-reproducible across engines (the DuckDB oracle unrolls the
+same iterations with ordered list_reduce folds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["pagerank"]
+
+
+def _fold_sum(sorted_arr) -> F.Column:
+    return F.aggregate(sorted_arr, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             iters: int = 3, damping: float = 0.85,
+             deterministic: bool = False) -> DataFrame:
+    """Power-iteration PageRank; returns (node, pr) after ``iters``
+    rounds from the uniform start 1/N.
+
+        pr'(v) = (1-d)/N + d * (sum_{u->v} pr(u)/deg(u) + dangling/N)
+
+    Nodes are every distinct src or dst; parallel edges each carry a
+    contribution (multigraph semantics — dedup upstream if unwanted).
+    """
+    e = edges.select(F.col(src).cast("long").alias("s"),
+                     F.col(dst).cast("long").alias("t"))
+    nodes = (e.select(F.col("s").alias("node"))
+              .union(e.select(F.col("t").alias("node")))
+              .distinct())
+    deg = e.groupBy("s").agg(F.count("*").alias("deg"))
+    # degree joined once; dangling nodes keep deg NULL
+    base = nodes.join(deg, nodes["node"] == deg["s"], "left").drop("s")
+    n_nodes = base.count()
+    if n_nodes == 0:
+        return edges.sparkSession.createDataFrame([], "node long, pr double")
+    base = base.persist()
+    inv_n = 1.0 / float(n_nodes)
+    d = float(damping)
+    pr = base.select("node", F.lit(inv_n).alias("pr"))
+    for _ in range(iters):
+        state = base.join(pr, "node")
+        contrib = (e.join(state.select("node", "deg", "pr"),
+                          e["s"] == F.col("node"))
+                    .select(F.col("t").alias("node"), F.col("s"),
+                            (F.col("pr") / F.col("deg").cast("double"))
+                            .alias("c")))
+        if deterministic:
+            summed = (contrib.groupBy("node")
+                      .agg(_fold_sum(F.array_sort(F.collect_list(
+                          F.struct(F.col("s"), F.col("c"))))
+                          .getField("c")).alias("insum")))
+            dang = (state.filter(F.col("deg").isNull())
+                    .agg(_fold_sum(F.array_sort(F.collect_list(
+                        F.struct(F.col("node"), F.col("pr"))))
+                        .getField("pr")).alias("dm")))
+        else:
+            summed = contrib.groupBy("node").agg(F.sum("c").alias("insum"))
+            dang = (state.filter(F.col("deg").isNull())
+                    .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm")))
+        pr = (base.select("node")
+              .join(summed, "node", "left")
+              .crossJoin(F.broadcast(dang))
+              .select("node",
+                      (F.lit((1.0 - d) * inv_n)
+                       + F.lit(d) * (F.coalesce(F.col("insum"), F.lit(0.0))
+                                     + F.col("dm") * F.lit(inv_n)))
+                      .alias("pr")))
+    out = pr
+    base.unpersist()
+    return out

@@ -15,7 +15,7 @@ from pyspark.sql.types import LongType, StringType
 
 __all__ = [
     "token_count", "approx_bpe_tokens", "text_stats", "quality_score",
-    "repetition_stats", "langid_udf", "fingerprint_udf",
+    "repetition_stats", "langid_udf", "fingerprint_udf", "bm25_score",
 ]
 
 
@@ -240,3 +240,57 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str,
                       "n_grams", "top_gram_count",
                       (F.col("__dup_gram__").cast("double")
                        / F.col("n_grams")).alias("dup_gram_frac")))
+
+
+def bm25_score(docs: DataFrame, id_col: str, text_col: str,
+               terms: list[str], k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 relevance of every document against a literal query-term
+    list (Robertson/Sparck Jones; the Lucene +1 idf form so idf > 0):
+
+        score(d) = sum_t ln((N - df_t + .5)/(df_t + .5) + 1)
+                         * tf_td*(k1+1) / (tf_td + k1*(1 - b + b*dl/avgdl))
+
+    Scale shape: ONE map-only pass computes (dl, tf_t...) per doc as
+    codegen'd array HOFs over the whitespace tokens (the engine's
+    shared tokenization), ONE global agg produces the scalar corpus
+    stats (N, sum dl, df_t — all exact integers), broadcast back, and
+    the score is a fixed-order literal expression — no shuffle touches
+    doc text. Query terms are matched lowercase.
+
+    Exactness: every corpus stat is an exact integer, so the only
+    engine-dependent op is ln(); the returned score is float32
+    (`score32`), absorbing the <=1-ulp libm differences (the
+    unigram_logprob convention). Returns (id, dl, score32) for docs
+    matching at least one term.
+    """
+    if not terms:
+        raise ValueError("bm25_score needs at least one query term")
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = docs.select(F.col(id_col), toks.alias("__toks__"))
+    base = base.withColumn("dl", F.size("__toks__").cast("long"))
+    for i, t in enumerate(terms):
+        tl = str(t).lower()
+        tf = F.size(F.filter("__toks__", lambda x: x == F.lit(tl)))
+        base = base.withColumn(f"tf{i}", tf.cast("long"))
+    base = base.drop("__toks__")
+    g = base.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+          for i in range(len(terms))])
+    scored = base.crossJoin(F.broadcast(g))
+    nd = F.col("n").cast("double")
+    avgdl = F.col("sdl").cast("double") / nd
+    dl = F.col("dl").cast("double")
+    k1p1 = float(k1) + 1.0
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        tf = F.col(f"tf{i}").cast("double")
+        dfd = F.col(f"df{i}").cast("double")
+        idf = F.log((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)) + F.lit(1.0))
+        denom = tf + F.lit(float(k1)) * (F.lit(1.0) - F.lit(float(b))
+                                         + F.lit(float(b)) * dl / avgdl)
+        score = score + idf * (tf * F.lit(k1p1)) / denom
+    out = scored.select(F.col(id_col), F.col("dl"),
+                        score.cast("float").alias("score32"))
+    return out.filter(F.col("score32") > 0)

@@ -24,9 +24,11 @@ results are bit-reproducible across engines with no ordered-fold trick.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["hausdorff_join"]
+__all__ = ["hausdorff_join", "co_travel"]
 
 
 def hausdorff_join(df: DataFrame, track_col: str, x_col: str, y_col: str,
@@ -95,3 +97,76 @@ def hausdorff_join(df: DataFrame, track_col: str, x_col: str, y_col: str,
     if threshold is not None:
         out = out.filter(F.col("hausdorff") <= F.lit(float(threshold)))
     return out
+
+
+def co_travel(fixes: DataFrame, track_col: str, ts_col: str,
+              x_col: str, y_col: str,
+              eps_deg: float, eps_s: int, min_hits: int = 1,
+              level: int = 6) -> DataFrame:
+    """Rendezvous / co-travel detection: track pairs with >= min_hits
+    fix pairs within ``eps_deg`` degrees AND ``eps_s`` seconds.
+
+    The spatiotemporal proximity self-join (the reference's tube-select
+    and proximity process both answer "who was near this track" —
+    geomesa-process ProximitySearchProcess.scala:25,
+    TubeSelectProcess.scala:43 — this is the all-pairs form): the join
+    key is (Z2 cell, time bin), i.e. a Z3-shaped composite. The left
+    fix keeps its single (cell, bin); the right fix explodes to the
+    cells covering its eps-disk x its 3 adjacent time bins, so every
+    qualifying pair meets on exactly one key — no pair-dedup shuffle.
+    Refine is strict dist < eps (squared compare, no sqrt) and
+    inclusive |dt| <= eps_s, both exact. One combining agg counts hits
+    per (track_a < track_b).
+
+    Scale shape: candidates are bounded by true spatiotemporal
+    co-location (never all-pairs); hot (cell, bin) keys — crowds — are
+    real data density, the same skew `spatial_join.recommend_salt`
+    addresses. Returns (track_a, track_b, n_hits, t_first, t_last)
+    with t_first/t_last the hit window (least/greatest of fix times).
+    """
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    from .spatial_join import cell_expr_of_points, cells_of_disk_arrays
+
+    eps_us = int(eps_s) * 1_000_000
+
+    @pandas_udf(ArrayType(LongType()))
+    def cover_pt(x: pd.Series, y: pd.Series) -> pd.Series:
+        xs = x.to_numpy(np.float64)
+        ys = y.to_numpy(np.float64)
+        r = np.full_like(xs, float(eps_deg))
+        return pd.Series(cells_of_disk_arrays(xs, ys, r, r, level),
+                         dtype=object)
+
+    ts_type = fixes.schema[ts_col].dataType.simpleString()
+    epoch = F.lit("1970-01-01 00:00:00").cast(ts_type)
+    tus = F.timestamp_diff("MICROSECOND", epoch, F.col(ts_col))
+    base = fixes.select(F.col(track_col).alias("tk"),
+                        F.col(x_col).cast("double").alias("x"),
+                        F.col(y_col).cast("double").alias("y"),
+                        F.col(ts_col).alias("ts"),
+                        tus.alias("tu"))
+    tbin = F.floor(F.col("tu") / F.lit(eps_us))
+    a = (base.withColumn("__cell__", cell_expr_of_points("x", "y", level))
+             .withColumn("__tb__", tbin)
+             .select(F.col("tk").alias("ta"), F.col("x").alias("xa"),
+                     F.col("y").alias("ya"), F.col("ts").alias("tsa"),
+                     F.col("tu").alias("tua"), "__cell__", "__tb__"))
+    b = (base.withColumn("__cell__", F.explode(cover_pt(F.col("x"), F.col("y"))))
+             .withColumn("__tb__", F.explode(F.array(tbin - 1, tbin, tbin + 1)))
+             .select(F.col("tk").alias("tb"), F.col("x").alias("xb"),
+                     F.col("y").alias("yb"), F.col("ts").alias("tsb"),
+                     F.col("tu").alias("tub"), "__cell__", "__tb__"))
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    hits = (a.join(b, on=["__cell__", "__tb__"])
+             .filter(F.col("ta") < F.col("tb"))
+             .filter(dx * dx + dy * dy < F.lit(float(eps_deg) * float(eps_deg)))
+             .filter(F.abs(F.col("tua") - F.col("tub")) <= F.lit(eps_us)))
+    return (hits.groupBy(F.col("ta").alias("track_a"),
+                         F.col("tb").alias("track_b"))
+                .agg(F.count("*").alias("n_hits"),
+                     F.min(F.least("tsa", "tsb")).alias("t_first"),
+                     F.max(F.greatest("tsa", "tsb")).alias("t_last"))
+                .filter(F.col("n_hits") >= min_hits))

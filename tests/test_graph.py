@@ -1,0 +1,50 @@
+"""PageRank vs a dense numpy power iteration with the same rules."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from geomesa_spark.operators.graph import pagerank
+
+
+def _brute(edges, iters=3, d=0.85):
+    nodes = sorted({u for e in edges for u in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[idx[s]] += 1
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        new = np.full(n, (1.0 - d) / n)
+        dangling = pr[deg == 0].sum()
+        add = np.zeros(n)
+        for s, t in edges:
+            add[idx[t]] += pr[idx[s]] / deg[idx[s]]
+        new += d * (add + dangling / n)
+        pr = new
+    return {v: pr[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_brute_force(spark):
+    rng = np.random.default_rng(41)
+    edges = sorted({(int(a), int(b)) for a, b in
+                    zip(rng.integers(0, 20, 60), rng.integers(0, 20, 60))})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for det in (False, True):
+        got = {r["node"]: r["pr"]
+               for r in pagerank(df, iters=3, deterministic=det).collect()}
+        exp = _brute(edges)
+        assert set(got) == set(exp)
+        for v in exp:
+            assert abs(got[v] - exp[v]) < 1e-12
+        assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_pagerank_dangling_and_hub(spark):
+    # star: 1,2,3 -> 0; 0 has no out-links (dangling)
+    edges = [(1, 0), (2, 0), (3, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["pr"] for r in pagerank(df, iters=5).collect()}
+    assert got[0] > got[1] == got[2] == got[3]
+    assert abs(sum(got.values()) - 1.0) < 1e-9

@@ -79,3 +79,51 @@ def test_repetition_stats_short_doc(spark):
     df = spark.createDataFrame([(7, "solo")], "doc_id long, text string")
     r = repetition_stats(df, "doc_id", "text").collect()[0]
     assert r.n_words == 1 and r.n_grams == 1 and r.dup_gram_frac == 0.0
+
+
+class TestBM25:
+    def test_matches_reference_formula(self, spark):
+        import math
+
+        from geomesa_spark.operators.text import bm25_score
+
+        corpus = [
+            (0, "hash join hash join scan"),
+            (1, "vector scan filter"),
+            (2, "merge sort order by"),
+            (3, "hash"),
+        ]
+        df = spark.createDataFrame(corpus, "doc_id long, text string")
+        got = {r["doc_id"]: (r["dl"], r["score32"])
+               for r in bm25_score(df, "doc_id", "text",
+                                   ["hash", "vector"]).collect()}
+        # brute force
+        toks = {i: t.split() for i, t in corpus}
+        N, dls = 4, {i: len(t) for i, t in toks.items()}
+        avgdl = sum(dls.values()) / N
+        k1, b = 1.2, 0.75
+
+        def score(i):
+            s = 0.0
+            for term in ("hash", "vector"):
+                tf = toks[i].count(term)
+                df_t = sum(1 for t in toks.values() if term in t)
+                idf = math.log((N - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dls[i] / avgdl))
+            return s
+
+        assert set(got) == {0, 1, 3}          # doc 2 matches nothing
+        for i in got:
+            assert got[i][0] == dls[i]
+            assert abs(got[i][1] - score(i)) < 1e-5
+
+    def test_rare_term_outscores_common(self, spark):
+        from geomesa_spark.operators.text import bm25_score
+
+        rows = [(i, "common filler words here") for i in range(20)]
+        rows += [(100, "common rare"), (101, "common common")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["score32"]
+               for r in bm25_score(df, "doc_id", "text",
+                                   ["rare", "common"]).collect()}
+        assert got[100] > got[101]

@@ -62,3 +62,47 @@ def test_hausdorff_max_points_guard(spark):
     df = spark.createDataFrame(rows, "tid int, o int, x double, y double")
     with pytest.raises(Exception, match="max_points"):
         hausdorff_join(df, "tid", "x", "y", "o", max_points=5).collect()
+
+
+class TestCoTravel:
+    def test_matches_brute_force(self, spark):
+        import datetime as dt
+
+        from geomesa_spark.operators.trajectory import co_travel
+
+        rng = np.random.default_rng(43)
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        for u in range(8):
+            for k in range(12):
+                rows.append((u, t0 + dt.timedelta(seconds=int(rng.integers(0, 86400))),
+                             float(rng.uniform(-20, 20)), float(rng.uniform(-20, 20))))
+        df = spark.createDataFrame(rows, "uid long, ts timestamp_ntz, x double, y double")
+        eps_deg, eps_s = 6.0, 7200
+        got = {(r["track_a"], r["track_b"]): r["n_hits"]
+               for r in co_travel(df, "uid", "ts", "x", "y",
+                                  eps_deg, eps_s).collect()}
+        exp = {}
+        for (ua, ta, xa, ya) in rows:
+            for (ub, tb, xb, yb) in rows:
+                if ua < ub and (xa - xb) ** 2 + (ya - yb) ** 2 < eps_deg ** 2 \
+                        and abs((ta - tb).total_seconds()) <= eps_s:
+                    exp[(ua, ub)] = exp.get((ua, ub), 0) + 1
+        assert got == exp
+        assert exp  # the fixture really produces hits
+
+    def test_min_hits_filters(self, spark):
+        import datetime as dt
+
+        from geomesa_spark.operators.trajectory import co_travel
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [(0, t0, 0.0, 0.0), (1, t0, 0.1, 0.0),          # 1 hit pair
+                (2, t0, 50.0, 0.0), (3, t0, 50.1, 0.0),        # hit 1
+                (2, t0 + dt.timedelta(hours=1), 51.0, 0.0),    # hit 2 + the
+                (3, t0 + dt.timedelta(hours=1), 51.1, 0.0)]    # 2@1h-3@0 cross
+        df = spark.createDataFrame(rows, "uid long, ts timestamp_ntz, x double, y double")
+        got = {(r["track_a"], r["track_b"]): r["n_hits"]
+               for r in co_travel(df, "uid", "ts", "x", "y", 1.0, 3600,
+                                  min_hits=2).collect()}
+        assert got == {(2, 3): 3}
