@@ -494,6 +494,10 @@ def _event_cube(spark, sf_dir):
     return (ev.filter((F.col("lon") >= -180.0) & (F.col("lon") <= 180.0)
                       & (F.col("lat") >= -90.0) & (F.col("lat") <= 90.0))
               .select(i.alias("i"), j.alias("j"), t.alias("t"))
+              # events outside the 30-day window must be DROPPED, not
+              # clamped: an out-of-window t would feed the Gi* global
+              # moments yet fall outside the scatter bounds
+              .filter((F.col("t") >= 0) & (F.col("t") < 30))
               .groupBy("i", "j", "t")
               .agg(F.count("*").cast("double").alias("weight")))
 
@@ -2458,12 +2462,13 @@ def _sql_gopher(min_words: int, min_stopwords: int) -> str:
 def _evt_cube_sql(ti10: str, tj10: str) -> str:
     """Day-binned 10-degree event cube (i, j, t, x) — mirror of
     _event_cube: identical tile and epoch-day expressions."""
-    return (f"SELECT CAST({ti10} AS INTEGER) AS i, "
+    return (f"SELECT i, j, t, CAST(count(*) AS DOUBLE) AS x FROM ("
+            f"SELECT CAST({ti10} AS INTEGER) AS i, "
             f"CAST({tj10} AS INTEGER) AS j, "
             f"CAST(CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) "
-            f"- 19723 AS INTEGER) AS t, "
-            f"CAST(count(*) AS DOUBLE) AS x "
-            f"FROM ({_EVT_SQL}) GROUP BY 1, 2, 3")
+            f"- 19723 AS INTEGER) AS t "
+            f"FROM ({_EVT_SQL})) "
+            f"WHERE t >= 0 AND t < 30 GROUP BY 1, 2, 3")
 
 
 # shared CTE chain of the geofence/od_matrix mirrors: fix sequencing,
@@ -2766,7 +2771,8 @@ def oracle_sql() -> dict[str, str]:
                     FROM v GROUP BY 1, 2, 3),
             tr AS (SELECT n_nationkey AS from_zone,
                           lead(n_nationkey) OVER (PARTITION BY user_id
-                               ORDER BY enter_seq ASC) AS to_zone
+                               ORDER BY enter_seq ASC, n_nationkey ASC)
+                               AS to_zone
                    FROM vis)
             SELECT from_zone, to_zone, CAST(count(*) AS BIGINT) AS n_trips
             FROM tr WHERE to_zone IS NOT NULL GROUP BY 1, 2

@@ -117,10 +117,17 @@ def dbscan(points: DataFrame, eps: float, min_pts: int,
     """
     pairs = eps_neighbor_pairs(points, eps, id_col=id_col, x=x, y=y,
                                metric=metric, level=level).persist()
-    deg = pairs.groupBy("id_a").agg(F.count("*").alias("__nbrs__"))
-    core = (deg.filter(F.col("__nbrs__") + 1 >= int(min_pts))
-               .select(F.col("id_a").alias("__cid__"))
-               .persist())
+    if int(min_pts) <= 1:
+        # |N(p)| >= 1 always holds (p counts itself), so EVERY point is
+        # core — including zero-neighbor isolates, which produce no
+        # pairs row and would otherwise be mislabeled noise
+        core = (points.select(F.col(id_col).cast("long").alias("__cid__"))
+                      .persist())
+    else:
+        deg = pairs.groupBy("id_a").agg(F.count("*").alias("__nbrs__"))
+        core = (deg.filter(F.col("__nbrs__") + 1 >= int(min_pts))
+                   .select(F.col("id_a").alias("__cid__"))
+                   .persist())
     # core-core edges only: the CC never sees border/noise rows
     cedges = (pairs
               .join(core.withColumnRenamed("__cid__", "id_a"), on="id_a",

@@ -50,10 +50,11 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     deg = e.groupBy("s").agg(F.count("*").alias("deg"))
     # degree joined once; dangling nodes keep deg NULL
     base = nodes.join(deg, nodes["node"] == deg["s"], "left").drop("s")
-    n_nodes = base.count()
-    if n_nodes == 0:
-        return edges.sparkSession.createDataFrame([], "node long, pr double")
     base = base.persist()
+    n_nodes = base.count()  # action AFTER persist so the cache is populated
+    if n_nodes == 0:
+        base.unpersist()
+        return edges.sparkSession.createDataFrame([], "node long, pr double")
     inv_n = 1.0 / float(n_nodes)
     d = float(damping)
     pr = base.select("node", F.lit(inv_n).alias("pr"))
@@ -84,7 +85,12 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                       (F.lit((1.0 - d) * inv_n)
                        + F.lit(d) * (F.coalesce(F.col("insum"), F.lit(0.0))
                                      + F.col("dm") * F.lit(inv_n)))
-                      .alias("pr")))
+                      .alias("pr"))
+              # eager checkpoint per round (the dedup_clusters pattern):
+              # both `summed` and `dang` reference the prior pr, so an
+              # unpinned lineage doubles each round and the whole chain
+              # re-executes at every downstream action
+              .localCheckpoint(eager=True))
     out = pr
-    base.unpersist()
+    base.unpersist()  # final pr is checkpoint-truncated; no recompute
     return out

@@ -221,6 +221,11 @@ def mann_kendall(grid: DataFrame, nt: int,
     cube's time axis is fixed by the analysis window). Returns
     (i, j, s_stat, z).
     """
+    if nt < 2:
+        # no bin pairs exist; F.sequence(0, nt-2) would auto-step
+        # DOWNWARD ([0,-1]) and index past the series instead of being
+        # empty, so guard rather than let the fold misfire
+        raise ValueError("mann_kendall needs nt >= 2 time bins")
     g = grid.select(F.col(i).cast("int").alias("i"),
                     F.col(j).cast("int").alias("j"),
                     F.col(t).cast("int").alias("t"),

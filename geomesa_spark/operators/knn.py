@@ -164,7 +164,7 @@ def all_knn_join(
     ry: str,
     metric: str = "degrees",
     level: int = DEFAULT_LEVEL,
-    max_rounds: int = 6,
+    max_rounds: int | None = None,
     max_radius: float | None = None,
 ) -> DataFrame:
     """k nearest ``right`` points per ``left`` point — BOTH sides large.
@@ -200,6 +200,14 @@ def all_knn_join(
         max_radius = 405.0 if metric == "degrees" else math.pi * EARTH_RADIUS_M
     diag = math.hypot(360.0 / (1 << level), 180.0 / (1 << level))
     seed_r = diag if metric == "degrees" else diag * 111_320.0
+    if max_rounds is None:
+        # enough doublings for the worst-case diagonal seed to reach
+        # max_radius (round r's disk is seed_r * 2^(r-1)); +2 covers the
+        # seed round and one final full-radius round. Converged queries
+        # retire via the isEmpty() check, so a generous bound costs
+        # nothing — a tight one silently returns < k rows.
+        max_rounds = max(
+            2, math.ceil(math.log2(max(max_radius / seed_r, 1.0))) + 2)
 
     rc = right.withColumn("__cell__", cell_expr_of_points(rx, ry, level))
     dist = _dist_expr(F.col(lx), F.col(ly), F.col(rx), F.col(ry), metric)

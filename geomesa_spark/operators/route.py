@@ -318,7 +318,11 @@ def od_matrix(fixes: DataFrame, zones: DataFrame,
                                x_col, y_col, zone_id=zone_id,
                                zone_geom=zone_geom, order_col=order_col,
                                level=level, broadcast_zones=broadcast_zones)
-    w = Window.partitionBy(track_col).orderBy(F.col("enter_seq").asc())
+    # zone_id tie-break: two zones entered at the SAME fix (overlapping
+    # fences) share an enter_seq, and a single-key sort would leave the
+    # trip direction to shuffle order
+    w = Window.partitionBy(track_col).orderBy(F.col("enter_seq").asc(),
+                                              F.col(zone_id).asc())
     return (visits
             .withColumn("__to__", F.lead(zone_id).over(w))
             .filter(F.col("__to__").isNotNull())

@@ -13,6 +13,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.types import LongType, StringType
 
+from .cache import attach_cached
+
 __all__ = [
     "token_count", "approx_bpe_tokens", "text_stats", "quality_score",
     "repetition_stats", "langid_udf", "fingerprint_udf", "bm25_score",
@@ -252,10 +254,12 @@ def bm25_score(docs: DataFrame, id_col: str, text_col: str,
 
     Scale shape: ONE map-only pass computes (dl, tf_t...) per doc as
     codegen'd array HOFs over the whitespace tokens (the engine's
-    shared tokenization), ONE global agg produces the scalar corpus
-    stats (N, sum dl, df_t — all exact integers), broadcast back, and
-    the score is a fixed-order literal expression — no shuffle touches
-    doc text. Query terms are matched lowercase.
+    shared tokenization); that narrow frame is persisted so the global
+    corpus-stats agg (N, sum dl, df_t — all exact integers) and the
+    final scored scan share the single tokenize pass. Stats broadcast
+    back and the score is a fixed-order literal expression — no shuffle
+    touches doc text. Query terms are matched lowercase. The cache
+    rides on the result; ``cache.release(result)`` frees it.
 
     Exactness: every corpus stat is an exact integer, so the only
     engine-dependent op is ln(); the returned score is float32
@@ -272,7 +276,10 @@ def bm25_score(docs: DataFrame, id_col: str, text_col: str,
         tl = str(t).lower()
         tf = F.size(F.filter("__toks__", lambda x: x == F.lit(tl)))
         base = base.withColumn(f"tf{i}", tf.cast("long"))
-    base = base.drop("__toks__")
+    # persist the narrow (id, dl, tf...) frame: both the corpus-stats
+    # agg and the scored scan read it, and without the cache the
+    # dominant cost — tokenizing every document — runs twice
+    base = base.drop("__toks__").persist()
     g = base.agg(
         F.count("*").alias("n"),
         F.sum("dl").alias("sdl"),
@@ -293,4 +300,4 @@ def bm25_score(docs: DataFrame, id_col: str, text_col: str,
         score = score + idf * (tf * F.lit(k1p1)) / denom
     out = scored.select(F.col(id_col), F.col("dl"),
                         score.cast("float").alias("score32"))
-    return out.filter(F.col("score32") > 0)
+    return attach_cached(out.filter(F.col("score32") > 0), base)
