@@ -1287,6 +1287,37 @@ def q_sessions(spark, sf_dir):
                          order_col="event_id")
 
 
+def q_interval_join(spark, sf_dir):
+    """Interval overlap join (operators/temporal.interval_join): each
+    purchase holds an attention window (20-260 min by id), each view a
+    display window (30-330 min); pairs within the same user cohort whose
+    half-open windows overlap, with exact integer-microsecond overlap.
+    Binned co-shuffle + report-once dedup — no cartesian product, no
+    distinct."""
+    from geomesa_spark.operators.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.lit("1970-01-01 00:00:00").cast(
+        ev.schema["ts"].dataType.simpleString())
+    tus = F.timestamp_diff("MICROSECOND", epoch, F.col("ts"))
+    l = (ev.filter(F.col("event_type") == "purchase")
+           .select(F.col("event_id").alias("purchase_id"),
+                   (F.col("user_id") % 50).alias("cohort"),
+                   tus.alias("ls"),
+                   (tus + (F.col("event_id") % 13 + 1) * F.lit(1_200_000_000))
+                   .alias("le")))
+    r = (ev.filter(F.col("event_type") == "view")
+           .select(F.col("event_id").alias("view_id"),
+                   (F.col("user_id") % 50).alias("cohort"),
+                   tus.alias("rs"),
+                   (tus + (F.col("event_id") % 11 + 1) * F.lit(1_800_000_000))
+                   .alias("re")))
+    out = interval_join(l, r, "ls", "le", "rs", "re",
+                        bin_width=3_600_000_000, on="cohort",
+                        overlap_col="overlap_us")
+    return out.select("purchase_id", "view_id", "cohort", "overlap_us")
+
+
 def q_stat_dsl(spark, sf_dir):
     """Stat-spec DSL end-to-end (operators/stats.run_stats — the
     reference's Stat.Scala DSL analog, geomesa-index-api
@@ -1677,6 +1708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan": q_dbscan,
         "rep_stats": q_rep_stats,
         "asof_enrich": q_asof_enrich,
+        "interval_join": q_interval_join,
         "sessions": q_sessions,
         "disjoint_join": q_disjoint_join,
         "intersection_area": q_intersection_area,
@@ -3398,6 +3430,26 @@ def oracle_sql() -> dict[str, str]:
             FROM l JOIN r ON l.user_id = r.user_id AND r.rts <= l.ts
             QUALIFY row_number() OVER (PARTITION BY l.event_id
                      ORDER BY r.rts DESC, r.view_id DESC) = 1
+        """,
+        # interval-join mirror: plain inequality join on the same
+        # integer-microsecond windows (half-open overlap)
+        "interval_join": """
+            WITH l AS (SELECT event_id AS purchase_id,
+                              user_id % 50 AS cohort,
+                              epoch_us(ts) AS ls,
+                              epoch_us(ts) + (event_id % 13 + 1)
+                                * 1200000000 AS le
+                       FROM events WHERE event_type = 'purchase'),
+            r AS (SELECT event_id AS view_id,
+                         user_id % 50 AS cohort,
+                         epoch_us(ts) AS rs,
+                         epoch_us(ts) + (event_id % 11 + 1)
+                           * 1800000000 AS re
+                  FROM events WHERE event_type = 'view')
+            SELECT purchase_id, view_id, l.cohort,
+                   least(le, re) - greatest(ls, rs) AS overlap_us
+            FROM l JOIN r ON l.cohort = r.cohort
+            WHERE ls < re AND rs < le
         """,
         # gaps-and-islands in integer microseconds (engine-exact)
         "sessions": """

@@ -22,7 +22,74 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "sessionize", "session_stats"]
+__all__ = ["asof_join", "sessionize", "session_stats", "interval_join"]
+
+
+def _fdiv(c: F.Column, w: int) -> F.Column:
+    """Floor division for longs (DIV truncates toward zero; pmod fixes
+    negatives). Exact: the numerator is a multiple of ``w``."""
+    return ((c - F.pmod(c, F.lit(w))) / F.lit(w)).cast("long")
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width: int,
+    on: str | None = None,
+    overlap_col: str = "overlap",
+) -> DataFrame:
+    """Interval overlap join (range join): every (left, right) pair of
+    HALF-OPEN intervals with ``[ls, le) ∩ [rs, re) != ∅``, i.e.
+    ``ls < re AND rs < le`` — the temporal join Spark's equi-join
+    machinery can't express without a cartesian product.
+
+    Interval columns are integers on a shared axis (epoch microseconds
+    for timestamps — convert with ``timestamp_diff`` first; any long
+    works, the axis is not inherently time). Adds ``overlap_col`` =
+    ``least(le, re) - greatest(ls, rs)`` (> 0 by construction). With
+    ``on``, pairs must also match that key column (shared name on both
+    sides); other column names must be disjoint across the inputs.
+
+    Scale shape — binned co-shuffle + report-once dedup (the
+    spatial_join grid trick on a 1-D axis): each interval explodes to
+    the ``bin_width``-sized bins it touches, both sides shuffle on the
+    (key, bin) only, and a pair is emitted ONLY in its canonical bin
+    ``max(first_left_bin, first_right_bin)`` — the first bin the two
+    intervals share — so no distinct/dropDuplicates shuffle ever sees
+    the matched rows. Pick ``bin_width`` near the typical interval
+    length: n_bins per interval = ceil(duration / bin_width) rows of
+    fan-out, while a too-coarse bin turns the equi-join into a dense
+    per-bin cross product. Hot bins are plain shuffle-join skew (AQE
+    splits them). Empty/inverted intervals (end <= start) match
+    nothing and are dropped up front.
+    """
+    if bin_width <= 0:
+        raise ValueError("bin_width must be a positive integer")
+    dup = (set(left.columns) & set(right.columns)) - ({on} if on else set())
+    if dup:
+        raise ValueError(f"column names must be disjoint, got both-sided: {sorted(dup)}")
+    w = int(bin_width)
+    ls, le = F.col(l_start).cast("long"), F.col(l_end).cast("long")
+    rs, re = F.col(r_start).cast("long"), F.col(r_end).cast("long")
+    lb = (left.filter(le > ls)
+              .withColumn("__lb0__", _fdiv(ls, w))
+              .withColumn("__bin__", F.explode(
+                  F.sequence(F.col("__lb0__"), _fdiv(le - 1, w)))))
+    rb = (right.filter(re > rs)
+               .withColumn("__rb0__", _fdiv(rs, w))
+               .withColumn("__bin__", F.explode(
+                   F.sequence(F.col("__rb0__"), _fdiv(re - 1, w)))))
+    keys = ["__bin__"] + ([on] if on else [])
+    return (lb.join(rb, on=keys, how="inner")
+              # report-once: only the first shared bin emits the pair
+              .filter(F.col("__bin__") == F.greatest("__lb0__", "__rb0__"))
+              .filter((ls < re) & (rs < le))
+              .withColumn(overlap_col, F.least(le, re) - F.greatest(ls, rs))
+              .drop("__bin__", "__lb0__", "__rb0__"))
 
 
 def asof_join(

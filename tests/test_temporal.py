@@ -119,3 +119,60 @@ def test_asof_join_ignores_null_right_ts(spark):
     assert rows[0].view_id is None and rows[0].matched_ts is None
     assert asof_join(left, right, on="user_id", right_order="view_id",
                      how="inner").count() == 0
+
+
+def _brute_pairs(lrows, rrows, key=None):
+    out = set()
+    for lid, ls, le, lk in lrows:
+        for rid, rs, re, rk in rrows:
+            if key is not None and lk != rk:
+                continue
+            if ls < re and rs < le and le > ls and re > rs:
+                out.add((lid, rid, min(le, re) - max(ls, rs)))
+    return out
+
+
+def test_interval_join_brute_force(spark):
+    """Random intervals (negatives, touching endpoints, multi-bin spans,
+    empty/inverted) vs an O(n^2) reference, several bin widths."""
+    import random
+
+    from geomesa_spark.operators.temporal import interval_join
+
+    rng = random.Random(42)
+
+    def mk(n):
+        rows = []
+        for i in range(n):
+            s = rng.randint(-500, 500)
+            rows.append((i, s, s + rng.randint(-5, 200), rng.randint(0, 2)))
+        return rows
+
+    lrows, rrows = mk(120), mk(150)
+    left = spark.createDataFrame(lrows, "lid long, ls long, le long, lk long")
+    right = spark.createDataFrame(rrows, "rid long, rs long, re long, rk long")
+    want = _brute_pairs(lrows, rrows)
+    for w in (7, 64, 1000):
+        got = {(r.lid, r.rid, r.overlap)
+               for r in interval_join(left, right, "ls", "le", "rs", "re",
+                                      bin_width=w).collect()}
+        assert got == want, f"bin_width={w}"
+
+
+def test_interval_join_keyed_and_touching(spark):
+    from geomesa_spark.operators.temporal import interval_join
+
+    lrows = [(1, 0, 10, 7), (2, 0, 10, 8), (3, 10, 20, 7)]
+    rrows = [(11, 10, 20, 7), (12, 5, 6, 7), (13, 5, 6, 8)]
+    left = spark.createDataFrame(lrows, "lid long, ls long, le long, k long")
+    right = spark.createDataFrame(rrows, "rid long, rs long, re long, k long")
+    got = {(r.lid, r.rid)
+           for r in interval_join(left, right, "ls", "le", "rs", "re",
+                                  bin_width=8, on="k").collect()}
+    # [0,10) vs [10,20): touching half-open endpoints do NOT overlap
+    assert got == {(1, 12), (2, 13), (3, 11)}
+    with pytest.raises(ValueError):
+        interval_join(left, right, "ls", "le", "rs", "re", bin_width=0)
+    with pytest.raises(ValueError):
+        interval_join(left.withColumnRenamed("lid", "rid"), right,
+                      "ls", "le", "rs", "re", bin_width=8)
