@@ -576,6 +576,46 @@ def q_pagerank(spark, sf_dir):
     return pagerank(edges, iters=3, deterministic=True)
 
 
+def q_link_hosts(spark, sf_dir):
+    """Host-level link graph from raw html (operators/corpus.
+    extract_links): the crawl-graph ingest — regexp outlink extraction
+    over the generated pages corpus, absolute links only, rolled up to
+    (src_site, dst_site, n) edges. The oracle replays the generator's
+    splitmix64 outlink arithmetic (salts 30-32, mod 997) with no HTML
+    in sight, so equality proves the whole parse chain."""
+    from geomesa_spark.operators.corpus import extract_links
+    from geomesa_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 2000, partitions=8)
+    links = extract_links(pages)
+    site = r"^https://site(\d+)\.example/"
+    return (links.select(
+                F.regexp_extract(F.col("url"), site, 1).cast("long")
+                 .alias("src_site"),
+                F.regexp_extract(F.col("href"), site, 1).cast("long")
+                 .alias("dst_site"))
+                 .groupBy("src_site", "dst_site")
+                 .agg(F.count("*").alias("n")))
+
+
+def q_link_hits(spark, sf_dir):
+    """HITS hubs/authorities (operators/graph.hits): L1-normalized
+    mutual iteration over the synthetic doc link graph (same edges as
+    pagerank); deterministic ordered folds, DuckDB mirror unrolls the
+    iterations."""
+    from geomesa_spark.operators.graph import hits
+
+    docs = _t(spark, sf_dir, "documents")
+    nd = docs.count()
+    edges = (docs.select("doc_id",
+                         F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+                          .alias("j"))
+                 .select(F.col("doc_id").alias("src"),
+                         ((F.col("doc_id") * 31 + F.col("j")) % nd)
+                         .alias("dst")))
+    return hits(edges, iters=2, deterministic=True)
+
+
 def q_co_travel(spark, sf_dir):
     """Co-travel / rendezvous detection (operators/trajectory.co_travel):
     sampled user pairs with fixes within 5 degrees and 1 day — the
@@ -1662,6 +1702,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "bm25": q_bm25,
         "pagerank": q_pagerank,
+        "link_hosts": q_link_hosts,
+        "link_hits": q_link_hits,
         "co_travel": q_co_travel,
         "sampling": q_sampling,
         "unique_vals": q_unique_vals,
@@ -2181,6 +2223,77 @@ def _sql_pagerank(iters: int = 3, d: float = 0.85) -> str:
     return f"""
         WITH {ctes}
         SELECT node, pr FROM pr{iters}
+    """
+
+
+def _sql_link_hosts(n: int = 2000) -> str:
+    """DuckDB mirror of generate_pages |> extract_links |> host rollup:
+    replays the outlink arithmetic (dst_site = splitmix64(id, salt) mod
+    997 for salts 30-32, src_site = id mod 997) — no HTML parse, pure
+    HUGEINT, so equality certifies the Spark-side regexp chain."""
+    from geomesa_spark.sources.pages import SEED
+
+    gold = 0x9E3779B97F4A7C15
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return f"""
+        WITH ids AS (SELECT CAST(t.i AS HUGEINT) AS i
+                     FROM unnest(range(0, {n})) AS t(i)),
+        sl AS (SELECT i, CAST(s.s AS HUGEINT) AS salt
+               FROM ids, (VALUES (30), (31), (32)) AS s(s)),
+        z0 AS (SELECT i, ((i + (salt * {gold} + {SEED} + {gold}))
+                          % 18446744073709551616) AS z FROM sl),
+        z1 AS (SELECT i, ({_mm64('xor(z, z >> 30)', str(c1))}) AS z FROM z0),
+        z2 AS (SELECT i, ({_mm64('xor(z, z >> 27)', str(c2))}) AS z FROM z1),
+        zf AS (SELECT i, xor(z, z >> 31) % 997 AS dst_site FROM z2)
+        SELECT CAST(i % 997 AS BIGINT) AS src_site,
+               CAST(dst_site AS BIGINT) AS dst_site,
+               CAST(count(*) AS BIGINT) AS n
+        FROM zf GROUP BY 1, 2
+    """
+
+
+def _sql_hits(iters: int = 2) -> str:
+    """DuckDB mirror of operators/graph.hits(deterministic=True) over
+    the synthetic doc link graph: half-steps UNROLLED; neighbor
+    contributions folded in far-endpoint order, global L1 sums folded
+    in node order (matching Spark's array_sort + aggregate), zeros for
+    no-inlink nodes included in the fold exactly as the Spark side."""
+    fold = "list_reduce(list({v} ORDER BY {o}), (a, x) -> a + x)"
+    parts = ["""nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        eg AS (SELECT doc_id AS s, (doc_id * 31 + j.j) % (SELECT n FROM nd) AS t
+               FROM documents, (VALUES (1), (2), (3)) AS j(j)),
+        vs AS (SELECT DISTINCT s AS node FROM eg
+               UNION SELECT DISTINCT t FROM eg),
+        h0 AS (SELECT node, CAST(1.0 AS DOUBLE)
+                            / CAST((SELECT n FROM nd) AS DOUBLE) AS x
+               FROM vs)"""]
+    for t in range(1, iters + 1):
+        prev = "h0" if t == 1 else f"hn{t - 1}"
+        parts.append(f"""ar{t} AS (
+            SELECT e.t AS node, {fold.format(v='h.x', o='e.s')} AS r
+            FROM eg e JOIN {prev} h ON h.node = e.s GROUP BY 1)""")
+        parts.append(f"""az{t} AS (
+            SELECT v.node, coalesce(r.r, CAST(0.0 AS DOUBLE)) AS x
+            FROM vs v LEFT JOIN ar{t} r ON r.node = v.node)""")
+        parts.append(f"""at{t} AS (
+            SELECT {fold.format(v='x', o='node')} AS tot FROM az{t})""")
+        parts.append(f"""an{t} AS (
+            SELECT node, x / (SELECT tot FROM at{t}) AS x FROM az{t})""")
+        parts.append(f"""hr{t} AS (
+            SELECT e.s AS node, {fold.format(v='a.x', o='e.t')} AS r
+            FROM eg e JOIN an{t} a ON a.node = e.t GROUP BY 1)""")
+        parts.append(f"""hz{t} AS (
+            SELECT v.node, coalesce(r.r, CAST(0.0 AS DOUBLE)) AS x
+            FROM vs v LEFT JOIN hr{t} r ON r.node = v.node)""")
+        parts.append(f"""ht{t} AS (
+            SELECT {fold.format(v='x', o='node')} AS tot FROM hz{t})""")
+        parts.append(f"""hn{t} AS (
+            SELECT node, x / (SELECT tot FROM ht{t}) AS x FROM hz{t})""")
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT h.node, h.x AS hub, a.x AS auth
+        FROM hn{iters} h JOIN an{iters} a ON a.node = h.node
     """
 
 
@@ -3027,6 +3140,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans": _sql_kmeans(),
         "bm25": _sql_bm25(["hash", "join", "vector"]),
         "pagerank": _sql_pagerank(),
+        "link_hosts": _sql_link_hosts(),
+        "link_hits": _sql_hits(),
         # co-travel mirror: brute self-join on the sampled users with
         # the identical strict squared-distance / inclusive-microsecond
         # predicates (counting + exact compares only, nothing to drift)

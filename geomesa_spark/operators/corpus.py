@@ -51,6 +51,7 @@ __all__ = [
     "pack_sequences", "redact_pii", "pii_stats", "incremental_dedup",
     "gopher_quality", "chunk_text", "quality_classifier",
     "extract_html_text", "html_escape", "wrap_html",
+    "extract_links", "url_host",
 ]
 
 
@@ -96,6 +97,42 @@ def extract_html_text(html: Column) -> Column:
     for ent, ch in _HTML_ENTITIES:
         s = F.replace(s, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(s, _WS_RUN, " "))
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of an absolute URL, ``www.`` stripped — the
+    node key of host-level link graphs (shares normalize_url's
+    first-occurrence split rules; pure JVM string expressions)."""
+    nofrag = F.substring_index(url, "#", 1)
+    sep = F.instr(nofrag, "://")
+    hostpath = F.when(sep > 0,
+                      nofrag.substr(sep + 3, F.length(nofrag))
+                      ).otherwise(nofrag)
+    rawhost = F.lower(F.substring_index(
+        F.substring_index(hostpath, "/", 1), "?", 1))
+    return F.when(rawhost.startswith("www."),
+                  rawhost.substr(F.lit(5), F.length(rawhost))
+                  ).otherwise(rawhost)
+
+
+def extract_links(df: DataFrame, html_col: str = "html",
+                  url_col: str = "url") -> DataFrame:
+    """Outlink extraction — the crawl-graph ingest stage: one row
+    ``(url_col, href)`` per ABSOLUTE http(s) ``href="..."`` in the
+    page's html, in document order. Relative links (``/about``) carry
+    no cross-host edge and are skipped.
+
+    Map-only JVM chain (regexp_extract_all + explode): no Python, no
+    shuffle — at 10^12 pages this runs inside the ingest scan, and the
+    follow-on host-graph groupBy is the first (and only) shuffle,
+    keyed by the tiny (src_host, dst_host) pair. Pattern lives in the
+    Java-regex ∩ RE2 dialect subset (the extract_html_text convention)
+    so an engine mirror can run it verbatim.
+    """
+    hrefs = F.regexp_extract_all(
+        F.col(html_col).cast("string"),
+        F.lit('href="(https?://[^"]*)"'), F.lit(1))
+    return (df.select(F.col(url_col), F.explode(hrefs).alias("href")))
 
 
 def html_escape(text: Column) -> Column:

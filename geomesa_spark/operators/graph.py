@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "hits"]
 
 
 def _fold_sum(sorted_arr) -> F.Column:
@@ -93,4 +93,75 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
               .localCheckpoint(eager=True))
     out = pr
     base.unpersist()  # final pr is checkpoint-truncated; no recompute
+    return out
+
+
+def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
+         iters: int = 2, deterministic: bool = False) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, the link-analysis
+    complement of PageRank: a good hub links to good authorities and
+    vice versa); returns (node, hub, auth) after ``iters`` mutual
+    rounds from the uniform hub start 1/N, L1-normalized each half-step
+    so scores stay a probability-like distribution (the classical L2
+    norm would put an engine-dependent sqrt in the chain; L1 keeps
+    every op a sum/divide that both engines can replay bit-for-bit).
+
+        a'(v) = sum_{u->v} h(u)  (normalized);  h'(u) = sum_{u->v} a'(v)
+
+    Same scale shape as :func:`pagerank`: per-round join + combining
+    groupBy keyed by node id, two single-row global sums broadcast
+    back, rank state never collected; each half-step is eagerly
+    checkpointed (the dedup_clusters pattern) so lineage stays O(1).
+    ``deterministic=True`` uses ordered folds (neighbor contributions
+    by the far endpoint, global sums by node id) for bit-reproducible
+    cross-engine parity. Parallel edges each contribute (multigraph
+    semantics, as pagerank).
+    """
+    e = edges.select(F.col(src).cast("long").alias("s"),
+                     F.col(dst).cast("long").alias("t"))
+    nodes = (e.select(F.col("s").alias("node"))
+              .union(e.select(F.col("t").alias("node")))
+              .distinct())
+    base = nodes.persist()
+    n_nodes = base.count()
+    if n_nodes == 0:
+        base.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "node long, hub double, auth double")
+    h = base.select("node", F.lit(1.0 / float(n_nodes)).alias("x"))
+    a = base.select("node", F.lit(0.0).alias("x"))
+
+    def _half(state: DataFrame, fwd: bool) -> DataFrame:
+        """One half-step: scores flow src->dst (fwd, authorities) or
+        dst->src (hubs); L1-normalize over all nodes."""
+        here, there = ("s", "t") if fwd else ("t", "s")
+        contrib = (e.join(state.withColumnRenamed("node", here), on=here)
+                    .select(F.col(there).alias("node"),
+                            F.col(here).alias("far"), F.col("x").alias("c")))
+        if deterministic:
+            raw = (contrib.groupBy("node")
+                   .agg(_fold_sum(F.array_sort(F.collect_list(
+                       F.struct(F.col("far"), F.col("c"))))
+                       .getField("c")).alias("r")))
+        else:
+            raw = contrib.groupBy("node").agg(F.sum("c").alias("r"))
+        s = base.join(raw, "node", "left").select(
+            "node", F.coalesce("r", F.lit(0.0)).alias("x"))
+        if deterministic:
+            tot = s.agg(_fold_sum(F.array_sort(F.collect_list(
+                F.struct(F.col("node"), F.col("x"))))
+                .getField("x")).alias("tot"))
+        else:
+            tot = s.agg(F.sum("x").alias("tot"))
+        # >= 1 edge guarantees tot > 0 (every edge's src holds hub mass)
+        return (s.crossJoin(F.broadcast(tot))
+                 .select("node", (F.col("x") / F.col("tot")).alias("x"))
+                 .localCheckpoint(eager=True))
+
+    for _ in range(iters):
+        a = _half(h, fwd=True)
+        h = _half(a, fwd=False)
+    out = (h.select("node", F.col("x").alias("hub"))
+            .join(a.select("node", F.col("x").alias("auth")), "node"))
+    base.unpersist()
     return out

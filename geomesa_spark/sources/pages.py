@@ -132,16 +132,27 @@ def generate_pages(spark, n: int, partitions: int | None = None,
                 place_text = ("page " + ids_s + " located in " + cities
                               + " token " + filler)
                 text = text.where(~pd.Series(is_place), place_text)
-            # messy-page template matching operators/corpus.wrap_html:
-            # head/script/style + nav/footer boilerplate around the one
-            # real paragraph, so corpus.extract_html_text(html) == text
-            # byte-identically (the input_hint per-row invariant; text
-            # here is single-spaced with no &<> so escaping is identity)
+            # messy-page template (operators/corpus.wrap_html shape, plus
+            # three deterministic absolute OUTLINKS in the nav): head/
+            # script/style + nav/footer boilerplate around the one real
+            # paragraph, so corpus.extract_html_text(html) == text
+            # byte-identically (the input_hint per-row invariant; nav
+            # content — links included — is stripped as boilerplate; text
+            # here is single-spaced with no &<> so escaping is identity).
+            # Outlink j targets host site{_mix(id, 30+j) % 997}.example —
+            # the link-graph layer (corpus.extract_links) derives from
+            # the same splitmix stream as every other column.
+            o0 = pd.Series(np.char.mod("%d", _mix(ids, 30) % np.uint64(997)))
+            o1 = pd.Series(np.char.mod("%d", _mix(ids, 31) % np.uint64(997)))
+            o2 = pd.Series(np.char.mod("%d", _mix(ids, 32) % np.uint64(997)))
             html = (
                 "<html><head><title>doc " + ids_s
                 + '</title><script type="text/javascript">var t = 1 < 2;'
                 + "</script><style>p { margin: 0 }</style></head><body>"
                 + '<nav><a href="/">Home</a> &amp; <a href="/about">About</a>'
+                + ' <a href="https://site' + o0 + '.example/r">r1</a>'
+                + ' <a href="https://site' + o1 + '.example/r">r2</a>'
+                + ' <a href="https://site' + o2 + '.example/r">r3</a>'
                 + "</nav>\n<p>" + text + "</p>\n<!-- generated -->"
                 + "<footer>&copy; example&nbsp;site</footer></body></html>"
             ).str.encode("utf-8")

@@ -561,3 +561,48 @@ def test_pages_html_extraction_invariant(spark):
     bad = pages.filter(
         extract_html_text(F.col("html")) != F.col("text")).count()
     assert bad == 0
+
+
+def test_extract_links_and_url_host(spark):
+    from geomesa_spark.operators.corpus import extract_links, url_host
+
+    rows = [
+        ("u1", '<a href="/rel">x</a><a href="https://A.example/p?q=1">y</a>'
+               '<nav><a href="http://www.B.example">z</a></nav>'),
+        ("u2", "no links here"),
+        ("u3", '<a href="ftp://C.example/f">not-http</a>'
+               '<a href="https://D.example#frag">d</a>'),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    links = extract_links(df)
+    got = [(r.url, r.href) for r in links.orderBy("url", "href").collect()]
+    assert got == [("u1", "http://www.B.example"),
+                   ("u1", "https://A.example/p?q=1"),
+                   ("u3", "https://D.example#frag")]
+    hosts = {(r.url, r.h) for r in links.select(
+        "url", url_host(F.col("href")).alias("h")).collect()}
+    assert hosts == {("u1", "a.example"), ("u1", "b.example"),
+                     ("u3", "d.example")}
+
+
+def test_pages_outlinks_deterministic(spark):
+    """Generated outlinks are a pure function of the page id (splitmix
+    salts 30-32) and live in the nav, so the text invariant holds."""
+    from geomesa_spark.operators.corpus import extract_links
+    from geomesa_spark.sources.pages import _mix, generate_pages
+
+    import numpy as np
+
+    pages = generate_pages(spark, 40)
+    got = {}
+    for r in extract_links(pages).collect():
+        got.setdefault(r.url, []).append(r.href)
+    ids = np.arange(40, dtype=np.int64)
+    for i in ids:
+        url = f"https://site{i % 997}.example/{i}"
+        # NB: % must stay in uint64 (a Python-int modulus promotes the
+        # uint64 to float64 and garbles the low bits)
+        want = sorted(
+            f"https://site{int(_mix(np.array([i]), s)[0] % np.uint64(997))}"
+            ".example/r" for s in (30, 31, 32))
+        assert sorted(got[url]) == want, i

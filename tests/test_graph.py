@@ -48,3 +48,47 @@ def test_pagerank_dangling_and_hub(spark):
     got = {r["node"]: r["pr"] for r in pagerank(df, iters=5).collect()}
     assert got[0] > got[1] == got[2] == got[3]
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_hits_matches_numpy_reference(spark):
+    """hubs/authorities vs a dense numpy replay of the same L1-normalized
+    mutual iteration, on a small random multigraph."""
+    import random
+
+    import numpy as np
+
+    from geomesa_spark.operators.graph import hits
+
+    rng = random.Random(7)
+    edges = [(rng.randint(0, 19), rng.randint(0, 19)) for _ in range(60)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: (r.hub, r.auth)
+           for r in hits(df, iters=3, deterministic=True).collect()}
+
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for u, v in edges:
+        A[idx[u], idx[v]] += 1.0
+    h = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(3):
+        a = A.T @ h
+        a /= a.sum()
+        h = A @ a
+        h /= h.sum()
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v][0] - h[idx[v]]) < 1e-12, v
+        assert abs(got[v][1] - a[idx[v]]) < 1e-12, v
+    # plain-sum path agrees to fp tolerance
+    got2 = {r.node: (r.hub, r.auth) for r in hits(df, iters=3).collect()}
+    for v in nodes:
+        assert abs(got2[v][0] - got[v][0]) < 1e-9
+        assert abs(got2[v][1] - got[v][1]) < 1e-9
+
+
+def test_hits_empty(spark):
+    from geomesa_spark.operators.graph import hits
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert hits(df).count() == 0
