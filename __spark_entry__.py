@@ -536,6 +536,26 @@ def q_trajectory_sim(spark, sf_dir):
     return hausdorff_join(ev, "user_id", "lon", "lat", "event_id")
 
 
+def q_frechet(spark, sf_dir):
+    """Discrete Fréchet distance join (operators/trajectory.
+    frechet_join): order-aware track similarity over sampled user
+    tracks (first 10 fixes by event id) — the O(n*m) coupling DP as
+    nested JVM folds, bit-exact vs a DuckDB recursive state-machine
+    mirror that walks the same DP cells with a sliding (m+1)-value
+    window."""
+    from geomesa_spark.operators.trajectory import frechet_join
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("user_id") % 20 == 0)
+          .select("event_id", "user_id",
+                  tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+                  tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat")))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ev = (ev.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= 10).drop("__rn__"))
+    return frechet_join(ev, "user_id", "lon", "lat", "event_id")
+
+
 def q_kmeans(spark, sf_dir):
     """Distributed Lloyd k-means (operators/kmeans.kmeans_assign): 2
     update rounds over the quantized embeddings, broadcast-literal
@@ -1704,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "link_hosts": q_link_hosts,
         "link_hits": q_link_hits,
+        "frechet": q_frechet,
         "co_travel": q_co_travel,
         "sampling": q_sampling,
         "unique_vals": q_unique_vals,
@@ -2223,6 +2244,57 @@ def _sql_pagerank(iters: int = 3, d: float = 0.85) -> str:
     return f"""
         WITH {ctes}
         SELECT node, pr FROM pr{iters}
+    """
+
+
+def _sql_frechet() -> str:
+    """DuckDB mirror of q_frechet: the SAME row-major DP the Spark fold
+    walks, as a recursive state machine — one row per track pair per DP
+    cell, carrying a sliding window of the trailing m+1 cell values
+    (win[1] = diag, win[2] = up, win[m+1] = left), so every max/min/
+    sqrt happens in the identical order and the doubles are bit-equal."""
+    dist = ("sqrt((ax[(u // nb) + 1] - bx[(u % nb) + 1])"
+            " * (ax[(u // nb) + 1] - bx[(u % nb) + 1])"
+            " + (ay[(u // nb) + 1] - by[(u % nb) + 1])"
+            " * (ay[(u // nb) + 1] - by[(u % nb) + 1]))")
+    return f"""
+        WITH RECURSIVE e AS ({_EVT_SQL}),
+        p0 AS (SELECT user_id AS uid, event_id AS eid, lon, lat,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id) AS rn
+               FROM e WHERE user_id % 20 = 0),
+        p AS (SELECT * FROM p0 WHERE rn <= 10),
+        tr AS (SELECT uid, list(lon ORDER BY eid) AS xs,
+                      list(lat ORDER BY eid) AS ys,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM p GROUP BY 1),
+        pr AS (SELECT a.uid AS ta, b.uid AS tb,
+                      a.xs AS ax, a.ys AS ay, b.xs AS bx, b.ys AS by,
+                      a.n AS na, b.n AS nb
+               FROM tr a JOIN tr b ON a.uid < b.uid),
+        rec AS (
+          SELECT ta, tb, ax, ay, bx, by, na, nb,
+                 CAST(0 AS BIGINT) AS t,
+                 list_append(list_transform(range(nb),
+                             z -> CAST(NULL AS DOUBLE)),
+                     sqrt((ax[1] - bx[1]) * (ax[1] - bx[1])
+                        + (ay[1] - by[1]) * (ay[1] - by[1]))) AS win,
+                 sqrt((ax[1] - bx[1]) * (ax[1] - bx[1])
+                    + (ay[1] - by[1]) * (ay[1] - by[1])) AS ca
+          FROM pr
+          UNION ALL
+          SELECT ta, tb, ax, ay, bx, by, na, nb, u AS t,
+                 list_append(win[2:], newca) AS win, newca AS ca
+          FROM (
+            SELECT *, t + 1 AS u,
+                   greatest({dist},
+                     CASE WHEN (t + 1) // nb = 0 THEN win[nb + 1]
+                          WHEN (t + 1) % nb = 0 THEN win[2]
+                          ELSE least(win[1], win[2], win[nb + 1]) END) AS newca
+            FROM rec WHERE t + 1 < na * nb) s)
+        SELECT ta AS track_a, tb AS track_b, na AS n_a, nb AS n_b,
+               ca AS frechet
+        FROM rec WHERE t = na * nb - 1
     """
 
 
@@ -3142,6 +3214,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(),
         "link_hosts": _sql_link_hosts(),
         "link_hits": _sql_hits(),
+        "frechet": _sql_frechet(),
         # co-travel mirror: brute self-join on the sampled users with
         # the identical strict squared-distance / inclusive-microsecond
         # predicates (counting + exact compares only, nothing to drift)

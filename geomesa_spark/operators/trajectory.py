@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["hausdorff_join", "co_travel"]
+__all__ = ["hausdorff_join", "frechet_join", "co_travel"]
 
 
 def hausdorff_join(df: DataFrame, track_col: str, x_col: str, y_col: str,
@@ -96,6 +96,102 @@ def hausdorff_join(df: DataFrame, track_col: str, x_col: str, y_col: str,
                        "n_a", "n_b", hd.alias("hausdorff"))
     if threshold is not None:
         out = out.filter(F.col("hausdorff") <= F.lit(float(threshold)))
+    return out
+
+
+def frechet_join(df: DataFrame, track_col: str, x_col: str, y_col: str,
+                 order_col: str, threshold: float | None = None,
+                 max_points: int = 512) -> DataFrame:
+    """All-pairs DISCRETE Fréchet distance between tracks (Eiter &
+    Mannila 1994) — the order-aware track metric: unlike Hausdorff it
+    respects traversal direction, so an out-and-back path is far from
+    its one-way twin.
+
+        ca(i,j) = max(d(p_i, q_j), min(ca(i-1,j), ca(i-1,j-1), ca(i,j-1)))
+
+    Same scale shape as :func:`hausdorff_join`: bounded per-track point
+    arrays, envelope-gap prune (valid because Fréchet >= Hausdorff >=
+    envelope gap), and the O(n*m) DP as nested JVM folds — the outer
+    fold walks P carrying the previous DP ROW as the accumulator, the
+    inner fold rebuilds the row left-to-right. No Python, no explode;
+    each pair is one codegen'd expression. Every cell is a fixed
+    max/min/sqrt chain (order forced by the recurrence), so results
+    are bit-reproducible across engines. Returns
+    (track_a, track_b, n_a, n_b, frechet) with track_a < track_b.
+
+    ``max_points`` defaults lower than Hausdorff's: the row rebuild
+    copies O(m) per cell (O(n*m^2) work per pair) — resample with
+    `route.track_interpolate` first; long raw GPS tracks belong there
+    anyway.
+    """
+    pts = F.array_sort(F.collect_list(
+        F.struct(F.col(order_col).alias("o"),
+                 F.col(x_col).cast("double").alias("x"),
+                 F.col(y_col).cast("double").alias("y"))))
+    tr = (df.groupBy(F.col(track_col).alias("tid"))
+            .agg(pts.alias("pts"),
+                 F.min(x_col).cast("double").alias("x0"),
+                 F.min(y_col).cast("double").alias("y0"),
+                 F.max(x_col).cast("double").alias("x1"),
+                 F.max(y_col).cast("double").alias("y1"),
+                 F.count("*").alias("n")))
+    tr = tr.withColumn(
+        "pts",
+        F.when(F.size("pts") <= max_points, F.col("pts"))
+         .otherwise(F.raise_error(F.lit(
+             f"frechet_join: track exceeds max_points={max_points}; "
+             "resample with track_interpolate first"))))
+    a = tr.select(F.col("tid").alias("ta"), F.col("pts").alias("pa"),
+                  F.col("n").alias("n_a"),
+                  F.col("x0").alias("ax0"), F.col("y0").alias("ay0"),
+                  F.col("x1").alias("ax1"), F.col("y1").alias("ay1"))
+    b = tr.select(F.col("tid").alias("tb"), F.col("pts").alias("pb"),
+                  F.col("n").alias("n_b"),
+                  F.col("x0").alias("bx0"), F.col("y0").alias("by0"),
+                  F.col("x1").alias("bx1"), F.col("y1").alias("by1"))
+    cond = F.col("ta") < F.col("tb")
+    if threshold is not None:
+        gx = F.greatest(F.lit(0.0), F.col("bx0") - F.col("ax1"),
+                        F.col("ax0") - F.col("bx1"))
+        gy = F.greatest(F.lit(0.0), F.col("by0") - F.col("ay1"),
+                        F.col("ay0") - F.col("by1"))
+        cond = cond & (F.sqrt(gx * gx + gy * gy) <= F.lit(float(threshold)))
+    pairs = a.join(b, on=cond)
+
+    def _d(p, q):
+        return F.sqrt((p["x"] - q["x"]) * (p["x"] - q["x"])
+                      + (p["y"] - q["y"]) * (p["y"] - q["y"]))
+
+    pa, pb = F.col("pa"), F.col("pb")
+    p0 = F.element_at(pa, 1)
+    # DP row 0: running prefix-max of d(p_0, q_j)
+    row0 = F.aggregate(
+        pb, F.array().cast("array<double>"),
+        lambda acc, q: F.concat(acc, F.array(
+            F.when(F.size(acc) == 0, _d(p0, q))
+             .otherwise(F.greatest(F.element_at(acc, -1), _d(p0, q))))))
+    # rows 1..n-1: fold P carrying the previous row; inner fold over
+    # 1-based q indexes so each cell sees prev[j], prev[j-1], cur[j-1]
+    dp_last = F.aggregate(
+        F.slice(pa, 2, F.greatest(F.size(pa) - 1, F.lit(0))),
+        row0,
+        lambda prev, p: F.aggregate(
+            F.sequence(F.lit(1), F.size(pb)),
+            F.array().cast("array<double>"),
+            lambda acc, j: F.concat(acc, F.array(
+                F.greatest(
+                    _d(p, F.element_at(pb, j)),
+                    F.when(F.size(acc) == 0, F.element_at(prev, 1))
+                     .otherwise(F.least(
+                         F.element_at(prev, j),
+                         F.element_at(prev, j - 1),
+                         F.element_at(acc, -1))))))))
+    out = pairs.select(F.col("ta").alias("track_a"),
+                       F.col("tb").alias("track_b"),
+                       "n_a", "n_b",
+                       F.element_at(dp_last, -1).alias("frechet"))
+    if threshold is not None:
+        out = out.filter(F.col("frechet") <= F.lit(float(threshold)))
     return out
 
 

@@ -106,3 +106,69 @@ class TestCoTravel:
                for r in co_travel(df, "uid", "ts", "x", "y", 1.0, 3600,
                                   min_hits=2).collect()}
         assert got == {(2, 3): 3}
+
+
+def _np_frechet(P, Q):
+    import numpy as np
+
+    n, m = len(P), len(Q)
+    d = np.sqrt(((P[:, None, :] - Q[None, :, :]) ** 2).sum(-1))
+    ca = np.empty((n, m))
+    for i in range(n):
+        for j in range(m):
+            best = (d[i, j] if i == 0 and j == 0 else
+                    ca[i, j - 1] if i == 0 else
+                    ca[i - 1, j] if j == 0 else
+                    min(ca[i - 1, j], ca[i - 1, j - 1], ca[i, j - 1]))
+            ca[i, j] = max(d[i, j], best)
+    return ca[-1, -1]
+
+
+def test_frechet_join_matches_numpy_dp(spark):
+    import random
+
+    import numpy as np
+
+    from geomesa_spark.operators.trajectory import frechet_join
+
+    rng = random.Random(11)
+    rows = []
+    tracks = {}
+    for tid in range(6):
+        npts = rng.randint(1, 9)
+        pts = [(rng.uniform(-5, 5), rng.uniform(-5, 5)) for _ in range(npts)]
+        tracks[tid] = np.array(pts)
+        rows += [(tid, k, x, y) for k, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "tid long, seq long, x double, y double")
+    got = {(r.track_a, r.track_b): r.frechet
+           for r in frechet_join(df, "tid", "x", "y", "seq").collect()}
+    assert len(got) == 15
+    for (ta, tb), v in got.items():
+        want = _np_frechet(tracks[ta], tracks[tb])
+        assert abs(v - want) < 1e-12, (ta, tb, v, want)
+
+
+def test_frechet_is_order_aware(spark):
+    """A path and its reverse: Hausdorff 0, Fréchet = span."""
+    from geomesa_spark.operators.trajectory import frechet_join, hausdorff_join
+
+    fwd = [(0, k, float(k), 0.0) for k in range(5)]
+    rev = [(1, k, float(4 - k), 0.0) for k in range(5)]
+    df = spark.createDataFrame(fwd + rev, "tid long, seq long, x double, y double")
+    h = hausdorff_join(df, "tid", "x", "y", "seq").first()
+    f = frechet_join(df, "tid", "x", "y", "seq").first()
+    assert h.hausdorff == 0.0
+    assert f.frechet == 4.0
+
+
+def test_frechet_threshold_prunes(spark):
+    from geomesa_spark.operators.trajectory import frechet_join
+
+    rows = ([(0, k, float(k), 0.0) for k in range(4)]
+            + [(1, k, float(k), 0.5) for k in range(4)]
+            + [(2, k, float(k) + 100.0, 0.0) for k in range(4)])
+    df = spark.createDataFrame(rows, "tid long, seq long, x double, y double")
+    got = {(r.track_a, r.track_b): r.frechet
+           for r in frechet_join(df, "tid", "x", "y", "seq",
+                                 threshold=1.0).collect()}
+    assert set(got) == {(0, 1)} and abs(got[(0, 1)] - 0.5) < 1e-15
