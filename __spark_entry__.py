@@ -536,6 +536,26 @@ def q_trajectory_sim(spark, sf_dir):
     return hausdorff_join(ev, "user_id", "lon", "lat", "event_id")
 
 
+def q_map_match(spark, sf_dir):
+    """Map-matching (operators/mapmatch.snap_join): every customer
+    point snaps to the nearest segment of 12 synthetic supplier
+    polylines within 10 degrees — grid-cell candidate join + clamped
+    parametric projection, one combining struct-min per point
+    (deterministic (dist, seg_id) tie-break). Oracle is the O(P*S)
+    brute force with the identical projection chain."""
+    from geomesa_spark.operators.mapmatch import snap_join, track_segments
+
+    sup = (_supp_points(spark, sf_dir)
+           .withColumn("rid", F.col("s_suppkey") % 12))
+    segs = (track_segments(sup, "rid", "lon", "lat", "s_suppkey")
+            .select((F.col("track") * 1000 + F.col("seg_idx")).alias("sid"),
+                    "x1", "y1", "x2", "y2"))
+    cust = _cust_points(spark, sf_dir)
+    return snap_join(cust, segs, "c_custkey", "lon", "lat",
+                     "sid", "x1", "y1", "x2", "y2",
+                     max_dist=10.0, level=4)
+
+
 def q_frechet(spark, sf_dir):
     """Discrete Fréchet distance join (operators/trajectory.
     frechet_join): order-aware track similarity over sampled user
@@ -1725,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hosts": q_link_hosts,
         "link_hits": q_link_hits,
         "frechet": q_frechet,
+        "map_match": q_map_match,
         "co_travel": q_co_travel,
         "sampling": q_sampling,
         "unique_vals": q_unique_vals,
@@ -2244,6 +2265,49 @@ def _sql_pagerank(iters: int = 3, d: float = 0.85) -> str:
     return f"""
         WITH {ctes}
         SELECT node, pr FROM pr{iters}
+    """
+
+
+def _sql_map_match() -> str:
+    """DuckDB mirror of q_map_match: brute-force nearest segment with
+    the IDENTICAL clamped-projection arithmetic (dx/dy -> len2 -> dot ->
+    clamp -> snap -> sqrt), (dist, seg_id) row_number tie-break — the
+    cell-cover prefilter must lose no candidate within max_dist."""
+    tt = ("CASE WHEN len2 = 0.0 THEN 0.0 "
+          "ELSE least(greatest(dot / len2, 0.0), 1.0) END")
+    return f"""
+        WITH s AS ({_SUPP_SQL}),
+        seg0 AS (SELECT s_suppkey % 12 AS rid,
+                        CAST(row_number() OVER w - 1 AS BIGINT) AS seg_idx,
+                        lon AS x1, lat AS y1,
+                        lead(lon) OVER w AS x2, lead(lat) OVER w AS y2
+                 FROM s
+                 WINDOW w AS (PARTITION BY s_suppkey % 12
+                              ORDER BY s_suppkey)),
+        seg AS (SELECT rid * 1000 + seg_idx AS sid, x1, y1, x2, y2
+                FROM seg0 WHERE x2 IS NOT NULL),
+        c AS ({_CUST_SQL}),
+        cand0 AS (SELECT c.c_custkey, seg.sid,
+                         seg.x1, seg.y1, c.lon AS px, c.lat AS py,
+                         seg.x2 - seg.x1 AS dx, seg.y2 - seg.y1 AS dy
+                  FROM c, seg),
+        cand1 AS (SELECT *, dx * dx + dy * dy AS len2,
+                         (px - x1) * dx + (py - y1) * dy AS dot
+                  FROM cand0),
+        cand2 AS (SELECT c_custkey, sid, px, py, dx, dy, x1, y1,
+                         {tt} AS t FROM cand1),
+        cand3 AS (SELECT c_custkey, sid, t,
+                         x1 + t * dx AS sx, y1 + t * dy AS sy, px, py
+                  FROM cand2),
+        cand AS (SELECT c_custkey, sid, t, sx, sy,
+                        sqrt((px - sx) * (px - sx)
+                           + (py - sy) * (py - sy)) AS d
+                 FROM cand3)
+        SELECT c_custkey, sid AS seg_id, t AS snap_t,
+               sx AS snap_x, sy AS snap_y, d AS snap_dist
+        FROM cand WHERE d <= 10.0
+        QUALIFY row_number() OVER (PARTITION BY c_custkey
+                                   ORDER BY d, sid) = 1
     """
 
 
@@ -3215,6 +3279,7 @@ def oracle_sql() -> dict[str, str]:
         "link_hosts": _sql_link_hosts(),
         "link_hits": _sql_hits(),
         "frechet": _sql_frechet(),
+        "map_match": _sql_map_match(),
         # co-travel mirror: brute self-join on the sampled users with
         # the identical strict squared-distance / inclusive-microsecond
         # predicates (counting + exact compares only, nothing to drift)
