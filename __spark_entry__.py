@@ -536,6 +536,20 @@ def q_trajectory_sim(spark, sf_dir):
     return hausdorff_join(ev, "user_id", "lon", "lat", "event_id")
 
 
+def q_random_proj(spark, sf_dir):
+    """JL sign random projection (operators/ann.random_projection):
+    64-dim embeddings down to 16 via the deterministic splitmix64 ±1
+    matrix, d-ascending fold -> bit-exact vs the DuckDB ordered
+    list_reduce replay. Output exploded to scalar rows (vec_id,
+    dim_idx, val) for the gate."""
+    from geomesa_spark.operators.ann import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = random_projection(emb, 16)
+    return out.select("vec_id", F.posexplode("proj")
+                      .alias("dim_idx", "val"))
+
+
 def q_map_match(spark, sf_dir):
     """Map-matching (operators/mapmatch.snap_join): every customer
     point snaps to the nearest segment of 12 synthetic supplier
@@ -1746,6 +1760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": q_link_hits,
         "frechet": q_frechet,
         "map_match": q_map_match,
+        "random_proj": q_random_proj,
         "co_travel": q_co_travel,
         "sampling": q_sampling,
         "unique_vals": q_unique_vals,
@@ -2265,6 +2280,36 @@ def _sql_pagerank(iters: int = 3, d: float = 0.85) -> str:
     return f"""
         WITH {ctes}
         SELECT node, pr FROM pr{iters}
+    """
+
+
+def _sql_random_proj(K: int = 16, D: int = 64) -> str:
+    """DuckDB mirror of q_random_proj: signs from the splitmix64 low
+    bit over flat index k*D + d, the projection as a 0.0-seeded ordered
+    fold over d (list_prepend init kills the -0.0-first-element case),
+    identical 1/sqrt(K) scaling — doubles bit-equal to the pUDF."""
+    mix_cte, mix_col = _sql_mix64_cte("i")
+    return f"""
+        WITH mx0 AS (SELECT CAST(t.i AS HUGEINT) AS i
+                     FROM unnest(range(0, {K * D})) AS t(i)),
+        {mix_cte},
+        sg AS (SELECT CAST(i // {D} AS BIGINT) AS kk,
+                      CAST(i % {D} AS BIGINT) AS dd,
+                      CASE WHEN ({mix_col} % 2) = 0 THEN CAST(1.0 AS DOUBLE)
+                           ELSE CAST(-1.0 AS DOUBLE) END AS sgn
+               FROM mxf),
+        terms AS (SELECT e.vec_id, sg.kk, sg.dd,
+                         sgn * CAST(e.embedding[sg.dd + 1] AS DOUBLE) AS p
+                  FROM embeddings e, sg),
+        f AS (SELECT vec_id, kk,
+                     list_reduce(
+                         list_prepend(CAST(0.0 AS DOUBLE),
+                                      list(p ORDER BY dd)),
+                         (a, x) -> a + x)
+                     * (CAST(1.0 AS DOUBLE) / sqrt(CAST({K} AS DOUBLE)))
+                     AS val
+              FROM terms GROUP BY 1, 2)
+        SELECT vec_id, CAST(kk AS INTEGER) AS dim_idx, val FROM f
     """
 
 
@@ -3280,6 +3325,7 @@ def oracle_sql() -> dict[str, str]:
         "link_hits": _sql_hits(),
         "frechet": _sql_frechet(),
         "map_match": _sql_map_match(),
+        "random_proj": _sql_random_proj(),
         # co-travel mirror: brute self-join on the sampled users with
         # the identical strict squared-distance / inclusive-microsecond
         # predicates (counting + exact compares only, nothing to drift)

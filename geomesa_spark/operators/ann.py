@@ -26,7 +26,8 @@ from pyspark.sql.types import (
 
 __all__ = ["cosine_topk", "cosine_topk_sql", "lsh_topk", "ivf_topk",
            "cosine_dedup_pairs", "cosine_sim_col", "mix64",
-           "quantize_int8", "quantized_topk", "semantic_dedup"]
+           "quantize_int8", "quantized_topk", "semantic_dedup",
+           "random_projection"]
 
 from .cache import attach_cached as _attach_cached  # noqa: E402
 
@@ -349,6 +350,50 @@ def lsh_topk(queries: DataFrame, corpus: DataFrame, k: int,
                 .withColumn("rank", F.row_number().over(win))
                 .filter(F.col("rank") <= k)
                 .select("qid", "vec_id", "sim", "rank"))
+
+
+def random_projection(df: DataFrame, out_dim: int,
+                      vec_col: str = "embedding", seed: int = 42,
+                      out_col: str = "proj") -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection: D-dim embeddings
+    down to ``out_dim`` via a deterministic ±1 matrix, scaled by
+    1/sqrt(out_dim) so expected norms are preserved (Achlioptas 2003 —
+    the database-friendly JL family: sign entries beat gaussians at
+    identical distortion bounds and need no float RNG state).
+
+    The sign matrix is a pure function of (k, d) through splitmix64
+    (``mix64(k*D + d, seed)`` low bit), so every executor — and any
+    engine mirror — regenerates it identically; nothing is broadcast.
+    Map-only Arrow-batched pUDF; the accumulation walks input dims in
+    ascending order (one vectorized add per d), a fixed IEEE order, so
+    outputs are bit-reproducible across engines replaying the same
+    fold. Adds ``out_col`` (array<double> of out_dim).
+
+    Scale shape: the canonical pre-step for ANN/clustering at 10^12
+    rows — shrinking vectors 4-8x shrinks every downstream shuffle and
+    index by the same factor; this stage itself is embarrassingly
+    parallel with zero shuffle.
+    """
+    K = int(out_dim)
+    if K <= 0:
+        raise ValueError("out_dim must be positive")
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def proj(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(list(vecs), dtype=np.float64)  # (n, D)
+        n, D = mat.shape
+        idx = np.arange(K * D, dtype=np.int64)
+        signs = np.where((mix64(idx, seed) & np.uint64(1)) == 0,
+                         1.0, -1.0).reshape(K, D)
+        acc = np.zeros((n, K))
+        for d in range(D):  # fixed fold order -> engine-reproducible
+            acc = acc + mat[:, d:d + 1] * signs[None, :, d]
+        acc = acc * (1.0 / np.sqrt(float(K)))
+        return pd.Series(list(acc), dtype=object)
+
+    return df.withColumn(out_col, proj(F.col(vec_col)))
 
 
 def quantize_int8(df: DataFrame, vec_col: str = "embedding",

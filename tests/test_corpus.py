@@ -606,3 +606,54 @@ def test_pages_outlinks_deterministic(spark):
             f"https://site{int(_mix(np.array([i]), s)[0] % np.uint64(997))}"
             ".example/r" for s in (30, 31, 32))
         assert sorted(got[url]) == want, i
+
+
+def test_random_projection_jl_and_determinism(spark):
+    """Sign-JL projection: deterministic across calls, pairwise distances
+    preserved within loose JL distortion at K=32, and the accumulation
+    matches a manual ordered-fold numpy replay bit-for-bit."""
+    import numpy as np
+
+    from geomesa_spark.operators.ann import mix64, random_projection
+
+    rng = np.random.RandomState(9)
+    vecs = rng.standard_normal((40, 64)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: np.array(r.proj)
+           for r in random_projection(df, 32).collect()}
+    out2 = {r.vec_id: np.array(r.proj)
+            for r in random_projection(df, 32).collect()}
+    # bit-identical across runs
+    for i in range(40):
+        assert (out[i] == out2[i]).all()
+    # manual replay: same sign matrix, same d-ascending fold
+    K, D = 32, 64
+    signs = np.where((mix64(np.arange(K * D, dtype=np.int64)) & np.uint64(1))
+                     == 0, 1.0, -1.0).reshape(K, D)
+    mat = vecs.astype(np.float64)
+    acc = np.zeros((40, K))
+    for d in range(D):
+        acc = acc + mat[:, d:d + 1] * signs[None, :, d]
+    acc *= 1.0 / np.sqrt(float(K))
+    for i in range(40):
+        assert (out[i] == acc[i]).all()
+    # JL distance preservation (loose): median pair ratio near 1
+    ratios = []
+    for a in range(0, 40, 5):
+        for b in range(a + 1, 40, 7):
+            d0 = np.linalg.norm(mat[a] - mat[b])
+            d1 = np.linalg.norm(out[a] - out[b])
+            ratios.append(d1 / d0)
+    med = float(np.median(ratios))
+    assert 0.7 < med < 1.3, med
+
+
+def test_random_projection_validates(spark):
+    import pytest as _pt
+
+    from geomesa_spark.operators.ann import random_projection
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+    with _pt.raises(ValueError):
+        random_projection(df, 0)
