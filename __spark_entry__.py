@@ -1538,6 +1538,17 @@ def q_unigram_lp(spark, sf_dir):
     return unigram_logprob(docs, "doc_id", "text", vocab_size=20)
 
 
+def q_bigram_lp(spark, sf_dir):
+    """Mean bigram log-prob (operators/corpus.bigram_logprob): the
+    order-aware LM-quality rung above unigram_lp — ML conditionals
+    c(w1 w2)/c(w1·) from the corpus itself, per-doc fold sorted by
+    bigram, float32 mean."""
+    from geomesa_spark.operators.corpus import bigram_logprob
+
+    docs = _docs(spark, sf_dir)
+    return bigram_logprob(docs, "doc_id", "text")
+
+
 def q_url_normalize(spark, sf_dir):
     """Crawl-frontier URL canonicalization (operators/corpus.
     normalize_url): lowercase scheme/host, strip www., drop fragment,
@@ -1820,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantized_ann": q_quantized_ann,
         "tfidf_terms": q_tfidf_terms,
         "unigram_lp": q_unigram_lp,
+        "bigram_lp": q_bigram_lp,
         "url_normalize": q_url_normalize,
         "shard_stats": q_shard_stats,
         "dup_ngrams": q_dup_ngrams,
@@ -3935,6 +3947,37 @@ def oracle_sql() -> dict[str, str]:
                                         (a, b) -> a + b) AS s
                      FROM lp GROUP BY doc_id)
             SELECT doc_id, n_words, CAST(s / n_words AS REAL) AS logprob_mean32
+            FROM fold
+        """,
+        # bigram-LM mirror: same pair construction (chr(31) joiner),
+        # same ML conditional, same sorted-bigram fold -> float32 mean
+        "bigram_lp": r"""
+            WITH w AS (SELECT doc_id,
+                              regexp_split_to_array(trim(text), '\s+') AS ws
+                       FROM documents),
+            bg AS (SELECT t.doc_id, u.b AS b
+                   FROM (SELECT doc_id,
+                                list_transform(range(1, len(ws)),
+                                    i -> ws[i] || chr(31) || ws[i + 1]) AS bs
+                         FROM w WHERE len(ws) >= 2) t,
+                        unnest(t.bs) AS u(b)),
+            bgp AS (SELECT doc_id, b, split_part(b, chr(31), 1) AS w1
+                    FROM bg),
+            cb AS (SELECT b, CAST(count(*) AS BIGINT) AS c12
+                   FROM bgp GROUP BY 1),
+            cw AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+                   FROM bgp GROUP BY 1),
+            lp AS (SELECT g.doc_id, g.b,
+                          ln(CAST(cb.c12 AS DOUBLE) / CAST(cw.c1 AS DOUBLE))
+                            AS lp
+                   FROM bgp g JOIN cb USING (b) JOIN cw USING (w1)),
+            fold AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                        list(lp ORDER BY b ASC, lp ASC)),
+                                        (a, x) -> a + x) AS s
+                     FROM lp GROUP BY doc_id)
+            SELECT doc_id, n_bigrams,
+                   CAST(s / n_bigrams AS REAL) AS logprob_mean32
             FROM fold
         """,
         # URL canonicalization mirror: same deterministic messy-URL

@@ -48,6 +48,7 @@ __all__ = [
     "line_dedup", "decontaminate", "stratified_sample", "dedup_apply",
     "mixing_stats", "word_ngrams", "tfidf_topk_terms", "unigram_logprob",
     "normalize_url", "write_shards", "duplicated_ngram_fraction",
+    "bigram_logprob",
     "pack_sequences", "redact_pii", "pii_stats", "incremental_dedup",
     "gopher_quality", "chunk_text", "quality_classifier",
     "extract_html_text", "html_escape", "wrap_html",
@@ -425,6 +426,57 @@ def unigram_logprob(docs: DataFrame, id_col: str, text_col: str,
             id_col, "n_words",
             (F.col("__sum__") / F.col("n_words")).cast("float")
              .alias("logprob_mean32")), exploded, counts)
+
+
+def bigram_logprob(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean bigram log-probability — one rung up the
+    CCNet-style LM-quality ladder from :func:`unigram_logprob`: word
+    ORDER now matters, so shuffled/boilerplate-stitched text scores
+    below fluent prose even when its word histogram looks normal.
+
+    The model is the corpus itself (maximum-likelihood conditionals):
+    p(w2|w1) = c(w1 w2) / c(w1·) where c(w1·) counts w1 as a bigram
+    PREFIX — so scoring the training corpus never meets a zero count;
+    unseen bigrams (scoring held-out text) floor at 1/total_bigrams.
+    Returns (id, n_bigrams, logprob_mean32); docs with < 2 words have
+    no bigram and are absent.
+
+    Scale shape: one explode to (doc, bigram) rows, two combining
+    count aggs (bigram table, prefix table), a shuffle join back keyed
+    by the bigram string (Zipf-bounded model side, AQE handles hot
+    boilerplate bigrams), and the per-doc fold sorted by bigram for a
+    defined float addition order; the float32 mean absorbs <=1-ulp
+    ln() differences (the unigram_logprob convention).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat(F.element_at(words, i), F.lit("\x1f"),
+                           F.element_at(words, i + 1)))
+    bigr = (docs.filter(F.size(words) >= 2)
+                .select(F.col(id_col), F.explode(pairs).alias("b"))
+                .withColumn("w1", F.substring_index(F.col("b"), "\x1f", 1))
+                .persist())   # feeds both count aggs and the join back
+    cb = bigr.groupBy("b").agg(F.count("*").alias("c12"))
+    cw = bigr.groupBy("w1").agg(F.count("*").alias("c1"))
+    total = bigr.count()   # scalar action (also materializes the cache)
+    per = (bigr.join(cb, on="b", how="left")
+               .join(cw, on="w1", how="left")
+               .withColumn("__lp__", F.log(
+                   F.coalesce(F.col("c12").cast("double")
+                              / F.col("c1").cast("double"),
+                              F.lit(1.0 / float(max(total, 1)))))))
+    folded = (per.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("b"), F.col("__lp__")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["__lp__"]).alias("__sum__")))
+    return _attach_cached(
+        folded.select(
+            id_col, "n_bigrams",
+            (F.col("__sum__") / F.col("n_bigrams")).cast("float")
+             .alias("logprob_mean32")), bigr)
 
 
 _TRACKING_PREFIXES = ("utm_",)

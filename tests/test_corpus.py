@@ -657,3 +657,39 @@ def test_random_projection_validates(spark):
     df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
     with _pt.raises(ValueError):
         random_projection(df, 0)
+
+
+def test_bigram_logprob_known_answer(spark):
+    import math
+
+    from geomesa_spark.operators.corpus import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"),     # bigrams: (a,b) x2, (b,a) x1
+         (2, "a b"),         # bigram (a,b)
+         (3, "solo")],       # < 2 words: absent
+        "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           bigram_logprob(docs, "doc_id", "text").collect()}
+    assert set(got) == {1, 2}
+    # corpus bigrams: (a,b) c=3, (b,a) c=1; prefixes: a. c=3, b. c=1
+    lp_ab = math.log(3 / 3)
+    lp_ba = math.log(1 / 1)
+    assert got[1].n_bigrams == 3
+    assert abs(got[1].logprob_mean32 - (2 * lp_ab + lp_ba) / 3) < 1e-6
+    assert got[2].n_bigrams == 1
+    assert abs(got[2].logprob_mean32 - lp_ab) < 1e-6
+
+
+def test_bigram_logprob_orders_fluency(spark):
+    """A doc of repeated predictable bigrams outscores one of unique
+    transitions even with identical word histograms."""
+    from geomesa_spark.operators.corpus import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "x y x y x y x y"),
+         (2, "y y x x y x y x")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.logprob_mean32 for r in
+           bigram_logprob(docs, "doc_id", "text").collect()}
+    assert got[1] > got[2]
