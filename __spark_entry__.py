@@ -536,6 +536,23 @@ def q_trajectory_sim(spark, sf_dir):
     return hausdorff_join(ev, "user_id", "lon", "lat", "event_id")
 
 
+def q_simplify(spark, sf_dir):
+    """Douglas-Peucker track simplification (operators/trajectory.
+    simplify_tracks): kept fixes of sampled user tracks at 2-degree
+    tolerance — per-track stack-walk DP in an Arrow pUDF, mirrored by
+    a DuckDB recursive CTE that splits segments at the identical
+    (max-deviation, lowest-index) point."""
+    from geomesa_spark.operators.trajectory import simplify_tracks
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("user_id") % 15 == 0)
+          .select("event_id", "user_id",
+                  tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+                  tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat")))
+    return simplify_tracks(ev, "user_id", "lon", "lat", "event_id",
+                           tolerance=2.0)
+
+
 def q_random_proj(spark, sf_dir):
     """JL sign random projection (operators/ann.random_projection):
     64-dim embeddings down to 16 via the deterministic splitmix64 ±1
@@ -1772,6 +1789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frechet": q_frechet,
         "map_match": q_map_match,
         "random_proj": q_random_proj,
+        "simplify": q_simplify,
         "co_travel": q_co_travel,
         "sampling": q_sampling,
         "unique_vals": q_unique_vals,
@@ -2292,6 +2310,59 @@ def _sql_pagerank(iters: int = 3, d: float = 0.85) -> str:
     return f"""
         WITH {ctes}
         SELECT node, pr FROM pr{iters}
+    """
+
+
+def _sql_simplify(tol: float = 2.0) -> str:
+    """DuckDB mirror of q_simplify: Douglas-Peucker as a recursive CTE
+    over open segments — per segment the max clamped-segment deviation
+    (first index on ties via list_position on the bit-identical double)
+    either splits it at that fix or closes it; kept fixes = every
+    segment boundary ever produced. Identical arithmetic chain to the
+    numpy pUDF."""
+    x1, y1 = "xs[i0 + 1]", "ys[i0 + 1]"
+    x2, y2 = "xs[i1 + 1]", "ys[i1 + 1]"
+    dx, dy = f"({x2} - {x1})", f"({y2} - {y1})"
+    len2 = f"({dx} * {dx} + {dy} * {dy})"
+    dot = f"((xs[j + 1] - {x1}) * {dx} + (ys[j + 1] - {y1}) * {dy})"
+    tt = (f"(CASE WHEN {len2} = 0.0 THEN 0.0 "
+          f"ELSE least(greatest({dot} / {len2}, 0.0), 1.0) END)")
+    ex = f"(xs[j + 1] - ({x1} + {tt} * {dx}))"
+    ey = f"(ys[j + 1] - ({y1} + {tt} * {dy}))"
+    d2 = f"({ex} * {ex} + {ey} * {ey})"
+    return f"""
+        WITH RECURSIVE e AS ({_EVT_SQL}),
+        tr AS (SELECT user_id AS track,
+                      list(lon ORDER BY event_id) AS xs,
+                      list(lat ORDER BY event_id) AS ys,
+                      CAST(count(*) AS BIGINT) AS n
+               FROM e WHERE user_id % 15 = 0 GROUP BY 1),
+        dp AS (
+          SELECT track, xs, ys, CAST(0 AS BIGINT) AS i0, n - 1 AS i1
+          FROM tr WHERE n >= 3
+          UNION ALL
+          SELECT track, xs, ys, u.b.lo AS i0, u.b.hi AS i1
+          FROM (
+            SELECT track, xs, ys, i0, i1,
+                   list_aggregate(d2s, 'max') AS m,
+                   i0 + list_position(d2s, list_aggregate(d2s, 'max')) AS jj
+            FROM (SELECT track, xs, ys, i0, i1,
+                         list_transform(range(i0 + 1, i1), j -> {d2}) AS d2s
+                  FROM dp WHERE i1 - i0 >= 2) s0
+          ) s,
+          unnest([struct_pack(lo := i0, hi := jj),
+                  struct_pack(lo := jj, hi := i1)]) AS u(b)
+          WHERE m > {tol * tol!r}),
+        kept AS (
+          SELECT track, i0 AS k FROM dp
+          UNION
+          SELECT track, i1 FROM dp
+          UNION
+          SELECT t.track, u.k
+          FROM tr t, unnest(range(t.n)) AS u(k) WHERE t.n <= 2)
+        SELECT k.track, CAST(k.k AS BIGINT) AS seq,
+               t.xs[k.k + 1] AS x, t.ys[k.k + 1] AS y
+        FROM kept k JOIN tr t ON t.track = k.track
     """
 
 
@@ -3338,6 +3409,7 @@ def oracle_sql() -> dict[str, str]:
         "frechet": _sql_frechet(),
         "map_match": _sql_map_match(),
         "random_proj": _sql_random_proj(),
+        "simplify": _sql_simplify(),
         # co-travel mirror: brute self-join on the sampled users with
         # the identical strict squared-distance / inclusive-microsecond
         # predicates (counting + exact compares only, nothing to drift)

@@ -27,8 +27,103 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
 
-__all__ = ["hausdorff_join", "frechet_join", "co_travel"]
+__all__ = ["hausdorff_join", "frechet_join", "co_travel",
+           "simplify_tracks"]
+
+
+def _dp_keep_mask(xs: np.ndarray, ys: np.ndarray, tol: float) -> np.ndarray:
+    """Douglas-Peucker keep mask over one track (iterative stack walk,
+    deterministic: max deviation ties break on the LOWEST index; the
+    deviation is the clamped point-to-SEGMENT distance, so closed loops
+    (coincident endpoints) degrade gracefully to radial distance)."""
+    n = len(xs)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[n - 1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 - i0 < 2:
+            continue
+        x1, y1, x2, y2 = xs[i0], ys[i0], xs[i1], ys[i1]
+        dx, dy = x2 - x1, y2 - y1
+        len2 = dx * dx + dy * dy
+        px = xs[i0 + 1:i1]
+        py = ys[i0 + 1:i1]
+        if len2 == 0.0:
+            t = np.zeros(len(px))
+        else:
+            t = np.clip(((px - x1) * dx + (py - y1) * dy) / len2, 0.0, 1.0)
+        ex = px - (x1 + t * dx)
+        ey = py - (y1 + t * dy)
+        d2 = ex * ex + ey * ey
+        j = int(np.argmax(d2))          # first index on ties
+        if d2[j] > tol * tol:
+            k = i0 + 1 + j
+            keep[k] = True
+            stack.append((i0, k))
+            stack.append((k, i1))
+    return keep
+
+
+def simplify_tracks(df: DataFrame, track_col: str, x_col: str, y_col: str,
+                    order_col: str, tolerance: float,
+                    max_points: int = 65536) -> DataFrame:
+    """Douglas-Peucker track simplification: drop every fix closer than
+    ``tolerance`` (planar) to the chord of its retained neighbors — the
+    standard pre-step before track storage/rendering/similarity (the
+    reference renders decimated geometries the same way; this is the
+    trajectory-pipeline form over fix rows).
+
+    Returns the KEPT fixes: (track, seq (0-based original index),
+    x, y) — endpoints always survive; single-fix tracks pass through.
+    Deterministic: the split point is the max-deviation fix with the
+    lowest index, so output is a pure function of the input.
+
+    Scale shape: one shuffle groups each track's fixes into a bounded
+    array (``max_points`` guard, the hausdorff_join convention); the
+    stack-walk DP runs per track inside an Arrow-batched pUDF (numpy
+    over each track — tracks are bounded, the batch is many tracks);
+    output explodes back to fix rows. No driver involvement, no
+    cross-track communication.
+    """
+
+    @pandas_udf("array<long>")
+    def dp_mask(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(xs, ys):
+            xa = np.asarray(x, dtype=np.float64)
+            ya = np.asarray(y, dtype=np.float64)
+            if len(xa) <= 2:
+                out.append(list(range(len(xa))))
+                continue
+            m = _dp_keep_mask(xa, ya, float(tolerance))
+            out.append([int(i) for i in np.flatnonzero(m)])
+        return pd.Series(out, dtype=object)
+
+    pts = F.array_sort(F.collect_list(
+        F.struct(F.col(order_col).alias("o"),
+                 F.col(x_col).cast("double").alias("x"),
+                 F.col(y_col).cast("double").alias("y"))))
+    tr = (df.groupBy(F.col(track_col).alias("track"))
+            .agg(pts.alias("pts")))
+    tr = tr.withColumn(
+        "pts",
+        F.when(F.size("pts") <= max_points, F.col("pts"))
+         .otherwise(F.raise_error(F.lit(
+             f"simplify_tracks: track exceeds max_points={max_points}"))))
+    kept = tr.withColumn(
+        "__keep__", dp_mask(F.col("pts.x"), F.col("pts.y")))
+    return (kept.select("track", "pts",
+                        F.explode("__keep__").alias("seq"))
+                .select("track", "seq",
+                        F.element_at(F.col("pts"),
+                                     (F.col("seq") + 1).cast("int"))
+                         .alias("__p__"))
+                .select("track", "seq",
+                        F.col("__p__.x").alias("x"),
+                        F.col("__p__.y").alias("y")))
 
 
 def hausdorff_join(df: DataFrame, track_col: str, x_col: str, y_col: str,

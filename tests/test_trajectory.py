@@ -172,3 +172,79 @@ def test_frechet_threshold_prunes(spark):
            for r in frechet_join(df, "tid", "x", "y", "seq",
                                  threshold=1.0).collect()}
     assert set(got) == {(0, 1)} and abs(got[(0, 1)] - 0.5) < 1e-15
+
+
+def _ref_dp(xs, ys, tol):
+    """Textbook recursive Douglas-Peucker (same deviation + tie rule)."""
+    import numpy as np
+
+    def seg_d2(px, py, x1, y1, x2, y2):
+        dx, dy = x2 - x1, y2 - y1
+        len2 = dx * dx + dy * dy
+        t = 0.0 if len2 == 0.0 else min(max(((px - x1) * dx + (py - y1) * dy)
+                                            / len2, 0.0), 1.0)
+        return (px - (x1 + t * dx)) ** 2 + (py - (y1 + t * dy)) ** 2
+
+    n = len(xs)
+    keep = {0, n - 1}
+
+    def rec(i0, i1):
+        if i1 - i0 < 2:
+            return
+        best, bj = -1.0, -1
+        for j in range(i0 + 1, i1):
+            d2 = seg_d2(xs[j], ys[j], xs[i0], ys[i0], xs[i1], ys[i1])
+            if d2 > best:
+                best, bj = d2, j
+        if best > tol * tol:
+            keep.add(bj)
+            rec(i0, bj)
+            rec(bj, i1)
+
+    rec(0, n - 1)
+    return sorted(keep)
+
+
+def test_simplify_tracks_matches_reference(spark):
+    import random
+
+    from geomesa_spark.operators.trajectory import simplify_tracks
+
+    rng = random.Random(13)
+    rows, tracks = [], {}
+    for tid in range(8):
+        npts = rng.randint(1, 30)
+        xs = [rng.uniform(-10, 10) for _ in range(npts)]
+        ys = [rng.uniform(-10, 10) for _ in range(npts)]
+        tracks[tid] = (xs, ys)
+        rows += [(tid, k, xs[k], ys[k]) for k in range(npts)]
+    # a closed loop (coincident endpoints) exercises the len2=0 path
+    loop = [(100, 0, 0.0, 0.0), (100, 1, 5.0, 0.0), (100, 2, 5.0, 5.0),
+            (100, 3, 0.0, 0.0)]
+    tracks[100] = ([0.0, 5.0, 5.0, 0.0], [0.0, 0.0, 5.0, 0.0])
+    rows += loop
+    df = spark.createDataFrame(rows, "tid long, seq long, x double, y double")
+    for tol in (0.5, 2.0):
+        got = {}
+        for r in simplify_tracks(df, "tid", "x", "y", "seq", tol).collect():
+            got.setdefault(r.track, []).append(r.seq)
+        for tid, (xs, ys) in tracks.items():
+            want = (_ref_dp(xs, ys, tol) if len(xs) > 2
+                    else list(range(len(xs))))
+            assert sorted(got[tid]) == want, (tid, tol)
+
+
+def test_simplify_tracks_straight_line_collapses(spark):
+    from geomesa_spark.operators.trajectory import simplify_tracks
+
+    rows = [(1, k, float(k), 0.0) for k in range(10)]
+    rows[5] = (1, 5, 5.0, 0.5)  # one sub-tolerance spike
+    df = spark.createDataFrame(rows, "tid long, seq long, x double, y double")
+    kept = sorted(r.seq for r in
+                  simplify_tracks(df, "tid", "x", "y", "seq", 1.0).collect())
+    assert kept == [0, 9]   # everything within tolerance of the chord
+    tight = sorted(r.seq for r in
+                   simplify_tracks(df, "tid", "x", "y", "seq", 0.01).collect())
+    # collinear runs drop at ANY tolerance; the spike and its shoulder
+    # points (ends of the exactly-straight runs) survive
+    assert tight == [0, 4, 5, 6, 9]
