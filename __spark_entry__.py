@@ -1429,6 +1429,20 @@ def q_interval_join(spark, sf_dir):
     return out.select("purchase_id", "view_id", "cohort", "overlap_us")
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered-step funnel (operators/temporal.funnel): earliest
+    strictly-increasing view -> click -> purchase chain per user within
+    7 days of the first view — K chained whole-partition window mins in
+    ONE shuffle; the oracle is the equivalent cascaded conditional
+    aggregation."""
+    from geomesa_spark.operators.temporal import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, "user_id", "ts", "event_type",
+                  ["view", "click", "purchase"],
+                  within_us=7 * 86_400_000_000)
+
+
 def q_stat_dsl(spark, sf_dir):
     """Stat-spec DSL end-to-end (operators/stats.run_stats — the
     reference's Stat.Scala DSL analog, geomesa-index-api
@@ -1837,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rep_stats": q_rep_stats,
         "asof_enrich": q_asof_enrich,
         "interval_join": q_interval_join,
+        "funnel": q_funnel,
         "sessions": q_sessions,
         "disjoint_join": q_disjoint_join,
         "intersection_area": q_intersection_area,
@@ -3833,6 +3848,30 @@ def oracle_sql() -> dict[str, str]:
                    least(le, re) - greatest(ls, rs) AS overlap_us
             FROM l JOIN r ON l.cohort = r.cohort
             WHERE ls < re AND rs < le
+        """,
+        # funnel mirror: cascaded conditional mins (each step joins the
+        # previous step's time; strict >, integer-us 7-day window)
+        "funnel": """
+            WITH a1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+            a2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN a1 USING (user_id)
+                   WHERE e.event_type = 'click' AND e.ts > a1.t1
+                     AND epoch_us(e.ts) - epoch_us(a1.t1) <= 604800000000
+                   GROUP BY 1),
+            a3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM events e JOIN a2 USING (user_id)
+                                 JOIN a1 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > a2.t2
+                     AND epoch_us(e.ts) - epoch_us(a1.t1) <= 604800000000
+                   GROUP BY 1)
+            SELECT a1.user_id, a1.t1 AS step1_ts, a2.t2 AS step2_ts,
+                   a3.t3 AS step3_ts,
+                   CAST(1 + (CASE WHEN a2.t2 IS NULL THEN 0 ELSE 1 END)
+                          + (CASE WHEN a3.t3 IS NULL THEN 0 ELSE 1 END)
+                        AS INTEGER) AS steps_completed
+            FROM a1 LEFT JOIN a2 USING (user_id)
+                    LEFT JOIN a3 USING (user_id)
         """,
         # gaps-and-islands in integer microseconds (engine-exact)
         "sessions": """

@@ -22,7 +22,60 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-__all__ = ["asof_join", "sessionize", "session_stats", "interval_join"]
+__all__ = ["asof_join", "sessionize", "session_stats", "interval_join",
+           "funnel"]
+
+
+def funnel(df: DataFrame, key_col: str, ts_col: str, step_col: str,
+           steps: list, within_us: int | None = None) -> DataFrame:
+    """Ordered-step funnel analysis: for each key, the earliest strictly
+    increasing chain of timestamps through ``steps`` (classic product
+    funnel: view -> click -> purchase), optionally constrained to a
+    ``within_us`` window after the first step.
+
+        t_1 = min ts where step = steps[0]
+        t_i = min ts where step = steps[i], ts > t_{i-1}
+              (and ts - t_1 <= within_us when set)
+
+    This greedy chain is OPTIMAL: taking each step as early as
+    possible only enlarges the candidate set for every later step, so
+    a key completes the funnel iff any increasing chain exists (the
+    standard funnel semantics). Returns one row per key that performed
+    step 1: (key, step1_ts..stepK_ts, steps_completed); unreached
+    steps are NULL, and NULLs are monotone (a missed step ends the
+    chain).
+
+    Scale shape: the whole cascade is ONE shuffle — K chained
+    whole-partition window minimums over the same key partitioning
+    (Catalyst collapses them into a single exchange; no per-step join,
+    no collected per-key event lists) followed by one combining agg to
+    collapse to a row per key. Hot keys are plain window skew.
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    w = Window.partitionBy(key_col)
+    cur = df
+    out_cols = []
+    prev = None
+    for i, s in enumerate(steps):
+        cname = f"step{i + 1}_ts"
+        cond = F.col(step_col) == F.lit(s)
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+            if within_us is not None:
+                cond = cond & (F.timestamp_diff(
+                    "MICROSECOND", F.col("step1_ts"), F.col(ts_col))
+                    <= F.lit(int(within_us)))
+        cur = cur.withColumn(
+            cname, F.min(F.when(cond, F.col(ts_col))).over(w))
+        prev = cname
+        out_cols.append(cname)
+    done = sum((F.col(c).isNotNull().cast("int") for c in out_cols),
+               F.lit(0))
+    return (cur.groupBy(key_col)
+               .agg(*[F.max(c).alias(c) for c in out_cols],
+                    F.max(done).alias("steps_completed"))
+               .filter(F.col("step1_ts").isNotNull()))
 
 
 def _fdiv(c: F.Column, w: int) -> F.Column:

@@ -176,3 +176,45 @@ def test_interval_join_keyed_and_touching(spark):
     with pytest.raises(ValueError):
         interval_join(left.withColumnRenamed("lid", "rid"), right,
                       "ls", "le", "rs", "re", bin_width=8)
+
+
+def test_funnel_known_answers(spark):
+    from geomesa_spark.operators.temporal import funnel
+
+    rows = [
+        # user 1: clean view -> click -> purchase
+        (1, _ts(0), "view"), (1, _ts(5), "click"), (1, _ts(9), "purchase"),
+        # user 2: purchase BEFORE the view chain -> only 2 steps complete
+        (2, _ts(0), "purchase"), (2, _ts(1), "view"), (2, _ts(2), "click"),
+        # user 3: click at the SAME instant as view (not strictly after)
+        (3, _ts(4), "view"), (3, _ts(4), "click"),
+        # user 4: never views
+        (4, _ts(0), "click"), (4, _ts(1), "purchase"),
+        # user 5: earliest view chosen, later click still chains
+        (5, _ts(10), "view"), (5, _ts(3), "view"), (5, _ts(7), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, et string")
+    got = {r.user_id: r for r in
+           funnel(df, "user_id", "ts", "et",
+                  ["view", "click", "purchase"]).collect()}
+    assert set(got) == {1, 2, 3, 5}
+    assert got[1].steps_completed == 3 and got[1].step3_ts == _ts(9)
+    assert got[2].steps_completed == 2 and got[2].step3_ts is None
+    assert got[3].steps_completed == 1
+    assert got[5].steps_completed == 2 and got[5].step1_ts == _ts(3)
+
+
+def test_funnel_within_window(spark):
+    from geomesa_spark.operators.temporal import funnel
+
+    rows = [(1, _ts(0), "view"), (1, _ts(5), "click"), (1, _ts(90), "purchase"),
+            (2, _ts(0), "view"), (2, _ts(5), "click"), (2, _ts(8), "purchase")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, et string")
+    got = {r.user_id: r.steps_completed for r in
+           funnel(df, "user_id", "ts", "et", ["view", "click", "purchase"],
+                  within_us=10 * 60 * 1_000_000).collect()}
+    assert got == {1: 2, 2: 3}   # user 1's purchase falls outside 10 min
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        funnel(df, "user_id", "ts", "et", [])
