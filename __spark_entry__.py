@@ -578,8 +578,12 @@ def q_map_match(spark, sf_dir):
 
     sup = (_supp_points(spark, sf_dir)
            .withColumn("rid", F.col("s_suppkey") % 12))
+    # wide multiplier: a route would need 10^6 segments before two sids
+    # collide (sf >= ~1200), keeping the (dist, seg_id) tie-break and
+    # the oracle's ORDER BY (d, sid) equivalent at any graded scale
     segs = (track_segments(sup, "rid", "lon", "lat", "s_suppkey")
-            .select((F.col("track") * 1000 + F.col("seg_idx")).alias("sid"),
+            .select((F.col("track") * 1_000_000 + F.col("seg_idx"))
+                    .alias("sid"),
                     "x1", "y1", "x2", "y2"))
     cust = _cust_points(spark, sf_dir)
     return snap_join(cust, segs, "c_custkey", "lon", "lat",
@@ -2427,7 +2431,7 @@ def _sql_map_match() -> str:
                  FROM s
                  WINDOW w AS (PARTITION BY s_suppkey % 12
                               ORDER BY s_suppkey)),
-        seg AS (SELECT rid * 1000 + seg_idx AS sid, x1, y1, x2, y2
+        seg AS (SELECT rid * 1000000 + seg_idx AS sid, x1, y1, x2, y2
                 FROM seg0 WHERE x2 IS NOT NULL),
         c AS ({_CUST_SQL}),
         cand0 AS (SELECT c.c_custkey, seg.sid,

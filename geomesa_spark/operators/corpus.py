@@ -132,7 +132,7 @@ def extract_links(df: DataFrame, html_col: str = "html",
     """
     hrefs = F.regexp_extract_all(
         F.col(html_col).cast("string"),
-        F.lit('href="(https?://[^"]*)"'), F.lit(1))
+        F.lit('(?i)href="(https?://[^"]*)"'), F.lit(1))
     return (df.select(F.col(url_col), F.explode(hrefs).alias("href")))
 
 
@@ -436,10 +436,10 @@ def bigram_logprob(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     The model is the corpus itself (maximum-likelihood conditionals):
     p(w2|w1) = c(w1 w2) / c(w1·) where c(w1·) counts w1 as a bigram
-    PREFIX — so scoring the training corpus never meets a zero count;
-    unseen bigrams (scoring held-out text) floor at 1/total_bigrams.
-    Returns (id, n_bigrams, logprob_mean32); docs with < 2 words have
-    no bigram and are absent.
+    PREFIX — scoring the corpus it was counted from, every bigram is
+    in the model by construction, so no smoothing term exists to
+    drift between engines. Returns (id, n_bigrams, logprob_mean32);
+    docs with < 2 words have no bigram and are absent.
 
     Scale shape: one explode to (doc, bigram) rows, two combining
     count aggs (bigram table, prefix table), a shuffle join back keyed
@@ -459,13 +459,11 @@ def bigram_logprob(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 .persist())   # feeds both count aggs and the join back
     cb = bigr.groupBy("b").agg(F.count("*").alias("c12"))
     cw = bigr.groupBy("w1").agg(F.count("*").alias("c1"))
-    total = bigr.count()   # scalar action (also materializes the cache)
-    per = (bigr.join(cb, on="b", how="left")
-               .join(cw, on="w1", how="left")
+    per = (bigr.join(cb, on="b")
+               .join(cw, on="w1")
                .withColumn("__lp__", F.log(
-                   F.coalesce(F.col("c12").cast("double")
-                              / F.col("c1").cast("double"),
-                              F.lit(1.0 / float(max(total, 1)))))))
+                   F.col("c12").cast("double")
+                   / F.col("c1").cast("double"))))
     folded = (per.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
         F.aggregate(

@@ -79,9 +79,11 @@ def funnel(df: DataFrame, key_col: str, ts_col: str, step_col: str,
 
 
 def _fdiv(c: F.Column, w: int) -> F.Column:
-    """Floor division for longs (DIV truncates toward zero; pmod fixes
-    negatives). Exact: the numerator is a multiple of ``w``."""
-    return ((c - F.pmod(c, F.lit(w))) / F.lit(w)).cast("long")
+    """Floor division for longs: pmod makes the numerator the exact
+    floor multiple of ``w`` (fixing negative truncation), and integer
+    DIV keeps the quotient exact for the full int64 range — a double
+    `/` would round numerators above 2^53 and misplace bins."""
+    return F.call_function("div", c - F.pmod(c, F.lit(w)), F.lit(w))
 
 
 def interval_join(

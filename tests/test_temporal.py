@@ -218,3 +218,19 @@ def test_funnel_within_window(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         funnel(df, "user_id", "ts", "et", [])
+
+
+def test_interval_join_huge_axis_values(spark):
+    """Axis values above 2^53: double division would misplace bins and
+    drop overlapping pairs; integer DIV keeps the cover exact."""
+    from geomesa_spark.operators.temporal import interval_join
+
+    base = 2 ** 55
+    lrows = [(1, base + 1, base + 50), (2, base - 100, base + 5)]
+    rrows = [(11, base + 49, base + 200), (12, base - 200, base - 99)]
+    left = spark.createDataFrame(lrows, "lid long, ls long, le long")
+    right = spark.createDataFrame(rrows, "rid long, rs long, re long")
+    got = {(r.lid, r.rid, r.overlap)
+           for r in interval_join(left, right, "ls", "le", "rs", "re",
+                                  bin_width=7).collect()}
+    assert got == {(1, 11, 1), (2, 12, 1)}
