@@ -478,6 +478,22 @@ def q_od_matrix(spark, sf_dir):
                      zone_id="n_nationkey", order_col="event_id")
 
 
+def q_zone_paths(spark, sf_dir):
+    """Frequent 3-zone travel paths (operators/route.zone_paths): the
+    k-gram generalization of od_matrix — two lead() columns over the
+    geofence visit window, one combining count agg; oracle shares the
+    visit CTE."""
+    from geomesa_spark.operators.route import zone_paths
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"))
+    zones = _nation_rects(spark, sf_dir).select("n_nationkey", "geom")
+    return zone_paths(ev, zones, "user_id", "ts", "lon", "lat", k=3,
+                      zone_id="n_nationkey", order_col="event_id")
+
+
 def _event_cube(spark, sf_dir):
     """Sparse space-time cube: events binned to 10-degree cells x day
     bins (Jan 2024 -> t in [0, 30)), weight = count."""
@@ -1856,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": q_asof_enrich,
         "interval_join": q_interval_join,
         "funnel": q_funnel,
+        "zone_paths": q_zone_paths,
         "sessions": q_sessions,
         "disjoint_join": q_disjoint_join,
         "intersection_area": q_intersection_area,
@@ -3204,6 +3221,22 @@ def oracle_sql() -> dict[str, str]:
                    FROM vis)
             SELECT from_zone, to_zone, CAST(count(*) AS BIGINT) AS n_trips
             FROM tr WHERE to_zone IS NOT NULL GROUP BY 1, 2
+        """,
+        # zone-path mirror: shared visit CTE, two leads over the same
+        # (enter_seq, zone) window, combining count
+        "zone_paths": f"""
+            WITH {_GEOFENCE_VISITS_SQL},
+            vis AS (SELECT user_id, n_nationkey, visit,
+                           min(s) AS enter_seq
+                    FROM v GROUP BY 1, 2, 3),
+            p AS (SELECT user_id, n_nationkey AS z1,
+                         lead(n_nationkey, 1) OVER w AS z2,
+                         lead(n_nationkey, 2) OVER w AS z3
+                  FROM vis
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY enter_seq ASC, n_nationkey ASC))
+            SELECT z1, z2, z3, CAST(count(*) AS BIGINT) AS n_paths
+            FROM p WHERE z3 IS NOT NULL GROUP BY 1, 2, 3
         """,
         # Gi* mirror: identical 9-way queen scatter over the sparse
         # 360x180 count grid (integer sums -> exact doubles), identical

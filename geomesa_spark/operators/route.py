@@ -23,7 +23,7 @@ from pyspark.sql.types import ArrayType, LongType
 from .spatial_join import DEFAULT_LEVEL, cell_expr_of_points, cells_of_disk_arrays
 
 __all__ = ["route_search", "track_interpolate", "stay_points",
-           "geofence_sequence", "od_matrix"]
+           "geofence_sequence", "od_matrix", "zone_paths"]
 
 
 def route_search(
@@ -329,3 +329,46 @@ def od_matrix(fixes: DataFrame, zones: DataFrame,
             .groupBy(F.col(zone_id).alias("from_zone"),
                      F.col("__to__").alias("to_zone"))
             .agg(F.count("*").alias("n_trips")))
+
+
+def zone_paths(fixes: DataFrame, zones: DataFrame,
+               track_col: str, ts_col: str,
+               x_col: str, y_col: str, k: int = 3,
+               zone_id: str = "zone_id", zone_geom: str = "geom",
+               order_col: str | None = None,
+               level: int | None = None,
+               broadcast_zones: bool | None = True,
+               min_count: int = 1) -> DataFrame:
+    """Frequent k-length zone paths (travel-pattern mining): counts of
+    every k-gram of consecutive zone visits across all tracks — the
+    sequence generalization of :func:`od_matrix` (k=2 reproduces its
+    edges). Returns (z1..zk, n_paths) with ``n_paths >= min_count``.
+
+    Composes on `geofence_sequence`; the k-gram scan is k-1 lead()
+    columns over ONE per-track window ordered by (enter_seq, zone_id)
+    — the od_matrix tie rule — so no per-track visit list is ever
+    collected; the final combining count agg is at most |zones|^k rows
+    and usually tiny. State per track is O(1) regardless of track
+    length: the lead window streams.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError("zone_paths needs k >= 2")
+    visits = geofence_sequence(fixes, zones, track_col, ts_col,
+                               x_col, y_col, zone_id=zone_id,
+                               zone_geom=zone_geom, order_col=order_col,
+                               level=level, broadcast_zones=broadcast_zones)
+    w = Window.partitionBy(track_col).orderBy(F.col("enter_seq").asc(),
+                                              F.col(zone_id).asc())
+    cols = [F.col(zone_id).alias("z1")]
+    cur = visits
+    for i in range(1, k):
+        cur = cur.withColumn(f"z{i + 1}", F.lead(zone_id, i).over(w))
+        cols.append(F.col(f"z{i + 1}"))
+    out = (cur.filter(F.col(f"z{k}").isNotNull())
+              .groupBy(*[c for c in cols])
+              .agg(F.count("*").alias("n_paths")))
+    if min_count > 1:
+        out = out.filter(F.col("n_paths") >= int(min_count))
+    return out

@@ -231,3 +231,48 @@ class TestODMatrix:
         got = {(r["from_zone"], r["to_zone"]): r["n_trips"]
                for r in out.collect()}
         assert got == {(1, 2): 2, (2, 1): 1}
+
+
+def test_zone_paths_known_answer(spark):
+    """Hand-built visit sequence: k=3 paths counted across tracks; k=2
+    reproduces od_matrix edges."""
+    from geomesa_spark.geom.wkb import Polygon, wkb_write
+    import datetime as dt
+    import numpy as np
+
+    from geomesa_spark.operators.route import od_matrix, zone_paths
+
+    def rect(x0, y0, x1, y1):
+        ring = np.array([[x0, y0], [x0, y1], [x1, y1], [x1, y0], [x0, y0]])
+        return wkb_write(Polygon(ring))
+
+    zones = spark.createDataFrame(
+        [(1, rect(0, 0, 10, 10)), (2, rect(20, 0, 30, 10)),
+         (3, rect(40, 0, 50, 10))], "zone_id long, geom binary")
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+    # track 7: zones 1 -> 2 -> 3 -> 1 ; track 8: 1 -> 2 -> 3
+    fixes = [(7, ts(0), 5.0, 5.0, 1), (7, ts(1), 25.0, 5.0, 2),
+             (7, ts(2), 45.0, 5.0, 3), (7, ts(3), 5.0, 5.0, 4),
+             (8, ts(0), 5.0, 5.0, 5), (8, ts(1), 25.0, 5.0, 6),
+             (8, ts(2), 45.0, 5.0, 7)]
+    df = spark.createDataFrame(
+        fixes, "tid long, ts timestamp, lon double, lat double, eid long")
+    got = {(r.z1, r.z2, r.z3): r.n_paths
+           for r in zone_paths(df, zones, "tid", "ts", "lon", "lat", k=3,
+                               order_col="eid").collect()}
+    assert got == {(1, 2, 3): 2, (2, 3, 1): 1}
+
+    got2 = {(r.z1, r.z2): r.n_paths
+            for r in zone_paths(df, zones, "tid", "ts", "lon", "lat", k=2,
+                                order_col="eid").collect()}
+    od = {(r.from_zone, r.to_zone): r.n_trips
+          for r in od_matrix(df, zones, "tid", "ts", "lon", "lat",
+                             order_col="eid").collect()}
+    assert got2 == od
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        zone_paths(df, zones, "tid", "ts", "lon", "lat", k=1)
