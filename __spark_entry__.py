@@ -478,6 +478,23 @@ def q_od_matrix(spark, sf_dir):
                      zone_id="n_nationkey", order_col="event_id")
 
 
+def q_skyline(spark, sf_dir):
+    """Skyline / Pareto front (operators/skyline.skyline): customers
+    not dominated on (distance to Paris, distance to Tokyo) — the
+    multi-criteria location query; two-phase local+merge scan, oracle
+    is the O(n^2) NOT-EXISTS domination check over identical distance
+    chains."""
+    from geomesa_spark.operators.skyline import skyline
+
+    c = _cust_points(spark, sf_dir)
+    da = F.sqrt((F.col("lon") - 2.352) * (F.col("lon") - 2.352)
+                + (F.col("lat") - 48.857) * (F.col("lat") - 48.857))
+    db = F.sqrt((F.col("lon") - 139.692) * (F.col("lon") - 139.692)
+                + (F.col("lat") - 35.69) * (F.col("lat") - 35.69))
+    pts = c.select("c_custkey", da.alias("da"), db.alias("db"))
+    return skyline(pts, ["da", "db"])
+
+
 def q_zone_paths(spark, sf_dir):
     """Frequent 3-zone travel paths (operators/route.zone_paths): the
     k-gram generalization of od_matrix — two lead() columns over the
@@ -1873,6 +1890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": q_interval_join,
         "funnel": q_funnel,
         "zone_paths": q_zone_paths,
+        "skyline": q_skyline,
         "sessions": q_sessions,
         "disjoint_join": q_disjoint_join,
         "intersection_area": q_intersection_area,
@@ -3221,6 +3239,22 @@ def oracle_sql() -> dict[str, str]:
                    FROM vis)
             SELECT from_zone, to_zone, CAST(count(*) AS BIGINT) AS n_trips
             FROM tr WHERE to_zone IS NOT NULL GROUP BY 1, 2
+        """,
+        # skyline mirror: brute-force NOT EXISTS domination over the
+        # same sqrt distance chains (<= everywhere AND < somewhere)
+        "skyline": f"""
+            WITH c AS ({_CUST_SQL}),
+            p AS (SELECT c_custkey,
+                         sqrt((lon - 2.352) * (lon - 2.352)
+                            + (lat - 48.857) * (lat - 48.857)) AS da,
+                         sqrt((lon - 139.692) * (lon - 139.692)
+                            + (lat - 35.69) * (lat - 35.69)) AS db
+                  FROM c)
+            SELECT p.c_custkey, p.da, p.db FROM p
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p q
+              WHERE q.da <= p.da AND q.db <= p.db
+                AND (q.da < p.da OR q.db < p.db))
         """,
         # zone-path mirror: shared visit CTE, two leads over the same
         # (enter_seq, zone) window, combining count

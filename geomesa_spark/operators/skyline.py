@@ -1,0 +1,89 @@
+"""Skyline (Pareto front) query: the non-dominated rows under a set of
+minimize/maximize criteria — "close to hub A AND close to hub B AND
+cheap", the classic multi-criteria location query (Börzsönyi et al.
+2001). The reference engine answers single-criterion proximity (kNN,
+dwithin); the skyline is its multi-criteria generalization.
+
+Distributed shape (the standard two-phase skyline):
+
+1. LOCAL phase: every partition computes its own skyline with a
+   sort-then-scan (no point eliminated here can be in the global
+   answer, because domination is transitive and partition-local
+   dominators survive or are themselves dominated by survivors).
+   Runs as mapInPandas — numpy sort + vectorized domination scan.
+2. MERGE phase: the surviving candidates (typically orders of
+   magnitude smaller than the input — skyline size grows
+   polylogarithmically for independent dims) coalesce to one
+   partition and the same scan runs once more.
+
+No shuffle of the raw data: phase 1 is map-only; only candidates move.
+A pathological correlated dataset can have a large skyline — the merge
+then degrades to a single-task scan over exactly the answer set, which
+any exact skyline must materialize anyway.
+
+Domination is the strict-somewhere/no-worse-everywhere rule: p
+dominates q iff p <= q on every criterion and p < q on at least one
+(after negating maximized columns). Duplicated criterion vectors do
+not dominate each other — all copies are returned.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+__all__ = ["skyline"]
+
+
+def _local_skyline(mat: np.ndarray) -> np.ndarray:
+    """Indexes of non-dominated rows of ``mat`` (all-minimize).
+
+    Lexicographic sort, then each row is checked against the kept set
+    (vectorized): a row survives iff no kept row is <= it everywhere
+    and < somewhere. Sorting guarantees a dominator always precedes
+    its victims, so one forward pass suffices.
+    """
+    n = len(mat)
+    order = np.lexsort(mat.T[::-1])   # by col0, then col1, ...
+    kept: list[int] = []
+    kmat = np.empty((0, mat.shape[1]))
+    for i in order:
+        row = mat[i]
+        if len(kept):
+            le = (kmat <= row).all(axis=1)
+            lt = (kmat < row).any(axis=1)
+            if (le & lt).any():
+                continue
+        kept.append(i)
+        kmat = np.vstack([kmat, row])
+    out = np.zeros(n, dtype=bool)
+    out[kept] = True
+    return out
+
+
+def skyline(df: DataFrame, criteria: list, minimize: list | None = None) -> DataFrame:
+    """Rows of ``df`` not dominated on the ``criteria`` columns
+    (numeric). ``minimize[i]=False`` maximizes that criterion. All
+    original columns pass through.
+    """
+    if not criteria:
+        raise ValueError("skyline needs at least one criterion column")
+    if minimize is None:
+        minimize = [True] * len(criteria)
+    if len(minimize) != len(criteria):
+        raise ValueError("minimize must match criteria length")
+    signs = np.array([1.0 if m else -1.0 for m in minimize])
+    schema = df.schema
+
+    def scan(iterator):
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            mat = pdf[criteria].to_numpy(dtype=np.float64) * signs
+            yield pdf[_local_skyline(mat)]
+
+    local = df.mapInPandas(scan, schema=schema)
+    # merge: candidates only — the answer set plus partition-local
+    # survivors later killed by a cross-partition dominator
+    return local.coalesce(1).mapInPandas(scan, schema=schema)
