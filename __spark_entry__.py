@@ -478,6 +478,24 @@ def q_od_matrix(spark, sf_dir):
                      zone_id="n_nationkey", order_col="event_id")
 
 
+def q_areal_interp(spark, sf_dir):
+    """Areal interpolation (operators/interpolate.areal_interpolate_
+    rects): customer-rect values area-weighted onto the nation-zone
+    system — report-once grid join over both rect layers, closed-form
+    clamped-interval overlaps, source-id-ordered deterministic fold."""
+    from geomesa_spark.operators.interpolate import areal_interpolate_rects
+
+    xmin, ymin, xmax, ymax = tg.rect_cols("c_custkey")
+    src = (_t(spark, sf_dir, "customer")
+           .select("c_custkey", xmin, ymin, xmax, ymax)
+           .withColumn("v", ((F.col("c_custkey") % 97) + 1).cast("double")))
+    dst = _nation_rects(spark, sf_dir, with_wkb=False)
+    return areal_interpolate_rects(
+        src, dst, "c_custkey", ("xmin", "ymin", "xmax", "ymax"), "v",
+        "n_nationkey", ("xmin", "ymin", "xmax", "ymax"),
+        level=6, deterministic=True)
+
+
 def q_skyline(spark, sf_dir):
     """Skyline / Pareto front (operators/skyline.skyline): customers
     not dominated on (distance to Paris, distance to Tokyo) — the
@@ -1891,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "zone_paths": q_zone_paths,
         "skyline": q_skyline,
+        "areal_interp": q_areal_interp,
         "sessions": q_sessions,
         "disjoint_join": q_disjoint_join,
         "intersection_area": q_intersection_area,
@@ -3239,6 +3258,31 @@ def oracle_sql() -> dict[str, str]:
                    FROM vis)
             SELECT from_zone, to_zone, CAST(count(*) AS BIGINT) AS n_trips
             FROM tr WHERE to_zone IS NOT NULL GROUP BY 1, 2
+        """,
+        # areal-interpolation mirror: brute rect-overlap shares with the
+        # IDENTICAL association v * ((ox*oy)/area), sid-ordered fold
+        "areal_interp": f"""
+            WITH s AS (SELECT c_custkey AS sid,
+                              {tg.sql_rect_exprs('c_custkey')[0]} AS sx0,
+                              {tg.sql_rect_exprs('c_custkey')[1]} AS sy0,
+                              {tg.sql_rect_exprs('c_custkey')[2]} AS sx1,
+                              {tg.sql_rect_exprs('c_custkey')[3]} AS sy1,
+                              CAST(c_custkey % 97 + 1 AS DOUBLE) AS v
+                       FROM customer),
+            n AS ({_NATION_SQL}),
+            pr AS (SELECT n.n_nationkey, s.sid,
+                          v * (((least(sx1, xmax) - greatest(sx0, xmin))
+                              * (least(sy1, ymax) - greatest(sy0, ymin)))
+                             / ((sx1 - sx0) * (sy1 - sy0))) AS c
+                   FROM s, n
+                   WHERE least(sx1, xmax) - greatest(sx0, xmin) > 0.0
+                     AND least(sy1, ymax) - greatest(sy0, ymin) > 0.0
+                     AND sx1 > sx0 AND sy1 > sy0)
+            SELECT n_nationkey,
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                               list(c ORDER BY sid)),
+                               (a, x) -> a + x) AS value
+            FROM pr GROUP BY 1
         """,
         # skyline mirror: brute-force NOT EXISTS domination over the
         # same sqrt distance chains (<= everywhere AND < somewhere)

@@ -30,7 +30,81 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["idw_grid"]
+__all__ = ["idw_grid", "areal_interpolate_rects"]
+
+
+def areal_interpolate_rects(
+    src: DataFrame, dst: DataFrame,
+    src_id: str, src_env: tuple, value_col: str,
+    dst_id: str, dst_env: tuple,
+    level: int = 6,
+    deterministic: bool = False,
+) -> DataFrame:
+    """Areal interpolation between incompatible RECTANGULAR zone
+    systems (Goodchild & Lam 1980 area weighting): each source zone's
+    value spreads uniformly over its area, and every target zone
+    collects what falls inside it:
+
+        v(t) = sum_s v(s) * area(s ∩ t) / area(s)
+
+    The census-to-grid / admin-to-tile reaggregation step of spatial
+    pipelines. Rect zones (axis-aligned envelope == geometry — the
+    nation/customer layers, tiles, bboxes) keep the whole computation
+    closed-form: overlap = clamped interval products, pure JVM.
+
+    Scale shape: both layers explode to covering grid cells via the
+    codegen'd sequence-explodes and meet on the report-once canonical
+    cell (max of the per-axis cover minima — the spatial_join rule), so
+    no pair-dedup shuffle; the final combining agg is keyed by the
+    target id. ``deterministic=True`` swaps the sum for a
+    source-id-ordered fold (idw_grid convention, engine-reproducible).
+    Returns (dst_id, value) over targets with nonzero overlap.
+    Degenerate sources (zero area) are dropped.
+    """
+    from .spatial_join import _explode_bbox_ij
+
+    sx0, sy0, sx1, sy1 = (F.col(c) for c in src_env)
+    dx0, dy0, dx1, dy1 = (F.col(c) for c in dst_env)
+    l = _explode_bbox_ij(
+        src.select(F.col(src_id).alias("__sid__"),
+                   F.col(value_col).cast("double").alias("__v__"),
+                   sx0.cast("double").alias("__sx0__"),
+                   sy0.cast("double").alias("__sy0__"),
+                   sx1.cast("double").alias("__sx1__"),
+                   sy1.cast("double").alias("__sy1__"))
+           .filter((sx1.cast("double") > sx0.cast("double"))
+                   & (sy1.cast("double") > sy0.cast("double"))),
+        F.col("__sx0__"), F.col("__sy0__"), F.col("__sx1__"),
+        F.col("__sy1__"), level, "l")
+    r = _explode_bbox_ij(
+        dst.select(F.col(dst_id).alias("__did__"),
+                   dx0.cast("double").alias("__dx0__"),
+                   dy0.cast("double").alias("__dy0__"),
+                   dx1.cast("double").alias("__dx1__"),
+                   dy1.cast("double").alias("__dy1__")),
+        F.col("__dx0__"), F.col("__dy0__"), F.col("__dx1__"),
+        F.col("__dy1__"), level, "r")
+    ox = (F.least(F.col("__sx1__"), F.col("__dx1__"))
+          - F.greatest(F.col("__sx0__"), F.col("__dx0__")))
+    oy = (F.least(F.col("__sy1__"), F.col("__dy1__"))
+          - F.greatest(F.col("__sy0__"), F.col("__dy0__")))
+    share = (ox * oy) / ((F.col("__sx1__") - F.col("__sx0__"))
+                         * (F.col("__sy1__") - F.col("__sy0__")))
+    pairs = (l.join(r, on=["__gi__", "__gj__"])
+              .filter((F.col("__gi__") == F.greatest("__lgi0__", "__rgi0__"))
+                      & (F.col("__gj__") == F.greatest("__lgj0__", "__rgj0__")))
+              .filter((ox > F.lit(0.0)) & (oy > F.lit(0.0)))
+              .select("__did__", "__sid__",
+                      (F.col("__v__") * share).alias("__c__")))
+    if deterministic:
+        agg = F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("__sid__"),
+                                                 F.col("__c__")))),
+            F.lit(0.0), lambda acc, s: acc + s["__c__"])
+    else:
+        agg = F.sum("__c__")
+    return (pairs.groupBy(F.col("__did__").alias(dst_id))
+                 .agg(agg.alias("value")))
 
 
 def idw_grid(pts: DataFrame, x_col: str, y_col: str, value: str,

@@ -76,3 +76,57 @@ def test_idw_exact_hit_dominates(spark):
            for r in idw_grid(df, "x", "y", "v", 0.0, 0.0, 4.0, 4.0, 4, 4,
                              radius_cells=2).collect()}
     assert abs(got[(0, 0)] - 42.0) < 1e-6
+
+
+def _brute_areal(srcs, dsts):
+    out = {}
+    for did, dx0, dy0, dx1, dy1 in dsts:
+        tot = 0.0
+        for sid, sx0, sy0, sx1, sy1, v in sorted(srcs):
+            ox = min(sx1, dx1) - max(sx0, dx0)
+            oy = min(sy1, dy1) - max(sy0, dy0)
+            if ox > 0 and oy > 0 and sx1 > sx0 and sy1 > sy0:
+                tot += v * (ox * oy) / ((sx1 - sx0) * (sy1 - sy0))
+        if tot:
+            out[did] = tot
+    return out
+
+
+def test_areal_interpolate_rects_brute_force(spark):
+    import random
+
+    from geomesa_spark.operators.interpolate import areal_interpolate_rects
+
+    rng = random.Random(8)
+    srcs = []
+    for sid in range(60):
+        x0, y0 = rng.uniform(-40, 40), rng.uniform(-20, 20)
+        srcs.append((sid, x0, y0, x0 + rng.uniform(0, 15),
+                     y0 + rng.uniform(0, 8), rng.uniform(1, 10)))
+    srcs.append((60, 0.0, 0.0, 0.0, 5.0, 99.0))   # degenerate: dropped
+    dsts = []
+    for did in range(20):
+        x0, y0 = rng.uniform(-40, 40), rng.uniform(-20, 20)
+        dsts.append((did, x0, y0, x0 + rng.uniform(1, 20),
+                     y0 + rng.uniform(1, 10)))
+    sdf = spark.createDataFrame(
+        srcs, "sid long, x0 double, y0 double, x1 double, y1 double, v double")
+    ddf = spark.createDataFrame(
+        dsts, "did long, x0 double, y0 double, x1 double, y1 double")
+    got = {r.did: r.value for r in areal_interpolate_rects(
+        sdf, ddf, "sid", ("x0", "y0", "x1", "y1"), "v",
+        "did", ("x0", "y0", "x1", "y1"), level=5,
+        deterministic=True).collect()}
+    want = _brute_areal(srcs, dsts)
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9, k
+    # mass conservation when a source is fully covered by one target
+    sdf2 = spark.createDataFrame([(1, 0.0, 0.0, 1.0, 1.0, 7.0)],
+                                 "sid long, x0 double, y0 double, x1 double, y1 double, v double")
+    ddf2 = spark.createDataFrame([(1, -5.0, -5.0, 5.0, 5.0)],
+                                 "did long, x0 double, y0 double, x1 double, y1 double")
+    one = areal_interpolate_rects(sdf2, ddf2, "sid",
+                                  ("x0", "y0", "x1", "y1"), "v",
+                                  "did", ("x0", "y0", "x1", "y1")).first()
+    assert one.value == 7.0
