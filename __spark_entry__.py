@@ -563,6 +563,16 @@ def q_hotspot_st(spark, sf_dir):
     return gi_star_st(_event_cube(spark, sf_dir), 36, 18, 30)
 
 
+def q_cell_anomaly(spark, sf_dir):
+    """Per-cell temporal anomaly scan (operators/hotspot.cell_anomaly):
+    spike days per 10-degree cell, z >= 2 against the cell's densified
+    30-day moments — combining agg + cell-keyed join back, exact
+    integer sums into one fixed z chain."""
+    from geomesa_spark.operators.hotspot import cell_anomaly
+
+    return cell_anomaly(_event_cube(spark, sf_dir), 30, z_thresh=2.0)
+
+
 def q_trend_cells(spark, sf_dir):
     """Mann-Kendall trend (operators/hotspot.mann_kendall): per-cell
     nonparametric trend over the densified day series of the events
@@ -1635,6 +1645,16 @@ def q_bigram_lp(spark, sf_dir):
     return bigram_logprob(docs, "doc_id", "text")
 
 
+def q_collocations(spark, sf_dir):
+    """PMI collocations (operators/corpus.collocations): top-40
+    adjacent-pair phrases by the exact-integer PMI ratio N*c12/(c1*c2)
+    (ln-free ranking, float32 tie-safe), min_count=3."""
+    from geomesa_spark.operators.corpus import collocations
+
+    docs = _docs(spark, sf_dir)
+    return collocations(docs, "doc_id", "text", k=40, min_count=3)
+
+
 def q_url_normalize(spark, sf_dir):
     """Crawl-frontier URL canonicalization (operators/corpus.
     normalize_url): lowercase scheme/host, strip www., drop fragment,
@@ -1910,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zone_paths": q_zone_paths,
         "skyline": q_skyline,
         "areal_interp": q_areal_interp,
+        "cell_anomaly": q_cell_anomaly,
         "sessions": q_sessions,
         "disjoint_join": q_disjoint_join,
         "intersection_area": q_intersection_area,
@@ -1923,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "unigram_lp": q_unigram_lp,
         "bigram_lp": q_bigram_lp,
+        "collocations": q_collocations,
         "url_normalize": q_url_normalize,
         "shard_stats": q_shard_stats,
         "dup_ngrams": q_dup_ngrams,
@@ -3480,6 +3502,20 @@ def oracle_sql() -> dict[str, str]:
         # Mann-Kendall mirror: densified 30-bin day series per occupied
         # cell (absent bins = exact zeros), all-integer pairwise sign
         # sum, continuity-corrected z with the identical VAR(S) double
+        # anomaly mirror: same cube, same one combining-moment pass and
+        # fixed z chain (mean = s/30, var = ss/30 - mean^2)
+        "cell_anomaly": f"""
+            WITH base AS ({_evt_cube_sql(ti10, tj10)}),
+            st AS (SELECT i, j, sum(x) AS s, sum(x * x) AS ss
+                   FROM base GROUP BY 1, 2),
+            q AS (SELECT b.i, b.j, b.t, b.x,
+                         st.s / 30.0 AS mean,
+                         st.ss / 30.0 - (st.s / 30.0) * (st.s / 30.0) AS var
+                  FROM base b JOIN st ON st.i = b.i AND st.j = b.j)
+            SELECT i, j, t, x, (x - mean) / sqrt(var) AS z
+            FROM q
+            WHERE var > 0.0 AND abs((x - mean) / sqrt(var)) >= 2.0
+        """,
         "trend_cells": f"""
             WITH base AS ({_evt_cube_sql(ti10, tj10)}),
             cells AS (SELECT DISTINCT i, j FROM base),
@@ -4205,6 +4241,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams,
                    CAST(s / n_bigrams AS REAL) AS logprob_mean32
             FROM fold
+        """,
+        # collocation mirror: same pair construction, same exact-integer
+        # ratio cast to REAL before ranking (tie-safe), same tie-break
+        "collocations": r"""
+            WITH wl AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+                        FROM documents),
+            w AS (SELECT unnest(ws) AS w FROM wl),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+            cw AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM w GROUP BY 1),
+            bg AS (SELECT split_part(u.b, chr(31), 1) AS w1,
+                          split_part(u.b, chr(31), 2) AS w2
+                   FROM (SELECT list_transform(range(1, len(ws)),
+                                i -> ws[i] || chr(31) || ws[i + 1]) AS bs
+                         FROM wl WHERE len(ws) >= 2) t,
+                        unnest(t.bs) AS u(b)),
+            cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
+                   FROM bg GROUP BY 1, 2 HAVING count(*) >= 3),
+            sc AS (SELECT cb.w1, cb.w2, n_pair,
+                          CAST(CAST(n_pair * (SELECT n FROM nn) AS DOUBLE)
+                               / CAST(c1.c * c2.c AS DOUBLE) AS REAL)
+                            AS ratio32
+                   FROM cb JOIN cw c1 ON c1.w = cb.w1
+                           JOIN cw c2 ON c2.w = cb.w2)
+            SELECT w1, w2, n_pair, ratio32,
+                   CAST(row_number() OVER (ORDER BY ratio32 DESC,
+                        w1 ASC, w2 ASC) AS INTEGER) AS rank
+            FROM sc
+            QUALIFY row_number() OVER (ORDER BY ratio32 DESC,
+                    w1 ASC, w2 ASC) <= 40
         """,
         # URL canonicalization mirror: same deterministic messy-URL
         # construction, same lowercase/www-strip/defrag/param rules

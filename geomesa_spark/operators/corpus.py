@@ -48,7 +48,7 @@ __all__ = [
     "line_dedup", "decontaminate", "stratified_sample", "dedup_apply",
     "mixing_stats", "word_ngrams", "tfidf_topk_terms", "unigram_logprob",
     "normalize_url", "write_shards", "duplicated_ngram_fraction",
-    "bigram_logprob",
+    "bigram_logprob", "collocations",
     "pack_sequences", "redact_pii", "pii_stats", "incremental_dedup",
     "gopher_quality", "chunk_text", "quality_classifier",
     "extract_html_text", "html_escape", "wrap_html",
@@ -475,6 +475,57 @@ def bigram_logprob(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
             id_col, "n_bigrams",
             (F.col("__sum__") / F.col("n_bigrams")).cast("float")
              .alias("logprob_mean32")), bigr)
+
+
+def collocations(docs: DataFrame, id_col: str, text_col: str,
+                 k: int = 50, min_count: int = 2) -> DataFrame:
+    """Top-k PMI collocations: adjacent word pairs occurring together
+    far more than their unigram frequencies predict (Church & Hanks
+    1990) — the phrase-mining pass of corpus pipelines (multi-word
+    expressions, boilerplate phrases, named entities).
+
+    Ranking uses the PMI ratio r = N * c(w1 w2) / (c(w1) * c(w2))
+    (PMI = ln r; ln is monotone so ranks are identical and the ratio
+    needs no transcendental). All inputs are exact integers below
+    2^53, so the one double division is bit-reproducible; ties break
+    on (w1, w2). ``min_count`` floors the bigram count (raw PMI is
+    maximized by hapax pairs). Returns (w1, w2, n_pair, ratio32,
+    rank).
+
+    Scale shape: two explode + combining-count passes (bigrams,
+    unigrams), joins keyed by the word string (Zipf-bounded model
+    sides), one global top-k window over the min_count-filtered pairs
+    (already ~vocabulary-sized, not corpus-sized).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.struct(F.element_at(words, i).alias("w1"),
+                           F.element_at(words, i + 1).alias("w2")))
+    bigr = (docs.filter(F.size(words) >= 2)
+                .select(F.explode(pairs).alias("p"))
+                .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")))
+    uni = (docs.select(F.explode(words).alias("w"))
+               .persist())   # feeds N and the unigram counts
+    cw = uni.groupBy("w").agg(F.count("*").alias("c"))
+    n_words = uni.count()
+    cb = (bigr.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+              .filter(F.col("n_pair") >= int(min_count)))
+    scored = (cb.join(cw.select(F.col("w").alias("w1"),
+                                F.col("c").alias("c1")), on="w1")
+                .join(cw.select(F.col("w").alias("w2"),
+                                F.col("c").alias("c2")), on="w2")
+                .withColumn("ratio32",
+                            ((F.col("n_pair") * F.lit(int(n_words)))
+                             .cast("double")
+                             / (F.col("c1") * F.col("c2")).cast("double"))
+                            .cast("float")))
+    win = Window.orderBy(F.col("ratio32").desc(), F.col("w1").asc(),
+                         F.col("w2").asc())
+    out = (scored.withColumn("rank", F.row_number().over(win))
+                 .filter(F.col("rank") <= int(k))
+                 .select("w1", "w2", "n_pair", "ratio32", "rank"))
+    return _attach_cached(out, uni)
 
 
 _TRACKING_PREFIXES = ("utm_",)

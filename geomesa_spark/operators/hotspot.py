@@ -25,7 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["gi_star", "local_moran", "gi_star_st", "mann_kendall"]
+__all__ = ["gi_star", "local_moran", "gi_star_st", "mann_kendall",
+           "cell_anomaly"]
 
 
 def gi_star(grid: DataFrame, w: int, h: int,
@@ -198,6 +199,42 @@ def gi_star_st(grid: DataFrame, w: int, h: int, nt: int,
                       / F.lit(n - 1.0))))
     return out.select("i", "j", "t", F.col("x").alias(value), "wi",
                       gi.alias("gi_z"))
+
+
+def cell_anomaly(grid: DataFrame, nt: int,
+                 i: str = "i", j: str = "j", t: str = "t",
+                 value: str = "weight", z_thresh: float = 2.0) -> DataFrame:
+    """Per-cell temporal anomaly scan: occupied bins whose value sits
+    ``z_thresh`` standard deviations from that cell's own densified
+    ``nt``-bin mean (absent bins are exact zeros, as mann_kendall) —
+    the "which day spiked where" companion of the trend test in
+    emerging-hotspot analysis.
+
+    Moments come from one combining agg per cell (sum and sum-of-
+    squares are exact doubles for integer-valued counts), broadcast
+    back to the occupied rows by a cell-keyed join; the z chain
+    (mean = s/nt, var = ss/nt - mean², z = (x-mean)/sqrt(var)) is one
+    fixed expression — bit-reproducible. Cells with var <= 0 (constant
+    series) produce no anomalies. Returns (i, j, t, x, z) with
+    |z| >= z_thresh.
+    """
+    if nt < 2:
+        raise ValueError("cell_anomaly needs nt >= 2 time bins")
+    g = grid.select(F.col(i).cast("int").alias("i"),
+                    F.col(j).cast("int").alias("j"),
+                    F.col(t).cast("int").alias("t"),
+                    F.col(value).cast("double").alias("x"))
+    st = (g.groupBy("i", "j")
+           .agg(F.sum("x").alias("s"),
+                F.sum(F.col("x") * F.col("x")).alias("ss")))
+    mean = F.col("s") / F.lit(float(nt))
+    var = F.col("ss") / F.lit(float(nt)) - mean * mean
+    z = (F.col("x") - mean) / F.sqrt(var)
+    return (g.join(st, on=["i", "j"])
+             .filter(var > F.lit(0.0))
+             .withColumn("z", z)
+             .filter(F.abs(F.col("z")) >= F.lit(float(z_thresh)))
+             .select("i", "j", "t", "x", "z"))
 
 
 def mann_kendall(grid: DataFrame, nt: int,

@@ -693,3 +693,23 @@ def test_bigram_logprob_orders_fluency(spark):
     got = {r.doc_id: r.logprob_mean32 for r in
            bigram_logprob(docs, "doc_id", "text").collect()}
     assert got[1] > got[2]
+
+
+def test_collocations_known_answer(spark):
+    from geomesa_spark.operators.corpus import collocations
+
+    docs = spark.createDataFrame(
+        [(1, "new york new york is big"),
+         (2, "new york and the big apple"),
+         (3, "big apple pie is the pie")],
+        "doc_id long, text string")
+    out = {(r.w1, r.w2): (r.n_pair, r.ratio32, r.rank)
+           for r in collocations(docs, "doc_id", "text",
+                                 k=3, min_count=2).collect()}
+    # N=18 words; pairs >=2: (new,york) c=3 c1=3 c2=3 -> 18*3/9=6.0
+    #                        (big,apple) c=2 c1=3 c2=2 -> 18*2/6=6.0
+    # tie on ratio -> (big,apple) < (new,york) lexicographically
+    assert set(out) == {("new", "york"), ("big", "apple")}
+    assert out[("big", "apple")][2] == 1 and out[("new", "york")][2] == 2
+    assert abs(out[("new", "york")][1] - 18 * 3 / 9) < 1e-5
+    assert out[("new", "york")][0] == 3

@@ -200,3 +200,28 @@ def test_mann_kendall_monotone_series(spark):
     df = spark.createDataFrame(rows, "i int, j int, t int, weight double")
     got = {(r["i"], r["j"]): r["s_stat"] for r in mann_kendall(df, 6).collect()}
     assert got[(0, 0)] == 15 and got[(1, 1)] == -15
+
+
+def test_cell_anomaly_known_answer(spark):
+    import math
+
+    import pytest as _pt
+
+    from geomesa_spark.operators.hotspot import cell_anomaly
+
+    # cell (0,0): one spike of 10 at t=3 over nt=10 (absent bins zero)
+    # cell (1,1): constant occupied value but var>0 from the zeros
+    # cell (2,2): fully constant series (var 0) -> no output
+    rows = ([(0, 0, 3, 10.0)]
+            + [(1, 1, t, 4.0) for t in range(5)]
+            + [(2, 2, t, 7.0) for t in range(10)])
+    df = spark.createDataFrame(rows, "i int, j int, t int, weight double")
+    got = {(r.i, r.j, r.t): r.z
+           for r in cell_anomaly(df, 10, z_thresh=1.5).collect()}
+    # cell (0,0): mean=1, var=100/10-1=9 -> z=(10-1)/3=3
+    assert abs(got[(0, 0, 3)] - 3.0) < 1e-12
+    # cell (1,1): mean=2, var=80/10-4=4 -> z=(4-2)/2=1 < 1.5 -> absent
+    assert all(k[0] != 1 for k in got)
+    assert all(k[0] != 2 for k in got)
+    with _pt.raises(ValueError):
+        cell_anomaly(df, 1)
