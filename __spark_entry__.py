@@ -614,6 +614,39 @@ def q_simplify(spark, sf_dir):
                            tolerance=2.0)
 
 
+def q_seg_crossings(spark, sf_dir):
+    """Segment-intersection join (operators/mapmatch.
+    segment_intersections): where sampled user track segments cross
+    the supplier road polylines — report-once grid join + exact
+    parametric crossing test in codegen; oracle is the brute cross
+    with the identical chain."""
+    from geomesa_spark.operators.mapmatch import (segment_intersections,
+                                                  track_segments)
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("user_id") % 40 == 0)
+          .select("event_id", "user_id",
+                  tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+                  tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat")))
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    ev = (ev.withColumn("__rn__", F.row_number().over(w))
+            .filter(F.col("__rn__") <= 8).drop("__rn__"))
+    tracks = (track_segments(ev, "user_id", "lon", "lat", "event_id")
+              .select((F.col("track") * 1_000_000 + F.col("seg_idx"))
+                      .alias("aid"), "x1", "y1", "x2", "y2"))
+    sup = (_supp_points(spark, sf_dir)
+           .withColumn("rid", F.col("s_suppkey") % 12))
+    roads = (track_segments(sup, "rid", "lon", "lat", "s_suppkey")
+             .select((F.col("track") * 1_000_000 + F.col("seg_idx"))
+                     .alias("bid"),
+                     F.col("x1").alias("rx1"), F.col("y1").alias("ry1"),
+                     F.col("x2").alias("rx2"), F.col("y2").alias("ry2")))
+    return segment_intersections(tracks, roads,
+                                 "aid", "x1", "y1", "x2", "y2",
+                                 "bid", "rx1", "ry1", "rx2", "ry2",
+                                 level=5)
+
+
 def q_random_proj(spark, sf_dir):
     """JL sign random projection (operators/ann.random_projection):
     64-dim embeddings down to 16 via the deterministic splitmix64 ±1
@@ -1877,6 +1910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hits": q_link_hits,
         "frechet": q_frechet,
         "map_match": q_map_match,
+        "seg_crossings": q_seg_crossings,
         "random_proj": q_random_proj,
         "simplify": q_simplify,
         "co_travel": q_co_travel,
@@ -2488,6 +2522,55 @@ def _sql_random_proj(K: int = 16, D: int = 64) -> str:
                      AS val
               FROM terms GROUP BY 1, 2)
         SELECT vec_id, CAST(kk AS INTEGER) AS dim_idx, val FROM f
+    """
+
+
+def _sql_seg_crossings() -> str:
+    """DuckDB mirror of q_seg_crossings: brute cross join of the same
+    two segment layers with the IDENTICAL parametric chain (denom,
+    ta/tb cross-ratios, crossing point from ta) — the grid prefilter
+    must lose no intersecting pair."""
+    return f"""
+        WITH e AS ({_EVT_SQL}),
+        p0 AS (SELECT user_id, event_id, lon, lat,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY event_id) AS rn
+               FROM e WHERE user_id % 40 = 0),
+        p AS (SELECT * FROM p0 WHERE rn <= 8),
+        ta0 AS (SELECT user_id AS track,
+                       CAST(row_number() OVER w - 1 AS BIGINT) AS seg_idx,
+                       lon AS x1, lat AS y1,
+                       lead(lon) OVER w AS x2, lead(lat) OVER w AS y2
+                FROM p
+                WINDOW w AS (PARTITION BY user_id ORDER BY event_id)),
+        tseg AS (SELECT track * 1000000 + seg_idx AS aid, x1, y1, x2, y2
+                 FROM ta0 WHERE x2 IS NOT NULL),
+        s AS ({_SUPP_SQL}),
+        rb0 AS (SELECT s_suppkey % 12 AS rid,
+                       CAST(row_number() OVER w - 1 AS BIGINT) AS seg_idx,
+                       lon AS x1, lat AS y1,
+                       lead(lon) OVER w AS x2, lead(lat) OVER w AS y2
+                FROM s
+                WINDOW w AS (PARTITION BY s_suppkey % 12
+                             ORDER BY s_suppkey)),
+        rseg AS (SELECT rid * 1000000 + seg_idx AS bid, x1, y1, x2, y2
+                 FROM rb0 WHERE x2 IS NOT NULL),
+        c0 AS (SELECT a.aid, b.bid,
+                      a.x1 AS ax1, a.y1 AS ay1,
+                      a.x2 - a.x1 AS rx, a.y2 - a.y1 AS ry,
+                      b.x2 - b.x1 AS sx, b.y2 - b.y1 AS sy,
+                      b.x1 - a.x1 AS qpx, b.y1 - a.y1 AS qpy
+               FROM tseg a, rseg b),
+        c1 AS (SELECT *, rx * sy - ry * sx AS denom FROM c0
+               WHERE rx * sy - ry * sx <> 0.0),
+        c2 AS (SELECT aid, bid, ax1, ay1, rx, ry,
+                      (qpx * sy - qpy * sx) / denom AS ta,
+                      (qpx * ry - qpy * rx) / denom AS tb
+               FROM c1)
+        SELECT aid AS a_id, bid AS b_id,
+               ax1 + ta * rx AS ix, ay1 + ta * ry AS iy, ta, tb
+        FROM c2
+        WHERE ta >= 0.0 AND ta <= 1.0 AND tb >= 0.0 AND tb <= 1.0
     """
 
 
@@ -3574,6 +3657,7 @@ def oracle_sql() -> dict[str, str]:
         "link_hits": _sql_hits(),
         "frechet": _sql_frechet(),
         "map_match": _sql_map_match(),
+        "seg_crossings": _sql_seg_crossings(),
         "random_proj": _sql_random_proj(),
         "simplify": _sql_simplify(),
         # co-travel mirror: brute self-join on the sampled users with

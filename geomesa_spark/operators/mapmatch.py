@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from .spatial_join import DEFAULT_LEVEL, _grid_i, _grid_j
 
-__all__ = ["track_segments", "snap_join"]
+__all__ = ["track_segments", "snap_join", "segment_intersections"]
 
 
 def track_segments(df: DataFrame, track_col: str, x_col: str, y_col: str,
@@ -126,3 +126,74 @@ def snap_join(points: DataFrame, segments: DataFrame,
     if how != "left":
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
     return points.select(point_id).join(best, on=point_id, how="left")
+
+
+def segment_intersections(a: DataFrame, b: DataFrame,
+                          a_id: str, ax1: str, ay1: str, ax2: str, ay2: str,
+                          b_id: str, bx1: str, by1: str, bx2: str, by2: str,
+                          level: int = DEFAULT_LEVEL) -> DataFrame:
+    """Crossing points between two segment layers — where do tracks
+    cross roads, roads cross rivers, cables cross pipelines. Returns
+    (a_id, b_id, ix, iy, ta, tb) for every PROPER (non-parallel)
+    intersecting pair, endpoints inclusive; ta/tb are the parametric
+    positions on each segment. Parallel/collinear overlaps have no
+    single crossing point and are excluded (test overlap with
+    :func:`snap_join` or an interval join on the shared line instead).
+
+    Scale shape: both layers explode to the grid cells of their own
+    envelopes (codegen'd sequence-explodes), meet on the report-once
+    canonical cell (max of per-axis cover minima — the spatial_join
+    rule, no pair-dedup shuffle), and the exact parametric test
+
+        denom = (ax2-ax1)(by2-by1) - (ay2-ay1)(bx2-bx1)
+        ta, tb in [0, 1] via the standard cross-ratio formulas
+
+    is one fixed double chain in whole-stage codegen — engine-
+    reproducible crossing coordinates, no Python anywhere.
+    """
+    def _side(df, sid, x1, y1, x2, y2, tag):
+        from .spatial_join import _explode_bbox_ij
+        ex0 = F.least(F.col(x1), F.col(x2)).cast("double")
+        ex1 = F.greatest(F.col(x1), F.col(x2)).cast("double")
+        ey0 = F.least(F.col(y1), F.col(y2)).cast("double")
+        ey1 = F.greatest(F.col(y1), F.col(y2)).cast("double")
+        base = df.select(F.col(sid).alias(f"__{tag}id__"),
+                         F.col(x1).cast("double").alias(f"__{tag}x1__"),
+                         F.col(y1).cast("double").alias(f"__{tag}y1__"),
+                         F.col(x2).cast("double").alias(f"__{tag}x2__"),
+                         F.col(y2).cast("double").alias(f"__{tag}y2__"),
+                         ex0.alias(f"__{tag}e0__"), ey0.alias(f"__{tag}e1__"),
+                         ex1.alias(f"__{tag}e2__"), ey1.alias(f"__{tag}e3__"))
+        return _explode_bbox_ij(base, F.col(f"__{tag}e0__"),
+                                F.col(f"__{tag}e1__"), F.col(f"__{tag}e2__"),
+                                F.col(f"__{tag}e3__"), level, tag)
+
+    l = _side(a, a_id, ax1, ay1, ax2, ay2, "a")
+    r = _side(b, b_id, bx1, by1, bx2, by2, "b")
+    pairs = (l.join(r, on=["__gi__", "__gj__"])
+              .filter((F.col("__gi__") == F.greatest("__agi0__", "__bgi0__"))
+                      & (F.col("__gj__") == F.greatest("__agj0__", "__bgj0__")))
+              # exact envelope overlap reject ahead of the arithmetic
+              .filter((F.col("__ae0__") <= F.col("__be2__"))
+                      & (F.col("__be0__") <= F.col("__ae2__"))
+                      & (F.col("__ae1__") <= F.col("__be3__"))
+                      & (F.col("__be1__") <= F.col("__ae3__"))))
+    rx = F.col("__ax2__") - F.col("__ax1__")
+    ry = F.col("__ay2__") - F.col("__ay1__")
+    sx = F.col("__bx2__") - F.col("__bx1__")
+    sy = F.col("__by2__") - F.col("__by1__")
+    qpx = F.col("__bx1__") - F.col("__ax1__")
+    qpy = F.col("__by1__") - F.col("__ay1__")
+    denom = rx * sy - ry * sx
+    ta = (qpx * sy - qpy * sx) / denom
+    tb = (qpx * ry - qpy * rx) / denom
+    hit = (pairs.filter(denom != F.lit(0.0))
+                .withColumn("ta", ta)
+                .withColumn("tb", tb)
+                .filter((F.col("ta") >= 0.0) & (F.col("ta") <= 1.0)
+                        & (F.col("tb") >= 0.0) & (F.col("tb") <= 1.0)))
+    return hit.select(F.col("__aid__").alias("a_id"),
+                      F.col("__bid__").alias("b_id"),
+                      (F.col("__ax1__") + F.col("ta") * rx).alias("ix"),
+                      (F.col("__ay1__") + F.col("ta") * ry).alias("iy"),
+                      "ta", "tb")

@@ -78,3 +78,52 @@ def test_track_segments(spark):
            for r in track_segments(df, "tid", "x", "y", "seq").collect()}
     assert got == {(1, 0): (0.0, 0.0, 1.0, 0.0),
                    (1, 1): (1.0, 0.0, 1.0, 2.0)}
+
+
+def _seg_x(a, b):
+    (ax1, ay1, ax2, ay2), (bx1, by1, bx2, by2) = a, b
+    rx, ry = ax2 - ax1, ay2 - ay1
+    sx, sy = bx2 - bx1, by2 - by1
+    denom = rx * sy - ry * sx
+    if denom == 0.0:
+        return None
+    qpx, qpy = bx1 - ax1, by1 - ay1
+    ta = (qpx * sy - qpy * sx) / denom
+    tb = (qpx * ry - qpy * rx) / denom
+    if 0.0 <= ta <= 1.0 and 0.0 <= tb <= 1.0:
+        return ta, tb, ax1 + ta * rx, ay1 + ta * ry
+    return None
+
+
+def test_segment_intersections_brute_force(spark):
+    from geomesa_spark.operators.mapmatch import segment_intersections
+
+    rng = random.Random(17)
+    A, B = [], []
+    for i in range(50):
+        x, y = rng.uniform(-20, 20), rng.uniform(-10, 10)
+        A.append((i, x, y, x + rng.uniform(-6, 6), y + rng.uniform(-6, 6)))
+    for i in range(60):
+        x, y = rng.uniform(-20, 20), rng.uniform(-10, 10)
+        B.append((i, x, y, x + rng.uniform(-6, 6), y + rng.uniform(-6, 6)))
+    # endpoint touch and parallel pair
+    A.append((50, 0.0, 0.0, 1.0, 0.0))
+    B.append((60, 1.0, 0.0, 1.0, 5.0))   # touches A#50 at its endpoint
+    B.append((61, 0.0, 1.0, 1.0, 1.0))   # parallel to A#50: excluded
+    adf = spark.createDataFrame(A, "aid long, x1 double, y1 double, x2 double, y2 double")
+    bdf = spark.createDataFrame(B, "bid long, x1 double, y1 double, x2 double, y2 double")
+    got = {(r.a_id, r.b_id): (r.ta, r.tb, r.ix, r.iy)
+           for r in segment_intersections(
+               adf, bdf, "aid", "x1", "y1", "x2", "y2",
+               "bid", "x1", "y1", "x2", "y2", level=6).collect()}
+    want = {}
+    for aid, *sa in A:
+        for bid, *sb in B:
+            hit = _seg_x(tuple(sa), tuple(sb))
+            if hit is not None:
+                want[(aid, bid)] = (hit[0], hit[1], hit[2], hit[3])
+    assert set(got) == set(want)
+    assert (50, 60) in got and (50, 61) not in got
+    for k, (ta, tb, ix, iy) in want.items():
+        gta, gtb, gix, giy = got[k]
+        assert gta == ta and gtb == tb and gix == ix and giy == iy, k
