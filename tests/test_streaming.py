@@ -352,3 +352,60 @@ def test_simhash_banding_exact_recall_default(spark):
     got = {(r.id_a, r.id_b) for r in out.collect()}
     cache.release(out)
     assert got == want and got
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream temporal join == the batch join on the
+    same data (inner join, |dt| <= 30s, keyed)."""
+    import json as _json
+
+    from geomesa_spark.streaming.joins import stream_interval_join
+
+    lsrc = str(tmp_path / "ij_l")
+    rsrc = str(tmp_path / "ij_r")
+    os.makedirs(lsrc)
+    os.makedirs(rsrc)
+    base = "2024-01-01T00:0"
+    lrows = [{"l_id": 1, "k_l": 7, "l_ts": f"{base}0:10"},
+             {"l_id": 2, "k_l": 7, "l_ts": f"{base}1:30"},
+             {"l_id": 3, "k_l": 8, "l_ts": f"{base}0:10"}]
+    rrows = [{"r_id": 11, "k_r": 7, "r_ts": f"{base}0:25"},   # +15s of l1
+             {"r_id": 12, "k_r": 7, "r_ts": f"{base}0:50"},   # +40s: out
+             {"r_id": 13, "k_r": 8, "r_ts": f"{base}0:05"},   # -5s of l3
+             {"r_id": 14, "k_r": 9, "r_ts": f"{base}0:10"}]   # wrong key
+    with open(os.path.join(lsrc, "b0.json"), "w") as f:
+        f.write("\n".join(_json.dumps(x) for x in lrows))
+    with open(os.path.join(rsrc, "b0.json"), "w") as f:
+        f.write("\n".join(_json.dumps(x) for x in rrows))
+
+    lschema = "l_id long, k_l long, l_ts string"
+    rschema = "r_id long, k_r long, r_ts string"
+    ls = (spark.readStream.schema(lschema).json(lsrc)
+          .withColumn("l_ts", F.to_timestamp("l_ts")))
+    rs = (spark.readStream.schema(rschema).json(rsrc)
+          .withColumn("r_ts", F.to_timestamp("r_ts")))
+    out = stream_interval_join(ls, rs, "l_ts", "r_ts", 30,
+                               on=("k_l", "k_r"))
+    q = (out.writeStream.format("memory").queryName("ivj")
+            .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    q.stop()
+    got = {(r.l_id, r.r_id)
+           for r in spark.sql("select * from ivj").collect()}
+    assert got == {(1, 11), (3, 13)}
+
+    # batch equivalence on the same frames
+    lb = spark.read.schema(lschema).json(lsrc).withColumn(
+        "l_ts", F.to_timestamp("l_ts"))
+    rb = spark.read.schema(rschema).json(rsrc).withColumn(
+        "r_ts", F.to_timestamp("r_ts"))
+    iv = F.expr("INTERVAL 30 SECONDS")
+    batch = {(r.l_id, r.r_id) for r in lb.join(
+        rb, (F.col("k_l") == F.col("k_r"))
+        & (F.col("l_ts") >= F.col("r_ts") - iv)
+        & (F.col("l_ts") <= F.col("r_ts") + iv)).collect()}
+    assert got == batch
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        stream_interval_join(ls, ls, "l_ts", "l_ts", 30)
