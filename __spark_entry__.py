@@ -800,6 +800,22 @@ def q_co_travel(spark, sf_dir):
                      eps_deg=5.0, eps_s=86400, min_hits=1, level=6)
 
 
+def q_convoys(spark, sf_dir):
+    """Convoy detection (operators/trajectory.convoys): sampled user
+    pairs co-located (< 10 deg) in >= 2 consecutive day bins — the
+    sustained-movement refinement of co_travel; gaps-and-islands over
+    the distinct (pair, bin) rows."""
+    from geomesa_spark.operators.trajectory import convoys
+
+    ev = (_t(spark, sf_dir, "events")
+          .filter(F.col("user_id") % 3 == 0)
+          .select("user_id", "ts",
+                  tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+                  tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat")))
+    return convoys(ev, "user_id", "ts", "lon", "lat",
+                   eps_deg=10.0, bin_s=86400, min_len=2, level=5)
+
+
 def q_longest_legs(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "ts",
@@ -1909,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hosts": q_link_hosts,
         "link_hits": q_link_hits,
         "frechet": q_frechet,
+        "convoys": q_convoys,
         "map_match": q_map_match,
         "seg_crossings": q_seg_crossings,
         "random_proj": q_random_proj,
@@ -3623,6 +3640,30 @@ def oracle_sql() -> dict[str, str]:
                              / sqrt(CAST(56550 AS DOUBLE) / CAST(18 AS DOUBLE))
                         ELSE CAST(0.0 AS DOUBLE) END AS z
             FROM s
+        """,
+        # convoy mirror: brute per-bin co-location pairs + the same
+        # gaps-and-islands run assembly (bin - row_number)
+        "convoys": f"""
+            WITH e AS ({_EVT_SQL}),
+            p AS (SELECT user_id, lon, lat,
+                         CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)
+                           AS tb
+                  FROM e WHERE user_id % 3 = 0),
+            pb AS (SELECT DISTINCT a.user_id AS ta, b.user_id AS tbk, a.tb
+                   FROM p a JOIN p b
+                     ON a.tb = b.tb AND a.user_id < b.user_id
+                   WHERE (a.lon - b.lon) * (a.lon - b.lon)
+                       + (a.lat - b.lat) * (a.lat - b.lat) < 100.0),
+            runs AS (SELECT ta, tbk,
+                            tb - row_number() OVER (PARTITION BY ta, tbk
+                                                    ORDER BY tb ASC) AS isl,
+                            tb
+                     FROM pb)
+            SELECT ta AS track_a, tbk AS track_b,
+                   min(tb) AS start_bin, max(tb) AS end_bin,
+                   CAST(count(*) AS BIGINT) AS run_len
+            FROM runs GROUP BY ta, tbk, isl
+            HAVING count(*) >= 2
         """,
         # Hausdorff mirror: per-direction min-per-point / max-per-track
         # aggregates (pure comparisons over identical sqrt chains — no

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
 __all__ = ["hausdorff_join", "frechet_join", "co_travel",
-           "simplify_tracks"]
+           "simplify_tracks", "convoys"]
 
 
 def _dp_keep_mask(xs: np.ndarray, ys: np.ndarray, tol: float) -> np.ndarray:
@@ -361,3 +361,80 @@ def co_travel(fixes: DataFrame, track_col: str, ts_col: str,
                      F.min(F.least("tsa", "tsb")).alias("t_first"),
                      F.max(F.greatest("tsa", "tsb")).alias("t_last"))
                 .filter(F.col("n_hits") >= min_hits))
+
+
+def convoys(fixes: DataFrame, track_col: str, ts_col: str,
+            x_col: str, y_col: str,
+            eps_deg: float, bin_s: int, min_len: int,
+            level: int = 6) -> DataFrame:
+    """Convoy / flock detection (Jeung et al. 2008, pairwise form):
+    track pairs co-located (< ``eps_deg``) in at least ``min_len``
+    CONSECUTIVE ``bin_s``-second time bins — sustained joint movement,
+    where :func:`co_travel` counts mere rendezvous hits.
+
+    Pipeline: the co_travel (Z2 cell, bin) self-join marks each
+    (pair, bin) with any qualifying fix pair (distinct-ified by the
+    combining groupBy), then one gaps-and-islands window per pair
+    turns bin runs into convoy intervals. Returns
+    (track_a, track_b, start_bin, end_bin, run_len) per maximal run
+    with run_len >= min_len; bins are epoch-aligned
+    floor(epoch_us / bin_us).
+
+    Scale shape: candidates bounded by true co-location (never
+    all-pairs); the island window shuffles only the distinct
+    (pair, bin) rows — at most pairs x bins, tiny next to the fix
+    stream. Co-location here is same-bin (discretized time), the
+    convoy convention; co_travel's sliding |dt| refine answers the
+    continuous-time question.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    from .spatial_join import cell_expr_of_points, cells_of_disk_arrays
+
+    bin_us = int(bin_s) * 1_000_000
+    if min_len < 1:
+        raise ValueError("convoys needs min_len >= 1")
+
+    @pandas_udf(ArrayType(LongType()))
+    def cover_pt(x: pd.Series, y: pd.Series) -> pd.Series:
+        xs = x.to_numpy(np.float64)
+        ys = y.to_numpy(np.float64)
+        r = np.full_like(xs, float(eps_deg))
+        return pd.Series(cells_of_disk_arrays(xs, ys, r, r, level),
+                         dtype=object)
+
+    ts_type = fixes.schema[ts_col].dataType.simpleString()
+    epoch = F.lit("1970-01-01 00:00:00").cast(ts_type)
+    tus = F.timestamp_diff("MICROSECOND", epoch, F.col(ts_col))
+    base = fixes.select(F.col(track_col).alias("tk"),
+                        F.col(x_col).cast("double").alias("x"),
+                        F.col(y_col).cast("double").alias("y"),
+                        F.floor(tus / F.lit(bin_us)).alias("__tb__"))
+    a = (base.withColumn("__cell__", cell_expr_of_points("x", "y", level))
+             .select(F.col("tk").alias("ta"), F.col("x").alias("xa"),
+                     F.col("y").alias("ya"), "__cell__", "__tb__"))
+    b = (base.withColumn("__cell__",
+                         F.explode(cover_pt(F.col("x"), F.col("y"))))
+             .select(F.col("tk").alias("tb"), F.col("x").alias("xb"),
+                     F.col("y").alias("yb"), "__cell__", "__tb__"))
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    pair_bins = (a.join(b, on=["__cell__", "__tb__"])
+                  .filter(F.col("ta") < F.col("tb"))
+                  .filter(dx * dx + dy * dy
+                          < F.lit(float(eps_deg) * float(eps_deg)))
+                  .groupBy("ta", "tb", "__tb__").agg(F.lit(1).alias("__one__"))
+                  .drop("__one__"))
+    w = Window.partitionBy("ta", "tb").orderBy(F.col("__tb__").asc())
+    runs = (pair_bins
+            .withColumn("__isl__", F.col("__tb__") - F.row_number().over(w))
+            .groupBy("ta", "tb", "__isl__")
+            .agg(F.min("__tb__").alias("start_bin"),
+                 F.max("__tb__").alias("end_bin"),
+                 F.count("*").alias("run_len")))
+    return (runs.filter(F.col("run_len") >= int(min_len))
+                .select(F.col("ta").alias("track_a"),
+                        F.col("tb").alias("track_b"),
+                        "start_bin", "end_bin", "run_len"))

@@ -248,3 +248,38 @@ def test_simplify_tracks_straight_line_collapses(spark):
     # collinear runs drop at ANY tolerance; the spike and its shoulder
     # points (ends of the exactly-straight runs) survive
     assert tight == [0, 4, 5, 6, 9]
+
+
+def test_convoys_known_answer(spark):
+    import datetime as dt
+
+    import pytest as _pt
+
+    from geomesa_spark.operators.trajectory import convoys
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m)
+
+    # 1-minute bins. tracks 1&2: together bins 0,1,2 then apart bin 3,
+    # together again bin 5 (run of 1). tracks 1&3: never close.
+    rows = []
+    for b in range(3):
+        rows += [(1, ts(b), 0.0, 0.0), (2, ts(b), 0.1, 0.0)]
+    rows += [(1, ts(3), 0.0, 0.0), (2, ts(3), 50.0, 0.0)]
+    rows += [(1, ts(5), 0.0, 0.0), (2, ts(5), 0.1, 0.0)]
+    rows += [(3, ts(0), 120.0, 0.0), (3, ts(1), 120.0, 0.0)]
+    df = spark.createDataFrame(rows, "tid long, ts timestamp, lon double, lat double")
+    got = {(r.track_a, r.track_b, r.start_bin % 10000, r.run_len)
+           for r in convoys(df, "tid", "ts", "lon", "lat",
+                            eps_deg=1.0, bin_s=60, min_len=2).collect()}
+    # only the 3-bin run survives min_len=2
+    assert len(got) == 1
+    (ta, tb, _, rl), = got
+    assert (ta, tb, rl) == (1, 2, 3)
+    # min_len=1 also returns the singleton run at bin 5
+    runs = {r.run_len for r in convoys(df, "tid", "ts", "lon", "lat",
+                                       eps_deg=1.0, bin_s=60,
+                                       min_len=1).collect()}
+    assert runs == {3, 1}
+    with _pt.raises(ValueError):
+        convoys(df, "tid", "ts", "lon", "lat", 1.0, 60, 0)
