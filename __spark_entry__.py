@@ -787,8 +787,11 @@ def q_link_hits(spark, sf_dir):
 
 def q_co_travel(spark, sf_dir):
     """Co-travel / rendezvous detection (operators/trajectory.co_travel):
-    sampled user pairs with fixes within 5 degrees and 1 day — the
-    (Z2 cell, time bin) keyed spatiotemporal proximity self-join."""
+    sampled user pairs with fixes within 8 degrees and 1 day — the
+    (Z2 cell, time bin) keyed spatiotemporal proximity self-join.
+    (8 degrees, not 5: the tighter radius matches nothing at the
+    sf0.01 gate scale, which would make the oracle row-set check
+    vacuous — 0 == 0.)"""
     from geomesa_spark.operators.trajectory import co_travel
 
     ev = (_t(spark, sf_dir, "events")
@@ -797,7 +800,7 @@ def q_co_travel(spark, sf_dir):
                   tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
                   tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat")))
     return co_travel(ev, "user_id", "ts", "lon", "lat",
-                     eps_deg=5.0, eps_s=86400, min_hits=1, level=6)
+                     eps_deg=8.0, eps_s=86400, min_hits=1, level=6)
 
 
 def q_convoys(spark, sf_dir):
@@ -3599,9 +3602,6 @@ def oracle_sql() -> dict[str, str]:
                                     / CAST(19439 AS DOUBLE))) AS gi_z
             FROM wis w CROSS JOIN st
         """,
-        # Mann-Kendall mirror: densified 30-bin day series per occupied
-        # cell (absent bins = exact zeros), all-integer pairwise sign
-        # sum, continuity-corrected z with the identical VAR(S) double
         # anomaly mirror: same cube, same one combining-moment pass and
         # fixed z chain (mean = s/30, var = ss/30 - mean^2)
         "cell_anomaly": f"""
@@ -3616,6 +3616,9 @@ def oracle_sql() -> dict[str, str]:
             FROM q
             WHERE var > 0.0 AND abs((x - mean) / sqrt(var)) >= 2.0
         """,
+        # Mann-Kendall mirror: densified 30-bin day series per occupied
+        # cell (absent bins = exact zeros), all-integer pairwise sign
+        # sum, continuity-corrected z with the identical VAR(S) double
         "trend_cells": f"""
             WITH base AS ({_evt_cube_sql(ti10, tj10)}),
             cells AS (SELECT DISTINCT i, j FROM base),
@@ -3715,7 +3718,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p a JOIN p b
               ON a.uid < b.uid
              AND (a.lon - b.lon) * (a.lon - b.lon)
-                 + (a.lat - b.lat) * (a.lat - b.lat) < CAST(25.0 AS DOUBLE)
+                 + (a.lat - b.lat) * (a.lat - b.lat) < CAST(64.0 AS DOUBLE)
              AND abs(a.tu - b.tu) <= 86400000000
             GROUP BY 1, 2
         """,
@@ -4384,8 +4387,10 @@ def oracle_sql() -> dict[str, str]:
             cb AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pair
                    FROM bg GROUP BY 1, 2 HAVING count(*) >= 3),
             sc AS (SELECT cb.w1, cb.w2, n_pair,
-                          CAST(CAST(n_pair * (SELECT n FROM nn) AS DOUBLE)
-                               / CAST(c1.c * c2.c AS DOUBLE) AS REAL)
+                          CAST((CAST(n_pair AS DOUBLE)
+                                * CAST((SELECT n FROM nn) AS DOUBLE))
+                               / (CAST(c1.c AS DOUBLE)
+                                  * CAST(c2.c AS DOUBLE)) AS REAL)
                             AS ratio32
                    FROM cb JOIN cw c1 ON c1.w = cb.w1
                            JOIN cw c2 ON c2.w = cb.w2)

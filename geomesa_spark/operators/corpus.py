@@ -515,10 +515,14 @@ def collocations(docs: DataFrame, id_col: str, text_col: str,
                                 F.col("c").alias("c1")), on="w1")
                 .join(cw.select(F.col("w").alias("w2"),
                                 F.col("c").alias("c2")), on="w2")
+                # each factor cast to double BEFORE multiplying: a long
+                # product would silently wrap past 2^63 at web corpus
+                # scale (Spark non-ANSI) while the oracle errors
                 .withColumn("ratio32",
-                            ((F.col("n_pair") * F.lit(int(n_words)))
-                             .cast("double")
-                             / (F.col("c1") * F.col("c2")).cast("double"))
+                            ((F.col("n_pair").cast("double")
+                              * F.lit(float(n_words)))
+                             / (F.col("c1").cast("double")
+                                * F.col("c2").cast("double")))
                             .cast("float")))
     win = Window.orderBy(F.col("ratio32").desc(), F.col("w1").asc(),
                          F.col("w2").asc())

@@ -47,16 +47,20 @@ def _local_skyline(mat: np.ndarray) -> np.ndarray:
     n = len(mat)
     order = np.lexsort(mat.T[::-1])   # by col0, then col1, ...
     kept: list[int] = []
-    kmat = np.empty((0, mat.shape[1]))
+    # preallocated kept-matrix (vstack-per-append would copy the whole
+    # set each time — O(k^2) copies on large fronts)
+    kmat = np.empty((n, mat.shape[1]))
+    k = 0
     for i in order:
         row = mat[i]
-        if len(kept):
-            le = (kmat <= row).all(axis=1)
-            lt = (kmat < row).any(axis=1)
+        if k:
+            le = (kmat[:k] <= row).all(axis=1)
+            lt = (kmat[:k] < row).any(axis=1)
             if (le & lt).any():
                 continue
         kept.append(i)
-        kmat = np.vstack([kmat, row])
+        kmat[k] = row
+        k += 1
     out = np.zeros(n, dtype=bool)
     out[kept] = True
     return out
@@ -77,13 +81,27 @@ def skyline(df: DataFrame, criteria: list, minimize: list | None = None) -> Data
     schema = df.schema
 
     def scan(iterator):
+        # per-batch is SAFE here: over-retention only (a batch-local
+        # survivor may still die in the merge)
         for pdf in iterator:
             if len(pdf) == 0:
                 continue
             mat = pdf[criteria].to_numpy(dtype=np.float64) * signs
             yield pdf[_local_skyline(mat)]
 
+    def merge(iterator):
+        # the merge MUST see every candidate together: Arrow feeds the
+        # single partition as multiple batches, and a per-batch scan
+        # would never compare batch 1's survivors against batch 2's
+        parts = [pdf for pdf in iterator if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        mat = pdf[criteria].to_numpy(dtype=np.float64) * signs
+        yield pdf[_local_skyline(mat)]
+
     local = df.mapInPandas(scan, schema=schema)
-    # merge: candidates only — the answer set plus partition-local
-    # survivors later killed by a cross-partition dominator
-    return local.coalesce(1).mapInPandas(scan, schema=schema)
+    # merge: candidates only. repartition (a shuffle), NOT coalesce —
+    # coalesce(1) is a narrow dependency that would pull the whole
+    # phase-1 scan into the single merge task, serializing it
+    return local.repartition(1).mapInPandas(merge, schema=schema)

@@ -33,6 +33,33 @@ __all__ = ["hausdorff_join", "frechet_join", "co_travel",
            "simplify_tracks", "convoys"]
 
 
+def _disk_cover_udf(eps_deg: float, level: int):
+    """pandas UDF: point -> Z2 cells covering its eps-disk — the
+    shared right-side cover of the co-location self-joins (co_travel,
+    convoys); one definition so the cover rule can't drift."""
+    from pyspark.sql.types import ArrayType, LongType
+
+    from .spatial_join import cells_of_disk_arrays
+
+    @pandas_udf(ArrayType(LongType()))
+    def cover_pt(x: pd.Series, y: pd.Series) -> pd.Series:
+        xs = x.to_numpy(np.float64)
+        ys = y.to_numpy(np.float64)
+        r = np.full_like(xs, float(eps_deg))
+        return pd.Series(cells_of_disk_arrays(xs, ys, r, r, level),
+                         dtype=object)
+
+    return cover_pt
+
+
+def _epoch_us(df: DataFrame, ts_col: str) -> F.Column:
+    """Exact integer epoch microseconds for TIMESTAMP and
+    TIMESTAMP_NTZ alike (the shared timestamp convention)."""
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    epoch = F.lit("1970-01-01 00:00:00").cast(ts_type)
+    return F.timestamp_diff("MICROSECOND", epoch, F.col(ts_col))
+
+
 def _dp_keep_mask(xs: np.ndarray, ys: np.ndarray, tol: float) -> np.ndarray:
     """Douglas-Peucker keep mask over one track (iterative stack walk,
     deterministic: max deviation ties break on the LOWEST index; the
@@ -315,24 +342,11 @@ def co_travel(fixes: DataFrame, track_col: str, ts_col: str,
     addresses. Returns (track_a, track_b, n_hits, t_first, t_last)
     with t_first/t_last the hit window (least/greatest of fix times).
     """
-    from pyspark.sql.pandas.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, LongType
-
-    from .spatial_join import cell_expr_of_points, cells_of_disk_arrays
+    from .spatial_join import cell_expr_of_points
 
     eps_us = int(eps_s) * 1_000_000
-
-    @pandas_udf(ArrayType(LongType()))
-    def cover_pt(x: pd.Series, y: pd.Series) -> pd.Series:
-        xs = x.to_numpy(np.float64)
-        ys = y.to_numpy(np.float64)
-        r = np.full_like(xs, float(eps_deg))
-        return pd.Series(cells_of_disk_arrays(xs, ys, r, r, level),
-                         dtype=object)
-
-    ts_type = fixes.schema[ts_col].dataType.simpleString()
-    epoch = F.lit("1970-01-01 00:00:00").cast(ts_type)
-    tus = F.timestamp_diff("MICROSECOND", epoch, F.col(ts_col))
+    cover_pt = _disk_cover_udf(eps_deg, level)
+    tus = _epoch_us(fixes, ts_col)
     base = fixes.select(F.col(track_col).alias("tk"),
                         F.col(x_col).cast("double").alias("x"),
                         F.col(y_col).cast("double").alias("y"),
@@ -373,8 +387,8 @@ def convoys(fixes: DataFrame, track_col: str, ts_col: str,
     where :func:`co_travel` counts mere rendezvous hits.
 
     Pipeline: the co_travel (Z2 cell, bin) self-join marks each
-    (pair, bin) with any qualifying fix pair (distinct-ified by the
-    combining groupBy), then one gaps-and-islands window per pair
+    (pair, bin) with any qualifying fix pair (one distinct over the
+    three key columns), then one gaps-and-islands window per pair
     turns bin runs into convoy intervals. Returns
     (track_a, track_b, start_bin, end_bin, run_len) per maximal run
     with run_len >= min_len; bins are epoch-aligned
@@ -388,26 +402,14 @@ def convoys(fixes: DataFrame, track_col: str, ts_col: str,
     continuous-time question.
     """
     from pyspark.sql import Window
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, LongType
 
-    from .spatial_join import cell_expr_of_points, cells_of_disk_arrays
+    from .spatial_join import cell_expr_of_points
 
     bin_us = int(bin_s) * 1_000_000
     if min_len < 1:
         raise ValueError("convoys needs min_len >= 1")
-
-    @pandas_udf(ArrayType(LongType()))
-    def cover_pt(x: pd.Series, y: pd.Series) -> pd.Series:
-        xs = x.to_numpy(np.float64)
-        ys = y.to_numpy(np.float64)
-        r = np.full_like(xs, float(eps_deg))
-        return pd.Series(cells_of_disk_arrays(xs, ys, r, r, level),
-                         dtype=object)
-
-    ts_type = fixes.schema[ts_col].dataType.simpleString()
-    epoch = F.lit("1970-01-01 00:00:00").cast(ts_type)
-    tus = F.timestamp_diff("MICROSECOND", epoch, F.col(ts_col))
+    cover_pt = _disk_cover_udf(eps_deg, level)
+    tus = _epoch_us(fixes, ts_col)
     base = fixes.select(F.col(track_col).alias("tk"),
                         F.col(x_col).cast("double").alias("x"),
                         F.col(y_col).cast("double").alias("y"),
@@ -425,8 +427,7 @@ def convoys(fixes: DataFrame, track_col: str, ts_col: str,
                   .filter(F.col("ta") < F.col("tb"))
                   .filter(dx * dx + dy * dy
                           < F.lit(float(eps_deg) * float(eps_deg)))
-                  .groupBy("ta", "tb", "__tb__").agg(F.lit(1).alias("__one__"))
-                  .drop("__one__"))
+                  .select("ta", "tb", "__tb__").distinct())
     w = Window.partitionBy("ta", "tb").orderBy(F.col("__tb__").asc())
     runs = (pair_bins
             .withColumn("__isl__", F.col("__tb__") - F.row_number().over(w))

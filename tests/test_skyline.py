@@ -51,3 +51,31 @@ def test_skyline_known_answer(spark):
         skyline(df, [])
     with _pt.raises(ValueError):
         skyline(df, ["x"], [True, False])
+
+
+def test_skyline_merge_across_arrow_batches(spark):
+    """Candidates spanning multiple Arrow batches in the merge pass:
+    a per-batch merge would leak dominated rows (the batch-boundary
+    bug); the merge must concatenate the whole candidate set."""
+    import random
+
+    from geomesa_spark.operators.skyline import skyline
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "50")
+    try:
+        rng = random.Random(21)
+        # anti-correlated band -> large per-partition fronts, plus one
+        # global dominator that must kill candidates in EVERY batch
+        rows = [(i, x := rng.uniform(1, 100), 101.0 - x + rng.uniform(0, 5))
+                for i in range(600)]
+        rows.append((600, 0.5, 0.5))   # dominates everything
+        df = spark.createDataFrame(rows, "id long, a double, b double") \
+                  .repartition(11)
+        got = sorted(r.id for r in skyline(df, ["a", "b"]).collect())
+        assert got == [600]
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
