@@ -785,6 +785,24 @@ def q_link_hits(spark, sf_dir):
     return hits(edges, iters=2, deterministic=True)
 
 
+def q_triangles(spark, sf_dir):
+    """Per-node triangle counts (operators/graph.triangle_counts) over
+    the synthetic doc link graph — degree-ordered wedge join (Cohen
+    2009), every count an exact integer; oracle enumerates id-ordered
+    triangles directly (orientation-independent result)."""
+    from geomesa_spark.operators.graph import triangle_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    nd = docs.count()
+    edges = (docs.select("doc_id",
+                         F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+                          .alias("j"))
+                 .select(F.col("doc_id").alias("src"),
+                         ((F.col("doc_id") * 31 + F.col("j")) % nd)
+                         .alias("dst")))
+    return triangle_counts(edges)
+
+
 def q_co_travel(spark, sf_dir):
     """Co-travel / rendezvous detection (operators/trajectory.co_travel):
     sampled user pairs with fixes within 8 degrees and 1 day — the
@@ -1927,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "link_hosts": q_link_hosts,
         "link_hits": q_link_hits,
+        "triangles": q_triangles,
         "frechet": q_frechet,
         "convoys": q_convoys,
         "map_match": q_map_match,
@@ -3699,6 +3718,26 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(),
         "link_hosts": _sql_link_hosts(),
         "link_hits": _sql_hits(),
+        # triangle mirror: id-ordered direct enumeration a<b<c over the
+        # canonical undirected edge set (orientation-independent), each
+        # triangle exploded to its three corners
+        "triangles": """
+            WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            eg AS (SELECT doc_id AS s,
+                          (doc_id * 31 + j.j) % (SELECT n FROM nd) AS t
+                   FROM documents, (VALUES (1), (2), (3)) AS j(j)),
+            e AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+                  FROM eg WHERE s <> t),
+            tri AS (SELECT t1.a AS x, t1.b AS y, t2.b AS z
+                    FROM e t1
+                    JOIN e t2 ON t2.a = t1.b
+                    JOIN e t3 ON t3.a = t1.a AND t3.b = t2.b),
+            corners AS (SELECT x AS node FROM tri
+                        UNION ALL SELECT y FROM tri
+                        UNION ALL SELECT z FROM tri)
+            SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM corners GROUP BY 1
+        """,
         "frechet": _sql_frechet(),
         "map_match": _sql_map_match(),
         "seg_crossings": _sql_seg_crossings(),

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank", "hits"]
+__all__ = ["pagerank", "hits", "triangle_counts"]
 
 
 def _fold_sum(sorted_arr) -> F.Column:
@@ -165,3 +165,56 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
             .join(a.select("node", F.col("x").alias("auth")), "node"))
     base.unpersist()
     return out
+
+
+def triangle_counts(edges: DataFrame, src: str = "src",
+                    dst: str = "dst") -> DataFrame:
+    """Per-node triangle counts of the UNDIRECTED simple graph under
+    ``edges`` (direction/multiplicity/self-loops dropped) — the local
+    clustering signal of link analysis (spam farms and boilerplate
+    link rings are triangle-dense; organic link graphs are sparse).
+
+    The degree-ordered wedge algorithm (Cohen 2009 / Suri-Vassilvitskii
+    MapReduce form): orient every edge from its (degree, id)-smaller
+    endpoint to the larger, so each triangle is counted exactly once at
+    its smallest corner and — the scale property — every node's
+    out-degree in the oriented graph is O(sqrt(m)) on any graph
+    (arboricity bound), which caps the wedge join's fan-out even on
+    power-law link graphs where a hub's raw degree is millions.
+
+    Plan: dedupe to canonical undirected edges, one degree agg joined
+    back, wedge self-join on the oriented source, close wedges with a
+    semi-ish inner join against the oriented edge set, explode each
+    found triangle to its 3 corners, one combining count. All keys are
+    node ids; every count is an exact integer. Returns (node,
+    n_triangles) for nodes in >= 1 triangle.
+    """
+    e = (edges.select(F.col(src).cast("long").alias("u"),
+                      F.col(dst).cast("long").alias("v"))
+              .filter(F.col("u") != F.col("v"))
+              .select(F.least("u", "v").alias("a"),
+                      F.greatest("u", "v").alias("b"))
+              .distinct())
+    deg = (e.select(F.col("a").alias("n")).unionAll(
+               e.select(F.col("b").alias("n")))
+            .groupBy("n").agg(F.count("*").alias("d")))
+    ed = (e.join(deg.withColumnRenamed("n", "a")
+                    .withColumnRenamed("d", "da"), on="a")
+           .join(deg.withColumnRenamed("n", "b")
+                    .withColumnRenamed("d", "db"), on="b"))
+    # orient (degree, id)-ascending: lo -> hi
+    a_first = (F.col("da") < F.col("db")) | \
+              ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    o = ed.select(F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+                  F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"))
+    # wedges centered at the oriented source; w1 < w2 by (deg, id) is
+    # NOT guaranteed, so order the far endpoints by id for a canonical
+    # wedge — the closing edge is looked up in canonical (a < b) form
+    w = (o.select(F.col("lo").alias("c"), F.col("hi").alias("x"))
+          .join(o.select(F.col("lo").alias("c"), F.col("hi").alias("y")),
+                on="c")
+          .filter(F.col("x") < F.col("y")))
+    tri = w.join(e.select(F.col("a").alias("x"), F.col("b").alias("y")),
+                 on=["x", "y"], how="inner")
+    corners = (tri.select(F.explode(F.array("c", "x", "y")).alias("node")))
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))

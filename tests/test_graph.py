@@ -92,3 +92,35 @@ def test_hits_empty(spark):
 
     df = spark.createDataFrame([], "src long, dst long")
     assert hits(df).count() == 0
+
+
+def test_triangle_counts_brute_force(spark):
+    import itertools
+    import random
+
+    from geomesa_spark.operators.graph import triangle_counts
+
+    rng = random.Random(19)
+    edges = [(rng.randint(0, 24), rng.randint(0, 24)) for _ in range(140)]
+    edges += [(1, 1), (2, 2)]          # self-loops dropped
+    edges += [(3, 4), (4, 3), (3, 4)]  # direction/multiplicity collapsed
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({v for e in und for v in e})
+    want = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if ((a, b) in und and (b, c) in und and (a, c) in und):
+            for v in (a, b, c):
+                want[v] = want.get(v, 0) + 1
+    assert got == want and want  # fixture really contains triangles
+
+
+def test_triangle_counts_single_triangle(spark):
+    from geomesa_spark.operators.graph import triangle_counts
+
+    df = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (3, 4)],
+                               "src long, dst long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1}
