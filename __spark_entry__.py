@@ -563,6 +563,23 @@ def q_hotspot_st(spark, sf_dir):
     return gi_star_st(_event_cube(spark, sf_dir), 36, 18, 30)
 
 
+def q_decayed_density(spark, sf_dir):
+    """Freshness-weighted density (operators/tiling.decayed_density):
+    3-day half-life decay from the end of the event window over the
+    10-degree grid; id-ordered per-cell fold, float32 output absorbing
+    pow() libm ulps."""
+    from geomesa_spark.operators.tiling import decayed_density
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "ts",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"))
+    return decayed_density(ev, "lon", "lat", "ts",
+                           "2024-01-31 00:00:00", 259200.0,
+                           -180.0, -90.0, 180.0, 90.0, 36, 18,
+                           id_col="event_id")
+
+
 def q_cell_anomaly(spark, sf_dir):
     """Per-cell temporal anomaly scan (operators/hotspot.cell_anomaly):
     spike days per 10-degree cell, z >= 2 against the cell's densified
@@ -2004,6 +2021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skyline": q_skyline,
         "areal_interp": q_areal_interp,
         "cell_anomaly": q_cell_anomaly,
+        "decayed_density": q_decayed_density,
         "sessions": q_sessions,
         "disjoint_join": q_disjoint_join,
         "intersection_area": q_intersection_area,
@@ -3620,6 +3638,26 @@ def oracle_sql() -> dict[str, str]:
                                      - w.wi * w.wi)
                                     / CAST(19439 AS DOUBLE))) AS gi_z
             FROM wis w CROSS JOIN st
+        """,
+        # decayed-density mirror: same grid exprs, exact integer ages,
+        # identical pow(0.5, age/hl) chain, event_id-ordered fold ->
+        # REAL (absorbs pow() libm ulps, the float32 convention)
+        "decayed_density": f"""
+            WITH e AS ({_EVT_SQL}),
+            b AS (SELECT CAST({ti10} AS INTEGER) AS i,
+                         CAST({tj10} AS INTEGER) AS j,
+                         event_id,
+                         pow(0.5, CAST(epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+                                       - epoch_us(ts) AS DOUBLE)
+                                  / 259200000000.0) AS w
+                  FROM e
+                  WHERE epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+                        - epoch_us(ts) >= 0)
+            SELECT i, j,
+                   CAST(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list(w ORDER BY event_id)), (a, x) -> a + x)
+                        AS REAL) AS weight32
+            FROM b GROUP BY 1, 2
         """,
         # anomaly mirror: same cube, same one combining-moment pass and
         # fixed z chain (mean = s/30, var = ss/30 - mean^2)

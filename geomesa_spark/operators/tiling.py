@@ -41,6 +41,7 @@ __all__ = [
     "GridSnap", "bresenham_cells", "render_geometry",
     "density", "density_points", "density_pyramid", "vectorize_grid",
     "hex_cell_cols", "hex_center_cols", "hex_density", "zonal_stats",
+    "decayed_density",
 ]
 
 # sqrt(3)/3 and 2/3 as fixed double literals so every engine (Spark,
@@ -571,3 +572,47 @@ def vectorize_grid(grid: DataFrame,
         (F.lit(ymin) + F.col(jcol) * F.lit(dy)).alias("y0"),
         (F.lit(xmin) + (F.col("i1") + 1) * F.lit(dx)).alias("x1"),
         (F.lit(ymin) + (F.col(jcol) + 1) * F.lit(dy)).alias("y1"))
+
+
+def decayed_density(df: DataFrame, xcol: str, ycol: str, ts_col: str,
+                    ref_ts: str, half_life_s: float,
+                    xmin: float, ymin: float, xmax: float, ymax: float,
+                    w: int, h: int, id_col: str | None = None) -> DataFrame:
+    """Freshness-weighted density: each event contributes
+    ``0.5 ** (age / half_life)`` toward its tile, ages measured back
+    from ``ref_ts`` (an ISO timestamp string — pass the analysis time
+    explicitly; "now()" would break retry-stability). The recency
+    surface of live dashboards: yesterday's burst fades, last hour's
+    dominates.
+
+    Same GridSnap assignment and single combining agg as
+    `density_points`; ages are exact integer microseconds, and with
+    ``id_col`` set the per-cell sum becomes an id-ordered fold (the
+    idw_grid convention) so the float chain is engine-reproducible —
+    the returned weight is float32 (``weight32``), absorbing the
+    <=1-ulp pow() library differences. Events after ``ref_ts`` are
+    dropped (negative age = not yet happened at analysis time).
+    """
+    dx = (xmax - xmin) / w
+    dy = (ymax - ymin) / h
+    i = F.least(F.floor((F.col(xcol) - xmin) / dx), F.lit(w - 1)).cast("int")
+    j = F.least(F.floor((F.col(ycol) - ymin) / dy), F.lit(h - 1)).cast("int")
+    ts_type = df.schema[ts_col].dataType.simpleString()
+    age_us = F.timestamp_diff("MICROSECOND", F.col(ts_col),
+                              F.lit(ref_ts).cast(ts_type))
+    wexp = F.pow(F.lit(0.5), age_us.cast("double")
+                 / F.lit(float(half_life_s) * 1e6))
+    base = (df.filter((F.col(xcol) >= xmin) & (F.col(xcol) <= xmax)
+                      & (F.col(ycol) >= ymin) & (F.col(ycol) <= ymax)
+                      & (age_us >= 0))
+              .select(i.alias("i"), j.alias("j"), wexp.alias("__w__"),
+                      (F.col(id_col) if id_col else F.lit(0)).alias("__id__")))
+    if id_col is not None:
+        agg = F.aggregate(
+            F.array_sort(F.collect_list(F.struct(F.col("__id__"),
+                                                 F.col("__w__")))),
+            F.lit(0.0), lambda acc, s: acc + s["__w__"])
+    else:
+        agg = F.sum("__w__")
+    return (base.groupBy("i", "j")
+                .agg(agg.cast("float").alias("weight32")))

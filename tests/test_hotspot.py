@@ -225,3 +225,26 @@ def test_cell_anomaly_known_answer(spark):
     assert all(k[0] != 2 for k in got)
     with _pt.raises(ValueError):
         cell_anomaly(df, 1)
+
+
+def test_decayed_density_known_answer(spark):
+    import datetime as dt
+
+    from geomesa_spark.operators.tiling import decayed_density
+
+    t0 = dt.datetime(2024, 1, 2)
+    rows = [
+        (1, t0, 0.5, 0.5),                                 # age 0 -> 1.0
+        (2, t0 - dt.timedelta(hours=1), 0.5, 0.5),         # 1 hl -> 0.5
+        (3, t0 - dt.timedelta(hours=2), 0.5, 0.5),         # 2 hl -> 0.25
+        (4, t0 + dt.timedelta(hours=1), 0.5, 0.5),         # future: dropped
+        (5, t0, 5.5, 0.5),                                 # other tile
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, "
+                                     "lon double, lat double")
+    got = {(r.i, r.j): r.weight32 for r in decayed_density(
+        df, "lon", "lat", "ts", "2024-01-02 00:00:00", 3600.0,
+        0.0, 0.0, 10.0, 1.0, 10, 1, id_col="event_id").collect()}
+    assert abs(got[(0, 0)] - 1.75) < 1e-6
+    assert abs(got[(5, 0)] - 1.0) < 1e-6
+    assert len(got) == 2
