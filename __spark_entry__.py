@@ -820,6 +820,24 @@ def q_triangles(spark, sf_dir):
     return triangle_counts(edges)
 
 
+def q_seed_distance(spark, sf_dir):
+    """Multi-source BFS hop distance (operators/graph.bfs_distances):
+    crawl depth from the seed set {0,1,2} over the synthetic doc link
+    graph, level-synchronous frontier rounds; oracle is a recursive CTE
+    with min-hop aggregation."""
+    from geomesa_spark.operators.graph import bfs_distances
+
+    docs = _t(spark, sf_dir, "documents")
+    nd = docs.count()
+    edges = (docs.select("doc_id",
+                         F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+                          .alias("j"))
+                 .select(F.col("doc_id").alias("src"),
+                         ((F.col("doc_id") * 31 + F.col("j")) % nd)
+                         .alias("dst")))
+    return bfs_distances(edges, [0, 1, 2], max_hops=6)
+
+
 def q_co_travel(spark, sf_dir):
     """Co-travel / rendezvous detection (operators/trajectory.co_travel):
     sampled user pairs with fixes within 8 degrees and 1 day — the
@@ -1963,6 +1981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hosts": q_link_hosts,
         "link_hits": q_link_hits,
         "triangles": q_triangles,
+        "seed_distance": q_seed_distance,
         "frechet": q_frechet,
         "convoys": q_convoys,
         "map_match": q_map_match,
@@ -3756,6 +3775,23 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _sql_pagerank(),
         "link_hosts": _sql_link_hosts(),
         "link_hits": _sql_hits(),
+        # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,
+        # min-hop aggregation; d < 6 recursion == max_hops=6 frontier
+        "seed_distance": """
+            WITH RECURSIVE
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            eg AS (SELECT doc_id AS s,
+                          (doc_id * 31 + j.j) % (SELECT n FROM nd) AS t
+                   FROM documents, (VALUES (1), (2), (3)) AS j(j)),
+            r AS (
+              SELECT CAST(sv.node AS BIGINT) AS node, 0 AS d
+              FROM (VALUES (0), (1), (2)) sv(node)
+              UNION
+              SELECT eg.t AS node, r.d + 1 AS d
+              FROM r JOIN eg ON eg.s = r.node WHERE r.d < 6)
+            SELECT node, CAST(min(d) AS INTEGER) AS hops
+            FROM r GROUP BY 1
+        """,
         # triangle mirror: id-ordered direct enumeration a<b<c over the
         # canonical undirected edge set (orientation-independent), each
         # triangle exploded to its three corners

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank", "hits", "triangle_counts"]
+__all__ = ["pagerank", "hits", "triangle_counts", "bfs_distances"]
 
 
 def _fold_sum(sorted_arr) -> F.Column:
@@ -218,3 +218,47 @@ def triangle_counts(edges: DataFrame, src: str = "src",
                  on=["x", "y"], how="inner")
     corners = (tri.select(F.explode(F.array("c", "x", "y")).alias("node")))
     return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))
+
+
+def bfs_distances(edges: DataFrame, sources: list,
+                  src: str = "src", dst: str = "dst",
+                  max_hops: int = 10, directed: bool = True) -> DataFrame:
+    """Multi-source BFS hop distances: for every node reachable from
+    the ``sources`` set within ``max_hops``, the MINIMUM hop count —
+    crawl-depth / seed-distance labeling ("how many clicks from a
+    trusted seed"), the standard trust-propagation feature.
+
+    Level-synchronous frontier expansion (the Pregel BFS): each round
+    is one join frontier->edges + distinct + anti-join against the
+    settled set — shuffles keyed by node id only, each node enters the
+    frontier at most once, so total work is O(E) across all rounds
+    regardless of max_hops. Per-round frames are eagerly checkpointed
+    (the dedup_clusters pattern) so lineage stays O(1). Returns
+    (node, hops); unreached nodes are absent.
+    """
+    if not sources:
+        raise ValueError("bfs_distances needs at least one source")
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).cast("long").alias("s"),
+                     F.col(dst).cast("long").alias("t"))
+    if not directed:
+        e = e.unionAll(e.select(F.col("t").alias("s"),
+                                F.col("s").alias("t")))
+    e = e.persist()
+    dist = spark.createDataFrame(
+        [(int(v), 0) for v in sorted(set(sources))], "node long, hops int")
+    dist = dist.localCheckpoint(eager=True)
+    frontier = dist
+    for h in range(1, int(max_hops) + 1):
+        nxt = (e.join(frontier.withColumnRenamed("node", "s")
+                              .select("s"), on="s")
+                .select(F.col("t").alias("node")).distinct()
+                .join(dist.select("node"), on="node", how="left_anti")
+                .withColumn("hops", F.lit(h))
+                .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    e.unpersist()
+    return dist

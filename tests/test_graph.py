@@ -124,3 +124,26 @@ def test_triangle_counts_single_triangle(spark):
                                "src long, dst long")
     got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
     assert got == {1: 1, 2: 1, 3: 1}
+
+
+def test_bfs_distances_known_answer(spark):
+    import pytest as _pt
+
+    from geomesa_spark.operators.graph import bfs_distances
+
+    # 0->1->2->3->4 chain plus shortcut 0->3, cycle 4->0, island 9->10
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (4, 0), (9, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.hops for r in bfs_distances(df, [0]).collect()}
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2}
+    # multi-source: min over seeds; undirected reaches the island back
+    got2 = {r.node: r.hops for r in bfs_distances(df, [0, 10]).collect()}
+    assert got2[10] == 0 and got2[3] == 1
+    und = {r.node: r.hops
+           for r in bfs_distances(df, [10], directed=False).collect()}
+    assert und == {10: 0, 9: 1}
+    # max_hops truncation
+    lim = {r.node: r.hops for r in bfs_distances(df, [0], max_hops=1).collect()}
+    assert lim == {0: 0, 1: 1, 3: 1}
+    with _pt.raises(ValueError):
+        bfs_distances(df, [])
