@@ -42,6 +42,28 @@ def _docs(spark, sf_dir):
         spark.sparkContext.defaultParallelism)
 
 
+def _doc_link_edges(spark, sf_dir):
+    """The synthetic doc link graph shared by every graph query
+    (pagerank / HITS / triangles / BFS): doc_id -> (doc_id*31 + j) % N,
+    j in 1..3 — ONE definition so the Spark side and the oracle CTE
+    (`_DOC_EG_SQL`) can never drift apart."""
+    docs = _t(spark, sf_dir, "documents")
+    nd = docs.count()
+    return (docs.select("doc_id",
+                        F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+                         .alias("j"))
+                .select(F.col("doc_id").alias("src"),
+                        ((F.col("doc_id") * 31 + F.col("j")) % nd)
+                        .alias("dst")))
+
+
+# oracle-side twin of _doc_link_edges: CTEs `nd` (node count) and `eg`
+# (edges as s -> t)
+_DOC_EG_SQL = """nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        eg AS (SELECT doc_id AS s, (doc_id * 31 + j.j) % (SELECT n FROM nd) AS t
+               FROM documents, (VALUES (1), (2), (3)) AS j(j))"""
+
+
 def _cust_points(spark, sf_dir):
     return _t(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -751,14 +773,7 @@ def q_pagerank(spark, sf_dir):
     folds so the DuckDB unrolled-iteration mirror is bit-identical."""
     from geomesa_spark.operators.graph import pagerank
 
-    docs = _t(spark, sf_dir, "documents")
-    nd = docs.count()
-    edges = (docs.select("doc_id",
-                         F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
-                          .alias("j"))
-                 .select(F.col("doc_id").alias("src"),
-                         ((F.col("doc_id") * 31 + F.col("j")) % nd)
-                         .alias("dst")))
+    edges = _doc_link_edges(spark, sf_dir)
     return pagerank(edges, iters=3, deterministic=True)
 
 
@@ -791,14 +806,7 @@ def q_link_hits(spark, sf_dir):
     iterations."""
     from geomesa_spark.operators.graph import hits
 
-    docs = _t(spark, sf_dir, "documents")
-    nd = docs.count()
-    edges = (docs.select("doc_id",
-                         F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
-                          .alias("j"))
-                 .select(F.col("doc_id").alias("src"),
-                         ((F.col("doc_id") * 31 + F.col("j")) % nd)
-                         .alias("dst")))
+    edges = _doc_link_edges(spark, sf_dir)
     return hits(edges, iters=2, deterministic=True)
 
 
@@ -809,14 +817,7 @@ def q_triangles(spark, sf_dir):
     triangles directly (orientation-independent result)."""
     from geomesa_spark.operators.graph import triangle_counts
 
-    docs = _t(spark, sf_dir, "documents")
-    nd = docs.count()
-    edges = (docs.select("doc_id",
-                         F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
-                          .alias("j"))
-                 .select(F.col("doc_id").alias("src"),
-                         ((F.col("doc_id") * 31 + F.col("j")) % nd)
-                         .alias("dst")))
+    edges = _doc_link_edges(spark, sf_dir)
     return triangle_counts(edges)
 
 
@@ -827,14 +828,7 @@ def q_seed_distance(spark, sf_dir):
     with min-hop aggregation."""
     from geomesa_spark.operators.graph import bfs_distances
 
-    docs = _t(spark, sf_dir, "documents")
-    nd = docs.count()
-    edges = (docs.select("doc_id",
-                         F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
-                          .alias("j"))
-                 .select(F.col("doc_id").alias("src"),
-                         ((F.col("doc_id") * 31 + F.col("j")) % nd)
-                         .alias("dst")))
+    edges = _doc_link_edges(spark, sf_dir)
     return bfs_distances(edges, [0, 1, 2], max_hops=6)
 
 
@@ -2479,9 +2473,7 @@ def _sql_pagerank(iters: int = 3, d: float = 0.85) -> str:
     in node order (matching Spark's array_sort + aggregate), identical
     teleport/damping double chain."""
     ds = f"CAST({d!r} AS DOUBLE)"
-    parts = ["""nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-        eg AS (SELECT doc_id AS s, (doc_id * 31 + j.j) % (SELECT n FROM nd) AS t
-               FROM documents, (VALUES (1), (2), (3)) AS j(j)),
+    parts = [f"""{_DOC_EG_SQL},
         vs AS (SELECT DISTINCT s AS node FROM eg
                UNION SELECT DISTINCT t FROM eg),
         dg AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM eg GROUP BY 1),
@@ -2777,9 +2769,7 @@ def _sql_hits(iters: int = 2) -> str:
     in node order (matching Spark's array_sort + aggregate), zeros for
     no-inlink nodes included in the fold exactly as the Spark side."""
     fold = "list_reduce(list({v} ORDER BY {o}), (a, x) -> a + x)"
-    parts = ["""nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-        eg AS (SELECT doc_id AS s, (doc_id * 31 + j.j) % (SELECT n FROM nd) AS t
-               FROM documents, (VALUES (1), (2), (3)) AS j(j)),
+    parts = [f"""{_DOC_EG_SQL},
         vs AS (SELECT DISTINCT s AS node FROM eg
                UNION SELECT DISTINCT t FROM eg),
         h0 AS (SELECT node, CAST(1.0 AS DOUBLE)
@@ -3777,12 +3767,9 @@ def oracle_sql() -> dict[str, str]:
         "link_hits": _sql_hits(),
         # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,
         # min-hop aggregation; d < 6 recursion == max_hops=6 frontier
-        "seed_distance": """
+        "seed_distance": f"""
             WITH RECURSIVE
-            nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-            eg AS (SELECT doc_id AS s,
-                          (doc_id * 31 + j.j) % (SELECT n FROM nd) AS t
-                   FROM documents, (VALUES (1), (2), (3)) AS j(j)),
+            {_DOC_EG_SQL},
             r AS (
               SELECT CAST(sv.node AS BIGINT) AS node, 0 AS d
               FROM (VALUES (0), (1), (2)) sv(node)
@@ -3795,11 +3782,8 @@ def oracle_sql() -> dict[str, str]:
         # triangle mirror: id-ordered direct enumeration a<b<c over the
         # canonical undirected edge set (orientation-independent), each
         # triangle exploded to its three corners
-        "triangles": """
-            WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-            eg AS (SELECT doc_id AS s,
-                          (doc_id * 31 + j.j) % (SELECT n FROM nd) AS t
-                   FROM documents, (VALUES (1), (2), (3)) AS j(j)),
+        "triangles": f"""
+            WITH {_DOC_EG_SQL},
             e AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
                   FROM eg WHERE s <> t),
             tri AS (SELECT t1.a AS x, t1.b AS y, t2.b AS z

@@ -244,21 +244,33 @@ def bfs_distances(edges: DataFrame, sources: list,
     if not directed:
         e = e.unionAll(e.select(F.col("t").alias("s"),
                                 F.col("s").alias("t")))
-    e = e.persist()
-    dist = spark.createDataFrame(
-        [(int(v), 0) for v in sorted(set(sources))], "node long, hops int")
-    dist = dist.localCheckpoint(eager=True)
-    frontier = dist
+    # dedupe once: a hot duplicate edge would otherwise multiply every
+    # round's frontier join output before the per-round distinct
+    e = e.distinct().persist()
+    frontier = spark.createDataFrame(
+        [(int(v), 0) for v in sorted(set(sources))],
+        "node long, hops int").localCheckpoint(eager=True)
+    # settled = the list of per-round frontier frames (each already
+    # checkpointed); re-checkpointing their growing union every round
+    # would rewrite all prior levels each time — O(V * rounds) I/O
+    settled = [frontier]
+    seen = frontier.select("node")
     for h in range(1, int(max_hops) + 1):
         nxt = (e.join(frontier.withColumnRenamed("node", "s")
                               .select("s"), on="s")
                 .select(F.col("t").alias("node")).distinct()
-                .join(dist.select("node"), on="node", how="left_anti")
+                .join(seen, on="node", how="left_anti")
                 .withColumn("hops", F.lit(h))
                 .localCheckpoint(eager=True))
         if nxt.isEmpty():
             break
-        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        settled.append(nxt)
+        # the anti-join target stays a lazy union of CHECKPOINTED
+        # frames — O(1) lineage depth, nothing re-materialized
+        seen = seen.unionAll(nxt.select("node"))
         frontier = nxt
     e.unpersist()
-    return dist
+    out = settled[0]
+    for f in settled[1:]:
+        out = out.unionAll(f)
+    return out

@@ -593,6 +593,10 @@ def decayed_density(df: DataFrame, xcol: str, ycol: str, ts_col: str,
     <=1-ulp pow() library differences. Events after ``ref_ts`` are
     dropped (negative age = not yet happened at analysis time).
     """
+    if not (float(half_life_s) > 0.0):
+        # 0 would make the exponent Inf/NaN silently; negative inverts
+        # decay into growth — both are caller bugs, fail fast
+        raise ValueError(f"half_life_s must be > 0, got {half_life_s}")
     dx = (xmax - xmin) / w
     dy = (ymax - ymin) / h
     i = F.least(F.floor((F.col(xcol) - xmin) / dx), F.lit(w - 1)).cast("int")
