@@ -1607,6 +1607,17 @@ def q_funnel(spark, sf_dir):
                   within_us=7 * 86_400_000_000)
 
 
+def q_transitions(spark, sf_dir):
+    """Markov transition table (operators/temporal.transition_matrix):
+    per-user event_type bigram counts + exact integer-DIV ppm
+    probabilities, deterministic (ts, event_id) sequencing."""
+    from geomesa_spark.operators.temporal import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(ev, "user_id", "ts", "event_type",
+                             order_col="event_id")
+
+
 def q_stat_dsl(spark, sf_dir):
     """Stat-spec DSL end-to-end (operators/stats.run_stats — the
     reference's Stat.Scala DSL analog, geomesa-index-api
@@ -2030,6 +2041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_enrich": q_asof_enrich,
         "interval_join": q_interval_join,
         "funnel": q_funnel,
+        "transitions": q_transitions,
         "zone_paths": q_zone_paths,
         "skyline": q_skyline,
         "areal_interp": q_areal_interp,
@@ -4248,6 +4260,21 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS steps_completed
             FROM a1 LEFT JOIN a2 USING (user_id)
                     LEFT JOIN a3 USING (user_id)
+        """,
+        # transition-matrix mirror: same (ts, event_id) lead, same
+        # integer-DIV ppm
+        "transitions": """
+            WITH p AS (SELECT event_type AS from_state,
+                              lead(event_type) OVER (
+                                  PARTITION BY user_id
+                                  ORDER BY ts ASC, event_id ASC) AS to_state
+                       FROM events),
+            c AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT) AS n
+                  FROM p WHERE to_state IS NOT NULL GROUP BY 1, 2),
+            t AS (SELECT from_state, sum(n) AS tot FROM c GROUP BY 1)
+            SELECT c.from_state, c.to_state, c.n,
+                   CAST(c.n * 1000000 // t.tot AS BIGINT) AS prob_ppm
+            FROM c JOIN t USING (from_state)
         """,
         # gaps-and-islands in integer microseconds (engine-exact)
         "sessions": """

@@ -23,7 +23,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["asof_join", "sessionize", "session_stats", "interval_join",
-           "funnel"]
+           "funnel", "transition_matrix"]
+
+
+def transition_matrix(df: DataFrame, key_col: str, ts_col: str,
+                      state_col: str,
+                      order_col: str | None = None) -> DataFrame:
+    """First-order Markov transition table over per-key state
+    sequences: for every consecutive event pair within a key, the
+    (from_state, to_state) count and its exact-integer probability
+    share — the "what happens after a view" table behind next-action
+    prediction, funnel design and bot detection (bots have degenerate
+    transition rows).
+
+    Probability is ``prob_ppm = (n * 1e6) DIV row_total`` — exact
+    integer arithmetic (the tfidf_topk_terms convention), no float
+    division to defend across engines. Returns (from_state, to_state,
+    n, prob_ppm).
+
+    Scale shape: ONE per-key window (lead) over the event stream, one
+    combining pair count (at most |states|^2 rows), one tiny
+    row-total join back. Deterministic: ordered by (ts, order_col).
+    """
+    order = [F.col(ts_col).asc()] + (
+        [F.col(order_col).asc()] if order_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = (df.select(F.col(state_col).alias("from_state"),
+                       F.lead(state_col).over(w).alias("to_state"))
+               .filter(F.col("to_state").isNotNull())
+               .groupBy("from_state", "to_state")
+               .agg(F.count("*").alias("n")))
+    totals = pairs.groupBy("from_state").agg(F.sum("n").alias("__tot__"))
+    return (pairs.join(totals, on="from_state")
+                 .withColumn("prob_ppm",
+                             F.expr("CAST(n * 1000000 DIV __tot__ AS BIGINT)"))
+                 .drop("__tot__"))
 
 
 def funnel(df: DataFrame, key_col: str, ts_col: str, step_col: str,

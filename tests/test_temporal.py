@@ -234,3 +234,21 @@ def test_interval_join_huge_axis_values(spark):
            for r in interval_join(left, right, "ls", "le", "rs", "re",
                                   bin_width=7).collect()}
     assert got == {(1, 11, 1), (2, 12, 1)}
+
+
+def test_transition_matrix_known_answer(spark):
+    from geomesa_spark.operators.temporal import transition_matrix
+
+    rows = [
+        (1, _ts(0), "view"), (1, _ts(1), "click"), (1, _ts(2), "view"),
+        (1, _ts(3), "click"),
+        (2, _ts(0), "view"), (2, _ts(1), "purchase"),
+        (3, _ts(0), "view"),   # single event: no transition
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, et string")
+    got = {(r.from_state, r.to_state): (r.n, r.prob_ppm)
+           for r in transition_matrix(df, "user_id", "ts", "et").collect()}
+    # from view: click x2, purchase x1; from click: view x1
+    assert got == {("view", "click"): (2, 666666),
+                   ("view", "purchase"): (1, 333333),
+                   ("click", "view"): (1, 1000000)}
