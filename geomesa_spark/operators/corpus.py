@@ -119,9 +119,12 @@ def url_host(url: Column) -> Column:
 def extract_links(df: DataFrame, html_col: str = "html",
                   url_col: str = "url") -> DataFrame:
     """Outlink extraction — the crawl-graph ingest stage: one row
-    ``(url_col, href)`` per ABSOLUTE http(s) ``href="..."`` in the
-    page's html, in document order. Relative links (``/about``) carry
-    no cross-host edge and are skipped.
+    ``(url_col, href)`` per ABSOLUTE http(s) ``href`` in the page's
+    html (double-quoted, single-quoted, or unquoted attribute forms),
+    in document order. Relative links (``/about``) carry no cross-host
+    edge and are skipped. The URL is taken up to the first quote,
+    whitespace, or ``>`` — a literal space inside a quoted URL (illegal
+    unescaped per RFC 3986; real crawls %-encode it) truncates there.
 
     Map-only JVM chain (regexp_extract_all + explode): no Python, no
     shuffle — at 10^12 pages this runs inside the ingest scan, and the
@@ -132,7 +135,7 @@ def extract_links(df: DataFrame, html_col: str = "html",
     """
     hrefs = F.regexp_extract_all(
         F.col(html_col).cast("string"),
-        F.lit('(?i)href="(https?://[^"]*)"'), F.lit(1))
+        F.lit("(?i)href=[\"']?(https?://[^\"'\\s>]+)"), F.lit(1))
     return (df.select(F.col(url_col), F.explode(hrefs).alias("href")))
 
 
@@ -494,8 +497,10 @@ def collocations(docs: DataFrame, id_col: str, text_col: str,
 
     Scale shape: two explode + combining-count passes (bigrams,
     unigrams), joins keyed by the word string (Zipf-bounded model
-    sides), one global top-k window over the min_count-filtered pairs
-    (already ~vocabulary-sized, not corpus-sized).
+    sides), then a global top-k via ``orderBy().limit(k)`` — Spark plans
+    TakeOrderedAndProject (per-partition bounded top-k heaps merged on
+    the driver, no single-partition sort); rank is attached by a window
+    over only the k surviving rows.
     """
     words = F.split(F.trim(F.col(text_col)), r"\s+")
     pairs = F.transform(
@@ -524,11 +529,15 @@ def collocations(docs: DataFrame, id_col: str, text_col: str,
                              / (F.col("c1").cast("double")
                                 * F.col("c2").cast("double")))
                             .cast("float")))
-    win = Window.orderBy(F.col("ratio32").desc(), F.col("w1").asc(),
-                         F.col("w2").asc())
-    out = (scored.withColumn("rank", F.row_number().over(win))
-                 .filter(F.col("rank") <= int(k))
-                 .select("w1", "w2", "n_pair", "ratio32", "rank"))
+    # top-k first (TakeOrderedAndProject: per-partition heaps + driver
+    # merge — every bigram does NOT flow through one partition), THEN a
+    # rank window over the k surviving rows only (partitionBy a constant
+    # makes the bounded k-row partition explicit).
+    order = [F.col("ratio32").desc(), F.col("w1").asc(), F.col("w2").asc()]
+    topk = scored.orderBy(*order).limit(int(k))
+    win = Window.partitionBy(F.lit(0)).orderBy(*order)
+    out = (topk.withColumn("rank", F.row_number().over(win))
+               .select("w1", "w2", "n_pair", "ratio32", "rank"))
     return _attach_cached(out, uni)
 
 

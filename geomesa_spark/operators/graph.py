@@ -117,6 +117,8 @@ def hits(edges: DataFrame, src: str = "src", dst: str = "dst",
     cross-engine parity. Parallel edges each contribute (multigraph
     semantics, as pagerank).
     """
+    if iters < 1:
+        raise ValueError(f"hits needs iters >= 1, got {iters}")
     e = edges.select(F.col(src).cast("long").alias("s"),
                      F.col(dst).cast("long").alias("t"))
     nodes = (e.select(F.col("s").alias("node"))

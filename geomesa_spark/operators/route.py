@@ -45,7 +45,10 @@ def route_search(
     """
     from pyspark.sql import Window
 
-    win = Window.orderBy(F.col(order_col))
+    # One route is small by contract (its segments are broadcast below);
+    # partitionBy a constant makes the bounded single-partition lead()
+    # explicit rather than an accidental global window.
+    win = Window.partitionBy(F.lit(0)).orderBy(F.col(order_col))
     segs = (route.select(
                 F.col(rx).alias("__x0__"), F.col(ry).alias("__y0__"),
                 F.lead(rx).over(win).alias("__x1__"),

@@ -77,6 +77,14 @@ def skyline(df: DataFrame, criteria: list, minimize: list | None = None) -> Data
         minimize = [True] * len(criteria)
     if len(minimize) != len(criteria):
         raise ValueError("minimize must match criteria length")
+    # NULL/NaN criteria are dropped up front: numpy comparisons treat NaN
+    # as incomparable (a NaN row would always survive and never dominate),
+    # while a SQL total order sorts NaN above everything — dropping them
+    # here keeps the distributed result and any SQL oracle from silently
+    # diverging. Callers wanting such rows must impute first.
+    from pyspark.sql import functions as F
+    for c in criteria:
+        df = df.filter(F.col(c).isNotNull() & ~F.isnan(F.col(c).cast("double")))
     signs = np.array([1.0 if m else -1.0 for m in minimize])
     schema = df.schema
 

@@ -161,6 +161,11 @@ def interval_join(
     dup = (set(left.columns) & set(right.columns)) - ({on} if on else set())
     if dup:
         raise ValueError(f"column names must be disjoint, got both-sided: {sorted(dup)}")
+    reserved = {"__bin__", "__lb0__", "__rb0__"} & (set(left.columns)
+                                                    | set(right.columns))
+    if reserved:
+        raise ValueError(
+            f"inputs must not carry the reserved internal columns: {sorted(reserved)}")
     w = int(bin_width)
     ls, le = F.col(l_start).cast("long"), F.col(l_end).cast("long")
     rs, re = F.col(r_start).cast("long"), F.col(r_end).cast("long")

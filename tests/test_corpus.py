@@ -585,6 +585,27 @@ def test_extract_links_and_url_host(spark):
                      ("u3", "d.example")}
 
 
+def test_extract_links_quote_forms(spark):
+    """Single-quoted and unquoted href attributes are extracted too;
+    the URL stops at the first quote / whitespace / '>'."""
+    from geomesa_spark.operators.corpus import extract_links
+
+    rows = [
+        ("s1", "<a href='https://SQ.example/p'>sq</a>"
+               '<a href=https://UQ.example/q class="x">uq</a>'
+               "<a href=https://BARE.example/r>bare</a>"),
+        ("s2", '<a HREF="https://CAP.example/">caps</a>'
+               "<a href='/rel'>rel-sq</a><a href=/rel2>rel-uq</a>"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = [(r.url, r.href)
+           for r in extract_links(df).orderBy("url", "href").collect()]
+    assert got == [("s1", "https://BARE.example/r"),
+                   ("s1", "https://SQ.example/p"),
+                   ("s1", "https://UQ.example/q"),
+                   ("s2", "https://CAP.example/")]
+
+
 def test_pages_outlinks_deterministic(spark):
     """Generated outlinks are a pure function of the page id (splitmix
     salts 30-32) and live in the nav, so the text invariant holds."""
@@ -713,3 +734,16 @@ def test_collocations_known_answer(spark):
     assert out[("big", "apple")][2] == 1 and out[("new", "york")][2] == 2
     assert abs(out[("new", "york")][1] - 18 * 3 / 9) < 1e-5
     assert out[("new", "york")][0] == 3
+
+
+def test_collocations_topk_plan(spark):
+    """The global top-k must plan as TakeOrderedAndProject (per-partition
+    bounded heaps + driver merge), never a single-partition row_number
+    window over every bigram."""
+    from geomesa_spark.operators.corpus import collocations
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c d"), (2, "c d c d a b")], "doc_id long, text string")
+    plan = collocations(docs, "doc_id", "text", k=5,
+                        min_count=1)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
