@@ -395,3 +395,65 @@ def geojson_write(geom: Geometry) -> str:
             MultiPolygon: "MultiPolygon"}[type(geom)]
     return __import__("json").dumps({"type": name, "coordinates": coords(geom)},
                                     separators=(",", ":"))
+
+
+def wkb_batch_envrect(bufs):
+    """Vectorized envelope + axis-rect extraction for a BATCH of WKB
+    buffers — the refine-side fast path that avoids building one Python
+    Geometry object per row.
+
+    Returns ``(env, rect, ok)``: ``env`` is an (n, 4) float64 array of
+    (xmin, ymin, xmax, ymax); ``rect[i]`` is True iff buffer i is a
+    closed 5-point single-ring polygon whose xs/ys take only the
+    envelope values (the `_is_axis_rect` rule, degenerate rects
+    included); ``ok[i]`` is False when buffer i is None or not a plain
+    little-endian single-ring 2D POLYGON — those rows carry no data here
+    and need :func:`wkb_read`.
+
+    Buffers are grouped by byte length; each uniform group decodes with
+    a handful of whole-group numpy ops (stack bytes -> verify the twelve
+    structural header bytes -> view the coordinate doubles), so the cost
+    is ~O(total bytes) with no per-row Python beyond the grouping
+    itself.
+    """
+    n = len(bufs)
+    env = np.zeros((n, 4), dtype=np.float64)
+    rect = np.zeros(n, dtype=bool)
+    ok = np.zeros(n, dtype=bool)
+    if n == 0:
+        return env, rect, ok
+    lens = np.fromiter((len(b) if b is not None else -1 for b in bufs),
+                       dtype=np.int64, count=n)
+    order = np.argsort(lens, kind="stable")
+    slens = lens[order]
+    cuts = np.r_[0, np.where(slens[1:] != slens[:-1])[0] + 1, n]
+    for s, e in zip(cuts[:-1], cuts[1:]):
+        ln = int(slens[s])
+        if ln < 13 + 16 * 4 or (ln - 13) % 16:
+            continue  # too short for a ring, or not a single-ring layout
+        nv = (ln - 13) // 16
+        idx = order[s:e]
+        mat = np.frombuffer(b"".join(bufs[i] for i in idx),
+                            dtype=np.uint8).reshape(len(idx), ln)
+        hdr = np.zeros(13, dtype=np.uint8)
+        hdr[0] = 1                                   # little-endian
+        hdr[1:5] = np.frombuffer(struct.pack("<I", WKB_POLYGON), np.uint8)
+        hdr[5:9] = np.frombuffer(struct.pack("<I", 1), np.uint8)   # 1 ring
+        hdr[9:13] = np.frombuffer(struct.pack("<I", nv), np.uint8)
+        good = (mat[:, :13] == hdr[None, :]).all(axis=1)
+        if not good.any():
+            continue
+        coords = mat[:, 13:].copy().view("<f8").reshape(len(idx), nv, 2)
+        xs, ys = coords[:, :, 0], coords[:, :, 1]
+        genv = np.column_stack([xs.min(axis=1), ys.min(axis=1),
+                                xs.max(axis=1), ys.max(axis=1)])
+        env[idx[good]] = genv[good]
+        ok[idx[good]] = True
+        if nv == 5:
+            # exact mirror of _is_axis_rect: every x is xmin or xmax and
+            # every y is ymin or ymax (no closure requirement)
+            x_ok = ((xs == genv[:, 0:1]) | (xs == genv[:, 2:3])).all(axis=1)
+            y_ok = ((ys == genv[:, 1:2]) | (ys == genv[:, 3:4])).all(axis=1)
+            isr = good & x_ok & y_ok
+            rect[idx[isr]] = True
+    return env, rect, ok
