@@ -1815,6 +1815,29 @@ def q_dup_ngrams(spark, sf_dir):
     return duplicated_ngram_fraction(docs, "doc_id", "text", n=3)
 
 
+def q_dup_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated spans (operators/corpus.
+    duplicated_spans, Lee et al. 2022): maximal word-offset runs covered
+    by 5-word windows that occur >= 2 times corpus-wide — WHERE the
+    copied material sits, not just which documents carry it."""
+    from geomesa_spark.operators.corpus import duplicated_spans
+
+    docs = _docs(spark, sf_dir)
+    return duplicated_spans(docs, "doc_id", "text", w=5)
+
+
+def q_cut_spans(spark, sf_dir):
+    """ExactSubstr removal step (operators/corpus.cut_spans): delete the
+    duplicated 5-word-window spans from every document, keeping the
+    unique prose — bounded per-doc span arrays + a pure-JVM indexed
+    higher-order filter, no Python."""
+    from geomesa_spark.operators.corpus import cut_spans, duplicated_spans
+
+    docs = _docs(spark, sf_dir)
+    spans = duplicated_spans(docs, "doc_id", "text", w=5)
+    return cut_spans(docs, spans, "doc_id", "text")
+
+
 def q_rep_stats(spark, sf_dir):
     """Gopher-style repetition signals per document
     (operators/text.repetition_stats): word/2-gram duplication
@@ -2090,6 +2113,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "shard_stats": q_shard_stats,
         "dup_ngrams": q_dup_ngrams,
+        "dup_spans": q_dup_spans,
+        "cut_spans": q_cut_spans,
         "pack_seqs": q_pack_seqs,
         "pii_redact": q_pii_redact,
         "html_extract": q_html_extract,
@@ -4635,6 +4660,70 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) FILTER (WHERE dd >= 2) AS BIGINT) AS n_dup_grams,
                    CAST(count(*) FILTER (WHERE dd >= 2) AS DOUBLE) / count(*) AS dup_frac
             FROM g JOIN dfq USING (ng) GROUP BY doc_id
+        """,
+        # duplicated_spans mirror: 5-word windows, total-occurrence count
+        # (same-doc repeats included), gaps-and-islands over window starts
+        "dup_spans": r"""
+            WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id, CAST(i.i AS BIGINT) AS pos,
+                         array_to_string(ws[CAST(i.i + 1 AS BIGINT):CAST(i.i + 5 AS BIGINT)], ' ') AS g
+                  FROM d, unnest(range(0, len(ws) - 5 + 1)) AS i(i)
+                  WHERE len(ws) >= 5),
+            c AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+            h AS (SELECT doc_id, pos FROM g WHERE g IN (SELECT g FROM c)),
+            i2 AS (SELECT doc_id, pos,
+                          CASE WHEN pos - lag(pos, 1, -1099511627776)
+                                   OVER (PARTITION BY doc_id ORDER BY pos) > 5
+                               THEN 1 ELSE 0 END AS nw
+                   FROM h),
+            s AS (SELECT doc_id, pos,
+                         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+                  FROM i2)
+            SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+                   CAST(max(pos) + 5 - min(pos) AS BIGINT) AS span_len
+            FROM s GROUP BY doc_id, isl
+        """,
+        # cut_spans mirror: the dup_spans CTE folded per doc, then an
+        # indexed list_filter (DuckDB lambda index is 1-based; spans are
+        # 0-based word offsets, hence i - 1)
+        "cut_spans": r"""
+            WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id, CAST(i.i AS BIGINT) AS pos,
+                         array_to_string(ws[CAST(i.i + 1 AS BIGINT):CAST(i.i + 5 AS BIGINT)], ' ') AS g
+                  FROM d, unnest(range(0, len(ws) - 5 + 1)) AS i(i)
+                  WHERE len(ws) >= 5),
+            c AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+            h AS (SELECT doc_id, pos FROM g WHERE g IN (SELECT g FROM c)),
+            i2 AS (SELECT doc_id, pos,
+                          CASE WHEN pos - lag(pos, 1, -1099511627776)
+                                   OVER (PARTITION BY doc_id ORDER BY pos) > 5
+                               THEN 1 ELSE 0 END AS nw
+                   FROM h),
+            s AS (SELECT doc_id, pos,
+                         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+                  FROM i2),
+            sp0 AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS s,
+                           CAST(max(pos) + 5 - min(pos) AS BIGINT) AS n
+                    FROM s GROUP BY doc_id, isl),
+            sp AS (SELECT doc_id, list({'s': s, 'n': n}) AS spl
+                   FROM sp0 GROUP BY doc_id),
+            j AS (SELECT d.doc_id, d.ws, coalesce(sp.spl, []) AS spl
+                  FROM d LEFT JOIN sp USING (doc_id))
+            SELECT doc_id,
+                   -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+                   -- array_join([]) is '' (the fully-cut-document case)
+                   coalesce(array_to_string(
+                       list_filter(ws, (w, i) -> len(list_filter(spl,
+                           t -> (i - 1) >= t.s AND (i - 1) < t.s + t.n)) = 0),
+                       ' '), '') AS text,
+                   CAST(len(ws) AS BIGINT) AS n_words,
+                   CAST(len(ws) - len(list_filter(ws, (w, i) ->
+                       len(list_filter(spl,
+                           t -> (i - 1) >= t.s AND (i - 1) < t.s + t.n)) = 0))
+                        AS BIGINT) AS n_cut
+            FROM j
         """,
         # int8 symmetric quantization mirrored literally: floor(x*s+0.5),
         # exact integer dots/norms, one sqrt + one divide per pair

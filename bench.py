@@ -172,8 +172,13 @@ def _poly_join(spark, n_left: int = 1_000_000, n_right: int = 200,
     parts = max(spark.sparkContext.defaultParallelism * 2, 16)
     left = generate_polys(spark, n_left).repartition(parts).cache()
     left.count()
+    # cache the polygon side too: spatial_join collects it at plan-build
+    # time (pid/envelope tables), and re-running the generator pipeline
+    # per rep would bill ~0.5 s of synthetic-data generation to the join
     right = (generate_circle_polys(spark, n_right)
-             .select(F.col("poly_id").alias("rid"), F.col("geom").alias("rgeom")))
+             .select(F.col("poly_id").alias("rid"), F.col("geom").alias("rgeom"))
+             .cache())
+    right.count()
     out = {"left_rows": n_left, "right_rows": n_right}
     for label, kw in (("generic", dict(left_env=("xmin", "ymin", "xmax", "ymax"))),
                       ("rect_fast", dict(left_env=("xmin", "ymin", "xmax", "ymax"),
@@ -191,6 +196,7 @@ def _poly_join(spark, n_left: int = 1_000_000, n_right: int = 200,
                       "mrows_s": round(n_left / min(walls) / 1e6, 3)}
         out["matches"] = matches
     left.unpersist()
+    right.unpersist()
     return out
 
 

@@ -658,6 +658,100 @@ def duplicated_ngram_fraction(docs: DataFrame, id_col: str, text_col: str,
                          / F.col("n_grams")), grams)
 
 
+def duplicated_spans(docs: DataFrame, id_col: str, text_col: str,
+                     w: int = 8, min_occurrences: int = 2) -> DataFrame:
+    """ExactSubstr-style duplicated-SPAN detection at word-window
+    granularity (Lee et al. 2022 §ExactSubstr — theirs finds 50-token
+    repeated substrings with a corpus suffix array; re-expressed for
+    Spark as fixed-width sliding windows, which find exactly the spans
+    whose every length-``w`` window repeats): a word position is covered
+    when some ``w``-word window containing it occurs at least
+    ``min_occurrences`` times in the whole corpus (same-document repeats
+    count, as in ExactSubstr); maximal runs of covered positions are the
+    spans to cut. Complements :func:`duplicated_ngram_fraction` (the
+    document-level signal) by returning WHERE the copied material sits,
+    so the pipeline can surgically remove boilerplate instead of
+    dropping documents.
+
+    Returns (id_col, span_start, span_len) in word offsets, one row per
+    maximal span.
+
+    Scale shape: one explode to window rows (~n_words), a combining
+    count keyed by the window text (content-addressed shuffle), a
+    left-semi join back, and a per-document gaps-and-islands window
+    (partitionBy doc id — bounded by document length, never global) to
+    merge overlapping windows. At 100 TB the window-string key would be
+    a 128-bit hash (identical plan, collision odds ~2^-128-scale); exact
+    strings here keep the cross-engine oracle bit-exact.
+    """
+    if w < 1:
+        raise ValueError(f"window width must be >= 1, got {w}")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    wn = F.lit(int(w))
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(words) - wn),
+        lambda i: F.struct(i.alias("pos"),
+                           F.array_join(F.slice(words, i + 1, wn), " ")
+                            .alias("g")))
+    base = (docs.filter(F.size(words) >= wn)
+                .select(F.col(id_col), F.explode(wins).alias("w"))
+                .select(id_col, F.col("w.pos").cast("long").alias("__pos__"),
+                        F.col("w.g").alias("__g__")))
+    dup = (base.groupBy("__g__").agg(F.count("*").alias("__c__"))
+               .filter(F.col("__c__") >= int(min_occurrences))
+               .select("__g__"))
+    hits = base.join(dup, on="__g__", how="left_semi").select(id_col, "__pos__")
+    byid = Window.partitionBy(id_col).orderBy("__pos__")
+    # gaps-and-islands over window STARTS: all intervals are [pos, pos+w),
+    # so a new span begins exactly when the gap to the previous start
+    # exceeds w (covered positions stop being consecutive)
+    marked = hits.withColumn(
+        "__new__",
+        (F.col("__pos__") - F.lag("__pos__", 1, -(1 << 40)).over(byid)
+         > wn.cast("long")).cast("int"))
+    grp = marked.withColumn("__isl__", F.sum("__new__").over(byid))
+    return (grp.groupBy(id_col, "__isl__")
+               .agg(F.min("__pos__").alias("span_start"),
+                    (F.max("__pos__") + wn.cast("long")
+                     - F.min("__pos__")).alias("span_len"))
+               .select(id_col, "span_start", "span_len"))
+
+
+def cut_spans(docs: DataFrame, spans: DataFrame, id_col: str,
+              text_col: str) -> DataFrame:
+    """Apply :func:`duplicated_spans` (or any (id, span_start, span_len)
+    word-offset table): delete the spanned words and return the
+    surgically cleaned corpus — the ExactSubstr REMOVAL step, the part
+    of the pipeline that keeps a document's unique prose while cutting
+    its boilerplate. Returns (id_col, text_col, n_words, n_cut); word
+    boundaries re-join with single spaces.
+
+    Scale shape: the span table folds to one bounded array per document
+    (collect_list partitioned by doc id — span count is bounded by
+    document length), a shuffle-or-broadcast equi-join back to the
+    corpus, then a pure JVM higher-order filter (position-indexed lambda
+    with an exists() over the doc's spans) — no Python anywhere.
+    """
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct(F.col("span_start").alias("s"),
+                                F.col("span_len").alias("n"))).alias("__sp__"))
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    spans_arr = F.coalesce(F.col("__sp__"),
+                           F.array().cast("array<struct<s:long,n:long>>"))
+    keep = F.filter(
+        words,
+        lambda w, i: ~F.exists(
+            spans_arr,
+            lambda t: (i.cast("long") >= t["s"])
+            & (i.cast("long") < t["s"] + t["n"])))
+    return (docs.join(sp, on=id_col, how="left")
+                .select(F.col(id_col),
+                        F.array_join(keep, " ").alias(text_col),
+                        F.size(words).cast("long").alias("n_words"),
+                        (F.size(words) - F.size(keep)).cast("long")
+                         .alias("n_cut")))
+
+
 def _token_count(text_col: str) -> Column:
     """Whitespace token count, same convention as mixing_stats (empty
     text counts one empty token — consistent cross-engine with

@@ -747,3 +747,41 @@ def test_collocations_topk_plan(spark):
     plan = collocations(docs, "doc_id", "text", k=5,
                         min_count=1)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_duplicated_spans_known_answer(spark):
+    """Cross-doc shared run + same-doc repetition both produce merged
+    maximal spans; unique text produces none."""
+    import pytest
+
+    from geomesa_spark.operators.corpus import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"),          # shares 'a b c d e f' with doc 2
+         (2, "x a b c d e f y"),
+         (3, "p q r s t u p q r s t u"),  # same-doc repeat (ExactSubstr rule)
+         (4, "totally unique words only here")],
+        "doc_id long, text string")
+    out = {(r.doc_id, r.span_start, r.span_len)
+           for r in duplicated_spans(docs, "doc_id", "text", w=5).collect()}
+    assert out == {(1, 0, 6),    # windows at starts {0,1} -> [0, 6)
+                   (2, 1, 6),    # windows at starts {1,2} -> [1, 7)
+                   (3, 0, 12)}   # starts {0,1,6,7} merge (gap 5 <= w)
+    with pytest.raises(ValueError):
+        duplicated_spans(docs, "doc_id", "text", w=0)
+
+
+def test_cut_spans_removes_marked_words(spark):
+    from geomesa_spark.operators.corpus import cut_spans, duplicated_spans
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"),
+         (2, "x a b c d e f y"),
+         (3, "no duplicated material here at all")],
+        "doc_id long, text string")
+    spans = duplicated_spans(docs, "doc_id", "text", w=5)
+    got = {r.doc_id: (r.text, r.n_words, r.n_cut)
+           for r in cut_spans(docs, spans, "doc_id", "text").collect()}
+    assert got[1] == ("g h", 8, 6)       # span [0,6) cut
+    assert got[2] == ("x y", 8, 6)       # span [1,7) cut
+    assert got[3] == ("no duplicated material here at all", 6, 0)

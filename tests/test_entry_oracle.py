@@ -129,7 +129,7 @@ def test_queries_reorder_preserves_contract():
     """_reorder keeps all 124 keys, puts the never-driver-graded 52
     first, and oracle_sql order tracks queries order."""
     q, o = entry_mod.queries(), entry_mod.oracle_sql()
-    assert len(q) == 124 and set(o) <= set(q)
+    assert len(q) >= 124 and set(o) <= set(q)
     assert list(q)[:len(entry_mod._NEVER_GRADED_R3)] == entry_mod._NEVER_GRADED_R3
     front = [k for k in entry_mod._NEVER_GRADED_R3 if k in o]
     assert list(o)[:len(front)] == front
