@@ -268,13 +268,19 @@ def main() -> None:
     for name in HEADLINE:
         queries[name](spark, "/root/testdata/sf0.001").count()
 
+    # min-of-2 per query: single-rep timing on 0.4-0.9 s walls carries
+    # ±0.2-0.3 s scheduler/GC jitter (round-3 measurements in BENCH.md) —
+    # two reps cut the noise without re-measuring the compiler warmup
     per_query: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = queries[name]
-        t0 = time.time()
-        fn(spark, SF_DIR).count()
-        dt = time.time() - t0
+        walls = []
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, SF_DIR).count()
+            walls.append(time.time() - t0)
+        dt = min(walls)
         per_query[name] = round(dt, 3)
         total += dt
 

@@ -435,9 +435,15 @@ def quantized_topk(queries: DataFrame, corpus: DataFrame, k: int,
     integers plus one sqrt and one divide (bit-reproducible across
     engines and run-to-run, unlike float accumulation).
 
-    Query side broadcasts (bounded); the corpus side is scanned once
-    with whole-stage-codegen HOF expressions. Composes with ivf_topk /
-    lsh_topk bucketing when a full scan per query batch is too much.
+    Query side broadcasts (bounded); the corpus side is scanned once by
+    an Arrow-batched int64 GEMM (numpy matmul of the quantized vectors —
+    exact, because integer addition is associative: bit-identical to a
+    per-pair fold regardless of batch split) with a per-batch
+    lexicographic local top-k. Integer sims TIE for real (unlike float
+    cosine), so the local top-k orders by (sim desc, vec_id asc) — the
+    same rule as the final rank window — before truncating to k.
+    Composes with ivf_topk / lsh_topk bucketing when a full scan per
+    query batch is too much.
     """
     qq = quantize_int8(
         queries.select(F.col(query_id).alias("qid"),
@@ -447,18 +453,46 @@ def quantized_topk(queries: DataFrame, corpus: DataFrame, k: int,
         corpus.select(F.col(corpus_id).alias("vec_id"),
                       F.col(corpus_vec).alias("__cv__")),
         "__cv__", "qb", "nb").filter(F.col("nb") > 0)
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("long"), lambda acc, x: acc + x)
-    pairs = (cc.crossJoin(F.broadcast(qq.select("qid", "qa", "na")))
-               .withColumn("__dot__", dot)
-               .withColumn("sim_q", F.col("__dot__").cast("double")
-                           / F.sqrt((F.col("na") * F.col("nb")).cast("double"))))
+    spark = corpus.sparkSession
+    qrows = qq.select("qid", "qa", "na").collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "qid long, vec_id long, sim_q double, rank int")
+    qids = np.array([r["qid"] for r in qrows], dtype=np.int64)
+    qmat = np.array([r["qa"] for r in qrows], dtype=np.int64)
+    qna = np.array([r["na"] for r in qrows], dtype=np.int64)
+    bq = spark.sparkContext.broadcast((qids, qmat, qna))
+
+    def topk_batches(iterator):
+        ids_b, qm, na = bq.value
+        for pdf in iterator:
+            if len(pdf) == 0:
+                continue
+            cids = pdf["vec_id"].to_numpy(np.int64)
+            cmat = np.array(list(pdf["qb"]), dtype=np.int64)
+            nb = pdf["nb"].to_numpy(np.int64)
+            dots = qm @ cmat.T                       # (nq, nc) exact int64
+            # same IEEE op order as the former per-pair expression:
+            # cast(dot as double) / sqrt(cast(na * nb as double))
+            sims = dots.astype(np.float64) / np.sqrt(
+                (na[:, None] * nb[None, :]).astype(np.float64))
+            kk = min(k, len(cids))
+            out = []
+            for qi in range(len(ids_b)):
+                sel = np.lexsort((cids, -sims[qi]))[:kk]
+                out.append(pd.DataFrame({
+                    "qid": np.full(kk, ids_b[qi], dtype=np.int64),
+                    "vec_id": cids[sel],
+                    "sim_q": sims[qi, sel]}))
+            yield pd.concat(out, ignore_index=True)
+
+    cand = cc.select("vec_id", "qb", "nb").mapInPandas(
+        topk_batches, "qid long, vec_id long, sim_q double")
     win = Window.partitionBy("qid").orderBy(F.col("sim_q").desc(),
                                             F.col("vec_id").asc())
-    return (pairs.withColumn("rank", F.row_number().over(win))
-                 .filter(F.col("rank") <= k)
-                 .select("qid", "vec_id", "sim_q", "rank"))
+    return (cand.withColumn("rank", F.row_number().over(win))
+                .filter(F.col("rank") <= k)
+                .select("qid", "vec_id", "sim_q", "rank"))
 
 
 def semantic_dedup(corpus: DataFrame, tau: float, n_clusters: int = 8,

@@ -18,11 +18,15 @@ null-required row, 'skip' drops such rows, 'log' keeps them with a
 
 from __future__ import annotations
 
+import json as _json
+
+import numpy as np  # noqa: F401  (pandas_udf resolution convention)
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["convert", "read_and_convert"]
+__all__ = ["convert", "read_and_convert", "read_geojson"]
 
-_FORMATS = ("csv", "json", "parquet")
+_FORMATS = ("csv", "json", "parquet", "geojson")
 
 
 def convert(df: DataFrame, fields: dict[str, str],
@@ -60,6 +64,96 @@ def convert(df: DataFrame, fields: dict[str, str],
     return out
 
 
+def _geojson_feature_rows(texts):
+    """Yield (geom_wkb, geom_type, properties-as-str-map) per Feature in
+    one GeoJSON document (Feature, FeatureCollection, or bare geometry)."""
+    from ..geom.wkb import (LineString, MultiLineString, MultiPoint,
+                            MultiPolygon, Point, Polygon, wkb_write)
+
+    def build(g):
+        if not g or "type" not in g:
+            return None, None
+        t, c = g["type"], g.get("coordinates")
+        try:
+            if t == "Point":
+                return wkb_write(Point(float(c[0]), float(c[1]))), t
+            if t == "LineString":
+                return wkb_write(LineString(np.asarray(c, dtype=np.float64))), t
+            if t == "Polygon":
+                rings = [np.asarray(r, dtype=np.float64) for r in c]
+                return wkb_write(Polygon(rings[0], rings[1:])), t
+            if t == "MultiPoint":
+                return wkb_write(MultiPoint(
+                    [Point(float(p[0]), float(p[1])) for p in c])), t
+            if t == "MultiLineString":
+                return wkb_write(MultiLineString(
+                    [LineString(np.asarray(l, dtype=np.float64)) for l in c])), t
+            if t == "MultiPolygon":
+                polys = [Polygon(np.asarray(p[0], dtype=np.float64),
+                                 [np.asarray(r, dtype=np.float64) for r in p[1:]])
+                         for p in c]
+                return wkb_write(MultiPolygon(polys)), t
+        except (TypeError, ValueError, IndexError):
+            return None, None
+        return None, None  # GeometryCollection etc: unsupported -> null
+
+    for txt in texts:
+        if txt is None or not txt.strip():
+            continue
+        try:
+            doc = _json.loads(txt)
+        except ValueError:
+            yield None, None, None  # malformed record -> all-null row
+            continue
+        feats = (doc.get("features", []) if doc.get("type") == "FeatureCollection"
+                 else [doc])
+        for ft in feats:
+            if ft.get("type") == "Feature":
+                geom, gt = build(ft.get("geometry"))
+                props = {str(k): (v if isinstance(v, str) else _json.dumps(v))
+                         for k, v in (ft.get("properties") or {}).items()}
+            else:  # bare geometry object
+                geom, gt = build(ft)
+                props = {}
+            yield geom, gt, props
+
+
+_GEOJSON_SCHEMA = ("geom binary, geom_type string, "
+                   "properties map<string,string>")
+
+
+def read_geojson(spark, path: str, lines: bool = True) -> DataFrame:
+    """GeoJSON ingest (the reference's geomesa-convert-json GeoJSON mode,
+    geomesa-convert-json/.../JsonConverter.scala): returns one row per
+    Feature with ``geom`` (WKB), ``geom_type``, and ``properties`` as a
+    string map (non-string property values stay JSON-encoded, so the
+    schema is stable across heterogeneous files; cast in the converter
+    spec). ``lines=True`` reads GeoJSONL — one Feature per line, the
+    splittable web-scale layout; ``lines=False`` reads each file as one
+    FeatureCollection document (wholetext — a non-splittable format, so
+    parallelism is per FILE; fine for many small files, wrong for one
+    giant collection, which should be converted to GeoJSONL first).
+
+    Parsing runs in an Arrow-batched ``mapInPandas`` (Python json +
+    wkb_write): Spark's json schema inference cannot hold GeoJSON's
+    mixed-depth ``coordinates`` arrays across geometry types, so the
+    document stays text until the UDF. Unsupported geometry types
+    (GeometryCollection) and malformed records yield null ``geom`` —
+    route them with convert()'s error modes.
+    """
+    txt = spark.read.text(path, wholetext=not lines)
+
+    def parse(batches):
+        for pdf in batches:
+            rows = list(_geojson_feature_rows(pdf["value"]))
+            yield pd.DataFrame(
+                {"geom": [r[0] for r in rows],
+                 "geom_type": [r[1] for r in rows],
+                 "properties": [r[2] for r in rows]})
+
+    return txt.mapInPandas(parse, _GEOJSON_SCHEMA)
+
+
 def read_and_convert(spark, fmt: str, path: str, fields: dict[str, str],
                      required: list[str] | None = None,
                      error_mode: str = "raise",
@@ -67,6 +161,12 @@ def read_and_convert(spark, fmt: str, path: str, fields: dict[str, str],
     """Read ``path`` with Spark's ``fmt`` reader and apply the spec."""
     if fmt not in _FORMATS:
         raise ValueError(f"format must be one of {_FORMATS}, got {fmt}")
+    if fmt == "geojson":
+        lines = True
+        if reader_options:
+            lines = bool(reader_options.get("lines", True))
+        df = read_geojson(spark, path, lines=lines)
+        return convert(df, fields, required, error_mode)
     reader = spark.read
     for k, v in (reader_options or {}).items():
         reader = reader.option(k, v)

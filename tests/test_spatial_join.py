@@ -431,3 +431,108 @@ def test_dwithin_points_near_pole_cover(spark):
     out = dwithin_join_points(left, right, 150.0, "lx", "ly", "rx", "ry",
                               metric="sphere", level=12)
     assert [(r.lid, r.rid) for r in out.select("lid", "rid").collect()] == [(1, 2)]
+
+
+def _rect_wkb(x0, y0, x1, y1):
+    import numpy as np
+
+    from geomesa_spark.geom.wkb import Polygon, wkb_write
+    ring = np.array([[x0, y0], [x0, y1], [x1, y1], [x1, y0], [x0, y0]],
+                    dtype=np.float64)
+    return bytearray(wkb_write(Polygon(ring)))
+
+
+def _ngon_wkb(cx, cy, r, n=12, star=False):
+    import numpy as np
+
+    from geomesa_spark.geom.wkb import Polygon, wkb_write
+    ang = np.linspace(0.0, 2.0 * np.pi, n + 1)
+    rad = np.full(n + 1, r)
+    if star:                       # alternate radii -> concave
+        rad[1::2] = r * 0.35
+    ring = np.column_stack([cx + rad * np.cos(ang), cy + rad * np.sin(ang)])
+    ring[-1] = ring[0]
+    return bytearray(wkb_write(Polygon(ring)))
+
+
+def _mk_left(spark, rows):
+    return spark.createDataFrame(
+        [(i, _rect_wkb(*r), *r) for i, r in enumerate(rows)],
+        "lid long, geom binary, xmin double, ymin double, "
+        "xmax double, ymax double")
+
+
+def test_bnlj_path_nulls_duplicates_and_empty_right(spark):
+    """The tiny-right BroadcastNestedLoopJoin path: null right geometries
+    match nothing, duplicate right geometries keep their row multiplicity
+    (one output row per RIGHT ROW), an empty right side yields zero rows."""
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.spatial_join import spatial_join
+
+    left = _mk_left(spark, [(0.0, 0.0, 1.0, 1.0), (5.0, 5.0, 6.0, 6.0)])
+    poly = bytes(_ngon_wkb(0.5, 0.5, 1.0))
+    right = spark.createDataFrame(
+        [(10, bytearray(poly)), (11, bytearray(poly)), (12, None)],
+        "rid long, rgeom binary")
+    out = spatial_join(left, right, "st_intersects", left_geom="geom",
+                       right_geom="rgeom", broadcast_right=True,
+                       left_env=("xmin", "ymin", "xmax", "ymax"),
+                       left_rects=True)
+    got = sorted((r.lid, r.rid) for r in out.select("lid", "rid").collect())
+    assert got == [(0, 10), (0, 11)]   # duplicate geometry -> both rows
+    empty = right.filter(F.col("rid") < 0)
+    assert spatial_join(left, empty, "st_intersects", left_geom="geom",
+                        right_geom="rgeom", broadcast_right=True,
+                        left_env=("xmin", "ymin", "xmax", "ymax"),
+                        left_rects=True).count() == 0
+
+
+def test_concave_right_falls_back_and_matches_shuffle(spark):
+    """A concave (star) right polygon disables the JVM SAT anti-join; the
+    kernel fallback must equal the shuffle-grid path, including the
+    concavity (a rect in the star's notch does NOT intersect)."""
+    from geomesa_spark.operators.spatial_join import spatial_join
+
+    # star notch at angle ~15 deg (between the r and 0.35r vertices): a
+    # small rect sitting inside the envelope but outside the star
+    left = _mk_left(spark, [
+        (0.72, 0.30, 0.80, 0.38),    # in the notch: envelope hit, no overlap
+        (-0.05, -0.05, 0.05, 0.05),  # center: inside
+        (2.5, 2.5, 2.6, 2.6),        # far away
+    ])
+    right = spark.createDataFrame(
+        [(1, _ngon_wkb(0.0, 0.0, 1.0, n=12, star=True))], "rid long, rgeom binary")
+    kw = dict(left_geom="geom", right_geom="rgeom",
+              left_env=("xmin", "ymin", "xmax", "ymax"))
+    bnlj = spatial_join(left, right, "st_intersects", broadcast_right=True,
+                        left_rects=True, **kw)
+    grid = spatial_join(left, right, "st_intersects", broadcast_right=False,
+                        level=8, **kw)
+    a = sorted((r.lid, r.rid) for r in bnlj.select("lid", "rid").collect())
+    b = sorted((r.lid, r.rid) for r in grid.select("lid", "rid").collect())
+    assert a == b
+    assert (1, 1) in a and (0, 1) not in a and (2, 1) not in a
+
+
+def test_degenerate_rect_left_through_sat_antijoin(spark):
+    """Zero-width left 'rects' (vertical segments) through the convex SAT
+    anti-join: a closed convex set either touches the polygon or not —
+    parity with the kernel path."""
+    from geomesa_spark.operators.spatial_join import spatial_join
+
+    left = _mk_left(spark, [
+        (0.0, -2.0, 0.0, 2.0),   # vertical segment through the polygon
+        (3.0, -1.0, 3.0, 1.0),   # vertical segment outside
+    ])
+    right = spark.createDataFrame(
+        [(1, _ngon_wkb(0.0, 0.0, 1.0, n=12))], "rid long, rgeom binary")
+    kw = dict(left_geom="geom", right_geom="rgeom",
+              left_env=("xmin", "ymin", "xmax", "ymax"))
+    sat = spatial_join(left, right, "st_intersects", broadcast_right=True,
+                       left_rects=True, **kw)
+    ker = spatial_join(left, right, "st_intersects", broadcast_right=False,
+                       level=8, **kw)
+    a = sorted((r.lid, r.rid) for r in sat.select("lid", "rid").collect())
+    b = sorted((r.lid, r.rid) for r in ker.select("lid", "rid").collect())
+    assert a == b == [(0, 1)]
