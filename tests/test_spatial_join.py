@@ -536,3 +536,28 @@ def test_degenerate_rect_left_through_sat_antijoin(spark):
     a = sorted((r.lid, r.rid) for r in sat.select("lid", "rid").collect())
     b = sorted((r.lid, r.rid) for r in ker.select("lid", "rid").collect())
     assert a == b == [(0, 1)]
+
+
+def test_convex_intersects_plan_has_no_python(spark):
+    """Declared-rect x all-convex st_intersects must plan as BNLJ + SAT
+    anti-join with ZERO Python operators (the whole query stays in
+    JVM codegen); a concave right polygon must bring the Python refine
+    back."""
+    from geomesa_spark.operators.spatial_join import spatial_join
+
+    left = _mk_left(spark, [(0.0, 0.0, 1.0, 1.0)])
+    convex = spark.createDataFrame(
+        [(1, _ngon_wkb(0.0, 0.0, 1.0, n=12))], "rid long, rgeom binary")
+    kw = dict(left_geom="geom", right_geom="rgeom", broadcast_right=True,
+              left_env=("xmin", "ymin", "xmax", "ymax"), left_rects=True)
+    plan = spatial_join(left, convex, "st_intersects",
+                        **kw)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftAnti" in plan
+    assert "EvalPython" not in plan    # Arrow/BatchEvalPython both absent
+
+    concave = spark.createDataFrame(
+        [(1, _ngon_wkb(0.0, 0.0, 1.0, n=12, star=True))], "rid long, rgeom binary")
+    plan2 = spatial_join(left, concave, "st_intersects",
+                         **kw)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" in plan2       # kernel refine fallback engaged
