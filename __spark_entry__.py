@@ -799,6 +799,52 @@ def q_link_hosts(spark, sf_dir):
                  .agg(F.count("*").alias("n")))
 
 
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text rollup (operators/corpus.extract_anchors): the
+    link-feature stage of a web-ranking pipeline — regexp
+    ``<a href>text</a>`` pair extraction over the generated pages
+    corpus, absolute links only, rolled up to (dst_site, anchor, n).
+    The oracle replays the generator's splitmix64 outlink arithmetic
+    (salts 30-32 → anchors r1-r3, mod 997) with no HTML in sight, so
+    equality proves the whole tag-pair parse chain (href AND inner
+    text must both land on the right row)."""
+    from geomesa_spark.operators.corpus import extract_anchors
+    from geomesa_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 2000, partitions=8)
+    anchors = extract_anchors(pages)
+    site = r"^https://site(\d+)\.example/"
+    return (anchors.select(
+                F.regexp_extract(F.col("href"), site, 1).cast("long")
+                 .alias("dst_site"),
+                F.col("anchor"))
+                 .groupBy("dst_site", "anchor")
+                 .agg(F.count("*").alias("n")))
+
+
+def q_latest_capture(spark, sf_dir):
+    """Latest-capture-per-site selection (WARC snapshot dedup): keep
+    the most recent (warc_ts, url) capture per site via ONE combining
+    struct-max aggregate — map-side partial max, no window, no
+    shuffle-by-row — the 100 TB plan for "newest snapshot per key"
+    (ties broken by max url through the struct's lexicographic
+    order, so the result is deterministic). Oracle replays the
+    generator's ts arithmetic (1704067200000 + id*37000 mod 365 days)
+    and url formatting in pure SQL."""
+    from geomesa_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 2000, partitions=8)
+    site = F.regexp_extract(
+        F.col("url"), r"^https://site(\d+)\.example/", 1).cast("long")
+    return (pages.select(
+                site.alias("site"),
+                F.struct(F.unix_timestamp("warc_ts").alias("last_ts_epoch"),
+                         F.col("url").alias("last_url")).alias("cap"))
+                 .groupBy("site").agg(F.max("cap").alias("m"))
+                 .select("site", F.col("m.last_ts_epoch").alias("last_ts_epoch"),
+                         F.col("m.last_url").alias("last_url")))
+
+
 def q_link_hits(spark, sf_dir):
     """HITS hubs/authorities (operators/graph.hits): L1-normalized
     mutual iteration over the synthetic doc link graph (same edges as
@@ -2033,6 +2079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25": q_bm25,
         "pagerank": q_pagerank,
         "link_hosts": q_link_hosts,
+        "anchor_text": q_anchor_text,
+        "latest_capture": q_latest_capture,
         "link_hits": q_link_hits,
         "triangles": q_triangles,
         "seed_distance": q_seed_distance,
@@ -2822,6 +2870,57 @@ def _sql_link_hosts(n: int = 2000) -> str:
                CAST(dst_site AS BIGINT) AS dst_site,
                CAST(count(*) AS BIGINT) AS n
         FROM zf GROUP BY 1, 2
+    """
+
+
+def _sql_anchor_text(n: int = 2000) -> str:
+    """DuckDB mirror of generate_pages |> extract_anchors |> rollup:
+    outlink j (salt 30+j-1) of every page carries anchor text 'r<j>'
+    and targets site splitmix64(id, salt) mod 997 — replayed in pure
+    HUGEINT arithmetic, no HTML, so equality certifies the Spark-side
+    two-stage tag/href/anchor regexp chain."""
+    from geomesa_spark.sources.pages import SEED
+
+    gold = 0x9E3779B97F4A7C15
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    return f"""
+        WITH ids AS (SELECT CAST(t.i AS HUGEINT) AS i
+                     FROM unnest(range(0, {n})) AS t(i)),
+        sl AS (SELECT i, CAST(s.s AS HUGEINT) AS salt
+               FROM ids, (VALUES (30), (31), (32)) AS s(s)),
+        z0 AS (SELECT i, salt, ((i + (salt * {gold} + {SEED} + {gold}))
+                                % 18446744073709551616) AS z FROM sl),
+        z1 AS (SELECT i, salt, ({_mm64('xor(z, z >> 30)', str(c1))}) AS z FROM z0),
+        z2 AS (SELECT i, salt, ({_mm64('xor(z, z >> 27)', str(c2))}) AS z FROM z1),
+        zf AS (SELECT i, salt, xor(z, z >> 31) % 997 AS dst_site FROM z2)
+        SELECT CAST(dst_site AS BIGINT) AS dst_site,
+               'r' || CAST(salt - 29 AS VARCHAR) AS anchor,
+               CAST(count(*) AS BIGINT) AS n
+        FROM zf GROUP BY 1, 2
+    """
+
+
+def _sql_latest_capture(n: int = 2000) -> str:
+    """DuckDB mirror of q_latest_capture: replays the generator's
+    warc_ts arithmetic (epoch-millis 1704067200000 + id*37000 mod 365
+    days — always whole seconds) and url formatting, then takes the
+    (max ts, then max url) capture per site — the same total order the
+    Spark struct-max uses."""
+    day365 = 365 * 86_400_000
+    return f"""
+        WITH ids AS (SELECT CAST(t.i AS BIGINT) AS i
+                     FROM unnest(range(0, {n})) AS t(i)),
+        t AS (SELECT i % 997 AS site,
+                     (1704067200000 + (i * 37000) % {day365}) // 1000 AS ts_epoch,
+                     'https://site' || CAST(i % 997 AS VARCHAR)
+                        || '.example/' || CAST(i AS VARCHAR) AS url
+              FROM ids),
+        m AS (SELECT site, max(ts_epoch) AS last_ts_epoch FROM t GROUP BY 1)
+        SELECT CAST(t.site AS BIGINT) AS site,
+               CAST(m.last_ts_epoch AS BIGINT) AS last_ts_epoch,
+               max(t.url) AS last_url
+        FROM t JOIN m ON t.site = m.site AND t.ts_epoch = m.last_ts_epoch
+        GROUP BY 1, 2
     """
 
 
@@ -3827,6 +3926,8 @@ def oracle_sql() -> dict[str, str]:
         "bm25": _sql_bm25(["hash", "join", "vector"]),
         "pagerank": _sql_pagerank(),
         "link_hosts": _sql_link_hosts(),
+        "anchor_text": _sql_anchor_text(),
+        "latest_capture": _sql_latest_capture(),
         "link_hits": _sql_hits(),
         # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,
         # min-hop aggregation; d < 6 recursion == max_hops=6 frontier

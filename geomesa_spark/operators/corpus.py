@@ -139,6 +139,37 @@ def extract_links(df: DataFrame, html_col: str = "html",
     return (df.select(F.col(url_col), F.explode(hrefs).alias("href")))
 
 
+def extract_anchors(df: DataFrame, html_col: str = "html",
+                    url_col: str = "url") -> DataFrame:
+    """Anchor-text extraction — the link-feature stage of a web-ranking
+    / training-data pipeline: one row ``(url_col, href, anchor)`` per
+    ABSOLUTE http(s) link whose ``<a>`` element body contains no nested
+    markup (the common case; nested-element anchors would need a real
+    HTML parser and are out of scope, like the reference's converters
+    which are also regex/field-based — geomesa-convert
+    Converters.scala:37-88). Relative links are skipped, matching
+    ``extract_links``.
+
+    Two-stage map-only JVM chain: ``regexp_extract_all`` captures whole
+    ``<a ...>text</a>`` elements, then per-element ``regexp_extract``
+    pulls the href (double-quoted / single-quoted / unquoted attribute
+    forms) and the inner text. No Python, no shuffle — the follow-on
+    per-(host, anchor) rollup is the first shuffle, keyed by the tiny
+    pair. Patterns live in the Java-regex ∩ RE2 dialect subset so an
+    engine mirror can run them verbatim.
+    """
+    tags = F.regexp_extract_all(
+        F.col(html_col).cast("string"),
+        F.lit("(?i)(<a\\s[^>]*>[^<]*</a>)"), F.lit(1))
+    tagged = df.select(F.col(url_col), F.explode(tags).alias("__tag__"))
+    href = F.regexp_extract(
+        F.col("__tag__"), "(?i)href=[\"']?(https?://[^\"'\\s>]+)", 1)
+    anchor = F.regexp_extract(F.col("__tag__"), ">([^<]*)<", 1)
+    return (tagged.select(F.col(url_col), href.alias("href"),
+                          anchor.alias("anchor"))
+                  .filter(F.col("href") != ""))
+
+
 def html_escape(text: Column) -> Column:
     """Minimal-entity escape (&, <, > — in that order) so arbitrary text
     embeds losslessly in an element body."""

@@ -24,9 +24,10 @@ import numpy as np  # noqa: F401  (pandas_udf resolution convention)
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["convert", "read_and_convert", "read_geojson"]
+__all__ = ["convert", "read_and_convert", "read_fixedwidth", "read_geojson",
+           "read_xml"]
 
-_FORMATS = ("csv", "json", "parquet", "geojson")
+_FORMATS = ("csv", "json", "parquet", "geojson", "fixedwidth", "xml")
 
 
 def convert(df: DataFrame, fields: dict[str, str],

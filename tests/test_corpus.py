@@ -629,6 +629,45 @@ def test_pages_outlinks_deterministic(spark):
         assert sorted(got[url]) == want, i
 
 
+def test_extract_anchors_known_answer(spark):
+    """Anchor text pairs with the right href across quote forms;
+    relative / non-http links skipped; empty anchors kept as ''."""
+    from geomesa_spark.operators.corpus import extract_anchors
+
+    rows = [
+        ("u1", '<a href="/rel">skip</a>'
+               '<a class="x" href="https://A.example/p">Click Here</a>'
+               "<a href='https://B.example'>b&amp;w</a>"
+               '<a href=https://C.example/u>unq</a>'),
+        ("u2", '<a href="https://D.example"></a> plain text'),
+        ("u3", "no links"),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = [(r.url, r.href, r.anchor)
+           for r in extract_anchors(df).orderBy("url", "href").collect()]
+    assert got == [("u1", "https://A.example/p", "Click Here"),
+                   ("u1", "https://B.example", "b&amp;w"),
+                   ("u1", "https://C.example/u", "unq"),
+                   ("u2", "https://D.example", "")]
+
+
+def test_extract_anchors_pages_corpus(spark):
+    """On the generated corpus every absolute outlink j carries anchor
+    r<j>, so (href, anchor) pairing is exact per row."""
+    from geomesa_spark.operators.corpus import extract_anchors
+    from geomesa_spark.sources.pages import generate_pages
+
+    pages = generate_pages(spark, 30)
+    per_url = {}
+    for r in extract_anchors(pages).collect():
+        per_url.setdefault(r.url, []).append((r.anchor, r.href))
+    assert len(per_url) == 30
+    for url, pairs in per_url.items():
+        assert sorted(a for a, _ in pairs) == ["r1", "r2", "r3"]
+        for a, h in pairs:
+            assert h.startswith("https://site") and h.endswith(".example/r")
+
+
 def test_random_projection_jl_and_determinism(spark):
     """Sign-JL projection: deterministic across calls, pairwise distances
     preserved within loose JL distortion at K=32, and the accumulation
