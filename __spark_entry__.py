@@ -845,6 +845,62 @@ def q_latest_capture(spark, sf_dir):
                          F.col("m.last_url").alias("last_url")))
 
 
+def q_fixedwidth_parse(spark, sf_dir):
+    """Fixed-width converter round trip (sources/converter.read_fixedwidth
+    — the reference's geomesa-convert-fixedwidth substring fields,
+    FixedWidthConverter.scala:57-66): events are laid out as
+    ``%012d id | %-10s type | %012d epoch-secs`` fixed columns, written
+    as text, re-ingested with read_fixedwidth + a typed convert() spec
+    (all JVM substring/cast — line-splittable at 100 TB), and
+    aggregated. The oracle computes the same aggregate straight from
+    the parquet, so equality certifies the format->parse round trip is
+    lossless."""
+    from geomesa_spark.sources.converter import read_and_convert
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.unix_timestamp("ts").alias("secs"))
+    line = F.format_string("%012d%-10s%012d", "event_id", "event_type", "secs")
+    path = _store_tmp(sf_dir, "fixedwidth")
+    ev.select(line.alias("value")).write.mode("overwrite").text(path)
+    parsed = read_and_convert(
+        spark, "fixedwidth", path,
+        {"event_id": "cast(id as bigint)", "event_type": "typ",
+         "secs": "cast(secs as bigint)"},
+        required=["event_id", "secs"],
+        reader_options={"widths": [("id", 0, 12), ("typ", 12, 10),
+                                   ("secs", 22, 12)]})
+    return (parsed.groupBy("event_type")
+                  .agg(F.count("*").alias("n"),
+                       F.sum("secs").alias("sum_secs"),
+                       F.min("event_id").alias("min_id"),
+                       F.max("event_id").alias("max_id")))
+
+
+def q_xml_parse(spark, sf_dir):
+    """XML converter round trip (sources/converter.read_xml — the
+    reference's geomesa-convert-xml featurePath/XPath fields mapped to
+    Spark 4's native XML source, XmlConverter.scala:38-52): events are
+    rendered as ``<ev id=.. type=..><user>..</user></ev>`` elements,
+    written one element per line (the reference's LineMode.Single — the
+    line-splittable layout), re-ingested with read_xml_lines under a
+    PINNED schema (no inference pass — the 100 TB rule), and aggregated.
+    Oracle = the same aggregate straight from the parquet."""
+    from geomesa_spark.sources.converter import read_xml_lines
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type")
+    xml = F.format_string('<ev id="%d" type="%s"><user>%d</user></ev>',
+                          "event_id", "event_type", "user_id")
+    path = _store_tmp(sf_dir, "xml")
+    ev.select(xml.alias("value")).write.mode("overwrite").text(path)
+    parsed = read_xml_lines(spark, path,
+                            "_id BIGINT, _type STRING, user BIGINT")
+    return (parsed.groupBy(F.col("_type").alias("event_type"))
+                  .agg(F.count("*").alias("n"),
+                       F.sum("user").alias("sum_user"),
+                       F.max("_id").alias("max_id")))
+
+
 def q_link_hits(spark, sf_dir):
     """HITS hubs/authorities (operators/graph.hits): L1-normalized
     mutual iteration over the synthetic doc link graph (same edges as
@@ -2021,15 +2077,18 @@ def entry(spark: SparkSession) -> DataFrame:
 _NEVER_GRADED_R3 = [
     "minhash_pairs", "simhash_pairs", "lsh_ann", "ivf_ann", "sketches",
     "geoparse_pages", "store_bbox", "store_stbox", "store_xz2", "store_s2",
-    "store_s3", "store_cql", "route_search", "transform_3857", "cosine_dedup",
-    "semantic_dedup", "dedup_clusters", "dbscan", "rep_stats", "asof_enrich",
-    "interval_join", "funnel", "transitions", "zone_paths", "skyline",
-    "areal_interp", "cell_anomaly", "decayed_density", "sessions",
-    "disjoint_join", "intersection_area", "stat_dsl", "line_dedup", "decontam",
-    "stratified_sample", "corpus_dedup", "mixing_stats", "quantized_ann",
-    "tfidf_terms", "unigram_lp", "bigram_lp", "collocations", "url_normalize",
-    "shard_stats", "dup_ngrams", "pack_seqs", "pii_redact", "html_extract",
-    "incr_dedup", "gopher_quality", "chunk_text", "quality_classifier",
+    "store_cql", "route_search", "transform_3857", "cosine_dedup",
+    "semantic_dedup", "dedup_clusters", "dbscan", "rep_stats",
+    "asof_enrich", "interval_join", "funnel", "transitions", "zone_paths",
+    "skyline", "areal_interp", "cell_anomaly", "decayed_density",
+    "sessions", "disjoint_join", "intersection_area", "stat_dsl",
+    "line_dedup", "decontam", "stratified_sample", "corpus_dedup",
+    "mixing_stats", "quantized_ann", "tfidf_terms", "bigram_lp",
+    "collocations", "url_normalize", "shard_stats", "dup_ngrams",
+    "pack_seqs", "pii_redact", "html_extract", "incr_dedup",
+    "gopher_quality", "anchor_text", "latest_capture", "store_s3",
+    "unigram_lp", "dup_spans", "cut_spans", "chunk_text",
+    "quality_classifier", "fixedwidth_parse", "xml_parse"
 ]
 
 
@@ -2081,6 +2140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_hosts": q_link_hosts,
         "anchor_text": q_anchor_text,
         "latest_capture": q_latest_capture,
+        "fixedwidth_parse": q_fixedwidth_parse,
+        "xml_parse": q_xml_parse,
         "link_hits": q_link_hits,
         "triangles": q_triangles,
         "seed_distance": q_seed_distance,
@@ -2922,6 +2983,24 @@ def _sql_latest_capture(n: int = 2000) -> str:
         FROM t JOIN m ON t.site = m.site AND t.ts_epoch = m.last_ts_epoch
         GROUP BY 1, 2
     """
+
+
+_SQL_FIXEDWIDTH = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS sum_secs,
+           CAST(min(event_id) AS BIGINT) AS min_id,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events GROUP BY 1
+"""
+
+_SQL_XML = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(user_id) AS BIGINT) AS sum_user,
+           CAST(max(event_id) AS BIGINT) AS max_id
+    FROM events GROUP BY 1
+"""
 
 
 def _sql_hits(iters: int = 2) -> str:
@@ -3928,6 +4007,10 @@ def oracle_sql() -> dict[str, str]:
         "link_hosts": _sql_link_hosts(),
         "anchor_text": _sql_anchor_text(),
         "latest_capture": _sql_latest_capture(),
+        # round-trip oracles: straight parquet aggregates — equality
+        # certifies the fixed-width / XML format->parse chain is lossless
+        "fixedwidth_parse": _SQL_FIXEDWIDTH,
+        "xml_parse": _SQL_XML,
         "link_hits": _sql_hits(),
         # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,
         # min-hop aggregation; d < 6 recursion == max_hops=6 frontier

@@ -25,7 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["convert", "read_and_convert", "read_fixedwidth", "read_geojson",
-           "read_xml"]
+           "read_xml", "read_xml_lines"]
 
 _FORMATS = ("csv", "json", "parquet", "geojson", "fixedwidth", "xml")
 
@@ -155,6 +155,87 @@ def read_geojson(spark, path: str, lines: bool = True) -> DataFrame:
     return txt.mapInPandas(parse, _GEOJSON_SCHEMA)
 
 
+def read_fixedwidth(spark, path: str,
+                    fields: list[tuple[str, int, int]],
+                    trim: bool = True) -> DataFrame:
+    """Fixed-width text ingest (the reference's geomesa-convert-fixedwidth:
+    each field is ``line.substring(start, start + width)`` —
+    FixedWidthConverter.scala:57-66). ``fields`` is a list of
+    ``(name, start, width)`` with 0-based ``start``; ``trim=True`` strips
+    the pad spaces (the common layout; pass False for significant
+    whitespace).
+
+    Pure JVM ``substring`` chain over ``spark.read.text`` — map-only, no
+    Python, and line-splittable, so a 100 TB fixed-width dump parallelizes
+    by HDFS block like CSV. One semantic difference from the reference,
+    which raises StringIndexOutOfBounds on short lines: Spark's
+    ``substring`` yields a short/empty string instead — route short lines
+    with ``convert(required=..., error_mode=...)`` (a null after a
+    ``try_cast`` marks the bad row — under Spark 4's default ANSI mode a
+    plain ``cast`` of a truncated field throws) rather than relying on an
+    exception.
+    """
+    if not fields:
+        raise ValueError("read_fixedwidth: empty field spec")
+    for name, start, width in fields:
+        if start < 0 or width <= 0:
+            raise ValueError(f"read_fixedwidth: bad (start, width) for "
+                             f"{name!r}: ({start}, {width})")
+    lines = spark.read.text(path)
+    cols = []
+    for name, start, width in fields:
+        c = F.substring(F.col("value"), start + 1, width)
+        cols.append((F.trim(c) if trim else c).alias(name))
+    return lines.select(cols)
+
+
+def read_xml(spark, path: str, row_tag: str, schema: str | None = None,
+             options: dict | None = None) -> DataFrame:
+    """XML ingest (the reference's geomesa-convert-xml: a featurePath
+    XPath selects the feature elements of each document and per-field
+    XPaths evaluate inside them — XmlConverter.scala:38-52,
+    XmlConverterFactory). Spark 4 bundles the XML source natively, so the
+    Spark-first mapping is ``rowTag`` = the reference's featurePath leaf
+    element, and field XPaths become nested-column access on the inferred
+    struct — or, for genuinely XPath-shaped pulls over a raw string
+    column, the built-in ``xpath_string``/``xpath_*`` SQL functions inside
+    a ``convert()`` spec (both run JVM-side; no Python).
+
+    Pass ``schema`` (DDL string) to skip inference — at 100 TB schema
+    inference is a full extra pass over the data; a production ingest
+    should always pin it.
+
+    This path expects ROOTED documents (rowTag elements inside an
+    enclosing root, the reference's multi-line parse mode); for
+    root-less one-element-per-line feeds use ``read_xml_lines``, which
+    is also the splittable layout to prefer at scale.
+    """
+    r = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    for k, v in (options or {}).items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
+def read_xml_lines(spark, path: str, row_schema: str,
+                   options: dict | None = None) -> DataFrame:
+    """XML-fragment-per-line ingest — the reference's
+    ``LineMode.Single`` (geomesa-convert-xml XmlOptions lineMode: each
+    line is one self-contained feature element, no document root). This
+    is the layout a 100 TB XML feed should be in: line-splittable, so it
+    parallelizes by block, unlike a rooted document which the rowTag
+    source must scan per file. ``spark.read.text`` + ``from_xml`` under
+    a PINNED struct schema — all JVM-side, no Python, no inference pass.
+    Malformed lines yield a null struct (all-null row): route them with
+    ``convert(required=..., error_mode=...)``.
+    """
+    df = spark.read.text(path)
+    parsed = df.select(
+        F.from_xml(F.col("value"), row_schema, options or {}).alias("r"))
+    return parsed.select("r.*")
+
+
 def read_and_convert(spark, fmt: str, path: str, fields: dict[str, str],
                      required: list[str] | None = None,
                      error_mode: str = "raise",
@@ -167,6 +248,22 @@ def read_and_convert(spark, fmt: str, path: str, fields: dict[str, str],
         if reader_options:
             lines = bool(reader_options.get("lines", True))
         df = read_geojson(spark, path, lines=lines)
+        return convert(df, fields, required, error_mode)
+    if fmt == "fixedwidth":
+        opts = dict(reader_options or {})
+        widths = opts.pop("widths", None)
+        if not widths:
+            raise ValueError("fixedwidth needs reader_options={'widths': "
+                             "[(name, start, width), ...]}")
+        df = read_fixedwidth(spark, path, widths, trim=opts.pop("trim", True))
+        return convert(df, fields, required, error_mode)
+    if fmt == "xml":
+        opts = dict(reader_options or {})
+        row_tag = opts.pop("rowTag", None)
+        if not row_tag:
+            raise ValueError("xml needs reader_options={'rowTag': ...}")
+        df = read_xml(spark, path, row_tag, schema=opts.pop("schema", None),
+                      options=opts)
         return convert(df, fields, required, error_mode)
     reader = spark.read
     for k, v in (reader_options or {}).items():
