@@ -901,6 +901,45 @@ def q_xml_parse(spark, sf_dir):
                        F.max("_id").alias("max_id")))
 
 
+def q_url_filter(spark, sf_dir):
+    """Domain-blocklist URL filtering (operators/corpus.filter_blocklist
+    — the C4/RefinedWeb bad-domain stage): 20k synthetic URLs over three
+    host classes, a blocklist holding one registrable domain (blocks the
+    whole ads.example subtree) and one exact host (h7.cdn.example). The
+    plan is chained broadcast hash probes — the corpus side never
+    shuffles (asserted in tests/test_corpus.py). Oracle replays the
+    id%3 / id%97 block arithmetic in pure SQL."""
+    from geomesa_spark.operators.corpus import filter_blocklist
+
+    n = 20_000
+    urls = spark.range(n).select(
+        "id",
+        F.format_string(
+            "https://h%d.%s/p%d", F.col("id") % 97,
+            F.element_at(F.array(F.lit("ads.example"), F.lit("cdn.example"),
+                                 F.lit("web.example")),
+                         (F.col("id") % 3 + 1).cast("int")),
+            "id").alias("url"))
+    bl = spark.createDataFrame([("ads.example",), ("h7.cdn.example",)],
+                               "domain string")
+    kept = filter_blocklist(urls, bl)
+    return (kept.groupBy((F.col("id") % 3).alias("cls"))
+                .agg(F.count("*").alias("n_kept"),
+                     F.sum("id").alias("sum_id")))
+
+
+_SQL_URL_FILTER = """
+    WITH t AS (SELECT CAST(u.i AS BIGINT) AS i
+               FROM unnest(range(0, 20000)) AS u(i))
+    SELECT i % 3 AS cls,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(i) AS BIGINT) AS sum_id
+    FROM t
+    WHERE NOT (i % 3 = 0 OR (i % 3 = 1 AND i % 97 = 7))
+    GROUP BY 1
+"""
+
+
 def q_link_hits(spark, sf_dir):
     """HITS hubs/authorities (operators/graph.hits): L1-normalized
     mutual iteration over the synthetic doc link graph (same edges as
@@ -2088,7 +2127,7 @@ _NEVER_GRADED_R3 = [
     "pack_seqs", "pii_redact", "html_extract", "incr_dedup",
     "gopher_quality", "anchor_text", "latest_capture", "store_s3",
     "unigram_lp", "dup_spans", "cut_spans", "chunk_text",
-    "quality_classifier", "fixedwidth_parse", "xml_parse"
+    "quality_classifier", "fixedwidth_parse", "xml_parse", "url_filter"
 ]
 
 
@@ -2142,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_capture": q_latest_capture,
         "fixedwidth_parse": q_fixedwidth_parse,
         "xml_parse": q_xml_parse,
+        "url_filter": q_url_filter,
         "link_hits": q_link_hits,
         "triangles": q_triangles,
         "seed_distance": q_seed_distance,
@@ -4011,6 +4051,7 @@ def oracle_sql() -> dict[str, str]:
         # certifies the fixed-width / XML format->parse chain is lossless
         "fixedwidth_parse": _SQL_FIXEDWIDTH,
         "xml_parse": _SQL_XML,
+        "url_filter": _SQL_URL_FILTER,
         "link_hits": _sql_hits(),
         # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,
         # min-hop aggregation; d < 6 recursion == max_hops=6 frontier

@@ -635,6 +635,75 @@ def normalize_url(url: Column) -> Column:
         F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")))
 
 
+def domain_suffixes(host: Column) -> Column:
+    """All registrable suffixes of a hostname, most-specific first:
+    ``a.b.example`` -> ``[a.b.example, b.example, example]``. Pure JVM
+    split + transform/slice HOFs — composes inside codegen."""
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."))
+
+
+def filter_blocklist(df: DataFrame, blocklist: DataFrame,
+                     url_col: str = "url",
+                     domain_col: str = "domain",
+                     keep_blocked: bool = False,
+                     max_depth: int = 6) -> DataFrame:
+    """URL filtering against a domain blocklist — the C4/RefinedWeb
+    "bad-domain" stage of a crawl pipeline: a row is blocked when ANY
+    suffix of its URL's host (``a.b.example`` -> a.b.example, b.example,
+    example) appears in ``blocklist[domain_col]``, so listing a
+    registrable domain blocks every subdomain under it, like the UT1 /
+    adult-blocklist convention. Hosts deeper than ``max_depth`` labels
+    are rejected (raise) rather than silently part-checked.
+
+    Plan shape for 100 TB: one chained BROADCAST LEFT join per suffix
+    depth (host depth is bounded — ~3-5 labels — so this is a fixed
+    handful of map-side hash probes; the blocklist, even the
+    multi-million-entry UT1 list at ~50 MB, ships once per executor).
+    The corpus side never shuffles, never explodes, and the whole
+    predicate stays in one codegen stage per probe. ``keep_blocked=True``
+    inverts the filter (audit mode).
+    """
+    reserved = [c for c in df.columns if c.startswith("__bl_")]
+    if reserved:
+        raise ValueError(f"filter_blocklist: input carries reserved "
+                         f"column(s) {reserved}")
+    bl = F.broadcast(
+        blocklist.select(F.col(domain_col).alias("__bl_d__")).distinct())
+    host = url_host(F.col(url_col))
+    labels = F.split(host, "\\.")
+    out = (df.withColumn("__bl_l__", labels)
+             .withColumn("__bl_n__", F.size(F.col("__bl_l__"))))
+    marks = []
+    for k in range(1, max_depth + 1):
+        # suffix starting at label k (1-based); null when host is shallower
+        sfx = F.when(F.col("__bl_n__") >= k,
+                     F.array_join(F.slice(F.col("__bl_l__"), k, 1 << 20),
+                                  "."))
+        key, mark = f"__bl_s{k}__", f"__bl_m{k}__"
+        out = (out.withColumn(key, sfx)
+                  .join(bl.withColumnRenamed("__bl_d__", mark),
+                        F.col(key) == F.col(mark), "left")
+                  .drop(key))
+        marks.append(mark)
+    blocked = None
+    for mark in marks:
+        m = F.col(mark).isNotNull()
+        blocked = m if blocked is None else (blocked | m)
+    keep = blocked if keep_blocked else ~blocked
+    # depth guard stays lazy and distributed (no extra scan): assert_true
+    # aborts the job on the first too-deep host instead of part-checking it
+    depth_ok = F.assert_true(
+        F.col("__bl_n__") <= max_depth,
+        F.concat(F.lit(f"filter_blocklist: host deeper than max_depth="
+                       f"{max_depth} labels: "), F.col(url_col)))
+    return (out.filter(F.when(depth_ok.isNull(), keep))
+               .drop("__bl_l__", "__bl_n__", *marks))
+
+
 def write_shards(df: DataFrame, path: str, id_col: str, n_shards: int,
                  seed: int = 42, fmt: str = "parquet",
                  mode: str = "overwrite") -> None:

@@ -3,6 +3,7 @@ ANN in operators/ann.py): hand-built frames with known answers."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from geomesa_spark.operators.ann import quantize_int8, quantized_topk
@@ -824,3 +825,62 @@ def test_cut_spans_removes_marked_words(spark):
     assert got[1] == ("g h", 8, 6)       # span [0,6) cut
     assert got[2] == ("x y", 8, 6)       # span [1,7) cut
     assert got[3] == ("no duplicated material here at all", 6, 0)
+
+
+def test_domain_suffixes(spark):
+    from geomesa_spark.operators.corpus import domain_suffixes
+
+    df = spark.createDataFrame([("a.b.example",), ("example",)], "h string")
+    got = {tuple(r.s) for r in
+           df.select(domain_suffixes(F.col("h")).alias("s")).collect()}
+    assert got == {("a.b.example", "b.example", "example"), ("example",)}
+
+
+def test_filter_blocklist_suffix_semantics(spark):
+    """Listing a registrable domain blocks every subdomain; exact hosts
+    block only themselves; audit mode inverts; deep hosts raise."""
+    from geomesa_spark.operators.corpus import filter_blocklist
+
+    rows = [(1, "https://ads.example/x"),
+            (2, "https://sub.ads.example/y"),      # blocked via suffix
+            (3, "https://www.clean.example/z"),    # www-stripped, clean
+            (4, "http://h7.cdn.example/q"),        # exact-host entry
+            (5, "https://other.cdn.example/r")]    # sibling not blocked
+    df = spark.createDataFrame(rows, "id long, url string")
+    bl = spark.createDataFrame(
+        [("ads.example",), ("h7.cdn.example",)], "domain string")
+    kept = sorted(r.id for r in filter_blocklist(df, bl).collect())
+    assert kept == [3, 5]
+    blocked = sorted(r.id for r in
+                     filter_blocklist(df, bl, keep_blocked=True).collect())
+    assert blocked == [1, 2, 4]
+    assert filter_blocklist(df, bl).columns == ["id", "url"]
+
+    deep = spark.createDataFrame(
+        [(9, "https://a.b.c.d.e.f.g.example/")], "id long, url string")
+    with pytest.raises(Exception, match="max_depth"):
+        filter_blocklist(deep, bl).collect()
+    # raising max_depth clears it
+    assert filter_blocklist(deep, bl, max_depth=8).count() == 1
+    carrying = df.withColumn("__bl_n__", F.lit(1))
+    with pytest.raises(ValueError, match="reserved"):
+        filter_blocklist(carrying, bl)
+
+
+def test_filter_blocklist_plan_is_broadcast_only(spark):
+    """No shuffle on the corpus side: every join in the plan is a
+    BroadcastHashJoin (the 100 TB contract)."""
+    from geomesa_spark.operators.corpus import filter_blocklist
+
+    df = spark.range(100).select(
+        F.format_string("https://h%d.site%d.example/p", F.col("id") % 10,
+                        F.col("id") % 7).alias("url"))
+    bl = spark.createDataFrame([("site3.example",)], "domain string")
+    plan = filter_blocklist(df, bl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # the only exchange allowed is the blocklist's own distinct(); the
+    # range-sourced corpus branch must stay exchange-free
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "__bl_d__" in line, line
