@@ -940,6 +940,50 @@ _SQL_URL_FILTER = """
 """
 
 
+def q_shp_read(spark, sf_dir):
+    """Shapefile ingest round trip (sources/shapefile.read_shapefile —
+    the reference's geomesa-convert-shp per-file converter): 500 points
+    with exactly-representable coords (+0.5 / +0.25 grid) and a .dbf
+    category column are synthesized from the public ESRI/dBase specs,
+    read back through the binaryFile + mapInPandas parser, and
+    aggregated per category. Oracle replays the coordinate arithmetic
+    in pure SQL — sums are exact because every term sits on a 0.25
+    grain, so the compare stays bit-level."""
+    import os
+
+    from geomesa_spark.sources.shapefile import (build_dbf, build_shp,
+                                                 point_record,
+                                                 read_shapefile)
+
+    path = _store_tmp(sf_dir, "shpdir")
+    os.makedirs(path, exist_ok=True)
+    n = 500
+    pts = [point_record((7 * i) % 360 - 180 + 0.5, (3 * i) % 180 - 90 + 0.25)
+           for i in range(n)]
+    with open(os.path.join(path, "pts.shp"), "wb") as f:
+        f.write(build_shp(pts))
+    with open(os.path.join(path, "pts.dbf"), "wb") as f:
+        f.write(build_dbf([("CAT", 2)], [[str(i % 7)] for i in range(n)]))
+    df = read_shapefile(spark, path)
+    return (df.select(F.col("attrs")["CAT"].cast("long").alias("cat"),
+                      F.expr("st_x(st_geomfromwkb(geom))").alias("x"),
+                      F.expr("st_y(st_geomfromwkb(geom))").alias("y"))
+              .groupBy("cat").agg(F.count("*").alias("n"),
+                                  F.sum("x").alias("sum_x"),
+                                  F.sum("y").alias("sum_y")))
+
+
+_SQL_SHP_READ = """
+    WITH t AS (SELECT CAST(u.i AS BIGINT) AS i
+               FROM unnest(range(0, 500)) AS u(i))
+    SELECT i % 7 AS cat,
+           CAST(count(*) AS BIGINT) AS n,
+           sum(CAST((7 * i) % 360 - 180 AS DOUBLE) + 0.5) AS sum_x,
+           sum(CAST((3 * i) % 180 - 90 AS DOUBLE) + 0.25) AS sum_y
+    FROM t GROUP BY 1
+"""
+
+
 def q_link_hits(spark, sf_dir):
     """HITS hubs/authorities (operators/graph.hits): L1-normalized
     mutual iteration over the synthetic doc link graph (same edges as
@@ -2127,7 +2171,8 @@ _NEVER_GRADED_R3 = [
     "pack_seqs", "pii_redact", "html_extract", "incr_dedup",
     "gopher_quality", "anchor_text", "latest_capture", "store_s3",
     "unigram_lp", "dup_spans", "cut_spans", "chunk_text",
-    "quality_classifier", "fixedwidth_parse", "xml_parse", "url_filter"
+    "quality_classifier", "fixedwidth_parse", "xml_parse", "url_filter",
+    "shp_read"
 ]
 
 
@@ -2182,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fixedwidth_parse": q_fixedwidth_parse,
         "xml_parse": q_xml_parse,
         "url_filter": q_url_filter,
+        "shp_read": q_shp_read,
         "link_hits": q_link_hits,
         "triangles": q_triangles,
         "seed_distance": q_seed_distance,
@@ -4052,6 +4098,7 @@ def oracle_sql() -> dict[str, str]:
         "fixedwidth_parse": _SQL_FIXEDWIDTH,
         "xml_parse": _SQL_XML,
         "url_filter": _SQL_URL_FILTER,
+        "shp_read": _SQL_SHP_READ,
         "link_hits": _sql_hits(),
         # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,
         # min-hop aggregation; d < 6 recursion == max_hops=6 frontier
