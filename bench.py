@@ -157,13 +157,18 @@ def _join_only(spark, n_pages: int, n_polys: int, reps: int = 2,
     return min(walls)
 
 
-def _poly_join(spark, n_left: int = 1_000_000, n_right: int = 200,
+def _poly_join(spark, n_left: int = 4_000_000, n_right: int = 200,
                reps: int = 3) -> dict:
     """Extended x extended join probe: rect corpus x 24-gon polygons
     (urban-skewed on both sides — the dense case), st_intersects with the
     report-once grid join. Two variants: the generic pid-broadcast path
     and the declared-rect envelope-only path. Throughput in left rows/s
-    (matches/row ~1.7 at these parameters; candidate volume ~2.4x rows)."""
+    (matches/row ~1.7 at these parameters; candidate volume ~2.4x rows).
+
+    n_left is 4M (was 1M through round 2): at 1M the ~1.4 s fixed cost of
+    plan build + broadcast + stage scheduling dominates the wall and the
+    probe reports overhead, not the join (profiled in round 3: 1M->4M
+    quadrupled rows for +0.4 s wall — marginal throughput ~7 M rows/s)."""
     from pyspark.sql import functions as F
 
     from geomesa_spark.operators.spatial_join import spatial_join
