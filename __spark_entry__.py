@@ -984,6 +984,62 @@ _SQL_SHP_READ = """
 """
 
 
+def q_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training (operators/corpus.bpe_train):
+    5 merge rounds over the documents word-frequency table — the
+    Sennrich 2016 formulation where the corpus collapses once into
+    (word, freq) and every round is one pair-count aggregation + a
+    TakeOrderedAndProject argmax + a map-only JVM replace. Oracle
+    UNROLLS the 5 rounds as chained DuckDB CTEs running the identical
+    pair/argmax/replace chain (3 replace passes each), so equality
+    certifies the whole training loop including tie-breaks."""
+    from geomesa_spark.operators.corpus import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "doc_id", "text", num_merges=5)
+    return spark.createDataFrame(
+        merges, "rnd bigint, lft string, rgt string, merged string, "
+                "cnt bigint")
+
+
+def _sql_bpe_train(k: int = 5, passes: int = 3) -> str:
+    """DuckDB mirror of bpe_train: the k merge rounds unrolled, each a
+    (pair explode -> weighted count -> argmax with the count-desc /
+    pair-asc tie-break -> ``passes``x literal replace) CTE chain."""
+    parts = ["""
+        WITH tok AS (SELECT unnest(string_split_regex(text, '\\s+')) AS word
+                     FROM documents),
+        w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok
+              WHERE word <> '' AND length(word) <= 64 GROUP BY 1),
+        s0 AS (SELECT freq,
+                      ' ' || array_to_string(
+                          list_append([word[i] FOR i IN
+                                       generate_series(1, length(word))],
+                                      '</w>'), ' ') || ' ' AS sym
+               FROM w)"""]
+    for r in range(1, k + 1):
+        rep = "sym"
+        for _ in range(passes):
+            rep = (f"replace({rep}, ' ' || m{r}.pair || ' ', "
+                   f"' ' || replace(m{r}.pair, ' ', '') || ' ')")
+        parts.append(f"""
+        p{r} AS (SELECT freq,
+                        unnest([sy[i] || ' ' || sy[i+1] FOR i IN
+                                generate_series(1, len(sy) - 1)]) AS pair
+                 FROM (SELECT freq, string_split(trim(sym), ' ') AS sy
+                       FROM s{r - 1})),
+        m{r} AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p{r}
+                 GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+        s{r} AS (SELECT freq, {rep} AS sym FROM s{r - 1} CROSS JOIN m{r})""")
+    finals = [f"""
+        SELECT CAST({r} AS BIGINT) AS rnd,
+               split_part(pair, ' ', 1) AS lft,
+               split_part(pair, ' ', 2) AS rgt,
+               replace(pair, ' ', '') AS merged, cnt
+        FROM m{r}""" for r in range(1, k + 1)]
+    return ",".join(parts) + " UNION ALL ".join(finals)
+
+
 def q_link_hits(spark, sf_dir):
     """HITS hubs/authorities (operators/graph.hits): L1-normalized
     mutual iteration over the synthetic doc link graph (same edges as
@@ -2172,7 +2228,7 @@ _NEVER_GRADED_R3 = [
     "gopher_quality", "anchor_text", "latest_capture", "store_s3",
     "unigram_lp", "dup_spans", "cut_spans", "chunk_text",
     "quality_classifier", "fixedwidth_parse", "xml_parse", "url_filter",
-    "shp_read"
+    "shp_read", "bpe_train"
 ]
 
 
@@ -2228,6 +2284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_parse": q_xml_parse,
         "url_filter": q_url_filter,
         "shp_read": q_shp_read,
+        "bpe_train": q_bpe_train,
         "link_hits": q_link_hits,
         "triangles": q_triangles,
         "seed_distance": q_seed_distance,
@@ -4099,6 +4156,7 @@ def oracle_sql() -> dict[str, str]:
         "xml_parse": _SQL_XML,
         "url_filter": _SQL_URL_FILTER,
         "shp_read": _SQL_SHP_READ,
+        "bpe_train": _sql_bpe_train(),
         "link_hits": _sql_hits(),
         # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,
         # min-hop aggregation; d < 6 recursion == max_hops=6 frontier

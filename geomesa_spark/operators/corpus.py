@@ -635,6 +635,85 @@ def normalize_url(url: Column) -> Column:
         F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")))
 
 
+def bpe_train(docs: DataFrame, id_col: str, text_col: str,
+              num_merges: int, merge_passes: int = 3,
+              max_word_len: int = 64, return_table: bool = False):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016 — the
+    merge-rule learning a training-data pipeline runs before token
+    counting / packing). Returns the learned merge table as
+    ``[(round, left, right, merged, pair_count), ...]``.
+
+    The classic scalable formulation: the corpus collapses ONCE into a
+    (word, freq) table — Zipf-bounded, orders of magnitude smaller than
+    the corpus and still distributed — and every merge round operates on
+    that table only. Per round: adjacent-symbol pairs explode from each
+    word (weighted by freq), ONE combining count aggregation, the argmax
+    pair comes back via ``orderBy().limit(1)`` (TakeOrderedAndProject —
+    per-partition top-1 + driver merge, deterministic tie-break: highest
+    count, then lexicographically smallest pair), and the merge applies
+    as a pure-JVM literal ``replace`` over the space-joined symbol
+    string. No Python touches row data at any point.
+
+    Merge application runs ``merge_passes`` left-to-right
+    non-overlapping replace passes. One pass already equals canonical
+    greedy BPE except on runs of 4+ identical symbols (replace consumes
+    the shared separator space); each extra pass doubles the handled run
+    length, so the default 3 passes are exact for runs < 8 — beyond
+    that the result is still deterministic and engine-portable, just not
+    canonical (SentencePiece's max-length caps make such runs moot).
+    Words longer than ``max_word_len`` chars are dropped up front (the
+    standard max-sentencepiece-length guard; also bounds symbol-array
+    width). Each word carries an ``</w>`` end marker, per the paper.
+    ``return_table=True`` additionally returns the final (freq, sym)
+    word table for inspection / tokenizer application.
+
+    100 TB shape: one corpus-wide shuffle total (the word-freq groupBy,
+    map-side combined); each round then shuffles only the pair counts of
+    the word table, broadcasts nothing, and applies the merge map-only.
+    ``localCheckpoint`` pins the word table per round so lineage stays
+    O(1) like graph.py's iterations.
+    """
+    if num_merges < 1:
+        raise ValueError(f"num_merges must be >= 1, got {num_merges}")
+    if merge_passes < 1:
+        raise ValueError(f"merge_passes must be >= 1, got {merge_passes}")
+    word = F.explode(F.split(F.col(text_col), r"\s+")).alias("word")
+    words = (docs.select(word)
+                 .filter((F.col("word") != "")
+                         & (F.length("word") <= max_word_len))
+                 .groupBy("word").agg(F.count("*").alias("freq")))
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.substring(F.col("word"), i, 1))
+    sym = F.concat(F.lit(" "),
+                   F.array_join(F.concat(chars, F.array(F.lit("</w>"))), " "),
+                   F.lit(" "))
+    tbl = words.select("freq", sym.alias("sym")).localCheckpoint()
+    merges = []
+    for rnd in range(1, num_merges + 1):
+        syms = F.split(F.trim(F.col("sym")), " ")
+        pairs = F.transform(
+            F.sequence(F.lit(1), F.size(syms) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(syms, i),
+                                  F.element_at(syms, i + 1)))
+        top = (tbl.select(F.explode(pairs).alias("pair"), "freq")
+                  .groupBy("pair").agg(F.sum("freq").alias("cnt"))
+                  .orderBy(F.desc("cnt"), F.asc("pair"))
+                  .limit(1).collect())
+        if not top:
+            break
+        pair, cnt = top[0]["pair"], int(top[0]["cnt"])
+        left, right = pair.split(" ", 1)
+        merged = left + right
+        merges.append((rnd, left, right, merged, cnt))
+        col = F.col("sym")
+        for _ in range(merge_passes):
+            col = F.replace(col, F.lit(f" {left} {right} "),
+                            F.lit(f" {merged} "))
+        tbl = tbl.select("freq", col.alias("sym")).localCheckpoint()
+    return (merges, tbl) if return_table else merges
+
+
 def domain_suffixes(host: Column) -> Column:
     """All registrable suffixes of a hostname, most-specific first:
     ``a.b.example`` -> ``[a.b.example, b.example, example]``. Pure JVM

@@ -884,3 +884,40 @@ def test_filter_blocklist_plan_is_broadcast_only(spark):
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "__bl_d__" in line, line
+
+
+def test_bpe_train_known_merges(spark):
+    """Hand-computed merge table on 'aaab aaab ab': round-1 'a a' (cnt
+    4), round-2 'a b' (cnt 3, lexicographic tie-break over 'b </w>'),
+    round-3 'ab </w>'."""
+    from geomesa_spark.operators.corpus import bpe_train
+
+    docs = spark.createDataFrame([(1, "aaab aaab ab")], "id long, text string")
+    got = bpe_train(docs, "id", "text", num_merges=3)
+    assert got == [(1, "a", "a", "aa", 4),
+                   (2, "a", "b", "ab", 3),
+                   (3, "ab", "</w>", "ab</w>", 3)]
+    with pytest.raises(ValueError, match="num_merges"):
+        bpe_train(docs, "id", "text", 0)
+
+
+def test_bpe_train_run_handling_and_word_cap(spark):
+    """A run of 4 identical symbols merges canonically with the default
+    3 passes (['aa','aa']) but a single pass leaves the middle pair
+    unmerged (replace consumed the shared separator); max_word_len
+    drops oversized words before counting."""
+    from geomesa_spark.operators.corpus import bpe_train
+
+    docs = spark.createDataFrame([(1, "aaaa xy " + "z" * 100)],
+                                 "id long, text string")
+    m3, tbl3 = bpe_train(docs, "id", "text", num_merges=1,
+                         return_table=True)
+    assert m3 == [(1, "a", "a", "aa", 3)]
+    syms3 = {r.sym for r in tbl3.collect()}
+    assert " aa aa </w> " in syms3            # canonical greedy
+    _, tbl1 = bpe_train(docs, "id", "text", num_merges=1, merge_passes=1,
+                        return_table=True)
+    syms1 = {r.sym for r in tbl1.collect()}
+    assert " aa a a </w> " in syms1           # one pass: middle pair left
+    # the 100-char word never enters the table (max_word_len=64)
+    assert all("z" not in s for s in syms3)
