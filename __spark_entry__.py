@@ -1002,10 +1002,11 @@ def q_bpe_train(spark, sf_dir):
                 "cnt bigint")
 
 
-def _sql_bpe_train(k: int = 5, passes: int = 3) -> str:
-    """DuckDB mirror of bpe_train: the k merge rounds unrolled, each a
-    (pair explode -> weighted count -> argmax with the count-desc /
-    pair-asc tie-break -> ``passes``x literal replace) CTE chain."""
+def _sql_bpe_core(k: int = 5, passes: int = 3) -> str:
+    """Shared DuckDB CTE chain for the BPE oracles: the k merge rounds
+    unrolled, each a (pair explode -> weighted count -> argmax with the
+    count-desc / pair-asc tie-break -> ``passes``x literal replace)
+    step producing m{r} (the round's merge) and s{r} (the word table)."""
     parts = ["""
         WITH tok AS (SELECT unnest(string_split_regex(text, '\\s+')) AS word
                      FROM documents),
@@ -1031,13 +1032,71 @@ def _sql_bpe_train(k: int = 5, passes: int = 3) -> str:
         m{r} AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p{r}
                  GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 1),
         s{r} AS (SELECT freq, {rep} AS sym FROM s{r - 1} CROSS JOIN m{r})""")
+    return ",".join(parts)
+
+
+def _sql_bpe_train(k: int = 5, passes: int = 3) -> str:
     finals = [f"""
         SELECT CAST({r} AS BIGINT) AS rnd,
                split_part(pair, ' ', 1) AS lft,
                split_part(pair, ' ', 2) AS rgt,
                replace(pair, ' ', '') AS merged, cnt
         FROM m{r}""" for r in range(1, k + 1)]
-    return ",".join(parts) + " UNION ALL ".join(finals)
+    return _sql_bpe_core(k, passes) + " UNION ALL ".join(finals)
+
+
+def _sql_bpe_tokenize(k: int = 5, passes: int = 3) -> str:
+    """DuckDB mirror of bpe_train |> bpe_encode |> per-lang token stats:
+    the training chain from _sql_bpe_core, then each document becomes
+    one symbol string and the k merges apply in learned order with the
+    same ``passes``x literal replace."""
+    parts = [_sql_bpe_core(k, passes)]
+    parts.append(""",
+        d0 AS (SELECT lang,
+                      [x FOR x IN string_split_regex(text, '\\s+')
+                       IF x <> '' AND length(x) <= 64] AS ws,
+                      text FROM documents),
+        e0 AS (SELECT lang, len(ws) AS nw,
+                      ' ' || array_to_string(
+                          flatten([list_append(
+                              [w[i] FOR i IN generate_series(1, length(w))],
+                              '</w>') FOR w IN ws]), ' ') || ' ' AS sym
+               FROM d0)""")
+    for r in range(1, k + 1):
+        rep = "sym"
+        for _ in range(passes):
+            rep = (f"replace({rep}, ' ' || m{r}.pair || ' ', "
+                   f"' ' || replace(m{r}.pair, ' ', '') || ' ')")
+        parts.append(f""",
+        e{r} AS (SELECT lang, nw, {rep} AS sym
+                 FROM e{r - 1} CROSS JOIN m{r})""")
+    parts.append(f"""
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nw) AS BIGINT) AS sum_words,
+               CAST(sum(CASE WHEN trim(sym) = '' THEN 0
+                        ELSE len(string_split(trim(sym), ' ')) END)
+                    AS BIGINT) AS sum_bpe_tokens
+        FROM e{k} GROUP BY 1""")
+    return "".join(parts)
+
+
+def q_bpe_tokenize(spark, sf_dir):
+    """BPE tokenizer application (operators/corpus.bpe_encode): learn 5
+    merges on the documents corpus (q_bpe_train's loop), then tokenize
+    every document map-only — the k merges apply in learned order as
+    chained JVM literal replaces inside one codegen stage, zero
+    shuffles on the corpus side — and aggregate token budgets per lang.
+    Oracle runs the identical training chain + per-document replace
+    chain in DuckDB."""
+    from geomesa_spark.operators.corpus import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "doc_id", "text", num_merges=5)
+    enc = bpe_encode(docs, "doc_id", "text", merges, extra_cols=("lang",))
+    return (enc.groupBy("lang")
+               .agg(F.count("*").alias("n_docs"),
+                    F.sum("n_words").alias("sum_words"),
+                    F.sum("n_bpe_tokens").alias("sum_bpe_tokens")))
 
 
 def q_link_hits(spark, sf_dir):
@@ -2228,7 +2287,7 @@ _NEVER_GRADED_R3 = [
     "gopher_quality", "anchor_text", "latest_capture", "store_s3",
     "unigram_lp", "dup_spans", "cut_spans", "chunk_text",
     "quality_classifier", "fixedwidth_parse", "xml_parse", "url_filter",
-    "shp_read", "bpe_train"
+    "shp_read", "bpe_train", "bpe_tokenize"
 ]
 
 
@@ -2285,6 +2344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": q_url_filter,
         "shp_read": q_shp_read,
         "bpe_train": q_bpe_train,
+        "bpe_tokenize": q_bpe_tokenize,
         "link_hits": q_link_hits,
         "triangles": q_triangles,
         "seed_distance": q_seed_distance,
@@ -4157,6 +4217,7 @@ def oracle_sql() -> dict[str, str]:
         "url_filter": _SQL_URL_FILTER,
         "shp_read": _SQL_SHP_READ,
         "bpe_train": _sql_bpe_train(),
+        "bpe_tokenize": _sql_bpe_tokenize(),
         "link_hits": _sql_hits(),
         # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,
         # min-hop aggregation; d < 6 recursion == max_hops=6 frontier

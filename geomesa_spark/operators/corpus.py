@@ -714,6 +714,54 @@ def bpe_train(docs: DataFrame, id_col: str, text_col: str,
     return (merges, tbl) if return_table else merges
 
 
+def bpe_encode(docs: DataFrame, id_col: str, text_col: str,
+               merges: list[tuple], merge_passes: int = 3,
+               max_word_len: int = 64, extra_cols: tuple = (),
+               return_symbols: bool = False) -> DataFrame:
+    """Apply a learned BPE merge table (from ``bpe_train``) to every
+    document and count the resulting tokens — the tokenizer-application
+    / token-budget stage of a training pipeline.
+
+    Entirely map-only JVM: each document becomes one space-joined
+    symbol string (per-word chars + ``</w>`` markers — the marker
+    terminates every word, so no merge can ever span a word boundary),
+    then the k merges apply IN LEARNED ORDER as ``k x merge_passes``
+    chained literal replaces inside a single codegen stage. Zero
+    shuffles, zero Python; token counts come straight off the final
+    string. Words longer than ``max_word_len`` are dropped, matching
+    the training-side cap.
+
+    Returns ``(id_col, *extra_cols, n_words, n_bpe_tokens)`` (+ ``sym``
+    when ``return_symbols`` — test/debug only; at scale the symbol
+    string is corpus-sized and should not be materialized downstream).
+    """
+    if merge_passes < 1:
+        raise ValueError(f"merge_passes must be >= 1, got {merge_passes}")
+    words = F.filter(
+        F.split(F.col(text_col), r"\s+"),
+        lambda w: (w != "") & (F.length(w) <= max_word_len))
+    per_word = F.transform(
+        words,
+        lambda w: F.concat(
+            F.transform(F.sequence(F.lit(1), F.length(w)),
+                        lambda i: F.substring(w, i, 1)),
+            F.array(F.lit("</w>"))))
+    sym = F.concat(F.lit(" "),
+                   F.array_join(F.flatten(per_word), " "), F.lit(" "))
+    for _, left, right, merged, _cnt in merges:
+        for _ in range(merge_passes):
+            sym = F.replace(sym, F.lit(f" {left} {right} "),
+                            F.lit(f" {merged} "))
+    toks = F.split(F.trim(sym), " ")
+    n_tokens = F.when(F.trim(sym) == "", F.lit(0)).otherwise(F.size(toks))
+    out = docs.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        F.size(words).alias("n_words"),
+        n_tokens.alias("n_bpe_tokens"),
+        *([sym.alias("sym")] if return_symbols else []))
+    return out
+
+
 def domain_suffixes(host: Column) -> Column:
     """All registrable suffixes of a hostname, most-specific first:
     ``a.b.example`` -> ``[a.b.example, b.example, example]``. Pure JVM

@@ -921,3 +921,25 @@ def test_bpe_train_run_handling_and_word_cap(spark):
     assert " aa a a </w> " in syms1           # one pass: middle pair left
     # the 100-char word never enters the table (max_word_len=64)
     assert all("z" not in s for s in syms3)
+
+
+def test_bpe_encode_applies_merges_in_order(spark):
+    """Encoding replays training: on the training corpus itself the
+    tokenization equals the final training table's symbols; merges
+    never cross the </w> word boundary; empty text -> 0 tokens."""
+    from geomesa_spark.operators.corpus import bpe_encode, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab ab"), (2, "ba ab"), (3, "")],
+        "id long, text string")
+    merges = bpe_train(docs, "id", "text", num_merges=3)
+    out = {r.id: r for r in
+           bpe_encode(docs, "id", "text", merges,
+                      return_symbols=True).collect()}
+    # merges: a+a->aa, a+b->ab, ab+</w> -> ab</w>
+    # 'aaab' -> aa ab</w> ; 'ab' -> ab</w> ; 'ba' -> b a </w>
+    assert out[1].sym == " aa ab</w> aa ab</w> ab</w> "
+    assert (out[1].n_words, out[1].n_bpe_tokens) == (3, 5)
+    assert out[2].sym == " b a </w> ab</w> "
+    assert (out[2].n_words, out[2].n_bpe_tokens) == (2, 4)
+    assert (out[3].n_words, out[3].n_bpe_tokens) == (0, 0)
