@@ -1132,6 +1132,40 @@ def q_seed_distance(spark, sf_dir):
     return bfs_distances(edges, [0, 1, 2], max_hops=6)
 
 
+def q_communities(spark, sf_dir):
+    """Synchronous label-propagation communities
+    (operators/graph.label_propagation) over the synthetic doc link
+    graph — site-family / mirror-cluster detection for a crawl corpus;
+    2 rounds, smallest-label tie-break. Oracle unrolls the rounds with
+    the identical count/argmax/coalesce chain."""
+    from geomesa_spark.operators.graph import label_propagation
+
+    edges = _doc_link_edges(spark, sf_dir)
+    return label_propagation(edges, iters=2)
+
+
+def _sql_communities(iters: int = 2) -> str:
+    parts = [f"""
+        WITH {_DOC_EG_SQL},
+        eg2 AS (SELECT s, t FROM eg UNION ALL SELECT t, s FROM eg),
+        nodes AS (SELECT DISTINCT s AS node FROM eg2),
+        l0 AS (SELECT node, node AS label FROM nodes)"""]
+    for r in range(1, iters + 1):
+        parts.append(f""",
+        c{r} AS (SELECT eg2.t AS node, l.label, count(*) AS cnt
+                 FROM eg2 JOIN l{r - 1} l ON eg2.s = l.node GROUP BY 1, 2),
+        n{r} AS (SELECT node, label FROM (
+                     SELECT node, label, row_number() OVER (
+                         PARTITION BY node ORDER BY cnt DESC, label ASC
+                     ) AS rk FROM c{r}) WHERE rk = 1),
+        l{r} AS (SELECT l.node, coalesce(n.label, l.label) AS label
+                 FROM l{r - 1} l LEFT JOIN n{r} n USING (node))""")
+    parts.append(f"""
+        SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+        FROM l{iters}""")
+    return "".join(parts)
+
+
 def q_co_travel(spark, sf_dir):
     """Co-travel / rendezvous detection (operators/trajectory.co_travel):
     sampled user pairs with fixes within 8 degrees and 1 day — the
@@ -2287,7 +2321,7 @@ _NEVER_GRADED_R3 = [
     "gopher_quality", "anchor_text", "latest_capture", "store_s3",
     "unigram_lp", "dup_spans", "cut_spans", "chunk_text",
     "quality_classifier", "fixedwidth_parse", "xml_parse", "url_filter",
-    "shp_read", "bpe_train", "bpe_tokenize"
+    "shp_read", "bpe_train", "bpe_tokenize", "communities"
 ]
 
 
@@ -2345,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shp_read": q_shp_read,
         "bpe_train": q_bpe_train,
         "bpe_tokenize": q_bpe_tokenize,
+        "communities": q_communities,
         "link_hits": q_link_hits,
         "triangles": q_triangles,
         "seed_distance": q_seed_distance,
@@ -4218,6 +4253,7 @@ def oracle_sql() -> dict[str, str]:
         "shp_read": _SQL_SHP_READ,
         "bpe_train": _sql_bpe_train(),
         "bpe_tokenize": _sql_bpe_tokenize(),
+        "communities": _sql_communities(),
         "link_hits": _sql_hits(),
         # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,
         # min-hop aggregation; d < 6 recursion == max_hops=6 frontier

@@ -24,7 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["pagerank", "hits", "triangle_counts", "bfs_distances"]
+__all__ = ["pagerank", "hits", "triangle_counts", "bfs_distances",
+           "label_propagation"]
 
 
 def _fold_sum(sorted_arr) -> F.Column:
@@ -276,3 +277,56 @@ def bfs_distances(edges: DataFrame, sources: list,
     for f in settled[1:]:
         out = out.unionAll(f)
     return out
+
+
+def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
+                      iters: int = 3, directed: bool = False) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) — community
+    detection for host/link graphs (mirror clusters, link farms, site
+    families). Returns ``(node, label)`` after ``iters`` rounds from the
+    start where every node is its own label.
+
+    SYNCHRONOUS variant (GraphX's LabelPropagation makes the same
+    choice): every node adopts the most frequent label among its
+    neighbors' PREVIOUS-round labels, ties broken by the smallest
+    label, isolated nodes keep theirs — the result is a pure function
+    of the graph, unlike the order-dependent async formulation, so a
+    SQL oracle can replay it round by round. Parallel edges weight
+    their neighbor (multigraph semantics); self-loops count the node's
+    own label.
+
+    Per round: ONE edges->labels join (shuffle keyed by node id), ONE
+    combining (node, label) count, and the per-node argmax as a single
+    ``max(struct(cnt, -label))`` aggregate — no window, map-side
+    partials all the way; ``localCheckpoint`` pins lineage per round
+    like pagerank/bfs.
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    e = edges.select(F.col(src).cast("long").alias("s"),
+                     F.col(dst).cast("long").alias("t"))
+    if not directed:
+        e = e.union(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    e = e.persist()
+    nodes = (e.select(F.col("s").alias("node"))
+              .union(e.select(F.col("t").alias("node")))
+              .distinct().persist())
+    labels = nodes.select("node", F.col("node").alias("label")) \
+                  .localCheckpoint()
+    for _ in range(iters):
+        msgs = (e.join(labels.withColumnRenamed("node", "s"), "s")
+                 .select(F.col("t").alias("node"), "label"))
+        cnt = msgs.groupBy("node", "label").agg(F.count("*").alias("cnt"))
+        new = (cnt.groupBy("node")
+                  .agg(F.max(F.struct(F.col("cnt"),
+                                      (-F.col("label")).alias("nl")))
+                        .alias("m"))
+                  .select("node", (-F.col("m.nl")).alias("new_label")))
+        labels = (labels.join(new, "node", "left")
+                        .select("node",
+                                F.coalesce("new_label", "label")
+                                 .alias("label"))
+                        .localCheckpoint())
+    e.unpersist()
+    nodes.unpersist()
+    return labels

@@ -147,3 +147,35 @@ def test_bfs_distances_known_answer(spark):
     assert lim == {0: 0, 1: 1, 3: 1}
     with _pt.raises(ValueError):
         bfs_distances(df, [])
+
+
+def test_label_propagation_two_communities(spark):
+    """Two triangles + one bridge: synchronous rounds hand-traced.
+    l1=[1,0,0,2,3,3], l2=[0,0,0,3,2,2], l3=[0,0,0,2,2,2] — the two
+    triangle communities separate by round 3."""
+    from geomesa_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)],
+        "src long, dst long")
+    got = {r.node: r.label
+           for r in label_propagation(edges, iters=3).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 2, 4: 2, 5: 2}
+    one = {r.node: r.label
+           for r in label_propagation(edges, iters=1).collect()}
+    assert one == {0: 1, 1: 0, 2: 0, 3: 2, 4: 3, 5: 3}
+
+
+def test_label_propagation_directed_and_validation(spark):
+    import pytest
+
+    from geomesa_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame([(0, 1), (0, 2)], "src long, dst long")
+    got = {r.node: r.label
+           for r in label_propagation(edges, iters=1,
+                                      directed=True).collect()}
+    # labels flow src->dst only; node 0 receives nothing, keeps its own
+    assert got == {0: 0, 1: 0, 2: 0}
+    with pytest.raises(ValueError, match="iters"):
+        label_propagation(edges, iters=0)
