@@ -1132,6 +1132,37 @@ def q_seed_distance(spark, sf_dir):
     return bfs_distances(edges, [0, 1, 2], max_hops=6)
 
 
+def q_arrow_export(spark, sf_dir):
+    """Arrow IPC export round trip (operators/sinks.write_arrow_ipc /
+    read_arrow_ipc — the reference's geomesa-arrow export surface):
+    events write executor-side to one IPC file per partition, read back
+    under a pinned schema, and aggregate. Only order-independent
+    aggregates (integer sum, min/max double) so the compare stays
+    bit-level; oracle aggregates the parquet directly — equality
+    certifies the Arrow encode/decode chain is lossless."""
+    from geomesa_spark.operators.sinks import read_arrow_ipc, write_arrow_ipc
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    path = _store_tmp(sf_dir, "arrow")
+    write_arrow_ipc(ev, path)
+    back = read_arrow_ipc(spark, path,
+                          "event_id long, event_type string, value double")
+    return (back.groupBy("event_type")
+                .agg(F.count("*").alias("n"),
+                     F.sum("event_id").alias("sum_id"),
+                     F.min("value").alias("min_v"),
+                     F.max("value").alias("max_v")))
+
+
+_SQL_ARROW_EXPORT = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(event_id) AS BIGINT) AS sum_id,
+           min(value) AS min_v, max(value) AS max_v
+    FROM events GROUP BY 1
+"""
+
+
 def q_communities(spark, sf_dir):
     """Synchronous label-propagation communities
     (operators/graph.label_propagation) over the synthetic doc link
@@ -2321,7 +2352,7 @@ _NEVER_GRADED_R3 = [
     "gopher_quality", "anchor_text", "latest_capture", "store_s3",
     "unigram_lp", "dup_spans", "cut_spans", "chunk_text",
     "quality_classifier", "fixedwidth_parse", "xml_parse", "url_filter",
-    "shp_read", "bpe_train", "bpe_tokenize", "communities"
+    "shp_read", "bpe_train", "bpe_tokenize", "communities", "arrow_export"
 ]
 
 
@@ -2380,6 +2411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_tokenize": q_bpe_tokenize,
         "communities": q_communities,
+        "arrow_export": q_arrow_export,
         "link_hits": q_link_hits,
         "triangles": q_triangles,
         "seed_distance": q_seed_distance,
@@ -4254,6 +4286,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _sql_bpe_train(),
         "bpe_tokenize": _sql_bpe_tokenize(),
         "communities": _sql_communities(),
+        "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),
         # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,
         # min-hop aggregation; d < 6 recursion == max_hops=6 frontier

@@ -147,3 +147,20 @@ def test_bin_records_rejects_out_of_range_int32(spark):
         "track long, lat double, lon double, ts long")
     with pytest.raises(PythonException, match="int32"):
         bin_records(df, "track", "lon", "lat", "ts").collect()
+
+
+def test_arrow_ipc_roundtrip(spark, tmp_path):
+    """write_arrow_ipc -> read_arrow_ipc preserves ints, doubles,
+    strings, and binary exactly; manifest rows sum to the row count."""
+    from geomesa_spark.operators.sinks import read_arrow_ipc, write_arrow_ipc
+
+    df = spark.createDataFrame(
+        [(i, float(i) / 4, f"s{i}", bytes([i, 255 - i])) for i in range(100)],
+        "id long, v double, s string, b binary").repartition(4)
+    out = str(tmp_path / "arrow")
+    manifest = write_arrow_ipc(df, out)
+    assert sum(r for _, r in manifest) == 100
+    assert len(manifest) == 4 and all(f.endswith(".arrows") for f, _ in manifest)
+    back = read_arrow_ipc(spark, out, "id long, v double, s string, b binary")
+    got = sorted((r.id, r.v, r.s, bytes(r.b)) for r in back.collect())
+    assert got == [(i, i / 4, f"s{i}", bytes([i, 255 - i])) for i in range(100)]
