@@ -1686,6 +1686,26 @@ def q_store_bbox(spark, sf_dir):
     return bbox_query(spark, path, x0, y0, x1, y1).select("c_custkey", "lon", "lat")
 
 
+def q_store_attr(spark, sf_dir):
+    """Attribute-index store round trip (plans/store.write_indexed_attr
+    — the reference AttributeIndex's value-prefix + spatial-tier key,
+    re-expressed as hash-bucket + z2-prefix hive partitions): events
+    points keyed by event_type, attr-equality + bbox scan with bucket
+    AND z2 partition pruning. Oracle = the plain filter over the same
+    derived points; equality proves neither pruning layer loses rows."""
+    from geomesa_spark.plans.store import attr_query, write_indexed_attr
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"))
+    path = _store_tmp(sf_dir, "attr")
+    write_indexed_attr(ev, path, "event_type")
+    out = attr_query(spark, path, "event_type", "click",
+                     bbox=(-90.0, -45.0, 90.0, 45.0))
+    return out.select("event_id", "event_type", "lon", "lat")
+
+
 _STBOX = (-60.0, -30.0, 60.0, 45.0, 1704672000, 1705881600)  # Jan 8 - Jan 22
 
 
@@ -2352,7 +2372,8 @@ _NEVER_GRADED_R3 = [
     "gopher_quality", "anchor_text", "latest_capture", "store_s3",
     "unigram_lp", "dup_spans", "cut_spans", "chunk_text",
     "quality_classifier", "fixedwidth_parse", "xml_parse", "url_filter",
-    "shp_read", "bpe_train", "bpe_tokenize", "communities", "arrow_export"
+    "shp_read", "bpe_train", "bpe_tokenize", "communities", "arrow_export",
+    "store_attr"
 ]
 
 
@@ -2454,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketches": q_sketches,
         "geoparse_pages": q_geoparse_pages,
         "store_bbox": q_store_bbox,
+        "store_attr": q_store_attr,
         "store_stbox": q_store_stbox,
         "store_xz2": q_store_xz2,
         "store_s2": q_store_s2,
@@ -4539,6 +4561,16 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann": _sql_lsh_ann(),
         "ivf_ann": _sql_ivf_ann(),
         "geoparse_pages": _sql_geoparse_pages(),
+        "store_attr": f"""
+            WITH e AS (SELECT event_id, event_type,
+                              {tg.sql_point_lon('event_id', _e['mlon'], _e['olon'])} AS lon,
+                              {tg.sql_point_lat('event_id', _e['mlat'], _e['olat'])} AS lat
+                       FROM events)
+            SELECT event_id, event_type, lon, lat FROM e
+            WHERE event_type = 'click'
+              AND lon >= -90.0 AND lon <= 90.0
+              AND lat >= -45.0 AND lat <= 45.0
+        """,
         "store_bbox": f"""
             WITH c AS ({_CUST_SQL})
             SELECT c_custkey, lon, lat FROM c

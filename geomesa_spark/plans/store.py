@@ -37,7 +37,8 @@ __all__ = ["write_indexed", "read_indexed", "bbox_query", "bbox_partition_prefix
            "xz2_partition_prefixes", "write_indexed_z3", "stbox_query_z3",
            "z3_partition_prefixes", "write_indexed_xz3", "stbox_query_xz3",
            "xz3_partition_prefixes", "write_indexed_s2", "bbox_query_s2",
-           "s2_partition_prefixes", "write_indexed_s3", "stbox_query_s3"]
+           "s2_partition_prefixes", "write_indexed_s3", "stbox_query_s3",
+           "write_indexed_attr", "attr_query"]
 
 _LON = normalized_lon(31)
 _LAT = normalized_lat(31)
@@ -597,3 +598,47 @@ def stbox_query_s3(spark, path: str, xmin: float, ymin: float, xmax: float,
              & (F.col(y) >= ymin) & (F.col(y) <= ymax)
              & (F.col(secs) >= t0) & (F.col(secs) < t1))
     return df.filter(cond & exact)
+
+
+def write_indexed_attr(df: DataFrame, path: str, attr: str,
+                       x: str = "lon", y: str = "lat",
+                       digits: int = 1, max_buckets: int = 256) -> None:
+    """Attribute index analog (the reference's AttributeIndex:
+    attribute value as the key prefix with spatial Z tiering as the
+    suffix — geomesa-index-api .../index/attribute/AttributeIndex.scala,
+    sharding/tiering in AttributeIndexKeySpace): hive-partition by a
+    bounded HASH BUCKET of the attribute (xxhash64 mod max_buckets, so
+    a high-cardinality attribute can never explode the partition count
+    — the reference shards attribute keys the same way), with a short
+    z2 prefix as the secondary partition layer. An attr-equality query
+    prunes to one bucket; a spatial filter prunes z2 prefixes within
+    it; the exact attr/bbox predicates push down to the parquet scan.
+    """
+    enc = z2_hex_udf()
+    bucket = F.pmod(F.xxhash64(F.col(attr)), F.lit(max_buckets))
+    out = (df.withColumn("attr_b", bucket)
+             .withColumn("z2_hex", enc(F.col(x), F.col(y)))
+             .withColumn("z2_p", F.substring("z2_hex", 1, digits)))
+    out.write.mode("overwrite").partitionBy("attr_b", "z2_p").parquet(path)
+
+
+def attr_query(spark, path: str, attr: str, value,
+               bbox: tuple | None = None, digits: int = 1,
+               max_buckets: int = 256,
+               x: str = "lon", y: str = "lat") -> DataFrame:
+    """Planned attribute(+bbox) scan over a write_indexed_attr store:
+    bucket pruning (one hive partition family per value) + optional z2
+    prefix pruning + pushed exact predicates. digits/max_buckets must
+    match the write."""
+    df = spark.read.parquet(path)
+    one = df.sparkSession.range(1).select(
+        F.pmod(F.xxhash64(F.lit(value)), F.lit(max_buckets)).alias("b"))
+    bucket = one.collect()[0]["b"]  # same JVM hash the writer used
+    cond = (F.col("attr_b") == int(bucket)) & (F.col(attr) == F.lit(value))
+    if bbox is not None:
+        xmin, ymin, xmax, ymax = bbox
+        prefixes = bbox_partition_prefixes(xmin, ymin, xmax, ymax, digits)
+        cond = cond & F.col("z2_p").isin(prefixes) \
+            & (F.col(x) >= xmin) & (F.col(x) <= xmax) \
+            & (F.col(y) >= ymin) & (F.col(y) <= ymax)
+    return df.filter(cond)

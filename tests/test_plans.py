@@ -340,3 +340,32 @@ def test_query_guard_rejects_unbounded(spark, tmp_path):
     df, p = plan_query(spark, path, "BBOX(geom, -1, -1, 1, 1)",
                        require_bounded=True)
     assert p["strategy"] == "z2-index" and df.count() == 1
+
+
+def test_attr_store_query(spark, tmp_path):
+    """Attribute index: bucket + z2 partition pruning, exact row set."""
+    from geomesa_spark.plans.store import attr_query, write_indexed_attr
+
+    n = 20_000
+    pts = generate_points(spark, n, partitions=4).withColumn(
+        "cat", F.concat(F.lit("c"), (F.col("page_id") % 5).cast("string")))
+    path = str(tmp_path / "astore")
+    write_indexed_attr(pts, path, "cat", digits=1, max_buckets=16)
+
+    got = attr_query(spark, path, "cat", "c3", digits=1, max_buckets=16)
+    rows = sorted(r["page_id"] for r in got.collect())
+    assert rows == [i for i in range(n) if i % 5 == 3]
+
+    bbox = (-75.0, 39.5, -72.0, 41.5)
+    gotb = attr_query(spark, path, "cat", "c3", bbox=bbox, digits=1,
+                      max_buckets=16)
+    ids = np.arange(n, dtype=np.int64)
+    lon, lat = page_coords(ids)
+    keep = (ids % 5 == 3) & (lon >= bbox[0]) & (lon <= bbox[2]) \
+        & (lat >= bbox[1]) & (lat <= bbox[3])
+    assert sorted(r["page_id"] for r in gotb.collect()) == \
+        sorted(ids[keep].tolist())
+
+    plan = gotb._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "attr_b" in plan and "z2_p" in plan
+    assert "PushedFilters" in plan
