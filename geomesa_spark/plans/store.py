@@ -38,7 +38,7 @@ __all__ = ["write_indexed", "read_indexed", "bbox_query", "bbox_partition_prefix
            "z3_partition_prefixes", "write_indexed_xz3", "stbox_query_xz3",
            "xz3_partition_prefixes", "write_indexed_s2", "bbox_query_s2",
            "s2_partition_prefixes", "write_indexed_s3", "stbox_query_s3",
-           "write_indexed_attr", "attr_query"]
+           "write_indexed_attr", "attr_query", "compact_store"]
 
 _LON = normalized_lon(31)
 _LAT = normalized_lat(31)
@@ -642,3 +642,50 @@ def attr_query(spark, path: str, attr: str, value,
             & (F.col(x) >= xmin) & (F.col(x) <= xmax) \
             & (F.col(y) >= ymin) & (F.col(y) <= ymax)
     return df.filter(cond)
+
+
+def compact_store(spark, path: str, partition_cols: list[str],
+                  sort_by: list[str] | None = None) -> dict:
+    """Bin-pack a partitioned store: rewrite every hive partition as ONE
+    file, rows sorted by ``sort_by`` (the index key) so parquet
+    row-group min/max stats become tight and intra-partition skipping
+    works — the reference FSDS's compaction command
+    (geomesa-fs/geomesa-fs-tools .../compact, FileSystemStorage
+    compact()). Streaming/incremental ingest leaves many small files
+    per partition; compaction is the maintenance op that restores scan
+    efficiency.
+
+    Atomic-by-rename like plans/checkpoint.py: the rewrite lands in
+    ``<path>.compact-tmp`` and swaps into place only when complete, so
+    a crash mid-compaction never corrupts the store. Returns
+    ``{"files_before": n, "files_after": m, "rows": r}``.
+    """
+    import glob
+    import os
+    import shutil
+
+    def _count_files(p):
+        return len([f for f in glob.glob(os.path.join(p, "**", "*.parquet"),
+                                         recursive=True)])
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    before = _count_files(path)
+    tmp = path + ".compact-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    out = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_by:
+        out = out.sortWithinPartitions(*partition_cols, *sort_by)
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+    new_rows = spark.read.parquet(tmp).count()
+    if new_rows != rows:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(f"compact_store: row count changed "
+                           f"({rows} -> {new_rows}); aborted, store intact")
+    old = path + ".compact-old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"files_before": before, "files_after": _count_files(path),
+            "rows": rows}

@@ -369,3 +369,28 @@ def test_attr_store_query(spark, tmp_path):
     plan = gotb._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "attr_b" in plan and "z2_p" in plan
     assert "PushedFilters" in plan
+
+
+def test_compact_store_binpacks_and_sorts(spark, tmp_path):
+    from geomesa_spark.plans.store import bbox_query, compact_store
+
+    n = 20_000
+    pts = generate_points(spark, n, partitions=8)
+    path = str(tmp_path / "cstore")
+    write_indexed(pts, path, digits=1)
+    stats = compact_store(spark, path, ["z2_p"], sort_by=["z2_hex"])
+    assert stats["rows"] == n
+    assert stats["files_after"] < stats["files_before"]
+    # one file per partition dir
+    import glob as _glob
+    for d in _glob.glob(f"{path}/z2_p=*"):
+        assert len(_glob.glob(f"{d}/*.parquet")) == 1
+    # store still answers queries identically
+    bbox = (-75.0, 39.5, -72.0, 41.5)
+    got = sorted(r["page_id"]
+                 for r in bbox_query(spark, path, *bbox, digits=1).collect())
+    ids = np.arange(n, dtype=np.int64)
+    lon, lat = page_coords(ids)
+    want = sorted(ids[(lon >= bbox[0]) & (lon <= bbox[2])
+                      & (lat >= bbox[1]) & (lat <= bbox[3])].tolist())
+    assert got == want
