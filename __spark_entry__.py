@@ -1163,6 +1163,50 @@ _SQL_ARROW_EXPORT = """
 """
 
 
+def q_unicode_norm(spark, sf_dir):
+    """Unicode NFC canonicalization (operators/corpus.normalize_unicode
+    — the pre-dedup text canonicalization step): 6k synthetic strings in
+    three variants (precomposed NFC, decomposed NFD, plain ASCII),
+    normalized and aggregated. Cross-ENGINE oracle: DuckDB's
+    nfc_normalize implements the same Unicode standard as CPython's
+    unicodedata, so equality certifies the normalization itself, not
+    just plumbing. (BMP-only test data: Spark length() counts UTF-16
+    units, DuckDB counts code points — equal below U+10000.)"""
+    from geomesa_spark.operators.corpus import normalize_unicode
+
+    n = 6000
+    variant = F.element_at(
+        F.array(F.lit("caf\u00e9"),       # precomposed NFC
+                F.lit("cafe\u0301"),      # decomposed NFD
+                F.lit("cafe")),
+        (F.col("id") % 3 + 1).cast("int"))
+    df = spark.range(n).select(
+        (F.col("id") % 3).alias("cls"),
+        F.concat(F.lit("w"), F.col("id").cast("string"), variant).alias("t"))
+    out = df.select("cls", "t", normalize_unicode(F.col("t")).alias("nt"))
+    return (out.groupBy("cls")
+               .agg(F.count("*").alias("n"),
+                    F.sum((F.col("nt") != F.col("t")).cast("long"))
+                     .alias("n_changed"),
+                    F.sum(F.length("nt")).alias("sum_len")))
+
+
+_SQL_UNICODE_NORM = """
+    WITH t AS (SELECT CAST(u.i AS BIGINT) AS i,
+                      'w' || CAST(u.i AS VARCHAR) ||
+                      CASE u.i % 3 WHEN 0 THEN 'caf' || chr(233)
+                                   WHEN 1 THEN 'cafe' || chr(769)
+                                   ELSE 'cafe' END AS s
+               FROM unnest(range(0, 6000)) AS u(i))
+    SELECT i % 3 AS cls,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN nfc_normalize(s) <> s THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_changed,
+           CAST(sum(length(nfc_normalize(s))) AS BIGINT) AS sum_len
+    FROM t GROUP BY 1
+"""
+
+
 def q_communities(spark, sf_dir):
     """Synchronous label-propagation communities
     (operators/graph.label_propagation) over the synthetic doc link
@@ -2373,7 +2417,7 @@ _NEVER_GRADED_R3 = [
     "unigram_lp", "dup_spans", "cut_spans", "chunk_text",
     "quality_classifier", "fixedwidth_parse", "xml_parse", "url_filter",
     "shp_read", "bpe_train", "bpe_tokenize", "communities", "arrow_export",
-    "store_attr"
+    "store_attr", "unicode_norm"
 ]
 
 
@@ -2432,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_train": q_bpe_train,
         "bpe_tokenize": q_bpe_tokenize,
         "communities": q_communities,
+        "unicode_norm": q_unicode_norm,
         "arrow_export": q_arrow_export,
         "link_hits": q_link_hits,
         "triangles": q_triangles,
@@ -4308,6 +4353,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_train": _sql_bpe_train(),
         "bpe_tokenize": _sql_bpe_tokenize(),
         "communities": _sql_communities(),
+        "unicode_norm": _SQL_UNICODE_NORM,
         "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),
         # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,

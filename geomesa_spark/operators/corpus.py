@@ -762,6 +762,31 @@ def bpe_encode(docs: DataFrame, id_col: str, text_col: str,
     return out
 
 
+def normalize_unicode(text: Column, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC by default) — the text-canonicalization
+    step a multilingual crawl pipeline runs before hashing/dedup, so
+    that NFD 'e'+combining-acute and NFC 'é' (byte-different, render-
+    identical) collapse to one form and cannot defeat exact dedup.
+
+    A genuinely byte-level Unicode op, so this is one of the few
+    deliberate Python paths: an Arrow-batched pandas UDF over
+    ``unicodedata.normalize`` (map-only, composes with any plan; both
+    CPython and DuckDB's ``nfc_normalize`` implement the same Unicode
+    standard, which is what the cross-engine oracle certifies).
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"form must be NFC|NFD|NFKC|NFKD, got {form}")
+
+    @F.pandas_udf("string")
+    def norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda t: None if t is None
+                     else unicodedata.normalize(form, t))
+
+    return norm(text)
+
+
 def domain_suffixes(host: Column) -> Column:
     """All registrable suffixes of a hostname, most-specific first:
     ``a.b.example`` -> ``[a.b.example, b.example, example]``. Pure JVM

@@ -943,3 +943,33 @@ def test_bpe_encode_applies_merges_in_order(spark):
     assert out[2].sym == " b a </w> ab</w> "
     assert (out[2].n_words, out[2].n_bpe_tokens) == (2, 4)
     assert (out[3].n_words, out[3].n_bpe_tokens) == (0, 0)
+
+
+def test_normalize_unicode_forms(spark):
+    from geomesa_spark.operators.corpus import normalize_unicode
+
+    nfd = "cafe\u0301"      # e + combining acute (5 code points)
+    nfc = "caf\u00e9"       # precomposed e-acute (4 code points)
+    assert nfd != nfc
+    df = spark.createDataFrame([(1, nfd), (2, nfc), (3, None)],
+                               "id long, t string")
+    got = {r.id: r.n for r in df.select(
+        "id", normalize_unicode(F.col("t")).alias("n")).collect()}
+    assert got[1] == nfc and got[2] == nfc and got[3] is None
+    dec = {r.id: r.n for r in df.select(
+        "id", normalize_unicode(F.col("t"), "NFD").alias("n")).collect()}
+    assert dec[2] == nfd                      # NFC input decomposes
+    with pytest.raises(ValueError, match="form"):
+        normalize_unicode(F.col("t"), "XYZ")
+
+
+def test_bpe_argmax_plan_is_take_ordered(spark):
+    """The per-round argmax must plan as TakeOrderedAndProject
+    (per-partition top-1 + driver merge), never a global sort or an
+    unpartitioned window — the collocations lesson from round 2."""
+    docs = spark.createDataFrame([(1, "aa ab ba")], "id long, text string")
+    word = F.explode(F.split(F.col("text"), r"\s+")).alias("word")
+    words = docs.select(word).groupBy("word").agg(F.count("*").alias("freq"))
+    top = words.orderBy(F.desc("freq"), F.asc("word")).limit(1)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
