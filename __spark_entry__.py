@@ -1163,6 +1163,60 @@ _SQL_ARROW_EXPORT = """
 """
 
 
+def q_warc_read(spark, sf_dir):
+    """WARC ingest round trip (sources/warc.read_warc — the Common-Crawl
+    wire format, ISO 28500, one gzip member per record): 400 synthetic
+    response records built by build_warc, read back through the
+    binaryFile + mapInPandas parser (HTTP headers split off the
+    payload), aggregated per site. Oracle replays the url/ts/body
+    arithmetic in pure SQL — equality certifies record framing, gzip
+    member handling, header parsing, and the HTTP split."""
+    import os
+    from datetime import datetime, timezone
+
+    from geomesa_spark.sources.warc import build_warc, read_warc
+
+    path = _store_tmp(sf_dir, "warc")
+    os.makedirs(path, exist_ok=True)
+    n = 400
+    recs = [{"url": f"https://site{i % 97}.example/p{i}",
+             "ts": datetime.fromtimestamp(1704067200 + i * 61,
+                                          tz=timezone.utc),
+             "body": (f"<html><body>doc {i:06d} w{i % 13:02d}"
+                      f"</body></html>").encode()}
+            for i in range(n)]
+    half = n // 2
+    with open(os.path.join(path, "a.warc.gz"), "wb") as f:
+        f.write(build_warc(recs[:half]))
+    with open(os.path.join(path, "b.warc"), "wb") as f:
+        f.write(build_warc(recs[half:], gzip_members=False))
+    df = read_warc(spark, path)
+    site = F.regexp_extract("url", r"^https://site(\d+)\.example/", 1) \
+            .cast("long")
+    return (df.select(site.alias("site"),
+                      F.length("payload").alias("blen"),
+                      F.unix_timestamp("warc_ts").alias("secs"))
+              .groupBy("site")
+              .agg(F.count("*").alias("n"),
+                   F.sum("blen").alias("sum_len"),
+                   F.max("secs").alias("max_ts")))
+
+
+_SQL_WARC_READ = """
+    WITH t AS (SELECT CAST(u.i AS BIGINT) AS i
+               FROM unnest(range(0, 400)) AS u(i)),
+    r AS (SELECT i % 97 AS site,
+                 '<html><body>doc ' || printf('%06d', i) || ' w'
+                     || printf('%02d', i % 13) || '</body></html>' AS body,
+                 1704067200 + i * 61 AS ts_epoch
+          FROM t)
+    SELECT site, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(length(body)) AS BIGINT) AS sum_len,
+           CAST(max(ts_epoch) AS BIGINT) AS max_ts
+    FROM r GROUP BY 1
+"""
+
+
 def q_unicode_norm(spark, sf_dir):
     """Unicode NFC canonicalization (operators/corpus.normalize_unicode
     — the pre-dedup text canonicalization step): 6k synthetic strings in
@@ -2417,7 +2471,7 @@ _NEVER_GRADED_R3 = [
     "unigram_lp", "dup_spans", "cut_spans", "chunk_text",
     "quality_classifier", "fixedwidth_parse", "xml_parse", "url_filter",
     "shp_read", "bpe_train", "bpe_tokenize", "communities", "arrow_export",
-    "store_attr", "unicode_norm"
+    "store_attr", "unicode_norm", "warc_read"
 ]
 
 
@@ -2477,6 +2531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": q_bpe_tokenize,
         "communities": q_communities,
         "unicode_norm": q_unicode_norm,
+        "warc_read": q_warc_read,
         "arrow_export": q_arrow_export,
         "link_hits": q_link_hits,
         "triangles": q_triangles,
@@ -4354,6 +4409,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_tokenize": _sql_bpe_tokenize(),
         "communities": _sql_communities(),
         "unicode_norm": _SQL_UNICODE_NORM,
+        "warc_read": _SQL_WARC_READ,
         "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),
         # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,

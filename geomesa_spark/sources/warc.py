@@ -1,0 +1,149 @@
+"""WARC (ISO 28500) ingest — the Common-Crawl wire format.
+
+The north-star corpus is "Common-Crawl-style web pages"; this reads the
+real thing: WARC files of ``WARC/1.0`` records (headers, blank line,
+Content-Length payload bytes, two CRLFs), either plain or in the
+standard ``.warc.gz`` layout where EVERY RECORD IS ITS OWN GZIP MEMBER
+(that per-record framing is what makes Common Crawl's offsets work; a
+whole-file gzip stream also decodes, since members concatenate).
+
+Scale shape: WARC is not block-splittable — parallelism is per FILE
+(Common Crawl ships ~1 GB segment files by design, so a crawl dump is
+tens of thousands of files and the per-file layout parallelizes fine;
+the same bound every WARC reader has, including the reference's
+converter-based ingest path). Files arrive through ``binaryFile``; one
+``mapInPandas`` pass parses bytes with no per-row Python beyond the
+record loop itself.
+
+Returns one row per record:
+``(path, rec_type, url, warc_ts, content_type, payload binary)`` —
+matching the input-hint shape (url, warc_ts, html payload); run a
+convert() spec to extract text / cast types.
+"""
+
+from __future__ import annotations
+
+import zlib
+from datetime import datetime, timezone
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["read_warc", "parse_warc_bytes", "build_warc"]
+
+_CRLF = b"\r\n"
+
+
+def _gunzip_members(buf: bytes) -> bytes:
+    """Decode a concatenation of gzip members (the .warc.gz layout)."""
+    out = []
+    while buf:
+        d = zlib.decompressobj(31)
+        out.append(d.decompress(buf))
+        out.append(d.flush())
+        buf = d.unused_data
+    return b"".join(out)
+
+
+def parse_warc_bytes(buf: bytes):
+    """Yield ``(rec_type, url, warc_ts, content_type, payload)`` per
+    record of one WARC file (gzip'd or plain). HTTP response records
+    carry the full HTTP message as payload; the HTTP headers are split
+    off so ``payload`` is the body (the html bytes), matching what a
+    Common-Crawl text pipeline consumes."""
+    if buf[:2] == b"\x1f\x8b":
+        buf = _gunzip_members(bytes(buf))
+    else:
+        buf = bytes(buf)
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and buf[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            return
+        if not buf.startswith(b"WARC/", pos):
+            raise ValueError(f"WARC: bad record header at byte {pos}")
+        hdr_end = buf.index(_CRLF + _CRLF, pos)
+        headers = {}
+        for line in buf[pos:hdr_end].split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        length = int(headers[b"content-length"])
+        body = buf[hdr_end + 4:hdr_end + 4 + length]
+        pos = hdr_end + 4 + length
+        rec_type = headers.get(b"warc-type", b"").decode("ascii", "replace")
+        url = headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
+        ts_raw = headers.get(b"warc-date", b"").decode("ascii", "replace")
+        ts = None
+        if ts_raw:
+            ts = datetime.strptime(
+                ts_raw, "%Y-%m-%dT%H:%M:%SZ").replace(tzinfo=timezone.utc)
+        ctype = headers.get(b"content-type", b"").decode("ascii", "replace")
+        if rec_type == "response" and body.startswith(b"HTTP/"):
+            # split the HTTP message: payload = body after HTTP headers
+            sep = body.find(_CRLF + _CRLF)
+            if sep >= 0:
+                body = body[sep + 4:]
+        yield rec_type, url or None, ts, ctype or None, body
+
+
+_WARC_SCHEMA = ("path string, rec_type string, url string, "
+                "warc_ts timestamp, content_type string, payload binary")
+
+
+def read_warc(spark, path: str, record_types: tuple = ("response",)
+              ) -> DataFrame:
+    """Read WARC/WARC.gz files under ``path``; keep ``record_types``
+    (default: response records only — the pages). One task per file."""
+    files = (spark.read.format("binaryFile").load(path)
+             .select("path", "content"))
+    keep = set(record_types)
+
+    def parse(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("path", "rec_type", "url", "warc_ts",
+                                    "content_type", "payload")}
+            for p, content in zip(pdf["path"], pdf["content"]):
+                for rt, url, ts, ct, body in parse_warc_bytes(content):
+                    if keep and rt not in keep:
+                        continue
+                    rows["path"].append(p)
+                    rows["rec_type"].append(rt)
+                    rows["url"].append(url)
+                    rows["warc_ts"].append(ts)
+                    rows["content_type"].append(ct)
+                    rows["payload"].append(body)
+            yield pd.DataFrame(rows)
+
+    return files.mapInPandas(parse, _WARC_SCHEMA)
+
+
+def build_warc(records: list[dict], gzip_members: bool = True) -> bytes:
+    """Assemble a WARC file from ``[{url, ts (datetime), body (bytes),
+    rec_type?, http?}, ...]`` — fixture/export builder (the inverse of
+    the parser, like shapefile.build_shp). ``gzip_members=True`` writes
+    the Common-Crawl layout: one gzip member per record."""
+    out = []
+    for r in records:
+        body = r["body"]
+        if r.get("http", True):
+            http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+                    + b"Content-Length: " + str(len(body)).encode()
+                    + b"\r\n\r\n")
+            body = http + body
+        ts = r["ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+        hdr = (b"WARC/1.0\r\n"
+               b"WARC-Type: " + r.get("rec_type", "response").encode()
+               + b"\r\nWARC-Target-URI: " + r["url"].encode()
+               + b"\r\nWARC-Date: " + ts.encode()
+               + b"\r\nContent-Type: application/http;msgtype=response\r\n"
+               + b"Content-Length: " + str(len(body)).encode()
+               + b"\r\n\r\n")
+        rec = hdr + body + _CRLF + _CRLF
+        if gzip_members:
+            c = zlib.compressobj(6, zlib.DEFLATED, 31)
+            rec = c.compress(rec) + c.flush()
+        out.append(rec)
+    return b"".join(out)

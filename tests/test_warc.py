@@ -1,0 +1,68 @@
+"""WARC source (sources/warc.py): synthesized ISO-28500 records, plain
+and per-record-gzip, parsed back row-for-row."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+
+from geomesa_spark.sources.warc import (build_warc, parse_warc_bytes,
+                                        read_warc)
+
+
+def _recs(n=3):
+    return [{"url": f"https://site{i}.example/p{i}",
+             "ts": datetime(2024, 1, 1 + i, 12, 0, i, tzinfo=timezone.utc),
+             "body": f"<html><body>page {i}</body></html>".encode()}
+            for i in range(n)]
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_parse_warc_roundtrip(gz):
+    buf = build_warc(_recs(), gzip_members=gz)
+    got = list(parse_warc_bytes(buf))
+    assert len(got) == 3
+    for i, (rt, url, ts, ct, body) in enumerate(got):
+        assert rt == "response"
+        assert url == f"https://site{i}.example/p{i}"
+        assert ts.second == i and ts.day == 1 + i
+        assert body == f"<html><body>page {i}</body></html>".encode()
+
+
+def test_parse_warc_non_response_and_http_split():
+    recs = [{"url": "https://a.example/", "rec_type": "request",
+             "ts": datetime(2024, 1, 1, tzinfo=timezone.utc),
+             "body": b"GET / HTTP/1.1", "http": False},
+            {"url": "https://a.example/",
+             "ts": datetime(2024, 1, 1, tzinfo=timezone.utc),
+             "body": b"<html>x</html>"}]
+    got = list(parse_warc_bytes(build_warc(recs)))
+    assert [g[0] for g in got] == ["request", "response"]
+    assert got[0][4] == b"GET / HTTP/1.1"       # non-response kept whole
+    assert got[1][4] == b"<html>x</html>"       # HTTP headers split off
+    with pytest.raises(ValueError, match="bad record header"):
+        list(parse_warc_bytes(b"NOT A WARC RECORD\r\n\r\n"))
+
+
+def test_read_warc_spark(spark, tmp_path):
+    (tmp_path / "a.warc.gz").write_bytes(build_warc(_recs(4)))
+    (tmp_path / "b.warc").write_bytes(build_warc(_recs(2),
+                                                 gzip_members=False))
+    out = read_warc(spark, str(tmp_path))
+    rows = out.collect()
+    assert len(rows) == 6
+    assert all(r.rec_type == "response" for r in rows)
+    assert all(bytes(r.payload).startswith(b"<html>") for r in rows)
+    urls = sorted(r.url for r in rows)
+    assert urls[0] == "https://site0.example/p0" and len(set(urls)) == 4
+    # timestamps land as proper timestamps
+    assert all(r.warc_ts.year == 2024 for r in rows)
+    # convert() spec types the payload into the input-hint shape
+    from geomesa_spark.sources.converter import convert
+
+    txt = convert(out, {"url": "url", "warc_ts": "warc_ts",
+                        "html": "payload",
+                        "text": "cast(payload as string)"},
+                  required=["url", "html"])
+    assert txt.count() == 6
