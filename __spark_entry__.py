@@ -1217,6 +1217,77 @@ _SQL_WARC_READ = """
 """
 
 
+def q_avro_read(spark, sf_dir):
+    """Avro OCF ingest round trip (sources/avro.read_avro — the
+    geomesa-convert-avro analog; spark-avro jar absent in-container so
+    the public OCF wire format is decoded directly): 500 synthetic
+    records across two files (deflate AND null codecs, different block
+    sizes), read back through binaryFile + mapInPandas, aggregated per
+    site. Oracle replays the field arithmetic in pure SQL — equality
+    certifies varint/zigzag decode, block framing, deflate, the
+    nullable union, timestamp-micros, bytes and array decode."""
+    import os
+
+    from geomesa_spark.sources.avro import build_avro, read_avro
+
+    path = _store_tmp(sf_dir, "avro")
+    os.makedirs(path, exist_ok=True)
+    schema = {"type": "record", "name": "ev", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": ["null", "double"]},
+        {"name": "ts", "type": {"type": "long",
+                                "logicalType": "timestamp-micros"}},
+        {"name": "payload", "type": "bytes"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+    ]}
+    n = 500
+    rows = [{"id": i, "name": f"n{i}",
+             "score": None if i % 11 == 0 else (i * 7 % 1000) / 8.0,
+             "ts": pd.Timestamp(1704067200_000000 + i * 1_000_003,
+                                unit="us", tz="UTC"),
+             "payload": b"x" * (i % 17),
+             "tags": [f"t{j}" for j in range(i % 3)]}
+            for i in range(n)]
+    half = n // 2
+    with open(os.path.join(path, "a.avro"), "wb") as f:
+        f.write(build_avro(rows[:half], schema, codec="deflate",
+                           records_per_block=37))
+    with open(os.path.join(path, "b.avro"), "wb") as f:
+        f.write(build_avro(rows[half:], schema, codec="null",
+                           records_per_block=64))
+    df = read_avro(spark, path, schema=schema)
+    return (df.select((F.col("id") % 89).alias("site"),
+                      F.col("score"),
+                      F.unix_timestamp("ts").alias("secs"),
+                      F.length("payload").alias("plen"),
+                      F.size("tags").alias("ntags"))
+              .groupBy("site")
+              .agg(F.count("*").alias("n"),
+                   F.sum("score").alias("sum_score"),
+                   F.max("secs").alias("max_ts"),
+                   F.sum("plen").alias("sum_plen"),
+                   F.sum("ntags").alias("sum_tags")))
+
+
+_SQL_AVRO_READ = """
+    WITH t AS (SELECT CAST(u.i AS BIGINT) AS i
+               FROM unnest(range(0, 500)) AS u(i)),
+    r AS (SELECT i % 89 AS site,
+                 CASE WHEN i % 11 = 0 THEN NULL
+                      ELSE CAST(i * 7 % 1000 AS DOUBLE) / 8.0 END AS score,
+                 (1704067200000000 + i * 1000003) // 1000000 AS secs,
+                 i % 17 AS plen, i % 3 AS ntags
+          FROM t)
+    SELECT site, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(score) AS DOUBLE) AS sum_score,
+           CAST(max(secs) AS BIGINT) AS max_ts,
+           CAST(sum(plen) AS BIGINT) AS sum_plen,
+           CAST(sum(ntags) AS BIGINT) AS sum_tags
+    FROM r GROUP BY 1
+"""
+
+
 def q_unicode_norm(spark, sf_dir):
     """Unicode NFC canonicalization (operators/corpus.normalize_unicode
     — the pre-dedup text canonicalization step): 6k synthetic strings in
@@ -1746,6 +1817,123 @@ def q_multimodal_feats(spark, sf_dir):
     feats = decode_image_features(docs, dim=16, fake=True)
     return (feats.join(meta, "media_id")
                  .select("media_id", F.size("features").alias("dim"), "n_bytes"))
+
+
+def q_image_feats(spark, sf_dir):
+    """REAL image decode (operators/media.decode_png — stdlib zlib +
+    numpy, no media libs needed): 300 synthetic 16x16 RGB PNGs with
+    arithmetic pixels, decoded through the multimodal seam
+    (decode_image_features with the png_decoder), 8x8 luminance
+    block-mean features. Oracle replays the pixel -> luminance -> block
+    mean arithmetic from first principles in SQL — equality certifies
+    the PNG byte format end-to-end (chunk framing, zlib, unfiltering,
+    channel layout), not just plumbing. Feature folds run in array
+    order so the double chain is bit-reproducible."""
+    from geomesa_spark.operators.media import encode_png, png_decoder
+    from geomesa_spark.operators.multimodal import decode_image_features
+
+    n = 300
+    rows = []
+    for i in range(n):
+        y, x = np.mgrid[0:16, 0:16]
+        img = np.stack([(7 * i + 3 * x + 5 * y) % 256,
+                        (11 * i + x) % 256,
+                        (13 * i + y) % 256], axis=-1).astype(np.uint8)
+        rows.append((i, bytearray(encode_png(img))))
+    docs = spark.createDataFrame(rows, "media_id long, content binary") \
+                .repartition(8)
+    feats = decode_image_features(docs, decoder=png_decoder(grid=8))
+    fold = F.aggregate("features", F.lit(0.0),
+                       lambda a, x: a + x.cast("double"))
+    return feats.select("media_id",
+                        fold.alias("feat_sum"),
+                        F.element_at("features", 1).alias("f0"),
+                        F.element_at("features", 64).alias("f_last"))
+
+
+_SQL_IMAGE_FEATS = """
+    WITH t AS (SELECT CAST(u.i AS BIGINT) AS i
+               FROM unnest(range(0, 300)) AS u(i)),
+    k AS (SELECT CAST(u.k AS BIGINT) AS k FROM unnest(range(0, 64)) AS u(k)),
+    d AS (SELECT CAST(u.d AS BIGINT) AS d FROM unnest(range(0, 4)) AS u(d)),
+    px AS (SELECT t.i, k.k,
+                  (k.k % 8) * 2 + (d.d % 2) AS x,
+                  (k.k // 8) * 2 + (d.d // 2) AS y
+           FROM t, k, d),
+    lum AS (SELECT i, k,
+                   ((7 * i + 3 * x + 5 * y) % 256) * 299
+                   + ((11 * i + x) % 256) * 587
+                   + ((13 * i + y) % 256) * 114 AS l
+            FROM px),
+    feat AS (SELECT i, k,
+                    CAST(CAST(sum(l) AS DOUBLE) / 4000.0 AS REAL) AS v
+             FROM lum GROUP BY i, k)
+    SELECT i AS media_id,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(CAST(v AS DOUBLE) ORDER BY k)),
+                       (a, x) -> a + x) AS feat_sum,
+           CAST(min(CASE WHEN k = 0 THEN v END) AS REAL) AS f0,
+           CAST(min(CASE WHEN k = 63 THEN v END) AS REAL) AS f_last
+    FROM feat GROUP BY i
+"""
+
+
+def q_audio_feats(spark, sf_dir):
+    """REAL audio decode (operators/media.decode_wav — stdlib wave):
+    200 synthetic 16-bit PCM WAVs with arithmetic samples, decoded
+    through the multimodal seam with the wav_decoder (per-window
+    mean-|amplitude| + zero-crossing features). Oracle replays the
+    sample -> window arithmetic in SQL — equality certifies the WAV
+    container + PCM decode end-to-end. Mean-abs is exact-int-sum / L
+    (one double division, float32 cast both engines); zero crossings
+    are exact integers."""
+    from geomesa_spark.operators.media import encode_wav, wav_decoder
+    from geomesa_spark.operators.multimodal import decode_image_features
+
+    n = 200
+    rows = []
+    for i in range(n):
+        t = np.arange(800 + (i % 5) * 80, dtype=np.int64)
+        s = ((i * 31 + t * 17) % 4096 - 2048).astype(np.int16)
+        rows.append((i, bytearray(encode_wav(s, rate=8000))))
+    docs = spark.createDataFrame(rows, "media_id long, content binary") \
+                .repartition(8)
+    feats = decode_image_features(docs, decoder=wav_decoder(n_windows=8))
+    ma = F.filter("features", lambda x, j: j % 2 == 0)
+    zc = F.filter("features", lambda x, j: j % 2 == 1)
+    ma_fold = F.aggregate(ma, F.lit(0.0), lambda a, x: a + x.cast("double"))
+    zc_sum = F.aggregate(zc, F.lit(0.0),
+                         lambda a, x: a + x.cast("double")).cast("long")
+    return feats.select("media_id", ma_fold.alias("ma_fold"),
+                        zc_sum.alias("zc_total"))
+
+
+_SQL_AUDIO_FEATS = """
+    WITH t AS (SELECT CAST(u.i AS BIGINT) AS i
+               FROM unnest(range(0, 200)) AS u(i)),
+    w AS (SELECT i, (800 + (i % 5) * 80) // 8 AS L FROM t),
+    k AS (SELECT CAST(u.k AS BIGINT) AS k FROM unnest(range(0, 8)) AS u(k)),
+    win AS (SELECT w.i, w.L, k.k FROM w, k),
+    s AS (SELECT i, L, k, CAST(u.t AS BIGINT) AS t,
+                 (i * 31 + CAST(u.t AS BIGINT) * 17) % 4096 - 2048 AS v
+          FROM win, unnest(range(0, 1180)) AS u(t)
+          WHERE u.t >= k * L AND u.t < (k + 1) * L),
+    nxt AS (SELECT i, L, k, t, v,
+                   lead(v) OVER (PARTITION BY i, k ORDER BY t) AS v2
+            FROM s),
+    per_win AS (SELECT i, k,
+                       CAST(CAST(sum(abs(v)) AS DOUBLE)
+                            / CAST(min(L) AS DOUBLE) AS REAL) AS ma,
+                       CAST(sum(CASE WHEN v2 IS NOT NULL AND v * v2 < 0
+                                     THEN 1 ELSE 0 END) AS REAL) AS zc
+                FROM nxt GROUP BY i, k)
+    SELECT i AS media_id,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(CAST(ma AS DOUBLE) ORDER BY k)),
+                       (a, x) -> a + x) AS ma_fold,
+           CAST(sum(CAST(zc AS BIGINT)) AS BIGINT) AS zc_total
+    FROM per_win GROUP BY i
+"""
 
 
 def q_geoparse_pages(spark, sf_dir):
@@ -2532,6 +2720,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "communities": q_communities,
         "unicode_norm": q_unicode_norm,
         "warc_read": q_warc_read,
+        "avro_read": q_avro_read,
+        "image_feats": q_image_feats,
+        "audio_feats": q_audio_feats,
         "arrow_export": q_arrow_export,
         "link_hits": q_link_hits,
         "triangles": q_triangles,
@@ -4410,6 +4601,9 @@ def oracle_sql() -> dict[str, str]:
         "communities": _sql_communities(),
         "unicode_norm": _SQL_UNICODE_NORM,
         "warc_read": _SQL_WARC_READ,
+        "avro_read": _SQL_AVRO_READ,
+        "image_feats": _SQL_IMAGE_FEATS,
+        "audio_feats": _SQL_AUDIO_FEATS,
         "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),
         # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,

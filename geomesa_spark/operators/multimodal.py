@@ -4,11 +4,12 @@ The Spark-side plumbing is real and tested — schema, Arrow batch shape,
 mapInPandas signatures, partition sizing. The DECODE step is a pluggable
 seam: ``decode_image_features``/``sample_video_frames`` take a
 ``decoder`` callable that runs per row inside the Arrow batch loop;
-production injects a PIL/torchvision/ffmpeg-backed callable there. This
-container ships no media libraries, so the DEFAULT decoder is the
+production injects a PIL/torchvision/ffmpeg-backed callable there.
+REAL decoders exist for PNG and WAV (operators/media.py — stdlib zlib +
+wave, cross-engine oracle-checked by the image_feats/audio_feats gate
+queries); formats needing absent codecs (JPEG/MP4) default to the
 documented deterministic fake (sha256-seeded features / pseudo-frames):
-byte-stable, pipeline-identical batch shape — the plumbing is verified
-end-to-end, the codec is not (COVERAGE.md marks this plumbing-only).
+byte-stable, pipeline-identical batch shape.
 
 Scale notes: media rows are large — ``maxRecordsPerBatch`` should be
 lowered (128-512) so Arrow batches stay under executor memory; the
