@@ -1936,6 +1936,75 @@ _SQL_AUDIO_FEATS = """
 """
 
 
+def q_video_frames(spark, sf_dir):
+    """REAL video decode (operators/media.decode_avi — uncompressed
+    RIFF/AVI BI_RGB, pure numpy): 40 synthetic 6-frame AVIs with
+    arithmetic pixels, frame-sampled through the multimodal seam
+    (sample_video_frames + avi_frame_decoder: one frame per second,
+    re-encoded as PNG), then each sampled frame runs the PNG feature
+    path. Oracle replays the per-frame pixel arithmetic in SQL —
+    equality certifies RIFF chunk walking, DIB stride padding,
+    bottom-up row order, BGR->RGB swap, the sampling index rule, AND
+    the PNG re-encode/decode round trip."""
+    from geomesa_spark.operators.media import (avi_frame_decoder,
+                                               encode_avi, png_decoder)
+    from geomesa_spark.operators.multimodal import (decode_image_features,
+                                                    sample_video_frames)
+
+    n = 40
+    rows = []
+    for i in range(n):
+        y, x = np.mgrid[0:8, 0:8]
+        frames = [np.stack([(7 * i + 19 * fr + 3 * x + 5 * y) % 256,
+                            (11 * i + 23 * fr + x) % 256,
+                            (13 * i + 29 * fr + y) % 256],
+                           axis=-1).astype(np.uint8)
+                  for fr in range(6)]
+        rows.append((i, bytearray(encode_avi(frames, fps=5)), 1200))
+    media = spark.createDataFrame(
+        rows, "media_id long, content binary, duration_ms long") \
+        .repartition(8)
+    # samples at t=0ms and t=1000ms -> frame indices 0 and 5
+    frames_df = sample_video_frames(media, decoder=avi_frame_decoder(1000))
+    keyed = frames_df.select(
+        (F.col("media_id") * 100 + F.col("frame_idx")).alias("media_id"),
+        F.col("frame").alias("content"))
+    feats = decode_image_features(keyed, decoder=png_decoder(grid=4))
+    fold = F.aggregate("features", F.lit(0.0),
+                       lambda a, v: a + v.cast("double"))
+    return feats.select((F.col("media_id") / 100).cast("long").alias("vid"),
+                        (F.col("media_id") % 100).alias("frame_idx"),
+                        fold.alias("feat_sum"),
+                        F.element_at("features", 1).alias("f0"))
+
+
+_SQL_VIDEO_FRAMES = """
+    WITH t AS (SELECT CAST(u.i AS BIGINT) AS i
+               FROM unnest(range(0, 40)) AS u(i)),
+    fr AS (SELECT 0 AS fr UNION ALL SELECT 5),
+    k AS (SELECT CAST(u.k AS BIGINT) AS k FROM unnest(range(0, 16)) AS u(k)),
+    d AS (SELECT CAST(u.d AS BIGINT) AS d FROM unnest(range(0, 4)) AS u(d)),
+    px AS (SELECT t.i, fr.fr, k.k,
+                  (k.k % 4) * 2 + (d.d % 2) AS x,
+                  (k.k // 4) * 2 + (d.d // 2) AS y
+           FROM t, fr, k, d),
+    lum AS (SELECT i, fr, k,
+                   ((7 * i + 19 * fr + 3 * x + 5 * y) % 256) * 299
+                   + ((11 * i + 23 * fr + x) % 256) * 587
+                   + ((13 * i + 29 * fr + y) % 256) * 114 AS l
+            FROM px),
+    feat AS (SELECT i, fr, k,
+                    CAST(CAST(sum(l) AS DOUBLE) / 4000.0 AS REAL) AS v
+             FROM lum GROUP BY i, fr, k)
+    SELECT i AS vid, CAST(fr AS BIGINT) AS frame_idx,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                    list(CAST(v AS DOUBLE) ORDER BY k)),
+                       (a, x) -> a + x) AS feat_sum,
+           CAST(min(CASE WHEN k = 0 THEN v END) AS REAL) AS f0
+    FROM feat GROUP BY i, fr
+"""
+
+
 def q_geoparse_pages(spark, sf_dir):
     from geomesa_spark.sources.pages import generate_pages, geoparse
 
@@ -2723,6 +2792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avro_read": q_avro_read,
         "image_feats": q_image_feats,
         "audio_feats": q_audio_feats,
+        "video_frames": q_video_frames,
         "arrow_export": q_arrow_export,
         "link_hits": q_link_hits,
         "triangles": q_triangles,
@@ -4604,6 +4674,7 @@ def oracle_sql() -> dict[str, str]:
         "avro_read": _SQL_AVRO_READ,
         "image_feats": _SQL_IMAGE_FEATS,
         "audio_feats": _SQL_AUDIO_FEATS,
+        "video_frames": _SQL_VIDEO_FRAMES,
         "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),
         # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,

@@ -34,6 +34,7 @@ import numpy as np
 
 __all__ = [
     "decode_png", "encode_png", "decode_wav", "encode_wav",
+    "decode_avi", "encode_avi", "avi_frame_decoder",
     "block_mean_luminance", "png_decoder", "wav_decoder",
 ]
 
@@ -173,6 +174,121 @@ def decode_wav(buf: bytes):
         ch = w.getnchannels()
         data = np.frombuffer(w.readframes(w.getnframes()), "<i2")
     return w.getframerate(), data.reshape(-1, ch)
+
+
+# ----------------------------------------------------------------- AVI
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) & 1 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def encode_avi(frames, fps: int = 10) -> bytes:
+    """list of (h, w, 3) uint8 RGB frames -> uncompressed AVI (BI_RGB:
+    bottom-up rows, BGR byte order, 4-byte row stride padding — the DIB
+    layout every AVI tool writes for raw video)."""
+    frames = [np.asarray(f, dtype=np.uint8) for f in frames]
+    h, w, _ = frames[0].shape
+    stride = (w * 3 + 3) & ~3
+    framebuf = []
+    for f in frames:
+        if f.shape != (h, w, 3):
+            raise ValueError("avi: all frames must share (h, w, 3)")
+        rows = np.zeros((h, stride), np.uint8)
+        rows[:, :w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)  # flip+BGR
+        framebuf.append(rows.tobytes())
+    frame_bytes = stride * h
+    avih = struct.pack("<14I", 1_000_000 // fps, frame_bytes * fps, 0, 0x10,
+                       len(frames), 0, 1, frame_bytes, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+            1, fps, 0, len(frames), frame_bytes, 0xFFFFFFFF, 0, 0))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes,
+                       0, 0, 0, 0)
+    strl = b"LIST" + struct.pack(
+        "<I", 4 + len(_riff_chunk(b"strh", strh))
+        + len(_riff_chunk(b"strf", strf))) + b"strl" \
+        + _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)
+    hdrl_body = _riff_chunk(b"avih", avih) + strl
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(hdrl_body)) + b"hdrl" \
+        + hdrl_body
+    movi_body = b"".join(_riff_chunk(b"00db", fb) for fb in framebuf)
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" \
+        + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(buf: bytes):
+    """AVI bytes -> (fps, [(h, w, 3) uint8 RGB frames]). Uncompressed
+    BI_RGB 24-bit video only; compressed streams raise."""
+    buf = bytes(buf)
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("avi: not a RIFF/AVI file")
+    w = h = None
+    rate = scale = None
+    frames = []
+
+    def walk(pos, end):
+        nonlocal w, h, rate, scale
+        while pos + 8 <= end:
+            fourcc = buf[pos:pos + 4]
+            ln = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+            data_start = pos + 8
+            if fourcc == b"LIST":
+                walk(data_start + 4, data_start + ln)
+            elif fourcc == b"strh":
+                typ, _handler = buf[data_start:data_start + 4], \
+                    buf[data_start + 4:data_start + 8]
+                if typ == b"vids":
+                    scale, rate = struct.unpack(
+                        "<II", buf[data_start + 20:data_start + 28])
+            elif fourcc == b"strf" and w is None:
+                (_sz, bw, bh, _planes, bits, comp) = struct.unpack(
+                    "<IiiHHI", buf[data_start:data_start + 20])
+                if comp != 0 or bits != 24:
+                    raise NotImplementedError(
+                        f"avi: compression {comp} / {bits}-bit "
+                        "(BI_RGB 24-bit only)")
+                w, h = bw, abs(bh)
+            elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2].isdigit():
+                if w is None:
+                    raise ValueError("avi: frame chunk before strf header")
+                stride = (w * 3 + 3) & ~3
+                if ln != stride * h:
+                    raise ValueError("avi: frame size mismatch")
+                rows = np.frombuffer(buf, np.uint8, stride * h,
+                                     data_start).reshape(h, stride)
+                frames.append(
+                    rows[:, :w * 3].reshape(h, w, 3)[::-1, :, ::-1].copy())
+            pos = data_start + ln + (ln & 1)
+
+    walk(12, len(buf))
+    if not frames:
+        raise ValueError("avi: no video frames found")
+    fps = rate // scale if rate and scale else 0
+    return fps, frames
+
+
+def avi_frame_decoder(every_ms: int = 1000):
+    """REAL video decoder for sample_video_frames: AVI bytes +
+    duration_ms -> [(frame_idx, png_bytes)] sampled one frame per
+    ``every_ms`` (floor(t_ms * fps / 1000) index rule, first frame at
+    t=0). Sampled frames re-encode as PNG so downstream image stages
+    (decode_image_features + png_decoder) compose directly."""
+
+    def decode(b: bytes, duration_ms: int):
+        fps, frames = decode_avi(b)
+        if fps <= 0:
+            raise ValueError("avi: missing frame rate")
+        out = []
+        t = 0
+        while t < max(int(duration_ms), 1):
+            idx = min(t * fps // 1000, len(frames) - 1)
+            out.append((int(idx), encode_png(frames[idx])))
+            t += every_ms
+        return out
+
+    return decode
 
 
 # ------------------------------------------------------------- features

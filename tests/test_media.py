@@ -10,8 +10,9 @@ import numpy as np
 import pytest
 
 from geomesa_spark.operators.media import (
-    block_mean_luminance, decode_png, decode_wav, encode_png, encode_wav,
-    png_decoder, wav_decoder,
+    avi_frame_decoder, block_mean_luminance, decode_avi, decode_png,
+    decode_wav, encode_avi, encode_png, encode_wav, png_decoder,
+    wav_decoder,
 )
 
 
@@ -132,6 +133,36 @@ def test_wav_mono_1d_and_guard():
         w.writeframes(b"\x00" * 10)
     with pytest.raises(NotImplementedError, match="width"):
         decode_wav(bio.getvalue())
+
+
+def test_avi_roundtrip():
+    # w=7 exercises the 4-byte stride padding (7*3=21 -> stride 24)
+    frames = [_rng(20 + i).randint(0, 256, (5, 7, 3), np.uint8)
+              for i in range(4)]
+    fps, back = decode_avi(encode_avi(frames, fps=25))
+    assert fps == 25 and len(back) == 4
+    for f0, f1 in zip(frames, back):
+        assert np.array_equal(f0, f1)
+
+
+def test_avi_guards():
+    with pytest.raises(ValueError, match="RIFF"):
+        decode_avi(b"NOPE" + b"\x00" * 64)
+    buf = bytearray(encode_avi([np.zeros((4, 4, 3), np.uint8)]))
+    # flip biCompression (offset of strf data + 16) to a nonzero codec
+    i = bytes(buf).index(b"strf") + 8 + 16
+    buf[i] = 1
+    with pytest.raises(NotImplementedError, match="compression"):
+        decode_avi(bytes(buf))
+
+
+def test_avi_frame_decoder_sampling():
+    frames = [np.full((4, 4, 3), 10 * i, np.uint8) for i in range(10)]
+    dec = avi_frame_decoder(every_ms=1000)
+    out = dec(encode_avi(frames, fps=5), 2000)  # t = 0ms, 1000ms
+    assert [i for i, _ in out] == [0, 5]
+    for idx, png in out:
+        assert np.array_equal(decode_png(png), frames[idx])
 
 
 def test_block_mean_known_answer():
