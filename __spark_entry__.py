@@ -2669,6 +2669,57 @@ def q_incr_dedup(spark, sf_dir):
             .select("doc_id", "content_hash", "lang", "source"))
 
 
+def q_bloom_probe(spark, sf_dir):
+    """Bloom-filter membership (corpus.bloom_words/bloom_probe — the
+    approximate crawl-frontier seen-set: build once over the seen half,
+    probe later batches map-only with no corpus rescan). Bit positions
+    are sha256 slices (cross-engine hash); the oracle replays the exact
+    word/bit arithmetic in HUGEINT (2^b via exact power-of-two doubles,
+    OR as sum of distinct bit values), so even false positives must
+    match bit-for-bit. Even doc_ids are true members — no false
+    negatives by construction."""
+    from geomesa_spark.operators.corpus import (bloom_dense, bloom_probe,
+                                                bloom_words)
+
+    m, k = 1 << 14, 3
+    docs = _docs(spark, sf_dir)
+    seen = docs.filter(F.col("doc_id") % 2 == 0)
+    dense = bloom_dense(bloom_words(seen, "text", m_bits=m, k=k), m)
+    probed = bloom_probe(docs, "text", dense, k=k)
+    return (probed.groupBy((F.col("doc_id") % 10).alias("bucket"))
+                  .agg(F.count("*").alias("n"),
+                       F.sum(F.col("bloom_hit").cast("long"))
+                        .alias("n_hits")))
+
+
+_SQL_BLOOM_PROBE = """
+    WITH j AS (SELECT * FROM (VALUES (0), (1), (2)) AS t(j)),
+    seen AS (SELECT sha256(text) AS h FROM documents WHERE doc_id % 2 = 0),
+    wb AS (SELECT DISTINCT
+                  (CAST('0x' || substr(h, 1 + 8 * j.j, 8) AS BIGINT)
+                   % 16384) // 64 AS w,
+                  (CAST('0x' || substr(h, 1 + 8 * j.j, 8) AS BIGINT)
+                   % 16384) % 64 AS b
+           FROM seen, j),
+    words AS (SELECT w, sum(CAST(power(2.0, b) AS HUGEINT)) AS bits
+              FROM wb GROUP BY w),
+    probe AS (SELECT d.doc_id,
+                     CAST('0x' || substr(sha256(d.text), 1 + 8 * j.j, 8)
+                          AS BIGINT) % 16384 AS p
+              FROM documents d, j),
+    hits AS (SELECT probe.doc_id,
+                    min(CASE WHEN (coalesce(words.bits, 0)
+                                   // CAST(power(2.0, probe.p % 64) AS HUGEINT))
+                                  % 2 = 1
+                             THEN 1 ELSE 0 END) AS hit
+             FROM probe LEFT JOIN words ON words.w = probe.p // 64
+             GROUP BY probe.doc_id)
+    SELECT doc_id % 10 AS bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(hit) AS BIGINT) AS n_hits
+    FROM hits GROUP BY 1
+"""
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher quality gates (operators/corpus.gopher_quality): word
     count / mean word length / symbol ratio / alpha fraction / stopword
@@ -2793,6 +2844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_feats": q_image_feats,
         "audio_feats": q_audio_feats,
         "video_frames": q_video_frames,
+        "bloom_probe": q_bloom_probe,
         "arrow_export": q_arrow_export,
         "link_hits": q_link_hits,
         "triangles": q_triangles,
@@ -4675,6 +4727,7 @@ def oracle_sql() -> dict[str, str]:
         "image_feats": _SQL_IMAGE_FEATS,
         "audio_feats": _SQL_AUDIO_FEATS,
         "video_frames": _SQL_VIDEO_FRAMES,
+        "bloom_probe": _SQL_BLOOM_PROBE,
         "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),
         # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,

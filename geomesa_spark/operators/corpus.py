@@ -53,6 +53,7 @@ __all__ = [
     "gopher_quality", "chunk_text", "quality_classifier",
     "extract_html_text", "html_escape", "wrap_html",
     "extract_links", "url_host",
+    "bloom_words", "bloom_dense", "bloom_probe",
 ]
 
 
@@ -1002,6 +1003,73 @@ def cut_spans(docs: DataFrame, spans: DataFrame, id_col: str,
                         F.size(words).cast("long").alias("n_words"),
                         (F.size(words) - F.size(keep)).cast("long")
                          .alias("n_cut")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership — the crawl-frontier / seen-URL set
+
+def _bloom_positions(col: Column, m_bits: int, k: int) -> list:
+    """k bit positions for a string value: disjoint 8-hex-char slices of
+    sha256 (a hash BOTH engines implement identically, the hash_attr
+    convention) mod m_bits. Independent-enough hashes without any
+    engine-specific mixer."""
+    if k < 1 or k > 8:
+        raise ValueError(f"bloom: k must be in 1..8 (got {k})")
+    if m_bits < 64 or m_bits % 64:
+        raise ValueError(f"bloom: m_bits must be a multiple of 64 (got {m_bits})")
+    h = F.sha2(col.cast("string"), 256)
+    return [F.conv(F.substring(h, 1 + 8 * j, 8), 16, 10).cast("long")
+            % F.lit(m_bits) for j in range(k)]
+
+
+def bloom_words(df: DataFrame, col: str, m_bits: int = 1 << 20,
+                k: int = 3) -> DataFrame:
+    """Build a Bloom filter over ``df[col]`` as its nonzero 64-bit words:
+    ``(word:int, bits:long)``. The membership structure for incremental
+    crawl-frontier dedup: probing a later batch against it needs no scan
+    of the original corpus (the approximate twin of
+    ``incremental_dedup``'s exact digest index; no false negatives,
+    false-positive rate ~ (1 - e^(-k*n/m))^k).
+
+    Scale shape: explode to k 16-byte (word, bitval) rows, ONE combining
+    bit_or agg -> at most m_bits/64 rows out, regardless of corpus size.
+    Everything stays in whole-stage codegen (sha2/conv/shift exprs)."""
+    pos = _bloom_positions(F.col(col), m_bits, k)
+    pairs = df.select(F.explode(F.array(*pos)).alias("__bp__"))
+    word = F.col("__bp__").cast("long")
+    bv = F.call_function("shiftleft", F.lit(1).cast("long"),
+                         (word % 64).cast("int"))
+    return (pairs.select((word / 64).cast("int").alias("word"),
+                         bv.alias("__bv__"))
+                 .groupBy("word").agg(F.bit_or("__bv__").alias("bits")))
+
+
+def bloom_dense(words_df: DataFrame, m_bits: int) -> list:
+    """Collect a bloom_words result to the dense word list (length
+    m_bits/64) for broadcasting into probes. Bounded by m_bits, never by
+    data size."""
+    dense = [0] * (m_bits // 64)
+    for r in words_df.collect():
+        dense[r["word"]] = r["bits"]
+    return dense
+
+
+def bloom_probe(df: DataFrame, col: str, dense_words: list, k: int = 3,
+                hit_col: str = "bloom_hit") -> DataFrame:
+    """Test each row's ``col`` against a dense Bloom word list (from
+    bloom_dense): adds ``hit_col`` boolean. Map-only and shuffle-free —
+    the filter ships as an array literal in the plan (broadcast-sized:
+    m_bits/64 longs). A hit may be a false positive; a miss is definite.
+    """
+    m_bits = 64 * len(dense_words)
+    arr = F.lit(dense_words)
+    hit = F.lit(True)
+    for p in _bloom_positions(F.col(col), m_bits, k):
+        w = F.element_at(arr, (p / 64).cast("int") + 1)
+        bit = F.call_function("shiftright", w, (p % 64).cast("int")) \
+            .bitwiseAND(F.lit(1).cast("long"))
+        hit = hit & (bit == 1)
+    return df.withColumn(hit_col, hit)
 
 
 def _token_count(text_col: str) -> Column:

@@ -973,3 +973,37 @@ def test_bpe_argmax_plan_is_take_ordered(spark):
     top = words.orderBy(F.desc("freq"), F.asc("word")).limit(1)
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_membership(spark):
+    """No false negatives; dense size bounded by m_bits; probe plan is
+    map-only (no Exchange — the 100 TB frontier-probe contract)."""
+    from geomesa_spark.operators.corpus import (bloom_dense, bloom_probe,
+                                                bloom_words)
+
+    m, k = 1 << 10, 3
+    seen = spark.range(500).select(
+        F.format_string("https://seen%d.example/", "id").alias("u"))
+    dense = bloom_dense(bloom_words(seen, "u", m_bits=m, k=k), m)
+    assert len(dense) == m // 64
+    probed = bloom_probe(seen, "u", dense, k=k)
+    assert probed.filter(~F.col("bloom_hit")).count() == 0  # no false negs
+    fresh = spark.range(2000).select(
+        F.format_string("https://fresh%d.example/", "id").alias("u"))
+    fp = bloom_probe(fresh, "u", dense, k=k) \
+        .filter(F.col("bloom_hit")).count()
+    # fp rate at n=500, m=1024, k=3 is ~0.19; deterministic given sha256
+    assert fp < 2000 * 0.5
+    plan = bloom_probe(fresh, "u", dense, k=k) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_bloom_guards(spark):
+    from geomesa_spark.operators.corpus import bloom_words
+
+    df = spark.range(3).select(F.col("id").cast("string").alias("u"))
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_words(df, "u", m_bits=100)
+    with pytest.raises(ValueError, match="k must"):
+        bloom_words(df, "u", k=0)
