@@ -409,3 +409,55 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(ValueError):
         stream_interval_join(ls, ls, "l_ts", "l_ts", 30)
+
+
+def test_stream_ingest_indexed(spark, tmp_path):
+    """Streaming ingest -> z2 store: content equals a batch write_indexed
+    of the same rows, bbox_query pruning still works, per-batch lineage
+    manifests carry counts + cell histograms, and a replayed batch_id is
+    an idempotent no-op."""
+    import json
+
+    from geomesa_spark.plans.store import bbox_query, read_indexed
+    from geomesa_spark.streaming.ingest import (_batch_writer,
+                                                ingest_manifests,
+                                                stream_ingest_indexed)
+
+    src = str(tmp_path / "pts_src")
+    os.makedirs(src)
+    rows1 = [{"pid": i, "lon": float(i % 60) - 30.0,
+              "lat": float(i % 40) - 20.0} for i in range(200)]
+    rows2 = [{"pid": 200 + i, "lon": 100.0 + i * 0.1, "lat": 45.0}
+             for i in range(50)]
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows1))
+    with open(os.path.join(src, "b1.json"), "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows2))
+
+    store = str(tmp_path / "live_store")
+    q = stream_ingest_indexed(
+        spark.readStream.schema("pid long, lon double, lat double")
+             .option("maxFilesPerTrigger", 1).json(src),
+        store, checkpoint=str(tmp_path / "ckpt"),
+        trigger={"availableNow": True})
+    q.awaitTermination(60)
+    q.stop()
+
+    got = read_indexed(spark, store)
+    assert got.count() == 250
+    mans = ingest_manifests(store)
+    assert sum(m["row_count"] for m in mans) == 250
+    assert all(m["cell_histogram"] for m in mans)
+
+    # pruned bbox query over the live store: equals the plain filter
+    want = sorted(r["pid"] for r in got.collect()
+                  if -10 <= r["lon"] <= 10 and -5 <= r["lat"] <= 5)
+    res = sorted(r["pid"] for r in
+                 bbox_query(spark, store, -10, -5, 10, 5).collect())
+    assert res == want and len(res) > 0
+
+    # replaying an already-manifested batch id is a no-op
+    writer = _batch_writer(store, "lon", "lat", 2, 64)
+    replay = spark.createDataFrame(rows1[:5])
+    writer(replay, mans[0]["batch_id"])
+    assert read_indexed(spark, store).count() == 250
