@@ -226,10 +226,11 @@ def decode_avi(buf: bytes):
         raise ValueError("avi: not a RIFF/AVI file")
     w = h = None
     rate = scale = None
+    in_vids = False
     frames = []
 
     def walk(pos, end):
-        nonlocal w, h, rate, scale
+        nonlocal w, h, rate, scale, in_vids
         while pos + 8 <= end:
             fourcc = buf[pos:pos + 4]
             ln = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
@@ -237,19 +238,22 @@ def decode_avi(buf: bytes):
             if fourcc == b"LIST":
                 walk(data_start + 4, data_start + ln)
             elif fourcc == b"strh":
-                typ, _handler = buf[data_start:data_start + 4], \
-                    buf[data_start + 4:data_start + 8]
-                if typ == b"vids":
+                typ = buf[data_start:data_start + 4]
+                in_vids = typ == b"vids"
+                if in_vids:
                     scale, rate = struct.unpack(
                         "<II", buf[data_start + 20:data_start + 28])
-            elif fourcc == b"strf" and w is None:
+            elif fourcc == b"strf" and in_vids and w is None:
                 (_sz, bw, bh, _planes, bits, comp) = struct.unpack(
                     "<IiiHHI", buf[data_start:data_start + 20])
                 if comp != 0 or bits != 24:
                     raise NotImplementedError(
                         f"avi: compression {comp} / {bits}-bit "
                         "(BI_RGB 24-bit only)")
-                w, h = bw, abs(bh)
+                if bh < 0:
+                    raise NotImplementedError(
+                        "avi: top-down DIB (negative biHeight)")
+                w, h = bw, bh
             elif fourcc[2:4] in (b"db", b"dc") and fourcc[:2].isdigit():
                 if w is None:
                     raise ValueError("avi: frame chunk before strf header")

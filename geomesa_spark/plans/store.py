@@ -56,16 +56,25 @@ def z2_hex_udf():
     return enc
 
 
+def z2_keyed(df: DataFrame, x: str = "lon", y: str = "lat",
+             digits: int = 2) -> DataFrame:
+    """Attach THE store key columns (z2_hex + z2_p hive partition) —
+    the single definition of the store layout, shared by the batch
+    writer below and streaming/ingest.stream_ingest_indexed so the two
+    write paths can never drift."""
+    enc = z2_hex_udf()
+    return (df.withColumn("z2_hex", enc(F.col(x), F.col(y)))
+              .withColumn("z2_p", F.substring("z2_hex", 1, digits)))
+
+
 def write_indexed(df: DataFrame, path: str, x: str = "lon", y: str = "lat",
                   digits: int = 2) -> None:
     """Write a point DataFrame as a z2-partitioned parquet store.
 
     digits=2 -> up to 256 partitions (bits = 4*digits of z-prefix).
     """
-    enc = z2_hex_udf()
-    out = (df.withColumn("z2_hex", enc(F.col(x), F.col(y)))
-             .withColumn("z2_p", F.substring("z2_hex", 1, digits)))
-    out.write.mode("overwrite").partitionBy("z2_p").parquet(path)
+    z2_keyed(df, x, y, digits).write.mode("overwrite") \
+        .partitionBy("z2_p").parquet(path)
 
 
 def read_indexed(spark, path: str) -> DataFrame:

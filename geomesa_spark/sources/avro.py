@@ -40,7 +40,6 @@ import os
 import struct
 import zlib
 
-import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -232,6 +231,15 @@ def read_avro(spark, path: str, schema: dict | None = None) -> DataFrame:
             cands = sorted(glob.glob(os.path.join(path, "*")))
         else:
             cands = sorted(glob.glob(path)) or [path]
+        # match binaryFile's own listing rules: plain files only, no
+        # _SUCCESS/.crc markers (which would fail the magic check)
+        cands = [c for c in cands
+                 if os.path.isfile(c)
+                 and not os.path.basename(c).startswith(("_", "."))]
+        if not cands:
+            raise ValueError(
+                f"avro: no data files under {path!r} to infer the schema "
+                "from — pass schema= explicitly")
         with open(cands[0], "rb") as f:
             schema, _, _, _ = _header(f.read(1 << 16))
     ddl = avro_spark_schema(schema)
@@ -298,13 +306,17 @@ def _encoder(t):
         branches = [(i, _norm_type(b)[0], _encoder(b))
                     for i, b in enumerate(node)]
         null_i = next((i for i, k, _ in branches if k == "null"), None)
+        non_null = [br for br in branches if br[1] != "null"]
+        if len(non_null) != 1:
+            # same contract as avro_spark_schema: no silent branch pick
+            raise NotImplementedError(f"avro: multi-branch union {node!r}")
 
         def enc_union(v):
             if v is None:
                 if null_i is None:
                     raise ValueError("avro: None for non-nullable union")
                 return _enc_long(null_i)
-            i, _, enc = next(br for br in branches if br[1] != "null")
+            i, _, enc = non_null[0]
             return _enc_long(i) + enc(v)
         return enc_union
     if kind == "array":

@@ -461,3 +461,14 @@ def test_stream_ingest_indexed(spark, tmp_path):
     replay = spark.createDataFrame(rows1[:5])
     writer(replay, mans[0]["batch_id"])
     assert read_indexed(spark, store).count() == 250
+
+    # crash window: data published but manifest lost -> replay with the
+    # same rows must REPLACE its earlier files, not duplicate them
+    m0 = mans[0]
+    os.remove(os.path.join(store, "_stream_manifests",
+                           f"batch-{m0['batch_id']}.json"))
+    same_rows = rows1 if m0["row_count"] == len(rows1) else rows2
+    writer(spark.createDataFrame(same_rows), m0["batch_id"])
+    assert read_indexed(spark, store).count() == 250
+    mans2 = ingest_manifests(store)
+    assert sum(m["row_count"] for m in mans2) == 250
