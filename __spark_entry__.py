@@ -2763,6 +2763,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # so the 52 never-driver-graded keys are rotated to the front for round 3 (the
 # code behind every key is unchanged and mirror-green via
 # tests/test_entry_oracle.py — this only controls which rows the driver grades).
+#
+# ROUND-4 ROTATION NOTE: assuming r03 grades the first 50 of this list, the
+# still-never-graded set going into round 4 is the TAIL of this list from
+# "store_s3" on (17 keys) PLUS the queries added after the r03 rotation:
+# avro_read, image_feats, audio_feats, video_frames, bloom_probe (and any
+# added later — diff queries() against the union of CORRECTNESS_r0*.json).
+# Rebuild this list with that set at the front at the start of round 4.
 _NEVER_GRADED_R3 = [
     "minhash_pairs", "simhash_pairs", "lsh_ann", "ivf_ann", "sketches",
     "geoparse_pages", "store_bbox", "store_stbox", "store_xz2", "store_s2",

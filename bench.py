@@ -69,10 +69,19 @@ def _pip_job(spark, n_pages: int, n_polys: int) -> tuple[float, float, int]:
 
     parts = max(spark.sparkContext.defaultParallelism * 2, 8)
     pages = generate_pages(spark, n_pages, partitions=parts)
-    t0 = time.time()
-    pts = geoparse(pages).select("url", "lon", "lat").cache()
-    pts.count()
-    ingest = time.time() - t0
+    # min-of-2 (same round-3 protocol as the headline queries): rep 1
+    # pays Python-worker spawn + codegen compile, which measured 3-50 s
+    # of pure session/box state on identical code (BENCH.md round-3
+    # ingest-variance note); the min is the reproducible number.
+    ingest = float("inf")
+    pts = None
+    for _ in range(2):
+        if pts is not None:
+            pts.unpersist()
+        pts = geoparse(pages).select("url", "lon", "lat").cache()
+        t0 = time.time()
+        pts.count()
+        ingest = min(ingest, time.time() - t0)
     polys = generate_polys(spark, n_polys)
     t0 = time.time()
     n = pip_join(pts, polys, "lon", "lat", "geom",

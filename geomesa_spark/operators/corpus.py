@@ -1054,15 +1054,43 @@ def bloom_dense(words_df: DataFrame, m_bits: int) -> list:
     return dense
 
 
-def bloom_probe(df: DataFrame, col: str, dense_words: list, k: int = 3,
-                hit_col: str = "bloom_hit") -> DataFrame:
-    """Test each row's ``col`` against a dense Bloom word list (from
-    bloom_dense): adds ``hit_col`` boolean. Map-only and shuffle-free —
-    the filter ships as an array literal in the plan (broadcast-sized:
-    m_bits/64 longs). A hit may be a false positive; a miss is definite.
-    """
-    m_bits = 64 * len(dense_words)
-    arr = F.lit(dense_words)
+def bloom_probe(df: DataFrame, col: str, words, k: int = 3,
+                hit_col: str = "bloom_hit", m_bits: int | None = None
+                ) -> DataFrame:
+    """Test each row's ``col`` against a Bloom filter: adds ``hit_col``
+    boolean. A hit may be a false positive; a miss is definite.
+
+    ``words`` is either the dense word list from ``bloom_dense`` (small
+    filters: ships as an array literal in the plan — keep under ~2^16
+    bits or the literal bloats codegen) or the ``bloom_words`` DataFrame
+    itself (the scale path: k BROADCAST hash left-joins on the word
+    index, one per hash — still shuffle-free on the probe side, and the
+    filter size is bounded by executor broadcast memory, not plan size;
+    ``m_bits`` is required in this mode)."""
+    if isinstance(words, DataFrame):
+        if m_bits is None:
+            raise ValueError("bloom_probe: m_bits is required when words "
+                             "is a DataFrame")
+        reserved = {c for c in df.columns if c.startswith("__blm")}
+        if reserved:
+            raise ValueError(f"bloom_probe: reserved columns {reserved}")
+        out = df
+        hit = F.lit(True)
+        for j, p in enumerate(_bloom_positions(F.col(col), m_bits, k)):
+            w = F.broadcast(words.select(
+                F.col("word").alias(f"__blmw{j}__"),
+                F.col("bits").alias(f"__blmb{j}__")))
+            out = out.withColumn(f"__blmw{j}__", (p / 64).cast("int")) \
+                     .join(w, f"__blmw{j}__", "left")
+            bit = F.call_function(
+                "shiftright", F.coalesce(F.col(f"__blmb{j}__"), F.lit(0)),
+                (p % 64).cast("int")).bitwiseAND(F.lit(1).cast("long"))
+            hit = hit & (bit == 1)
+        return out.withColumn(hit_col, hit) \
+                  .drop(*[c for j in range(k)
+                          for c in (f"__blmw{j}__", f"__blmb{j}__")])
+    m_bits = 64 * len(words)
+    arr = F.lit(words)
     hit = F.lit(True)
     for p in _bloom_positions(F.col(col), m_bits, k):
         w = F.element_at(arr, (p / 64).cast("int") + 1)

@@ -1007,3 +1007,36 @@ def test_bloom_guards(spark):
         bloom_words(df, "u", m_bits=100)
     with pytest.raises(ValueError, match="k must"):
         bloom_words(df, "u", k=0)
+
+
+def test_bloom_probe_broadcast_join_mode(spark):
+    """DataFrame-words mode (the large-m scale path): same answers as
+    the literal path, k BroadcastHashJoins, zero shuffle joins, and the
+    reserved-name guard."""
+    from geomesa_spark.operators.corpus import (bloom_dense, bloom_probe,
+                                                bloom_words)
+
+    m, k = 1 << 10, 3
+    seen = spark.range(300).select(
+        F.format_string("https://seen%d.example/", "id").alias("u"))
+    wdf = bloom_words(seen, "u", m_bits=m, k=k)
+    dense = bloom_dense(wdf, m)
+    cand = spark.range(800).select(
+        F.format_string("https://c%d.example/", "id").alias("u"))
+    lit_hits = sorted(r["u"] for r in bloom_probe(cand, "u", dense, k=k)
+                      .filter("bloom_hit").collect())
+    df_hits = sorted(r["u"] for r in
+                     bloom_probe(cand, "u", wdf, k=k, m_bits=m)
+                     .filter("bloom_hit").collect())
+    assert lit_hits == df_hits
+    assert bloom_probe(seen, "u", wdf, k=k, m_bits=m) \
+        .filter(~F.col("bloom_hit")).count() == 0
+    plan = bloom_probe(cand, "u", wdf, k=k, m_bits=m) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == k
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    with pytest.raises(ValueError, match="m_bits"):
+        bloom_probe(cand, "u", wdf, k=k)
+    with pytest.raises(ValueError, match="reserved"):
+        bloom_probe(cand.withColumn("__blmw0__", F.lit(1)), "u", wdf,
+                    k=k, m_bits=m)
