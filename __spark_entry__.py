@@ -2652,6 +2652,84 @@ def q_html_extract(spark, sf_dir):
         extract_html_text(F.col("html").cast("binary")).alias("text_out"))
 
 
+def q_main_content(spark, sf_dir):
+    """jusText-style main-content extraction
+    (operators/corpus.extract_main_content): documents wrapped in a
+    messy template whose body carries a nav, the real paragraph, a
+    link-farm div (long enough to pass min_chars but dropped by the
+    exact-integer link-density rule), a too-short block, and a footer.
+    Oracle replays the full chain — boilerplate strip, block split,
+    per-block visibility, anchor-text length fold, keep rule, ordered
+    newline join — in DuckDB (shared Java∩RE2 dialect); string equality
+    certifies the classifier end-to-end."""
+    from geomesa_spark.operators.corpus import (extract_main_content,
+                                                html_escape)
+
+    docs = _docs(spark, sf_dir)
+    page = F.concat(
+        F.lit('<html><head><title>t</title></head><body>'
+              '<nav><a href="/">HomeHomeHomeHome</a></nav>'
+              '<p>'), html_escape(F.col("text")), F.lit(
+            '</p>'
+            '<div><a href="/a">aaaaaaaaaa</a> <a href="/b">bbbbbbbbbb</a>'
+            ' <a href="/c">cccccccccc</a></div>'
+            '<p>ok</p>'
+            '<footer>copyright notice</footer></body></html>'))
+    pages = docs.select("doc_id", page.alias("html"))
+    return pages.select(
+        "doc_id", extract_main_content(F.col("html")).alias("main"))
+
+
+def _sql_main_content() -> str:
+    """DuckDB mirror of extract_main_content over the q_main_content
+    template (identical regexes — the Java∩RE2 shared dialect)."""
+    from geomesa_spark.operators.corpus import (_ANCHOR_INNER, _BLOCK_SPLIT,
+                                                _HTML_BLOCK_TAGS)
+
+    def vis(x: str) -> str:
+        s = f"regexp_replace({x}, '(?s)<[^>]*>', ' ', 'g')"
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&#39;", "''"), ("&nbsp;", " "), ("&amp;", "&")):
+            s = f"replace({s}, '{ent}', '{ch}')"
+        return f"trim(regexp_replace({s}, '[ \t\n\r]+', ' ', 'g'))"
+
+    strip = "regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g')"
+    for tag in _HTML_BLOCK_TAGS:
+        strip = (f"regexp_replace({strip}, "
+                 f"'(?is)<{tag}\\b[^>]*>.*?</{tag}>', ' ', 'g')")
+    anchors_len = ("coalesce(list_reduce(list_prepend(0, list_transform("
+                   f"regexp_extract_all(blk, '{_ANCHOR_INNER}', 1), "
+                   f"a -> length({vis('a')}))), (x, y) -> x + y), 0)")
+    return f"""
+        WITH p AS (SELECT doc_id,
+            '<html><head><title>t</title></head><body>'
+            || '<nav><a href="/">HomeHomeHomeHome</a></nav>'
+            || '<p>' || replace(replace(replace(text, '&', '&amp;'),
+                                '<', '&lt;'), '>', '&gt;') || '</p>'
+            || '<div><a href="/a">aaaaaaaaaa</a> <a href="/b">bbbbbbbbbb</a>'
+            || ' <a href="/c">cccccccccc</a></div>'
+            || '<p>ok</p>'
+            || '<footer>copyright notice</footer></body></html>' AS html
+            FROM documents),
+        s AS (SELECT doc_id,
+                     string_split_regex({strip}, '{_BLOCK_SPLIT}') AS blks
+              FROM p),
+        b AS (SELECT doc_id, CAST(u.i AS BIGINT) AS i,
+                     list_extract(blks, CAST(u.i AS BIGINT)) AS blk
+              FROM s, unnest(range(1, len(blks) + 1)) AS u(i)),
+        v AS (SELECT doc_id, i, {vis('blk')} AS vis,
+                     {anchors_len} AS link_len
+              FROM b)
+        SELECT doc_id,
+               coalesce(string_agg(CASE WHEN length(vis) >= 25
+                                         AND link_len * 1000
+                                             <= length(vis) * 300
+                                        THEN vis END, chr(10) ORDER BY i),
+                        '') AS main
+        FROM v GROUP BY doc_id
+    """
+
+
 def q_incr_dedup(spark, sf_dir):
     """Incremental exact dedup (operators/corpus.incremental_dedup):
     docs with doc_id%3==0 play the already-ingested corpus (digest
@@ -2852,6 +2930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_feats": q_audio_feats,
         "video_frames": q_video_frames,
         "bloom_probe": q_bloom_probe,
+        "main_content": q_main_content,
         "arrow_export": q_arrow_export,
         "link_hits": q_link_hits,
         "triangles": q_triangles,
@@ -4735,6 +4814,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_feats": _SQL_AUDIO_FEATS,
         "video_frames": _SQL_VIDEO_FRAMES,
         "bloom_probe": _SQL_BLOOM_PROBE,
+        "main_content": _sql_main_content(),
         "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),
         # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,

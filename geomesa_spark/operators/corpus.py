@@ -51,7 +51,7 @@ __all__ = [
     "bigram_logprob", "collocations",
     "pack_sequences", "redact_pii", "pii_stats", "incremental_dedup",
     "gopher_quality", "chunk_text", "quality_classifier",
-    "extract_html_text", "html_escape", "wrap_html",
+    "extract_html_text", "extract_main_content", "html_escape", "wrap_html",
     "extract_links", "url_host",
     "bloom_words", "bloom_dense", "bloom_probe",
 ]
@@ -99,6 +99,60 @@ def extract_html_text(html: Column) -> Column:
     for ent, ch in _HTML_ENTITIES:
         s = F.replace(s, F.lit(ent), F.lit(ch))
     return F.trim(F.regexp_replace(s, _WS_RUN, " "))
+
+
+_BLOCK_SPLIT = (r"(?is)</?(?:p|div|h[1-6]|li|ul|ol|td|tr|table|article|"
+                r"section|header|blockquote|br)[^>]*>")
+_ANCHOR_INNER = r"(?is)<a\b[^>]*>(.*?)</a>"
+
+
+def _visible(block: Column) -> Column:
+    """Block html -> trimmed visible text (tags to spaces, minimal
+    entities, whitespace collapsed) — the per-block twin of
+    extract_html_text steps 2-4."""
+    s = F.regexp_replace(block, _HTML_TAG, " ")
+    for ent, ch in _HTML_ENTITIES:
+        s = F.replace(s, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(s, _WS_RUN, " "))
+
+
+def extract_main_content(html: Column, min_chars: int = 25,
+                         max_link_ppt: int = 300) -> Column:
+    """jusText/trafilatura-family main-content extraction as a pure JVM
+    higher-order-expression chain (map-only, shuffle-free):
+
+    1. drop comments + always-boilerplate containers (script/style/
+       head/nav/footer/aside, content included);
+    2. split what remains into candidate blocks at block-level tag
+       boundaries;
+    3. per block, compute the visible text and the visible text of its
+       ``<a>`` anchors;
+    4. keep a block iff ``len(visible) >= min_chars`` AND its link
+       density ``len(anchor_text)/len(visible) <= max_link_ppt/1000``
+       (exact integer cross-multiplication — no float compare);
+    5. join kept blocks with a newline.
+
+    This is the block-classification step the flat
+    ``extract_html_text`` doesn't do: link farms, related-links lists
+    and button rows inside the body are dropped even though they are
+    not in a named boilerplate container. Patterns live in the
+    Java-regex ∩ RE2 dialect subset so DuckDB replays them verbatim.
+    """
+    s = html.cast("string")
+    s = F.regexp_replace(s, _HTML_COMMENT, " ")
+    for tag in _HTML_BLOCK_TAGS:
+        s = F.regexp_replace(s, rf"(?is)<{tag}\b[^>]*>.*?</{tag}>", " ")
+    blocks = F.split(s, _BLOCK_SPLIT)
+    kept = F.filter(
+        F.transform(blocks, _visible),
+        lambda v, i: (F.length(v) >= min_chars)
+        & (F.aggregate(
+            F.regexp_extract_all(F.element_at(blocks, i + 1),
+                                 F.lit(_ANCHOR_INNER), F.lit(1)),
+            F.lit(0),
+            lambda acc, a: acc + F.length(_visible(a))) * 1000
+           <= F.length(v) * max_link_ppt))
+    return F.array_join(kept, "\n")
 
 
 def url_host(url: Column) -> Column:

@@ -1040,3 +1040,32 @@ def test_bloom_probe_broadcast_join_mode(spark):
     with pytest.raises(ValueError, match="reserved"):
         bloom_probe(cand.withColumn("__blmw0__", F.lit(1)), "u", wdf,
                     k=k, m_bits=m)
+
+
+def test_extract_main_content(spark):
+    """Block classification: good paragraph kept; link farm dropped by
+    link density (even though long enough); short block dropped by
+    min_chars; nav/footer dropped wholesale; plan stays map-only."""
+    from geomesa_spark.operators.corpus import extract_main_content
+
+    body = ("<html><head><title>t</title></head><body>"
+            "<nav><a href='/'>HomeHomeHomeHomeHomeHomeHome</a></nav>"
+            "<p>This is the actual article text, long enough to keep "
+            "and with <a href='/x'>one link</a> inside.</p>"
+            "<div><a href='/a'>aaaaaaaaaa</a> <a href='/b'>bbbbbbbbbb</a> "
+            "<a href='/c'>cccccccccc</a></div>"
+            "<p>ok</p>"
+            "<footer>copyright notice</footer></body></html>")
+    df = spark.createDataFrame([(1, body)], "id long, html string")
+    [row] = df.select(extract_main_content(F.col("html")).alias("m")) \
+              .collect()
+    assert row["m"] == ("This is the actual article text, long enough "
+                        "to keep and with one link inside.")
+    # all-boilerplate page -> empty string, not null
+    junk = "<html><body><nav><a href='/'>x</a></nav><p>hi</p></body></html>"
+    [r2] = spark.createDataFrame([(1, junk)], "id long, html string") \
+        .select(extract_main_content(F.col("html")).alias("m")).collect()
+    assert r2["m"] == ""
+    plan = df.select(extract_main_content(F.col("html")))._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
