@@ -2798,6 +2798,103 @@ _SQL_BLOOM_PROBE = """
 """
 
 
+_ROBOTS_BODIES = [
+    # longest-match: /p1 blocked except the /p12 subtree
+    "# crawl policy\nUser-agent: *\nDisallow: /p1\nAllow: /p12\nDisallow:",
+    # non-star section only -> nothing applies to us
+    "User-agent: bot\nDisallow: /",
+    # tie on /p -> allow wins; /q never matches
+    "User-agent: *\nUser-agent: bot\nDisallow: /p\nAllow: /p\nDisallow: /q",
+    # no rules at all
+    "",
+]
+
+
+def q_robots(spark, sf_dir):
+    """robots.txt crawl-permission filtering (corpus.robots_rules +
+    robots_filter — REP subset: * sections, literal prefixes,
+    longest-match, allow-wins-ties): 40 hosts cycle through 4 policy
+    shapes (longest-match override, non-star-only, tie, empty), 4000
+    urls filtered. Oracle replays BOTH halves in SQL — the
+    gaps-and-islands section parse (lag + running sum) and the
+    longest-match precedence (row_number) — so equality certifies
+    grammar handling and rule application end-to-end."""
+    from geomesa_spark.operators.corpus import robots_filter, robots_rules
+
+    hosts = spark.range(40).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example")).alias("host"),
+        F.element_at(F.array(*[F.lit(b) for b in _ROBOTS_BODIES]),
+                     (F.col("id") % 4 + 1).cast("int")).alias("robots"))
+    rules = robots_rules(hosts)
+    urls = spark.range(4000).select(
+        (F.col("id") % 40).alias("hid"),
+        F.concat(F.lit("https://h"), F.col("id") % 40,
+                 F.lit(".example/p"), (F.col("id") / 40).cast("long") % 20
+                 ).alias("url"))
+    out = robots_filter(urls, rules)
+    return (out.groupBy("hid")
+               .agg(F.count("*").alias("n"),
+                    F.sum(F.col("allowed").cast("long")).alias("n_allowed")))
+
+
+def _sql_robots() -> str:
+    bodies = " ".join(
+        f"WHEN {j} THEN '{b}'".replace("\n", "' || chr(10) || '")
+        for j, b in enumerate(_ROBOTS_BODIES))
+    return f"""
+        WITH h AS (SELECT CAST(u.i AS BIGINT) AS i,
+                          'h' || u.i || '.example' AS host,
+                          CASE u.i % 4 {bodies} END AS robots
+                   FROM unnest(range(0, 40)) AS u(i)),
+        ls AS (SELECT host, string_split_regex(robots, '\r?\n') AS arr
+               FROM h),
+        lines AS (SELECT host, CAST(u.i AS BIGINT) AS idx,
+                         trim(regexp_replace(
+                             list_extract(arr, CAST(u.i AS BIGINT)),
+                             '#.*', '')) AS body
+                  FROM ls, unnest(range(1, len(arr) + 1)) AS u(i)),
+        p AS (SELECT host, idx,
+                     lower(regexp_extract(body, '^([A-Za-z-]+)\\s*:', 1)) AS d,
+                     trim(regexp_extract(body, '^[A-Za-z-]+\\s*:(.*)$', 1)) AS v
+              FROM lines),
+        p2 AS (SELECT host, idx, d, v,
+                      CASE WHEN d = 'user-agent' AND coalesce(
+                               lag(CASE WHEN d = 'user-agent' THEN 1
+                                        ELSE 0 END)
+                               OVER (PARTITION BY host ORDER BY idx),
+                               0) = 0
+                           THEN 1 ELSE 0 END AS rs
+               FROM p),
+        seg AS (SELECT host, idx, d, v,
+                       sum(rs) OVER (PARTITION BY host ORDER BY idx
+                                     ROWS UNBOUNDED PRECEDING) AS seg
+                FROM p2),
+        star AS (SELECT DISTINCT host, seg FROM seg
+                 WHERE d = 'user-agent' AND v = '*'),
+        rules AS (SELECT s.host, s.d = 'allow' AS allow, s.v AS prefix,
+                         length(s.v) AS plen
+                  FROM seg s JOIN star USING (host, seg)
+                  WHERE s.d IN ('allow', 'disallow') AND s.v <> ''),
+        urls AS (SELECT CAST(u.i AS BIGINT) AS i, u.i % 40 AS hid,
+                        'h' || (u.i % 40) || '.example' AS host,
+                        '/p' || ((u.i // 40) % 20) AS path
+                 FROM unnest(range(0, 4000)) AS u(i)),
+        m AS (SELECT urls.i, urls.hid, r.allow,
+                     row_number() OVER (
+                         PARTITION BY urls.i
+                         ORDER BY coalesce(r.plen, -1) DESC,
+                                  coalesce(CAST(r.allow AS INT), 1) DESC)
+                         AS rn
+              FROM urls LEFT JOIN rules r
+                   ON r.host = urls.host
+                  AND starts_with(urls.path, r.prefix))
+        SELECT hid, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN coalesce(allow, true) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_allowed
+        FROM m WHERE rn = 1 GROUP BY hid
+    """
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher quality gates (operators/corpus.gopher_quality): word
     count / mean word length / symbol ratio / alpha fraction / stopword
@@ -2931,6 +3028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_frames": q_video_frames,
         "bloom_probe": q_bloom_probe,
         "main_content": q_main_content,
+        "robots": q_robots,
         "arrow_export": q_arrow_export,
         "link_hits": q_link_hits,
         "triangles": q_triangles,
@@ -4815,6 +4913,7 @@ def oracle_sql() -> dict[str, str]:
         "video_frames": _SQL_VIDEO_FRAMES,
         "bloom_probe": _SQL_BLOOM_PROBE,
         "main_content": _sql_main_content(),
+        "robots": _sql_robots(),
         "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),
         # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,

@@ -54,6 +54,7 @@ __all__ = [
     "extract_html_text", "extract_main_content", "html_escape", "wrap_html",
     "extract_links", "url_host",
     "bloom_words", "bloom_dense", "bloom_probe",
+    "robots_rules", "robots_filter",
 ]
 
 
@@ -1057,6 +1058,101 @@ def cut_spans(docs: DataFrame, spans: DataFrame, id_col: str,
                         F.size(words).cast("long").alias("n_words"),
                         (F.size(words) - F.size(keep)).cast("long")
                          .alias("n_cut")))
+
+
+# ---------------------------------------------------------------------------
+# robots.txt — Robots Exclusion Protocol (crawl-permission filtering)
+
+def robots_rules(robots: DataFrame, host_col: str = "host",
+                 robots_col: str = "robots") -> DataFrame:
+    """Parse robots.txt bodies into ``(host, allow:boolean, prefix,
+    plen)`` rules for the ``*`` user-agent — the 1994 REP subset
+    (literal path prefixes; ``*``/``$`` wildcard extensions are out of
+    scope and their rules are still collected as literal prefixes,
+    documented).
+
+    Grammar handling is the gaps-and-islands trick: a GROUP is a run of
+    consecutive ``User-agent`` lines plus the rule lines that follow it
+    (until the next such run) — one lag + running-sum window per host,
+    then a per-group "does it name *" max. Empty-path rules are dropped
+    (``Disallow:`` with no value means allow-all per spec). Comments
+    (#...) and unknown directives are ignored.
+
+    Scale shape: robots bodies are per-host tiny; everything here is
+    one window shuffle keyed by host + a combining agg — the output
+    rule table is what ``robots_filter`` broadcasts."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), "\r?\n"))
+         .alias("idx", "line"))
+    # strip comments, then "Directive: value"
+    body = F.trim(F.regexp_replace("line", "#.*", ""))
+    directive = F.lower(F.regexp_extract(body, "^([A-Za-z-]+)\\s*:", 1))
+    value = F.trim(F.regexp_extract(body, "^[A-Za-z-]+\\s*:(.*)$", 1))
+    parsed = lines.select("host", "idx", directive.alias("d"),
+                          value.alias("v"))
+    w = Window.partitionBy("host").orderBy("idx")
+    is_ua = (F.col("d") == "user-agent").cast("int")
+    run_start = ((is_ua == 1)
+                 & (F.coalesce(F.lag(is_ua).over(w), F.lit(0)) == 0)) \
+        .cast("int")
+    segged = parsed.withColumn(
+        "seg", F.sum(run_start).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    star = (segged.filter((F.col("d") == "user-agent")
+                          & (F.col("v") == "*"))
+                  .select("host", "seg").distinct())
+    rules = (segged.join(star, ["host", "seg"], "left_semi")
+                   .filter(F.col("d").isin("allow", "disallow")
+                           & (F.col("v") != ""))
+                   .select("host",
+                           (F.col("d") == "allow").alias("allow"),
+                           F.col("v").alias("prefix"),
+                           F.length("v").alias("plen")))
+    return rules
+
+
+def robots_filter(urls: DataFrame, rules: DataFrame,
+                  url_col: str = "url", keep_col: str = "allowed"
+                  ) -> DataFrame:
+    """Apply robots rules to a URL corpus: adds ``keep_col`` boolean.
+
+    REP precedence: among the host's rules whose prefix matches the
+    URL path, the LONGEST wins; on a length tie allow wins; no match
+    (or no rules for the host) means allowed.
+
+    Scale shape: rules roll up to ONE array per host (bounded — robots
+    files are small by nature) and that table broadcasts; the corpus
+    side takes a single BROADCAST left join on host and evaluates the
+    longest-match fold per row inside whole-stage codegen. Map-only,
+    shuffle-free on the corpus, no join-back."""
+    reserved = {c for c in urls.columns
+                if c in ("__rb_host__", "__rb_rs__")}
+    if reserved:
+        raise ValueError(f"robots_filter: reserved columns {reserved}")
+    per_host = (rules.groupBy(F.col("host").alias("__rb_host__"))
+                     .agg(F.collect_list(
+                         F.struct(F.col("prefix").alias("prefix"),
+                                  F.col("plen").alias("plen"),
+                                  F.col("allow").cast("int").alias("a")))
+                          .alias("__rb_rs__")))
+    host = url_host(F.col(url_col))
+    path = F.regexp_extract(F.col(url_col), "^[a-z+]+://[^/]+(/.*)?$", 1)
+    path = F.when(path == "", "/").otherwise(path)
+    joined = urls.withColumn("__rb_host__", host) \
+                 .join(F.broadcast(per_host), "__rb_host__", "left")
+    init = F.struct(F.lit(-1).alias("plen"), F.lit(1).alias("a"))
+    best = F.aggregate(
+        F.col("__rb_rs__"), init,
+        lambda acc, r: F.when(
+            path.startswith(r["prefix"])
+            & ((r["plen"] > acc["plen"])
+               | ((r["plen"] == acc["plen"]) & (r["a"] > acc["a"]))),
+            F.struct(r["plen"].alias("plen"), r["a"].alias("a")))
+        .otherwise(acc))
+    return (joined.withColumn(
+                keep_col, F.coalesce(best["a"] == 1, F.lit(True)))
+                  .drop("__rb_host__", "__rb_rs__"))
 
 
 # ---------------------------------------------------------------------------

@@ -1069,3 +1069,68 @@ def test_extract_main_content(spark):
     plan = df.select(extract_main_content(F.col("html")))._jdf \
         .queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_robots_rules_and_filter(spark):
+    """REP semantics: group = ua-run + following rules; * section only;
+    longest prefix wins; allow wins length ties; empty Disallow = no
+    rule; unknown hosts allowed. Corpus side stays broadcast-only."""
+    from geomesa_spark.operators.corpus import robots_filter, robots_rules
+
+    robots_a = "\n".join([
+        "# comment line",
+        "User-agent: googlebot",
+        "Disallow: /private",           # non-star section: ignored
+        "",
+        "User-agent: *",
+        "User-agent: otherbot",         # ua-run accumulates
+        "Disallow: /docs",
+        "Allow: /docs/public",          # longer -> wins under /docs/public
+        "Disallow: /tmp",
+        "Allow: /tmp",                  # tie -> allow wins
+        "Disallow:",                    # empty = allow-all, no rule
+    ])
+    robots_b = "User-agent: *\nDisallow: /"
+    rdf = spark.createDataFrame(
+        [("a.example", robots_a), ("b.example", robots_b)],
+        "host string, robots string")
+    rules = robots_rules(rdf)
+    got = sorted((r["host"], r["prefix"], r["allow"])
+                 for r in rules.collect())
+    assert got == sorted([
+        ("a.example", "/docs", False),
+        ("a.example", "/docs/public", True),
+        ("a.example", "/tmp", False),
+        ("a.example", "/tmp", True),
+        ("b.example", "/", False),
+    ])
+    urls = spark.createDataFrame([
+        ("https://a.example/docs/page",),        # /docs -> blocked
+        ("https://a.example/docs/public/x",),    # longest allow -> ok
+        ("https://a.example/tmp/y",),            # tie -> allow
+        ("https://a.example/",),                 # no match -> allow
+        ("https://a.example/private",),          # googlebot rule ignored
+        ("https://b.example/anything",),         # / disallow -> blocked
+        ("https://c.example/no-robots",),        # unknown host -> allow
+    ], "url string")
+    out = {r["url"]: r["allowed"]
+           for r in robots_filter(urls, rules).collect()}
+    assert out == {
+        "https://a.example/docs/page": False,
+        "https://a.example/docs/public/x": True,
+        "https://a.example/tmp/y": True,
+        "https://a.example/": True,
+        "https://a.example/private": True,
+        "https://b.example/anything": False,
+        "https://c.example/no-robots": True,
+    }
+    # plan check over a MATERIALIZED rule table (real usage: rules are
+    # computed once and persisted) — the corpus side must be a single
+    # broadcast join, no shuffle
+    rules_mat = spark.createDataFrame(
+        rules.collect(), "host string, allow boolean, prefix string, "
+                         "plen int")
+    plan = robots_filter(urls, rules_mat)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
