@@ -1288,6 +1288,47 @@ _SQL_AVRO_READ = """
 """
 
 
+def q_wet_export(spark, sf_dir):
+    """WET export round trip (sources/warc.write_wet — Common Crawl's
+    extracted-text sidecar format): documents become conversion records
+    (text/plain, no HTTP message), written executor-side one file per
+    partition, read back through read_warc. Oracle replays url/ts/byte
+    arithmetic over the documents table (octet_length so multi-byte
+    text compares byte-exactly) — equality certifies the WET record
+    framing, gzip members, and the text payload round trip."""
+    import os
+
+    from geomesa_spark.sources.warc import read_warc, write_wet
+
+    docs = _docs(spark, sf_dir)
+    pages = docs.select(
+        F.concat(F.lit("https://d"), F.col("doc_id"), F.lit(".example/"))
+         .alias("url"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("doc_id") * 61)
+         .alias("warc_ts"),
+        F.col("text")).repartition(8)
+    path = _store_tmp(sf_dir, "wet")
+    write_wet(pages, path)
+    back = read_warc(spark, path, record_types=("conversion",))
+    did = F.regexp_extract("url", r"^https://d(\d+)\.example/", 1) \
+           .cast("long")
+    return (back.select((did % 25).alias("bucket"),
+                        F.length("payload").alias("blen"),
+                        F.unix_timestamp("warc_ts").alias("secs"))
+                .groupBy("bucket")
+                .agg(F.count("*").alias("n"),
+                     F.sum("blen").alias("sum_bytes"),
+                     F.max("secs").alias("max_ts")))
+
+
+_SQL_WET_EXPORT = """
+    SELECT doc_id % 25 AS bucket, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+           CAST(max(1704067200 + doc_id * 61) AS BIGINT) AS max_ts
+    FROM documents GROUP BY 1
+"""
+
+
 def q_unicode_norm(spark, sf_dir):
     """Unicode NFC canonicalization (operators/corpus.normalize_unicode
     — the pre-dedup text canonicalization step): 6k synthetic strings in
@@ -3029,6 +3070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe": q_bloom_probe,
         "main_content": q_main_content,
         "robots": q_robots,
+        "wet_export": q_wet_export,
         "arrow_export": q_arrow_export,
         "link_hits": q_link_hits,
         "triangles": q_triangles,
@@ -4914,6 +4956,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_probe": _SQL_BLOOM_PROBE,
         "main_content": _sql_main_content(),
         "robots": _sql_robots(),
+        "wet_export": _SQL_WET_EXPORT,
         "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),
         # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,

@@ -29,7 +29,7 @@ from datetime import datetime, timezone
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["read_warc", "parse_warc_bytes", "build_warc"]
+__all__ = ["read_warc", "parse_warc_bytes", "build_warc", "write_wet"]
 
 _CRLF = b"\r\n"
 
@@ -134,11 +134,14 @@ def build_warc(records: list[dict], gzip_members: bool = True) -> bytes:
                     + b"\r\n\r\n")
             body = http + body
         ts = r["ts"].strftime("%Y-%m-%dT%H:%M:%SZ")
+        ctype = r.get("content_type",
+                      "application/http;msgtype=response"
+                      if r.get("http", True) else "text/plain")
         hdr = (b"WARC/1.0\r\n"
                b"WARC-Type: " + r.get("rec_type", "response").encode()
                + b"\r\nWARC-Target-URI: " + r["url"].encode()
                + b"\r\nWARC-Date: " + ts.encode()
-               + b"\r\nContent-Type: application/http;msgtype=response\r\n"
+               + b"\r\nContent-Type: " + ctype.encode() + b"\r\n"
                + b"Content-Length: " + str(len(body)).encode()
                + b"\r\n\r\n")
         rec = hdr + body + _CRLF + _CRLF
@@ -147,3 +150,44 @@ def build_warc(records: list[dict], gzip_members: bool = True) -> bytes:
             rec = c.compress(rec) + c.flush()
         out.append(rec)
     return b"".join(out)
+
+
+def write_wet(df: DataFrame, path: str, url_col: str = "url",
+              ts_col: str = "warc_ts", text_col: str = "text",
+              gzip_members: bool = True) -> list:
+    """WET export — Common Crawl's extracted-text sidecar format: one
+    ``part-<partition>.warc.wet.gz`` of ``conversion`` records
+    (Content-Type text/plain, no HTTP message) per partition, written
+    EXECUTOR-side like sinks.write_arrow_ipc (rows never pass the
+    driver; the collected manifest is one row per partition). Compose
+    ``corpus.extract_html_text`` upstream to produce ``text_col`` from
+    raw html — together that is the WARC -> WET derivation CC itself
+    ships. Read back with ``read_warc(record_types=('conversion',))``.
+    Overwrite semantics: the directory is cleared first."""
+    import os
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ext = "warc.wet.gz" if gzip_members else "warc.wet"
+
+    def dump(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs = []
+        for pdf in batches:
+            for url, ts, text in zip(pdf[url_col], pdf[ts_col],
+                                     pdf[text_col]):
+                recs.append({"url": url, "ts": ts,
+                             "body": str(text).encode("utf-8"),
+                             "rec_type": "conversion", "http": False})
+        if not recs:
+            return
+        fname = os.path.join(path, f"part-{pid:05d}.{ext}")
+        with open(fname, "wb") as f:
+            f.write(build_warc(recs, gzip_members=gzip_members))
+        yield pd.DataFrame({"file": [fname], "rows": [len(recs)]})
+
+    manifest = df.mapInPandas(dump, "file string, rows long").collect()
+    return sorted((r.file, r.rows) for r in manifest)

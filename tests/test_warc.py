@@ -66,3 +66,31 @@ def test_read_warc_spark(spark, tmp_path):
                         "text": "cast(payload as string)"},
                   required=["url", "html"])
     assert txt.count() == 6
+
+
+@pytest.mark.parametrize("gz", [True, False])
+def test_write_wet_roundtrip(spark, tmp_path, gz):
+    """WET export: conversion records, text payload byte-identical,
+    timestamps preserved, per-partition files + bounded manifest."""
+    from datetime import datetime, timezone
+
+    from geomesa_spark.sources.warc import write_wet
+
+    rows = [(f"https://s{i}.example/p", 
+             datetime.fromtimestamp(1704067200 + i * 7, tz=timezone.utc),
+             f"extracted text {i} é")
+            for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, text string").repartition(4)
+    out = str(tmp_path / ("wet_gz" if gz else "wet_plain"))
+    manifest = write_wet(df, out, gzip_members=gz)
+    assert sum(n for _, n in manifest) == 40 and len(manifest) <= 4
+    back = read_warc(spark, out, record_types=("conversion",))
+    got = {r["url"]: r for r in back.collect()}
+    assert len(got) == 40
+    for url, ts, text in rows:
+        r = got[url]
+        assert bytes(r["payload"]) == text.encode("utf-8")
+        # Spark collects naive session-tz datetimes (session tz = UTC)
+        assert r["warc_ts"].replace(tzinfo=timezone.utc) == ts
+        assert r["content_type"] == "text/plain"
