@@ -2936,6 +2936,45 @@ def _sql_robots() -> str:
     """
 
 
+def q_fetch_slots(spark, sf_dir):
+    """Crawl-frontier politeness scheduling (corpus.fetch_schedule):
+    3000 urls over 30 hosts, every third host carrying a Crawl-delay
+    override, sequential per-host slots in deterministic url order.
+    Oracle replays the slot/delay arithmetic (zero-padded path index ==
+    lexicographic url order, so slot = path index exactly)."""
+    from geomesa_spark.operators.corpus import fetch_schedule
+
+    urls = spark.range(3000).select(
+        F.concat(F.lit("https://h"), F.col("id") % 30,
+                 F.lit(".example/p"),
+                 F.format_string("%04d", ((F.col("id") / 30)
+                                          .cast("long") % 100)
+                                 .cast("int"))).alias("url"))
+    delays = spark.range(30).filter(F.col("id") % 3 == 0).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example")).alias("host"),
+        (2 + F.col("id") % 5).cast("int").alias("delay_s"))
+    out = fetch_schedule(urls, delays, t0_s=100, default_delay_s=1)
+    return (out.groupBy("host")
+               .agg(F.count("*").alias("n"),
+                    F.sum("slot").alias("sum_slot"),
+                    F.max("fetch_at_s").alias("max_fetch")))
+
+
+_SQL_FETCH_SLOTS = """
+    WITH t AS (SELECT CAST(u.i AS BIGINT) AS i
+               FROM unnest(range(0, 3000)) AS u(i)),
+    r AS (SELECT i % 30 AS j, (i // 30) % 100 AS slot FROM t),
+    d AS (SELECT j, slot,
+                 CASE WHEN j % 3 = 0 THEN 2 + j % 5 ELSE 1 END AS delay
+          FROM r)
+    SELECT 'h' || j || '.example' AS host,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(slot) AS BIGINT) AS sum_slot,
+           CAST(max(100 + slot * delay) AS BIGINT) AS max_fetch
+    FROM d GROUP BY 1
+"""
+
+
 def q_gopher_quality(spark, sf_dir):
     """Gopher quality gates (operators/corpus.gopher_quality): word
     count / mean word length / symbol ratio / alpha fraction / stopword
@@ -3071,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "main_content": q_main_content,
         "robots": q_robots,
         "wet_export": q_wet_export,
+        "fetch_slots": q_fetch_slots,
         "arrow_export": q_arrow_export,
         "link_hits": q_link_hits,
         "triangles": q_triangles,
@@ -4957,6 +4997,7 @@ def oracle_sql() -> dict[str, str]:
         "main_content": _sql_main_content(),
         "robots": _sql_robots(),
         "wet_export": _SQL_WET_EXPORT,
+        "fetch_slots": _SQL_FETCH_SLOTS,
         "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),
         # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,

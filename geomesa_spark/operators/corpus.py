@@ -54,7 +54,7 @@ __all__ = [
     "extract_html_text", "extract_main_content", "html_escape", "wrap_html",
     "extract_links", "url_host",
     "bloom_words", "bloom_dense", "bloom_probe",
-    "robots_rules", "robots_filter",
+    "robots_rules", "robots_filter", "fetch_schedule",
 ]
 
 
@@ -1153,6 +1153,38 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
     return (joined.withColumn(
                 keep_col, F.coalesce(best["a"] == 1, F.lit(True)))
                   .drop("__rb_host__", "__rb_rs__"))
+
+
+def fetch_schedule(urls: DataFrame, delays: DataFrame | None = None,
+                   url_col: str = "url", t0_s: int = 0,
+                   default_delay_s: int = 1) -> DataFrame:
+    """Politeness scheduling for a crawl frontier: per host, URLs get
+    sequential fetch slots spaced ``Crawl-delay`` seconds apart —
+    ``(url, host, slot, fetch_at_s)`` with ``fetch_at_s = t0_s + slot *
+    delay(host)``. Slot order is deterministic (url ascending) so a
+    re-plan of the same frontier is idempotent.
+
+    ``delays`` is an optional ``(host, delay_s)`` table (e.g. parsed
+    from robots.txt Crawl-delay lines); hosts not in it use
+    ``default_delay_s``. Scale shape: ONE window shuffle keyed by host
+    + a broadcast left join for delays. Per-host serialization is the
+    politeness constraint itself — a host with a million URLs takes a
+    million delays regardless of cluster size, which is exactly what
+    the schedule must express; hot hosts bound wall-clock, not memory
+    (the window streams)."""
+    host = url_host(F.col(url_col))
+    out = urls.withColumn("host", host)
+    w = Window.partitionBy("host").orderBy(url_col)
+    out = out.withColumn("slot", F.row_number().over(w) - 1)
+    if delays is not None:
+        out = out.join(F.broadcast(delays), "host", "left")
+        delay = F.coalesce(F.col("delay_s"), F.lit(default_delay_s))
+        return out.withColumn("fetch_at_s",
+                              F.lit(t0_s) + F.col("slot") * delay) \
+                  .drop("delay_s")
+    return out.withColumn("fetch_at_s",
+                          F.lit(t0_s) + F.col("slot")
+                          * F.lit(default_delay_s))
 
 
 # ---------------------------------------------------------------------------

@@ -1134,3 +1134,26 @@ def test_robots_rules_and_filter(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_fetch_schedule(spark):
+    """Per-host politeness slots: deterministic url order, per-host
+    delays from the table, default elsewhere, idempotent re-plan."""
+    from geomesa_spark.operators.corpus import fetch_schedule
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 3}.example/p{i:02d}",) for i in range(9)],
+        "url string")
+    delays = spark.createDataFrame([("h0.example", 5)],
+                                   "host string, delay_s int")
+    out = {r["url"]: (r["slot"], r["fetch_at_s"])
+           for r in fetch_schedule(urls, delays, t0_s=100).collect()}
+    # h0: p00,p03,p06 at 5s spacing; h1 (default 1s): p01,p04,p07
+    assert out["https://h0.example/p00"] == (0, 100)
+    assert out["https://h0.example/p03"] == (1, 105)
+    assert out["https://h0.example/p06"] == (2, 110)
+    assert out["https://h1.example/p01"] == (0, 100)
+    assert out["https://h1.example/p04"] == (1, 101)
+    out2 = {r["url"]: (r["slot"], r["fetch_at_s"])
+            for r in fetch_schedule(urls, delays, t0_s=100).collect()}
+    assert out == out2  # idempotent re-plan
