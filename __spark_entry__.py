@@ -2936,6 +2936,49 @@ def _sql_robots() -> str:
     """
 
 
+def q_sitemap(spark, sf_dir):
+    """Sitemap discovery parse (corpus.parse_sitemap): 60 synthetic
+    urlset documents x 20 entries with W3C datetimes and priorities,
+    parsed map-only, rolled up per site. Oracle replays the entry
+    arithmetic (epoch seconds, exact priority ppm) — equality certifies
+    block extraction, child-element parse, timestamp and priority
+    handling."""
+    from datetime import datetime, timezone
+
+    from geomesa_spark.operators.corpus import parse_sitemap
+
+    rows = []
+    for s in range(60):
+        blocks = []
+        for k in range(20):
+            e = 1704067200 + (s * 20 + k) * 61
+            ts = datetime.fromtimestamp(e, tz=timezone.utc) \
+                .strftime("%Y-%m-%dT%H:%M:%S+00:00")
+            blocks.append(
+                f"<url><loc>https://s{s}.example/p{k}</loc>"
+                f"<lastmod>{ts}</lastmod>"
+                f"<priority>0.{k % 10}</priority></url>")
+        rows.append((s, "<urlset>" + "".join(blocks) + "</urlset>"))
+    df = spark.createDataFrame(rows, "site long, sitemap string")
+    parsed = parse_sitemap(df, key_cols=["site"])
+    return (parsed.groupBy("site")
+                  .agg(F.count("*").alias("n"),
+                       F.max(F.unix_timestamp("lastmod_ts"))
+                        .alias("max_mod"),
+                       F.sum("priority_ppm").alias("sum_ppm")))
+
+
+_SQL_SITEMAP = """
+    WITH t AS (SELECT CAST(u.s AS BIGINT) AS s, CAST(u2.k AS BIGINT) AS k
+               FROM unnest(range(0, 60)) AS u(s),
+                    unnest(range(0, 20)) AS u2(k))
+    SELECT s AS site, CAST(count(*) AS BIGINT) AS n,
+           CAST(max(1704067200 + (s * 20 + k) * 61) AS BIGINT) AS max_mod,
+           CAST(sum((k % 10) * 100000) AS BIGINT) AS sum_ppm
+    FROM t GROUP BY 1
+"""
+
+
 def q_fetch_slots(spark, sf_dir):
     """Crawl-frontier politeness scheduling (corpus.fetch_schedule):
     3000 urls over 30 hosts, every third host carrying a Crawl-delay
@@ -3111,6 +3154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots": q_robots,
         "wet_export": q_wet_export,
         "fetch_slots": q_fetch_slots,
+        "sitemap": q_sitemap,
         "arrow_export": q_arrow_export,
         "link_hits": q_link_hits,
         "triangles": q_triangles,
@@ -4998,6 +5042,7 @@ def oracle_sql() -> dict[str, str]:
         "robots": _sql_robots(),
         "wet_export": _SQL_WET_EXPORT,
         "fetch_slots": _SQL_FETCH_SLOTS,
+        "sitemap": _SQL_SITEMAP,
         "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),
         # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,

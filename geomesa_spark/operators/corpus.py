@@ -54,7 +54,7 @@ __all__ = [
     "extract_html_text", "extract_main_content", "html_escape", "wrap_html",
     "extract_links", "url_host",
     "bloom_words", "bloom_dense", "bloom_probe",
-    "robots_rules", "robots_filter", "fetch_schedule",
+    "robots_rules", "robots_filter", "fetch_schedule", "parse_sitemap",
 ]
 
 
@@ -1153,6 +1153,40 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
     return (joined.withColumn(
                 keep_col, F.coalesce(best["a"] == 1, F.lit(True)))
                   .drop("__rb_host__", "__rb_rs__"))
+
+
+def parse_sitemap(df: DataFrame, xml_col: str = "sitemap",
+                  key_cols: list | None = None) -> DataFrame:
+    """Parse sitemap.org ``<urlset>`` documents (the crawl DISCOVERY
+    stage) into one row per ``<url>`` entry: ``(loc, lastmod_ts,
+    changefreq, priority_ppm)``. Map-only JVM regexp chain — each
+    ``<url>`` block is extracted, then its child elements; lastmod
+    accepts bare dates or full W3C datetimes; priority scales to exact
+    ppm (no float parse drift). ``<sitemapindex>`` files are just urls
+    pointing at more sitemaps — run this again on the fetched children.
+    Entries without a ``<loc>`` are dropped (spec: loc is required)."""
+    keys = [F.col(c) for c in (key_cols or [])]
+    blocks = F.regexp_extract_all(F.col(xml_col),
+                                  F.lit(r"(?is)<url>(.*?)</url>"), F.lit(1))
+    out = df.select(*keys, F.explode(blocks).alias("__sm__"))
+    loc = F.trim(F.regexp_extract("__sm__", r"(?is)<loc>(.*?)</loc>", 1))
+    lastmod = F.trim(F.regexp_extract(
+        "__sm__", r"(?is)<lastmod>(.*?)</lastmod>", 1))
+    lastmod_ts = F.coalesce(
+        F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd")))
+    freq = F.lower(F.trim(F.regexp_extract(
+        "__sm__", r"(?is)<changefreq>(.*?)</changefreq>", 1)))
+    prio = F.trim(F.regexp_extract(
+        "__sm__", r"(?is)<priority>(.*?)</priority>", 1))
+    prio_ppm = F.when(prio != "",
+                      F.round(prio.cast("decimal(8,6)") * 1_000_000)
+                       .cast("long"))
+    return (out.select(*keys, loc.alias("loc"),
+                       lastmod_ts.alias("lastmod_ts"),
+                       F.when(freq != "", freq).alias("changefreq"),
+                       prio_ppm.alias("priority_ppm"))
+               .filter(F.col("loc") != ""))
 
 
 def fetch_schedule(urls: DataFrame, delays: DataFrame | None = None,

@@ -1157,3 +1157,33 @@ def test_fetch_schedule(spark):
     out2 = {r["url"]: (r["slot"], r["fetch_at_s"])
             for r in fetch_schedule(urls, delays, t0_s=100).collect()}
     assert out == out2  # idempotent re-plan
+
+
+def test_parse_sitemap(spark):
+    """sitemap.org urlset parse: loc required, lastmod date and
+    datetime forms, priority to exact ppm, missing children null."""
+    from datetime import datetime
+
+    from geomesa_spark.operators.corpus import parse_sitemap
+
+    xml = ("<?xml version='1.0'?>"
+           "<urlset xmlns='http://www.sitemaps.org/schemas/sitemap/0.9'>"
+           "<url><loc>https://a.example/1</loc>"
+           "<lastmod>2024-03-05</lastmod>"
+           "<changefreq>Daily</changefreq>"
+           "<priority>0.8</priority></url>"
+           "<url><loc> https://a.example/2 </loc>"
+           "<lastmod>2024-03-05T10:20:30+02:00</lastmod></url>"
+           "<url><priority>0.5</priority></url>"   # no loc -> dropped
+           "</urlset>")
+    df = spark.createDataFrame([(7, xml)], "site long, sitemap string")
+    rows = {r["loc"]: r for r in
+            parse_sitemap(df, key_cols=["site"]).collect()}
+    assert set(rows) == {"https://a.example/1", "https://a.example/2"}
+    r1 = rows["https://a.example/1"]
+    assert r1["site"] == 7
+    assert r1["lastmod_ts"] == datetime(2024, 3, 5)
+    assert r1["changefreq"] == "daily" and r1["priority_ppm"] == 800000
+    r2 = rows["https://a.example/2"]
+    assert r2["lastmod_ts"] == datetime(2024, 3, 5, 8, 20, 30)  # UTC
+    assert r2["changefreq"] is None and r2["priority_ppm"] is None
