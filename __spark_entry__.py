@@ -1296,8 +1296,6 @@ def q_wet_export(spark, sf_dir):
     arithmetic over the documents table (octet_length so multi-byte
     text compares byte-exactly) — equality certifies the WET record
     framing, gzip members, and the text payload round trip."""
-    import os
-
     from geomesa_spark.sources.warc import read_warc, write_wet
 
     docs = _docs(spark, sf_dir)

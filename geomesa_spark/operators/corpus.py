@@ -144,16 +144,22 @@ def extract_main_content(html: Column, min_chars: int = 25,
     for tag in _HTML_BLOCK_TAGS:
         s = F.regexp_replace(s, rf"(?is)<{tag}\b[^>]*>.*?</{tag}>", " ")
     blocks = F.split(s, _BLOCK_SPLIT)
+    # score each block ONCE (higher-order fns are interpreted, so an
+    # element_at(blocks, i) inside the filter predicate would recompute
+    # the whole per-document strip+split chain per block)
+    scored = F.transform(
+        blocks,
+        lambda b: F.struct(
+            _visible(b).alias("v"),
+            F.aggregate(
+                F.regexp_extract_all(b, F.lit(_ANCHOR_INNER), F.lit(1)),
+                F.lit(0),
+                lambda acc, a: acc + F.length(_visible(a))).alias("ll")))
     kept = F.filter(
-        F.transform(blocks, _visible),
-        lambda v, i: (F.length(v) >= min_chars)
-        & (F.aggregate(
-            F.regexp_extract_all(F.element_at(blocks, i + 1),
-                                 F.lit(_ANCHOR_INNER), F.lit(1)),
-            F.lit(0),
-            lambda acc, a: acc + F.length(_visible(a))) * 1000
-           <= F.length(v) * max_link_ppt))
-    return F.array_join(kept, "\n")
+        scored,
+        lambda x: (F.length(x["v"]) >= min_chars)
+        & (x["ll"] * 1000 <= F.length(x["v"]) * max_link_ppt))
+    return F.array_join(F.transform(kept, lambda x: x["v"]), "\n")
 
 
 def url_host(url: Column) -> Column:
@@ -1137,7 +1143,10 @@ def robots_filter(urls: DataFrame, rules: DataFrame,
                                   F.col("allow").cast("int").alias("a")))
                           .alias("__rb_rs__")))
     host = url_host(F.col(url_col))
-    path = F.regexp_extract(F.col(url_col), "^[a-z+]+://[^/]+(/.*)?$", 1)
+    # scheme is case-insensitive per RFC 3986 (and may contain digits/+/
+    # -/.) — url_host already lowercases, so the path extract must too
+    path = F.regexp_extract(F.col(url_col),
+                            "(?i)^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$", 1)
     path = F.when(path == "", "/").otherwise(path)
     joined = urls.withColumn("__rb_host__", host) \
                  .join(F.broadcast(per_host), "__rb_host__", "left")
@@ -1172,15 +1181,20 @@ def parse_sitemap(df: DataFrame, xml_col: str = "sitemap",
     loc = F.trim(F.regexp_extract("__sm__", r"(?is)<loc>(.*?)</loc>", 1))
     lastmod = F.trim(F.regexp_extract(
         "__sm__", r"(?is)<lastmod>(.*?)</lastmod>", 1))
+    # W3C datetime: fractional seconds (any digit count) drop before the
+    # parse; seconds-, minutes- and date-precision forms all accepted;
+    # junk values null out (try_*) instead of killing the job
+    nofrac = F.regexp_replace(lastmod, r"\.\d+", "")
     lastmod_ts = F.coalesce(
-        F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
-        F.try_to_timestamp(lastmod, F.lit("yyyy-MM-dd")))
+        F.try_to_timestamp(nofrac, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+        F.try_to_timestamp(nofrac, F.lit("yyyy-MM-dd'T'HH:mmXXX")),
+        F.try_to_timestamp(nofrac, F.lit("yyyy-MM-dd")))
     freq = F.lower(F.trim(F.regexp_extract(
         "__sm__", r"(?is)<changefreq>(.*?)</changefreq>", 1)))
     prio = F.trim(F.regexp_extract(
         "__sm__", r"(?is)<priority>(.*?)</priority>", 1))
     prio_ppm = F.when(prio != "",
-                      F.round(prio.cast("decimal(8,6)") * 1_000_000)
+                      F.round(prio.try_cast("decimal(8,6)") * 1_000_000)
                        .cast("long"))
     return (out.select(*keys, loc.alias("loc"),
                        lastmod_ts.alias("lastmod_ts"),
@@ -1206,6 +1220,9 @@ def fetch_schedule(urls: DataFrame, delays: DataFrame | None = None,
     million delays regardless of cluster size, which is exactly what
     the schedule must express; hot hosts bound wall-clock, not memory
     (the window streams)."""
+    reserved = {"host", "slot", "fetch_at_s", "delay_s"} & set(urls.columns)
+    if reserved:
+        raise ValueError(f"fetch_schedule: reserved columns {reserved}")
     host = url_host(F.col(url_col))
     out = urls.withColumn("host", host)
     w = Window.partitionBy("host").orderBy(url_col)

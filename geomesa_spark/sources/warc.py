@@ -163,6 +163,8 @@ def write_wet(df: DataFrame, path: str, url_col: str = "url",
     ``corpus.extract_html_text`` upstream to produce ``text_col`` from
     raw html — together that is the WARC -> WET derivation CC itself
     ships. Read back with ``read_warc(record_types=('conversion',))``.
+    Rows with a NULL url/timestamp/text are SKIPPED (a WET record needs
+    all three; serializing Python's None repr would corrupt the sidecar).
     Overwrite semantics: the directory is cleared first."""
     import os
     import shutil
@@ -179,6 +181,8 @@ def write_wet(df: DataFrame, path: str, url_col: str = "url",
         for pdf in batches:
             for url, ts, text in zip(pdf[url_col], pdf[ts_col],
                                      pdf[text_col]):
+                if url is None or text is None or pd.isna(ts):
+                    continue
                 recs.append({"url": url, "ts": ts,
                              "body": str(text).encode("utf-8"),
                              "rec_type": "conversion", "http": False})

@@ -1187,3 +1187,68 @@ def test_parse_sitemap(spark):
     r2 = rows["https://a.example/2"]
     assert r2["lastmod_ts"] == datetime(2024, 3, 5, 8, 20, 30)  # UTC
     assert r2["changefreq"] is None and r2["priority_ppm"] is None
+
+
+def test_sitemap_junk_and_w3c_forms(spark):
+    """Malformed priority values null out instead of killing the job
+    (ANSI-mode try_cast); minute-precision and fractional-second W3C
+    lastmod forms parse."""
+    from datetime import datetime
+
+    from geomesa_spark.operators.corpus import parse_sitemap
+
+    xml = ("<urlset>"
+           "<url><loc>https://a/1</loc><priority>high</priority></url>"
+           "<url><loc>https://a/2</loc><priority>100.5</priority></url>"
+           "<url><loc>https://a/3</loc>"
+           "<lastmod>2024-03-05T10:20+02:00</lastmod></url>"
+           "<url><loc>https://a/4</loc>"
+           "<lastmod>2004-12-23T18:00:15.31+00:00</lastmod></url>"
+           "</urlset>")
+    df = spark.createDataFrame([(xml,)], "sitemap string")
+    rows = {r["loc"]: r for r in parse_sitemap(df).collect()}
+    assert rows["https://a/1"]["priority_ppm"] is None
+    assert rows["https://a/2"]["priority_ppm"] is None
+    assert rows["https://a/3"]["lastmod_ts"] == datetime(2024, 3, 5, 8, 20)
+    assert rows["https://a/4"]["lastmod_ts"] == \
+        datetime(2004, 12, 23, 18, 0, 15)
+
+
+def test_robots_filter_uppercase_scheme(spark):
+    from geomesa_spark.operators.corpus import robots_filter
+
+    rules = spark.createDataFrame(
+        [("a.example", False, "/docs", 5)],
+        "host string, allow boolean, prefix string, plen int")
+    urls = spark.createDataFrame([("HTTPS://a.example/docs/page",)],
+                                 "url string")
+    [r] = robots_filter(urls, rules).collect()
+    assert r["allowed"] is False
+
+
+def test_fetch_schedule_reserved_guard(spark):
+    from geomesa_spark.operators.corpus import fetch_schedule
+
+    urls = spark.createDataFrame([("https://a/x", 3)],
+                                 "url string, delay_s int")
+    with pytest.raises(ValueError, match="reserved"):
+        fetch_schedule(urls)
+
+
+def test_write_wet_null_rows_skipped(spark, tmp_path):
+    from datetime import datetime, timezone
+
+    from geomesa_spark.sources.warc import read_warc, write_wet
+
+    ts = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    df = spark.createDataFrame(
+        [("https://a/1", ts, "good"),
+         ("https://a/2", ts, None),
+         ("https://a/3", None, "no ts"),
+         (None, ts, "no url")],
+        "url string, warc_ts timestamp, text string")
+    out = str(tmp_path / "wet_nulls")
+    manifest = write_wet(df.coalesce(1), out)
+    assert sum(n for _, n in manifest) == 1
+    rows = read_warc(spark, out, record_types=("conversion",)).collect()
+    assert len(rows) == 1 and bytes(rows[0]["payload"]) == b"good"
