@@ -2465,6 +2465,31 @@ def q_stratified_sample(spark, sf_dir):
             .select("doc_id", "lang", "source"))
 
 
+def q_exact_sample(spark, sf_dir):
+    """Exact-quota deterministic sampling (corpus.exact_k_sample): the
+    7 smallest-splitmix64(doc_id) documents per language — hard counts
+    for mixture recipes, retry-stable. Oracle: the shared HUGEINT
+    splitmix64 mirror + row_number."""
+    from geomesa_spark.operators.corpus import exact_k_sample
+
+    docs = _docs(spark, sf_dir)
+    return exact_k_sample(docs, "doc_id", "lang", k=7) \
+        .select("doc_id", "lang")
+
+
+def _sql_exact_sample() -> str:
+    mix_cte, mix_col = _sql_mix64_cte("CAST(doc_id AS HUGEINT)")
+    return f"""
+        WITH mx0 AS (SELECT doc_id, lang FROM documents),
+        {mix_cte},
+        r AS (SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY {mix_col}, doc_id) AS rk
+              FROM mxf)
+        SELECT doc_id, lang FROM r WHERE rk <= 7
+    """
+
+
 def q_corpus_dedup(spark, sf_dir):
     """Keep-one-per-cluster corpus filter (operators/corpus.dedup_apply):
     jaccard pairs -> connected components -> anti-join the non-canonical
@@ -3153,6 +3178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_export": q_wet_export,
         "fetch_slots": q_fetch_slots,
         "sitemap": q_sitemap,
+        "exact_sample": q_exact_sample,
         "arrow_export": q_arrow_export,
         "link_hits": q_link_hits,
         "triangles": q_triangles,
@@ -5041,6 +5067,7 @@ def oracle_sql() -> dict[str, str]:
         "wet_export": _SQL_WET_EXPORT,
         "fetch_slots": _SQL_FETCH_SLOTS,
         "sitemap": _SQL_SITEMAP,
+        "exact_sample": _sql_exact_sample(),
         "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),
         # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,

@@ -45,7 +45,8 @@ from pyspark.sql.types import LongType
 from .cache import attach_cached as _attach_cached
 
 __all__ = [
-    "line_dedup", "decontaminate", "stratified_sample", "dedup_apply",
+    "line_dedup", "decontaminate", "stratified_sample", "exact_k_sample",
+    "dedup_apply",
     "mixing_stats", "word_ngrams", "tfidf_topk_terms", "unigram_logprob",
     "normalize_url", "write_shards", "duplicated_ngram_fraction",
     "bigram_logprob", "collocations",
@@ -371,6 +372,36 @@ def _mix_bucket_udf(seed: int, buckets: int):
         return bucket(F.coalesce(col, F.lit(0)), col.isNull())
 
     return apply
+
+
+def exact_k_sample(df: DataFrame, id_col: str, strata_col: str, k: int,
+                   seed: int = 42) -> DataFrame:
+    """Deterministic EXACT-quota sampling: the k rows with the smallest
+    splitmix64(id) per stratum (ties broken by id). Complements
+    stratified_sample — that one is ppm-proportional and shuffle-free
+    but only approximates counts; this one guarantees exactly
+    min(k, |stratum|) rows when a mixture recipe demands hard quotas.
+
+    Retry-stable and incremental-friendly: the keep set is a pure
+    function of (id, seed), so re-runs and re-partitions agree, and
+    growing a stratum only ever evicts the largest-hash members.
+    Scale shape: ONE stratum-keyed window shuffle (rank streams;
+    per-stratum state is O(1)); k plays no part in memory."""
+    if k < 1:
+        raise ValueError(f"exact_k_sample: k must be >= 1, got {k}")
+    from .ann import mix64
+
+    @F.pandas_udf(LongType())
+    def mixv(ids: pd.Series) -> pd.Series:
+        # mix64 output is already 63-bit (>>1 inside) -> int64-safe
+        return pd.Series(mix64(ids.to_numpy(np.int64), seed)
+                         .astype(np.int64))
+
+    w = Window.partitionBy(strata_col).orderBy("__smp__", id_col)
+    return (df.withColumn("__smp__", mixv(F.col(id_col)))
+              .withColumn("__rk__", F.row_number().over(w))
+              .filter(F.col("__rk__") <= k)
+              .drop("__smp__", "__rk__"))
 
 
 def stratified_sample(df: DataFrame, id_col: str, strata_col: str,

@@ -1252,3 +1252,33 @@ def test_write_wet_null_rows_skipped(spark, tmp_path):
     assert sum(n for _, n in manifest) == 1
     rows = read_warc(spark, out, record_types=("conversion",)).collect()
     assert len(rows) == 1 and bytes(rows[0]["payload"]) == b"good"
+
+
+def test_exact_k_sample(spark):
+    """Hard quotas: exactly min(k, |stratum|) rows, retry-stable, and
+    growing a stratum only evicts (never reshuffles) the survivors."""
+    from geomesa_spark.operators.corpus import exact_k_sample
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, "rare").otherwise("common")
+         .alias("lang"))
+    out = exact_k_sample(docs, "doc_id", "lang", k=5)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"rare": 5, "common": 5}
+    ids1 = sorted(r["doc_id"] for r in out.collect())
+    ids2 = sorted(r["doc_id"] for r in
+                  exact_k_sample(docs, "doc_id", "lang", k=5).collect())
+    assert ids1 == ids2                      # retry-stable
+    tiny = exact_k_sample(docs.filter("doc_id < 3"), "doc_id", "lang", 5)
+    assert tiny.count() == 3                 # min(k, |stratum|)
+    # monotone under growth: survivors of the bigger corpus that existed
+    # in the smaller corpus are survivors there too
+    small = {r["doc_id"] for r in
+             exact_k_sample(docs.filter("doc_id < 50"), "doc_id",
+                            "lang", 5).collect()}
+    big = {r["doc_id"] for r in out.collect()}
+    assert (big & {i for i in range(50)}) <= small
+    with pytest.raises(ValueError, match="k must"):
+        exact_k_sample(docs, "doc_id", "lang", 0)
