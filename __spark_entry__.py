@@ -2490,6 +2490,36 @@ def _sql_exact_sample() -> str:
     """
 
 
+def q_score_buckets(spark, sf_dir):
+    """CCNet-style per-language quality terciles
+    (corpus.score_buckets): rank by n_chars desc within each lang,
+    bucket = (rank-1)*3 DIV count — exact integers, no quantile sketch.
+    Oracle: identical row_number + DIV chain."""
+    from geomesa_spark.operators.corpus import score_buckets
+
+    docs = _docs(spark, sf_dir)
+    out = score_buckets(docs, "doc_id", "n_chars", "lang", n_buckets=3)
+    return (out.groupBy("lang", "bucket")
+               .agg(F.count("*").alias("n"),
+                    F.sum("n_chars").alias("sum_chars"),
+                    F.min("doc_id").alias("min_id")))
+
+
+_SQL_SCORE_BUCKETS = """
+    WITH r AS (SELECT doc_id, lang, n_chars,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY n_chars DESC, doc_id)
+                          AS rk,
+                      count(*) OVER (PARTITION BY lang) AS cnt
+               FROM documents)
+    SELECT lang, CAST((rk - 1) * 3 // cnt AS INT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(min(doc_id) AS BIGINT) AS min_id
+    FROM r GROUP BY 1, 2
+"""
+
+
 def q_corpus_dedup(spark, sf_dir):
     """Keep-one-per-cluster corpus filter (operators/corpus.dedup_apply):
     jaccard pairs -> connected components -> anti-join the non-canonical
@@ -3179,6 +3209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fetch_slots": q_fetch_slots,
         "sitemap": q_sitemap,
         "exact_sample": q_exact_sample,
+        "score_buckets": q_score_buckets,
         "arrow_export": q_arrow_export,
         "link_hits": q_link_hits,
         "triangles": q_triangles,
@@ -5068,6 +5099,7 @@ def oracle_sql() -> dict[str, str]:
         "fetch_slots": _SQL_FETCH_SLOTS,
         "sitemap": _SQL_SITEMAP,
         "exact_sample": _sql_exact_sample(),
+        "score_buckets": _SQL_SCORE_BUCKETS,
         "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),
         # BFS mirror: recursive CTE with UNION dedup of (node, d) rows,

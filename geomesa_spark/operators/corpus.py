@@ -46,7 +46,7 @@ from .cache import attach_cached as _attach_cached
 
 __all__ = [
     "line_dedup", "decontaminate", "stratified_sample", "exact_k_sample",
-    "dedup_apply",
+    "score_buckets", "dedup_apply",
     "mixing_stats", "word_ngrams", "tfidf_topk_terms", "unigram_logprob",
     "normalize_url", "write_shards", "duplicated_ngram_fraction",
     "bigram_logprob", "collocations",
@@ -372,6 +372,37 @@ def _mix_bucket_udf(seed: int, buckets: int):
         return bucket(F.coalesce(col, F.lit(0)), col.isNull())
 
     return apply
+
+
+def score_buckets(df: DataFrame, id_col: str, score_col: str,
+                  strata_col: str, n_buckets: int = 3,
+                  bucket_col: str = "bucket") -> DataFrame:
+    """CCNet-style quality bucketing: within each stratum (language),
+    rank rows by score DESCENDING and assign equal-population buckets —
+    bucket 0 = head (best), n-1 = tail. CCNet keeps/weights buckets
+    differently when building the training mixture.
+
+    Exact integer arithmetic: ``bucket = (rank - 1) * n_buckets DIV
+    count`` over a deterministic (score desc, id) order — no quantile
+    sketch, no float thresholds, bit-reproducible. Scale shape: ONE
+    stratum-keyed window (rank streams) + a broadcast per-stratum count
+    join (|strata| rows)."""
+    if n_buckets < 1:
+        raise ValueError(f"score_buckets: n_buckets >= 1, got {n_buckets}")
+    reserved = {"__sbrk__", "__sbn__", bucket_col} & set(df.columns)
+    if reserved:
+        raise ValueError(f"score_buckets: reserved columns {reserved}")
+    w = Window.partitionBy(strata_col).orderBy(F.col(score_col).desc(),
+                                               id_col)
+    counts = (df.groupBy(strata_col)
+                .agg(F.count("*").alias("__sbn__")))
+    return (df.withColumn("__sbrk__", F.row_number().over(w))
+              .join(F.broadcast(counts), strata_col)
+              .withColumn(bucket_col,
+                          F.call_function(
+                              "div", (F.col("__sbrk__") - 1) * n_buckets,
+                              F.col("__sbn__")).cast("int"))
+              .drop("__sbrk__", "__sbn__"))
 
 
 def exact_k_sample(df: DataFrame, id_col: str, strata_col: str, k: int,

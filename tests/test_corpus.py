@@ -1282,3 +1282,23 @@ def test_exact_k_sample(spark):
     assert (big & {i for i in range(50)}) <= small
     with pytest.raises(ValueError, match="k must"):
         exact_k_sample(docs, "doc_id", "lang", 0)
+
+
+def test_score_buckets(spark):
+    """Equal-population terciles per stratum, head = best scores,
+    deterministic ties, reserved guard."""
+    from geomesa_spark.operators.corpus import score_buckets
+
+    docs = spark.createDataFrame(
+        [(i, 100 - i, "en") for i in range(9)]
+        + [(100 + i, i, "zh") for i in range(4)],
+        "doc_id long, score long, lang string")
+    out = {r["doc_id"]: r["bucket"] for r in
+           score_buckets(docs, "doc_id", "score", "lang").collect()}
+    # en: scores desc == doc_id asc; 9 rows -> buckets of 3
+    assert [out[i] for i in range(9)] == [0, 0, 0, 1, 1, 1, 2, 2, 2]
+    # zh: 4 rows -> sizes (rank-1)*3//4 = 0,0,1,2 ; best score = id 103
+    assert out[103] == 0 and out[100] == 2
+    with pytest.raises(ValueError, match="reserved"):
+        score_buckets(docs.withColumn("bucket", F.lit(1)),
+                      "doc_id", "score", "lang")
