@@ -2477,6 +2477,37 @@ def q_exact_sample(spark, sf_dir):
         .select("doc_id", "lang")
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirtes A-ES weighted sampling WOR
+    (corpus.weighted_sample): the 60 documents with the smallest
+    -ln(u)/n_chars keys (u = (splitmix64(doc_id)+1)/2^63) — an exact
+    length-proportional sample without replacement, planned as
+    TakeOrderedAndProject. Oracle: the shared HUGEINT splitmix64 mirror
+    + the identical IEEE key chain, float32 before ranking."""
+    from geomesa_spark.operators.corpus import weighted_sample
+
+    docs = _docs(spark, sf_dir)
+    return weighted_sample(docs, "doc_id", "n_chars", k=60) \
+        .select("doc_id", "n_chars", "es_key32")
+
+
+def _sql_weighted_sample() -> str:
+    mix_cte, mix_col = _sql_mix64_cte("CAST(doc_id AS HUGEINT)")
+    return f"""
+        WITH mx0 AS (SELECT doc_id, n_chars FROM documents
+                     WHERE n_chars IS NOT NULL
+                       AND CAST(n_chars AS DOUBLE) > 0.0),
+        {mix_cte},
+        keyed AS (SELECT doc_id, n_chars,
+                         CAST((-ln((CAST({mix_col} AS DOUBLE) + 1.0)
+                                   / 9223372036854775808.0))
+                              / CAST(n_chars AS DOUBLE) AS REAL) AS es_key32
+                  FROM mxf)
+        SELECT doc_id, n_chars, es_key32
+        FROM keyed ORDER BY es_key32 ASC, doc_id ASC LIMIT 60
+    """
+
+
 def _sql_exact_sample() -> str:
     mix_cte, mix_col = _sql_mix64_cte("CAST(doc_id AS HUGEINT)")
     return f"""
@@ -3092,6 +3123,18 @@ def q_quality_classifier(spark, sf_dir):
     return quality_classifier(docs, "doc_id", "text")
 
 
+def q_dsir_select(spark, sf_dir):
+    """DSIR importance weights (operators/corpus.dsir_weights): hashed
+    unigram+bigram log-ratio of the en-language target model vs the
+    full raw corpus, per-doc bucket-ordered fold, float32 weight —
+    broadcast-model scoring, corpus shuffles carry (id, bucket) only."""
+    from geomesa_spark.operators.corpus import dsir_weights
+
+    docs = _docs(spark, sf_dir)
+    return dsir_weights(docs, docs.filter(F.col("lang") == "en"),
+                        "doc_id", "text", n_buckets=1024)
+
+
 def q_chunk_text(spark, sf_dir):
     """Overlapping fixed-token chunking (operators/corpus.chunk_text):
     map-only JVM split/sequence/slice HOFs, stride = chunk - overlap."""
@@ -3301,6 +3344,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": q_gopher_quality,
         "chunk_text": q_chunk_text,
         "quality_classifier": q_quality_classifier,
+        "dsir_select": q_dsir_select,
+        "weighted_sample": q_weighted_sample,
+        "pq_ann": q_pq_ann,
     })
 
 
@@ -3668,6 +3714,94 @@ def _sql_kmeans(k: int = 8, iters: int = 2, dim: int = 64,
     return f"""
         WITH {ctes}
         SELECT id AS vec_id, cluster, dist FROM a{iters} WHERE rn = 1
+    """
+
+
+def q_pq_ann(spark, sf_dir):
+    """Product-quantization ADC top-k (operators/ann.pq_topk, Jegou
+    2011): 4 subspaces x 8 codes trained with one unrolled Lloyd round
+    over exact quantized ints, corpus encoded to 4 codes map-side,
+    each query answered by a broadcast m x n_codes lookup table —
+    the corpus scan reads codes only. Oracle: the same training round,
+    encode, and d-/j-ascending ADC folds unrolled as CTEs."""
+    from geomesa_spark.operators.ann import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return pq_topk(q, emb, k=5, m=4, n_codes=8, iters=1)
+
+
+def _sql_pq_ann(k: int = 5, m: int = 4, n_codes: int = 8, iters: int = 1,
+                dim: int = 64, scale: float = 256.0, nq: int = 5) -> str:
+    """DuckDB mirror of ann.pq_topk: same quantize/seed-pick as
+    _sql_kmeans, per-subspace Lloyd rounds UNROLLED (assign a{t}_{j} /
+    update b{t+1}_{j}), encode with the final books, ADC distance as
+    the j-ascending sum of per-subspace d-ascending folds — every step
+    exact ints or correctly-rounded doubles, so adist is bit-equal."""
+    sd = dim // m
+    mix_cte, mix_col = _sql_mix64_cte("CAST(vec_id AS HUGEINT)")
+    qx = (f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+          f" * {scale!r}) AS BIGINT))")
+    sums = ", ".join(f"sum(sq[{d + 1}]) AS s{d}" for d in range(sd))
+    means = ", ".join(f"CAST(s.s{d} AS DOUBLE) / CAST(s.n AS DOUBLE)"
+                      for d in range(sd))
+    dist = (f"list_reduce(list_transform(range(1, {sd + 1}), "
+            f"i -> (sq[i] - cv[i]) * (sq[i] - cv[i])), (a, b) -> a + b)")
+    parts = [f"""mx0 AS (SELECT vec_id, embedding FROM embeddings),
+        {mix_cte},
+        qt AS (SELECT vec_id AS id, {qx} AS q FROM embeddings),
+        seeds AS (SELECT CAST(row_number() OVER (ORDER BY {mix_col}, vec_id)
+                              - 1 AS INTEGER) AS cid,
+                         list_transform(q0, x -> CAST(x AS DOUBLE)) AS cv
+                  FROM (SELECT vec_id, {qx} AS q0,
+                               {mix_col} FROM mxf
+                        ORDER BY {mix_col}, vec_id LIMIT {n_codes}))"""]
+    for j in range(m):
+        lo, hi = j * sd + 1, (j + 1) * sd
+        parts.append(f"""sub{j} AS (SELECT id, q[{lo}:{hi}] AS sq FROM qt)""")
+        parts.append(f"""b0_{j} AS (SELECT cid, cv[{lo}:{hi}] AS cv
+            FROM seeds)""")
+        for t in range(iters + 1):
+            parts.append(f"""a{t}_{j} AS (
+                SELECT id, sq, cid, {dist} AS dist,
+                       row_number() OVER (PARTITION BY id
+                           ORDER BY {dist} ASC, cid ASC) AS rn
+                FROM sub{j}, b{t}_{j})""")
+            if t < iters:
+                parts.append(f"""s{t}_{j} AS (
+                SELECT cid, CAST(count(*) AS BIGINT) AS n, {sums}
+                FROM a{t}_{j} WHERE rn = 1 GROUP BY 1)""")
+                parts.append(f"""b{t + 1}_{j} AS (
+                SELECT c.cid,
+                       CASE WHEN s.n IS NULL THEN c.cv
+                            ELSE list_value({means}) END AS cv
+                FROM b{t}_{j} c LEFT JOIN s{t}_{j} s ON s.cid = c.cid)""")
+        parts.append(f"""e_{j} AS (SELECT id, cid AS code FROM a{iters}_{j}
+            WHERE rn = 1)""")
+        parts.append(f"""l_{j} AS (
+            SELECT s.id AS qid, b.cid,
+                   list_reduce(list_transform(range(1, {sd + 1}),
+                       i -> (sq[i] - cv[i]) * (sq[i] - cv[i])),
+                       (a, b) -> a + b) AS v
+            FROM (SELECT id, sq FROM sub{j} WHERE id < {nq}) s,
+                 b{iters}_{j} b)""")
+    joins = ["e_0", "l_0 ON l_0.cid = e_0.code"]
+    adist = "(CAST(0.0 AS DOUBLE) + l_0.v)"
+    for j in range(1, m):
+        joins.append(f"e_{j} ON e_{j}.id = e_0.id")
+        joins.append(f"l_{j} ON l_{j}.qid = l_0.qid AND l_{j}.cid = e_{j}.code")
+        adist = f"({adist} + l_{j}.v)"
+    jn = " JOIN ".join(joins)
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT qid, vec_id, adist, CAST(rnk AS INTEGER) AS rank FROM (
+            SELECT l_0.qid AS qid, e_0.id AS vec_id, {adist} AS adist,
+                   row_number() OVER (PARTITION BY l_0.qid
+                       ORDER BY {adist} ASC, e_0.id ASC) AS rnk
+            FROM {jn})
+        WHERE rnk <= {k}
     """
 
 
@@ -5099,6 +5233,8 @@ def oracle_sql() -> dict[str, str]:
         "fetch_slots": _SQL_FETCH_SLOTS,
         "sitemap": _SQL_SITEMAP,
         "exact_sample": _sql_exact_sample(),
+        "weighted_sample": _sql_weighted_sample(),
+        "pq_ann": _sql_pq_ann(),
         "score_buckets": _SQL_SCORE_BUCKETS,
         "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),
@@ -6121,5 +6257,59 @@ def oracle_sql() -> dict[str, str]:
                          END AS score
                   FROM w)
             SELECT doc_id, score, score >= CAST(0.0 AS DOUBLE) AS keep FROM s
+        """,
+        # dsir_select mirror: identical feature stream (unigrams + \x1f
+        # bigrams), identical Mersenne-31 per-char polynomial bucket hash,
+        # identical smoothed ln ratio chain (every division is a
+        # correctly-rounded op on exact ints; the final REAL cast absorbs
+        # ln() ulps), per-doc fold ordered by the unique bucket id
+        "dsir_select": r"""
+            WITH w AS (SELECT doc_id, lang,
+                              regexp_split_to_array(trim(text), '\s+') AS ws
+                       FROM documents),
+            uni AS (SELECT doc_id, lang, u.g AS g
+                    FROM (SELECT doc_id, lang,
+                                 list_filter(ws, x -> length(x) > 0) AS us
+                          FROM w) t,
+                         unnest(t.us) AS u(g)),
+            bi AS (SELECT doc_id, lang, u.g AS g
+                   FROM (SELECT doc_id, lang,
+                                list_transform(range(1, len(ws)),
+                                    i -> ws[i] || chr(31) || ws[i + 1]) AS bs
+                         FROM w WHERE len(ws) >= 2) t,
+                        unnest(t.bs) AS u(g)),
+            feats AS (SELECT doc_id, lang,
+                             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                      list_transform(range(1, length(g) + 1),
+                                          i -> CAST(ascii(substr(g, i, 1))
+                                               AS BIGINT))),
+                                  (a, x) -> (a * 257 + x) % 2147483647)
+                                  % 1024 AS INTEGER) AS bucket
+                      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+            rc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr
+                   FROM feats GROUP BY 1),
+            tc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS ct
+                   FROM feats WHERE lang = 'en' GROUP BY 1),
+            nr AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feats),
+            nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM feats
+                   WHERE lang = 'en'),
+            model AS (SELECT rc.bucket,
+                             ln((CAST(COALESCE(tc.ct, 0) + 1 AS DOUBLE)
+                                 / CAST((SELECT n FROM nt) + 1024 AS DOUBLE))
+                                / (CAST(rc.cr + 1 AS DOUBLE)
+                                   / CAST((SELECT n FROM nr) + 1024 AS DOUBLE)))
+                               AS lp
+                      FROM rc LEFT JOIN tc USING (bucket)),
+            docb AS (SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+                     FROM feats GROUP BY 1, 2),
+            fold AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_feats,
+                            list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list(CAST(cnt AS DOUBLE) * lp
+                                     ORDER BY bucket ASC)),
+                                (a, x) -> a + x) AS s
+                     FROM docb JOIN model USING (bucket)
+                     GROUP BY doc_id)
+            SELECT doc_id, n_feats, CAST(s AS REAL) AS dsir_weight32
+            FROM fold
         """,
     })

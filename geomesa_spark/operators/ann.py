@@ -27,7 +27,7 @@ from pyspark.sql.types import (
 __all__ = ["cosine_topk", "cosine_topk_sql", "lsh_topk", "ivf_topk",
            "cosine_dedup_pairs", "cosine_sim_col", "mix64",
            "quantize_int8", "quantized_topk", "semantic_dedup",
-           "random_projection"]
+           "random_projection", "pq_train", "pq_encode", "pq_topk"]
 
 from .cache import attach_cached as _attach_cached  # noqa: E402
 
@@ -565,3 +565,191 @@ def semantic_dedup(corpus: DataFrame, tau: float, n_clusters: int = 8,
     out = (assigned.join(drops, "__id__", "left_anti")
                    .select(F.col("__id__").alias(id_col), "cluster_id"))
     return _attach_cached(out, assigned)
+
+
+def pq_train(corpus: DataFrame, m: int = 4, n_codes: int = 8,
+             iters: int = 1, scale: float = 256.0, seed: int = 42,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int | None = None) -> list[list[list[float]]]:
+    """Train product-quantization codebooks (Jegou, Douze & Schmid 2011,
+    "Product Quantization for Nearest Neighbor Search" — public): the
+    vector splits into ``m`` contiguous subspaces and each gets its own
+    ``n_codes``-centroid Lloyd quantizer. Returns
+    ``books[j][c][d]`` (m x n_codes x dim/m floats — KB-sized, the
+    driver-resident model every PQ system ships to executors).
+
+    Same determinism contract as operators/kmeans.kmeans_assign:
+    vectors quantize once to exact ints (floor(x*scale); scale a power
+    of two so the product is lossless), seeds are the ``n_codes``
+    vectors with smallest splitmix64(id), per-round centroid updates
+    are exact integer sums + one correctly-rounded division, argmin
+    ties break to the smallest code — every round is bit-reproducible
+    and a SQL engine can unroll it.
+
+    Scale shape: the corpus explodes once to (id, j, subvector) — m
+    rows per vector, each 1/m the width, so total bytes are unchanged —
+    and EVERY subspace trains in the same single combining aggregation
+    per round (groupBy (j, code): m*n_codes output rows), not m
+    separate jobs; assignment is map-only JVM folds against the m x
+    n_codes x d literal codebook tensor.
+    """
+    if m < 1 or n_codes < 1 or iters < 0:
+        raise ValueError(f"need m >= 1, n_codes >= 1, iters >= 0; "
+                         f"got m={m}, n_codes={n_codes}, iters={iters}")
+    if dim is None:
+        first = corpus.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("cannot train PQ codebooks on an empty corpus")
+        dim = int(first["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sd = dim // m
+    qt = corpus.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") * F.lit(float(scale)))
+                    .cast("long")).alias("q"))
+
+    @F.pandas_udf(LongType())
+    def _mixu(ids: pd.Series) -> pd.Series:
+        return pd.Series(mix64(ids.to_numpy(np.int64), seed)
+                         .astype(np.int64))
+
+    picked = (qt.withColumn("__m__", _mixu("id"))
+                .orderBy("__m__", "id").limit(n_codes).collect())
+    if not picked:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    books = [[[float(v) for v in r["q"][j * sd:(j + 1) * sd]]
+              for r in picked] for j in range(m)]
+    n_codes = len(picked)   # degenerate tiny corpus: fewer seeds than asked
+
+    if iters > 0:
+        sub = (qt.select("id", F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     F.slice("q", j * sd + 1, sd).alias("sq"))
+            for j in range(m)])).alias("s"))
+                 .select("id", "s.j", "s.sq")
+                 .persist())
+        sums = [F.sum(F.element_at("sq", d + 1)).alias(f"s{d}")
+                for d in range(sd)]
+        for _ in range(iters):
+            code = _pq_code_expr(books, F.col("j"), F.col("sq"))
+            agg = (sub.select("j", "sq", code.alias("code"))
+                      .groupBy("j", "code")
+                      .agg(F.count("*").alias("n"), *sums)
+                      .collect())
+            got = {(r["j"], r["code"]): r for r in agg}
+            books = [[
+                [float(got[j, c][f"s{d}"]) / float(got[j, c]["n"])
+                 for d in range(sd)]
+                if (j, c) in got else books[j][c]
+                for c in range(n_codes)] for j in range(m)]
+        sub.unpersist()
+    return books
+
+
+def _pq_code_expr(books: list[list[list[float]]], j_col: F.Column,
+                  sq_col: F.Column) -> F.Column:
+    """Nearest-code id for a (subspace id, subvector) pair: squared-L2
+    folds against the m x n_codes x d codebook literal tensor, ties to
+    the smallest code — pure JVM expressions."""
+    tensor = F.array(*[F.array(*[F.array(*[F.lit(v) for v in cv])
+                                 for cv in book]) for book in books])
+    bj = F.element_at(tensor, j_col.cast("int") + 1)
+    dists = F.transform(bj, lambda cv: F.aggregate(
+        F.zip_with(sq_col, cv, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, v: acc + v))
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def pq_encode(corpus: DataFrame, books: list[list[list[float]]],
+              scale: float = 256.0, id_col: str = "vec_id",
+              vec_col: str = "embedding",
+              codes_col: str = "codes") -> DataFrame:
+    """(id, codes): each vector compressed to ``m`` small code ids —
+    64-dim floats become m=4 bytes, the 64x compression that lets a
+    100 TB embedding store live in RAM. Map-only (no shuffle, no
+    Python): per subspace one argmin fold against the codebook
+    literals."""
+    m, sd = len(books), len(books[0][0])
+    q = F.transform(F.col(vec_col),
+                    lambda x: F.floor(x.cast("double") * F.lit(float(scale)))
+                    .cast("long"))
+    codes = F.array(*[
+        _pq_code_expr(books, F.lit(j), F.slice(q, j * sd + 1, sd))
+        for j in range(m)])
+    return corpus.select(F.col(id_col).cast("long").alias(id_col),
+                         codes.alias(codes_col))
+
+
+def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, m: int = 4,
+            n_codes: int = 8, iters: int = 1, scale: float = 256.0,
+            seed: int = 42, query_id: str = "qid", query_vec: str = "qvec",
+            corpus_id: str = "vec_id", corpus_vec: str = "embedding",
+            books: list[list[list[float]]] | None = None) -> DataFrame:
+    """PQ-ADC approximate nearest neighbors: train (or accept)
+    codebooks, encode the corpus to m-byte codes, and answer each query
+    with an Asymmetric Distance Computation scan — the query
+    precomputes its m x n_codes lookup table of exact subspace
+    distances, and every corpus vector's approximate distance is just m
+    table lookups summed over its codes. Returns
+    (qid, vec_id, adist, rank) with rank 1..k per query ordered by
+    (adist asc, vec_id asc).
+
+    Scale shape: codebooks are KB-sized driver state; encoding is
+    map-only; the LUT side is nq x m x n_codes doubles BROADCAST to a
+    crossJoin (never a shuffle of the corpus); the scan reads only the
+    m-int code column (a 100 TB float store scans as ~1.5 TB of codes)
+    and computes m array lookups per row in codegen — no Python, no
+    float vectors move. The one shuffle is the final per-query top-k
+    window. Composes with ivf_topk's coarse quantizer (IVFADC) when
+    even the code scan needs pruning.
+
+    Determinism: LUT entries replay the same d-ascending
+    correctly-rounded fold both engines use (driver-side Python floats
+    == IEEE doubles), adist folds j-ascending, ties break on vec_id.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    spark = corpus.sparkSession
+    if books is None:
+        books = pq_train(corpus, m=m, n_codes=n_codes, iters=iters,
+                         scale=scale, seed=seed, id_col=corpus_id,
+                         vec_col=corpus_vec)
+    m, n_codes, sd = len(books), len(books[0]), len(books[0][0])
+    qrows = queries.select(F.col(query_id).alias("qid"),
+                           F.col(query_vec).alias("qv")).collect()
+    if not qrows:
+        return spark.createDataFrame(
+            [], "qid long, vec_id long, adist double, rank int")
+    luts = []
+    for r in qrows:
+        qint = [float(np.floor(np.float64(x) * np.float64(scale)))
+                for x in r["qv"]]
+        lut = []
+        for j in range(m):
+            row = []
+            for c in range(n_codes):
+                acc = 0.0
+                for d in range(sd):   # d-ascending fold, IEEE doubles
+                    t = qint[j * sd + d] - books[j][c][d]
+                    acc = acc + t * t
+                row.append(acc)
+            lut.append(row)
+        luts.append((int(r["qid"]), lut))
+    lut_df = spark.createDataFrame(
+        luts, "qid long, lut array<array<double>>")
+    codes = pq_encode(corpus, books, scale=scale, id_col=corpus_id,
+                      vec_col=corpus_vec)
+    adist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)), F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            F.element_at("lut", j),
+            F.element_at("codes", j) + F.lit(1)))
+    scored = (codes.crossJoin(F.broadcast(lut_df))
+                   .select("qid", corpus_id, adist.alias("adist")))
+    win = Window.partitionBy("qid").orderBy(F.col("adist").asc(),
+                                            F.col(corpus_id).asc())
+    return (scored.withColumn("rank", F.row_number().over(win))
+                  .filter(F.col("rank") <= k)
+                  .select("qid", corpus_id, "adist", "rank"))

@@ -46,10 +46,11 @@ from .cache import attach_cached as _attach_cached
 
 __all__ = [
     "line_dedup", "decontaminate", "stratified_sample", "exact_k_sample",
+    "weighted_sample",
     "score_buckets", "dedup_apply",
     "mixing_stats", "word_ngrams", "tfidf_topk_terms", "unigram_logprob",
     "normalize_url", "write_shards", "duplicated_ngram_fraction",
-    "bigram_logprob", "collocations",
+    "bigram_logprob", "collocations", "dsir_weights",
     "pack_sequences", "redact_pii", "pii_stats", "incremental_dedup",
     "gopher_quality", "chunk_text", "quality_classifier",
     "extract_html_text", "extract_main_content", "html_escape", "wrap_html",
@@ -435,6 +436,58 @@ def exact_k_sample(df: DataFrame, id_col: str, strata_col: str, k: int,
               .drop("__smp__", "__rk__"))
 
 
+def weighted_sample(df: DataFrame, id_col: str, weight_col: str, k: int,
+                    strata_col: str | None = None, seed: int = 42,
+                    key_col: str = "es_key32") -> DataFrame:
+    """Deterministic weight-proportional sampling WITHOUT replacement
+    (Efraimidis & Spirtes 2006, algorithm A-ES): every row gets the key
+    ``-ln(u) / w`` with ``u = (splitmix64(id) + 1) / 2^63 in (0, 1]``,
+    and the ``k`` smallest keys are an exact weight-proportional WOR
+    sample — the temperature-/size-weighted corpus sampling step of a
+    data-mixing pipeline (upweight long or high-quality documents
+    without replacement artifacts). With ``strata_col``, k rows per
+    stratum. Rows with NULL or non-positive weight are outside the
+    algorithm's domain and are dropped.
+
+    Deterministic and retry-stable: u is a pure function of (id, seed),
+    every arithmetic step is a correctly-rounded IEEE op shared by any
+    replaying engine, and the key is cast to float32 BEFORE ranking
+    (the collocations convention — absorbs the <=1-ulp ln() spread)
+    with ties broken by id.
+
+    Scale shape: map-only key computation (one Arrow-batched splitmix64
+    UDF on the 8-byte id, everything after in codegen), then the global
+    top-k plans as TakeOrderedAndProject — per-partition bounded heaps
+    merged on the driver, never a single-partition sort; the stratified
+    variant is ONE stratum-keyed window shuffle (rank streams, O(1)
+    state per stratum, same as exact_k_sample).
+    """
+    if k < 1:
+        raise ValueError(f"weighted_sample: k must be >= 1, got {k}")
+    if key_col in df.columns:
+        raise ValueError(f"input already carries the key column {key_col!r}")
+    from .ann import mix64
+
+    @F.pandas_udf(LongType())
+    def mixv(ids: pd.Series) -> pd.Series:
+        return pd.Series(mix64(ids.to_numpy(np.int64), seed)
+                         .astype(np.int64))
+
+    w = F.col(weight_col).cast("double")
+    u = (mixv(F.col(id_col).cast("long")).cast("double") + F.lit(1.0)) \
+        / F.lit(9223372036854775808.0)   # 2^63, exact as a double
+    keyed = (df.filter(F.col(weight_col).isNotNull() & (w > 0.0))
+               .withColumn(key_col, (-F.log(u) / w).cast("float")))
+    if strata_col is None:
+        return keyed.orderBy(F.col(key_col).asc(), F.col(id_col).asc()) \
+                    .limit(int(k))
+    win = Window.partitionBy(strata_col).orderBy(
+        F.col(key_col).asc(), F.col(id_col).asc())
+    return (keyed.withColumn("__rk__", F.row_number().over(win))
+                 .filter(F.col("__rk__") <= int(k))
+                 .drop("__rk__"))
+
+
 def stratified_sample(df: DataFrame, id_col: str, strata_col: str,
                       fractions_ppm: dict[str, int], default_ppm: int = 0,
                       seed: int = 42) -> DataFrame:
@@ -694,6 +747,104 @@ def collocations(docs: DataFrame, id_col: str, text_col: str,
     out = (topk.withColumn("rank", F.row_number().over(win))
                .select("w1", "w2", "n_pair", "ratio32", "rank"))
     return _attach_cached(out, uni)
+
+
+_DSIR_P31 = (1 << 31) - 1   # Mersenne-31 modulus of the feature hash
+
+
+def _dsir_features(docs: DataFrame, id_col: str, text_col: str,
+                   n_buckets: int) -> DataFrame:
+    """(id, bucket) feature stream: hashed unigrams + word bigrams.
+
+    The bucket hash is a per-character Mersenne-31 polynomial fold
+    (h <- (h*257 + ascii(c)) mod 2^31-1, then mod n_buckets) spelled as
+    a JVM higher-order expression — no Python, and character-exact so a
+    SQL engine replays it verbatim (the fingerprint_udf convention; the
+    corpus is verified pure ASCII, where ascii() == byte). A production
+    deployment on non-verification data would swap in
+    ``xxhash64(gram) pmod n_buckets`` — same semantics, one codegen'd
+    call — via the ``bucket_expr`` hook on :func:`dsir_weights`.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    unis = (docs.select(F.col(id_col),
+                        F.explode(F.filter(words, lambda w: F.length(w) > 0))
+                         .alias("__g__")))
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.concat(F.element_at(words, i), F.lit("\x1f"),
+                           F.element_at(words, i + 1)))
+    bis = (docs.filter(F.size(words) >= 2)
+               .select(F.col(id_col), F.explode(pairs).alias("__g__")))
+    g = F.col("__g__")
+    h = F.aggregate(
+        F.sequence(F.lit(1), F.length(g)),
+        F.lit(0).cast("long"),
+        lambda a, i: (a * 257 + F.ascii(F.substr(g, i, F.lit(1))))
+        % F.lit(_DSIR_P31))
+    return (unis.unionByName(bis)
+                .select(F.col(id_col),
+                        (h % F.lit(int(n_buckets))).cast("int")
+                        .alias("bucket")))
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame, id_col: str,
+                 text_col: str, n_buckets: int = 4096,
+                 alpha: int = 1) -> DataFrame:
+    """DSIR data-selection importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling" — public):
+    score every raw-corpus document by how target-like its hashed
+    n-gram profile is, ``w(doc) = sum over features of
+    ln(p_target(bucket) / p_raw(bucket))`` under add-``alpha``-smoothed
+    bag-of-hashed-ngrams models (unigrams + word bigrams hashed into
+    ``n_buckets``). Selecting the top-weight (or Gumbel-resampled) slice
+    of a web crawl against a trusted target corpus (e.g. its en/wiki
+    subset) is the standard pretraining-data-curation step between
+    quality filtering and mixing. Returns ``(id_col, n_feats,
+    dsir_weight32)``; docs with no feature (empty text) are absent.
+
+    Scale shape (100 TB raw corpus, bounded target): the two model
+    tables are combining count aggs over the feature stream, each at
+    most ``n_buckets`` rows — broadcast material by construction, so
+    model lookup is a BROADCAST join, never a shuffle of the corpus.
+    The per-doc profile is pre-reduced by a combining
+    ``groupBy(id, bucket)`` (Zipf repetition collapses map-side), so
+    the only corpus-sized shuffles carry (id, bucket[, cnt]) longs —
+    document text never moves. Determinism: every division is a
+    correctly-rounded op on exact integers, the per-doc sum folds in
+    bucket order (buckets unique per doc after the pre-reduce), and the
+    final float32 cast absorbs the <=1-ulp ln() spread between engines
+    (the bigram_logprob convention).
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2, got {n_buckets}")
+    if alpha < 1:
+        raise ValueError(f"alpha must be a positive integer, got {alpha}")
+    rf = _dsir_features(raw, id_col, text_col, n_buckets).persist()
+    tf = _dsir_features(target, id_col, text_col, n_buckets)
+    rc = rf.groupBy("bucket").agg(F.count("*").alias("__cr__")).persist()
+    tc = tf.groupBy("bucket").agg(F.count("*").alias("__ct__"))
+    n_raw = rc.agg(F.sum("__cr__")).first()[0] or 0
+    n_tgt = tc.agg(F.sum("__ct__")).first()[0] or 0
+    a, b = int(alpha), int(n_buckets)
+    model = (rc.join(tc, on="bucket", how="left")
+               .select("bucket",
+                       F.log(((F.coalesce(F.col("__ct__"), F.lit(0)) + a)
+                              .cast("double") / F.lit(float(n_tgt + a * b)))
+                             / ((F.col("__cr__") + a).cast("double")
+                                / F.lit(float(n_raw + a * b))))
+                       .alias("__lp__")))
+    docb = rf.groupBy(id_col, "bucket").agg(F.count("*").alias("__cnt__"))
+    per = docb.join(F.broadcast(model), on="bucket")
+    folded = per.groupBy(id_col).agg(
+        F.sum("__cnt__").alias("n_feats"),
+        F.aggregate(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("bucket"), F.col("__cnt__"), F.col("__lp__")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["__cnt__"].cast("double") * s["__lp__"])
+        .cast("float").alias("dsir_weight32"))
+    return _attach_cached(folded.select(id_col, "n_feats", "dsir_weight32"),
+                          rf, rc)
 
 
 _TRACKING_PREFIXES = ("utm_",)

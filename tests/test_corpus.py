@@ -1302,3 +1302,254 @@ def test_score_buckets(spark):
     with pytest.raises(ValueError, match="reserved"):
         score_buckets(docs.withColumn("bucket", F.lit(1)),
                       "doc_id", "score", "lang")
+
+
+def _dsir_ref(raw_texts, tgt_texts, n_buckets, alpha=1):
+    """Pure-Python replica of dsir_weights for known-answer checks."""
+    import math
+
+    p = (1 << 31) - 1
+
+    def feats(text):
+        ws = [w for w in text.strip().split()]
+        grams = [w for w in ws if w] + \
+            [ws[i] + "\x1f" + ws[i + 1] for i in range(len(ws) - 1)]
+        out = []
+        for g in grams:
+            h = 0
+            for ch in g:
+                h = (h * 257 + ord(ch)) % p
+            out.append(h % n_buckets)
+        return out
+
+    rf = {i: feats(t) for i, t in raw_texts.items()}
+    cr, ct = {}, {}
+    for bs in rf.values():
+        for b in bs:
+            cr[b] = cr.get(b, 0) + 1
+    for t in tgt_texts:
+        for b in feats(t):
+            ct[b] = ct.get(b, 0) + 1
+    nr, nt = sum(cr.values()), sum(ct.values())
+    exp = {}
+    for i, bs in rf.items():
+        if not bs:
+            continue
+        per = {}
+        for b in bs:
+            per[b] = per.get(b, 0) + 1
+        s = 0.0
+        for b in sorted(per):
+            pt = (ct.get(b, 0) + alpha) / (nt + alpha * n_buckets)
+            pr = (cr[b] + alpha) / (nr + alpha * n_buckets)
+            s += per[b] * math.log(pt / pr)
+        exp[i] = (len(bs), s)
+    return exp
+
+
+def test_dsir_weights_known_answer(spark):
+    from geomesa_spark.operators.corpus import dsir_weights
+
+    rows = [(1, "the cat sat", "en"), (2, "le chat noir", "fr"),
+            (3, "the dog sat", "en"), (4, "", "fr")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r for r in
+           dsir_weights(docs, docs.filter("lang = 'en'"),
+                        "doc_id", "text", n_buckets=64).collect()}
+    exp = _dsir_ref({i: t for i, t, _ in rows},
+                    [t for i, t, lg in rows if lg == "en"], 64)
+    assert set(got) == set(exp)           # empty doc 4 absent
+    for i, (n, w) in exp.items():
+        assert got[i].n_feats == n
+        assert abs(got[i].dsir_weight32 - w) < 1e-5 * max(1.0, abs(w))
+    # target-like docs must outscore the off-target one
+    assert min(got[1].dsir_weight32, got[3].dsir_weight32) \
+        > got[2].dsir_weight32
+
+
+def test_dsir_weights_self_target_is_zero(spark):
+    """target == raw -> p_t == p_r per bucket -> every lp is exactly 0
+    (identical smoothed divisions), so all weights are exactly 0.0."""
+    from geomesa_spark.operators.corpus import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common text body {i}") for i in range(6)],
+        "doc_id long, text string")
+    out = dsir_weights(docs, docs, "doc_id", "text", n_buckets=32).collect()
+    assert len(out) == 6
+    assert all(r.dsir_weight32 == 0.0 for r in out)
+
+
+def test_dsir_weights_validation(spark):
+    from geomesa_spark.operators.corpus import dsir_weights
+
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_weights(docs, docs, "doc_id", "text", n_buckets=1)
+    with pytest.raises(ValueError, match="alpha"):
+        dsir_weights(docs, docs, "doc_id", "text", alpha=0)
+
+
+def test_weighted_sample_matches_reference_keys(spark):
+    """Keys replicate the A-ES formula exactly (numpy replay), the k
+    smallest are kept, ties deterministic, non-positive weights drop."""
+    import math
+
+    import numpy as np
+
+    from geomesa_spark.operators.ann import mix64
+    from geomesa_spark.operators.corpus import weighted_sample
+
+    rows = [(i, (i % 5) + 1) for i in range(40)] + [(100, 0), (101, None)]
+    docs = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_sample(docs, "doc_id", "w", k=10).collect()
+    assert len(got) == 10
+
+    keys = {}
+    for i, w in rows:
+        if not w:
+            continue
+        u = (float(mix64(np.array([i], dtype=np.int64))[0]) + 1.0) / 2.0**63
+        keys[i] = np.float32(-math.log(u) / float(w))
+    expect = sorted(keys, key=lambda i: (keys[i], i))[:10]
+    assert [r.doc_id for r in got] == expect
+    for r in got:
+        assert r.es_key32 == keys[r.doc_id]
+
+
+def test_weighted_sample_is_weight_proportional(spark):
+    """A row with 50x the weight of its peers is (near-)always kept."""
+    from geomesa_spark.operators.corpus import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, 500 if i == 7 else 10) for i in range(200)],
+        "doc_id long, w long")
+    got = [r.doc_id for r in weighted_sample(docs, "doc_id", "w", k=20).collect()]
+    assert 7 in got
+
+
+def test_weighted_sample_plan_and_strata(spark):
+    from geomesa_spark.operators.corpus import weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, i + 1, "ab"[i % 2]) for i in range(30)],
+        "doc_id long, w long, lang string")
+    plan = weighted_sample(docs, "doc_id", "w", k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    per = weighted_sample(docs, "doc_id", "w", k=4, strata_col="lang").collect()
+    from collections import Counter
+    assert Counter(r.lang for r in per) == {"a": 4, "b": 4}
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample(docs, "doc_id", "w", k=0)
+    with pytest.raises(ValueError, match="key column"):
+        weighted_sample(docs.withColumn("es_key32", F.lit(1.0)),
+                        "doc_id", "w", k=1)
+
+
+def _pq_ref(vecs, queries, m, n_codes, iters, scale=256.0, seed=42):
+    """Pure-Python PQ replica (train + encode + ADC) for equivalence."""
+    import math
+
+    import numpy as np
+
+    from geomesa_spark.operators.ann import mix64
+
+    ids = sorted(vecs)
+    q = {i: [math.floor(float(x) * scale) for x in vecs[i]] for i in ids}
+    dim = len(next(iter(q.values())))
+    sd = dim // m
+    mixed = sorted(ids, key=lambda i: (int(mix64(
+        np.array([i], dtype=np.int64), seed)[0]), i))
+    picked = mixed[:n_codes]
+    books = [[[float(v) for v in q[i][j * sd:(j + 1) * sd]]
+              for i in picked] for j in range(m)]
+    K = len(picked)
+
+    def assign(sq, book):
+        best, bc = None, None
+        for c in range(K):
+            acc = 0.0
+            for d in range(sd):
+                t = sq[d] - book[c][d]
+                acc += t * t
+            if best is None or acc < best:
+                best, bc = acc, c
+        return bc, best
+
+    for _ in range(iters):
+        sums = {}
+        for i in ids:
+            for j in range(m):
+                c, _d = assign(q[i][j * sd:(j + 1) * sd], books[j])
+                n, s = sums.get((j, c), (0, [0] * sd))
+                sums[(j, c)] = (n + 1, [s[d] + q[i][j * sd + d]
+                                        for d in range(sd)])
+        for j in range(m):
+            for c in range(K):
+                if (j, c) in sums:
+                    n, s = sums[(j, c)]
+                    books[j][c] = [float(s[d]) / float(n) for d in range(sd)]
+
+    codes = {i: [assign(q[i][j * sd:(j + 1) * sd], books[j])[0]
+                 for j in range(m)] for i in ids}
+    out = {}
+    for qid in queries:
+        qq = [math.floor(float(x) * scale) for x in queries[qid]]
+        dists = {}
+        for i in ids:
+            acc = 0.0
+            for j in range(m):
+                c = codes[i][j]
+                v = 0.0
+                for d in range(sd):
+                    t = qq[j * sd + d] - books[j][c][d]
+                    v += t * t
+                acc += v
+            dists[i] = acc
+        out[qid] = sorted(ids, key=lambda i: (dists[i], i))
+    return books, codes, out
+
+
+def test_pq_topk_matches_reference(spark):
+    """pq_topk replays the pure-Python PQ pipeline exactly: same
+    codebooks after a Lloyd round, same codes, same ADC ranking."""
+    import numpy as np
+
+    from geomesa_spark.operators.ann import pq_topk, pq_train
+
+    rng = np.random.RandomState(7)
+    vecs = {i: rng.randn(8).astype(np.float32).tolist() for i in range(30)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()],
+        "vec_id long, embedding array<float>")
+    qids = [0, 5]
+    qdf = spark.createDataFrame(
+        [(i, vecs[i]) for i in qids], "qid long, qvec array<float>")
+    books = pq_train(df, m=2, n_codes=4, iters=1)
+    ref_books, _codes, ref_order = _pq_ref(vecs, {i: vecs[i] for i in qids},
+                                           m=2, n_codes=4, iters=1)
+    assert books == ref_books
+    got = pq_topk(qdf, df, k=5, books=books)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r.qid, []).append((r.rank, r.vec_id))
+    for qid in qids:
+        want = ref_order[qid][:5]
+        assert [v for _, v in sorted(by_q[qid])] == want
+
+
+def test_pq_validation_and_empty(spark):
+    from geomesa_spark.operators.ann import pq_topk, pq_train
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 6)], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=4)
+    with pytest.raises(ValueError, match="empty"):
+        pq_train(df.filter("vec_id < 0"), m=2)
+    qdf = spark.createDataFrame([], "qid long, qvec array<float>")
+    out = pq_topk(qdf, df, k=3, m=2, n_codes=2, iters=0)
+    assert out.count() == 0
+    with pytest.raises(ValueError, match="k must be"):
+        pq_topk(qdf, df, k=0)
