@@ -3347,6 +3347,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_select": q_dsir_select,
         "weighted_sample": q_weighted_sample,
         "pq_ann": q_pq_ann,
+        "surt_keys": q_surt_keys,
+        "cdx_index": q_cdx_index,
     })
 
 
@@ -3730,6 +3732,162 @@ def q_pq_ann(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
     return pq_topk(q, emb, k=5, m=4, n_codes=8, iters=1)
+
+
+def q_surt_keys(spark, sf_dir):
+    """SURT canonical URL keys (operators/corpus.surt_key — the
+    Internet-Archive/Common-Crawl CDX sort key): reversed host labels,
+    case/www./default-port collapse, non-default ports kept. Raw URLs
+    are built deterministically from doc_id with case, www, port, path
+    and fragment variety; the oracle replays both the construction and
+    every string rule."""
+    from geomesa_spark.operators.corpus import surt_key
+
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    www = F.when(i % 3 == 0, F.lit("WWW.")).otherwise(F.lit(""))
+    port = (F.when(i % 4 == 1, F.lit(":80"))
+             .when(i % 4 == 2, F.lit(":8080"))
+             .when(i % 4 == 3, F.lit(":443"))
+             .otherwise(F.lit("")))
+    path = F.when(i % 4 == 3, F.lit("")) \
+            .otherwise(F.concat(F.lit("/P/"), i.cast("string")))
+    tail = (F.when(i % 3 == 0, F.lit("?B=2&A=1"))
+             .when(i % 3 == 1, F.lit("#Frag"))
+             .otherwise(F.lit("")))
+    url = F.concat(F.lit("HTTP://"), www, F.lit("SuB"),
+                   (i % 5).cast("string"), F.lit(".Site"),
+                   (i % 7).cast("string"), F.lit(".Example"),
+                   port, path, tail)
+    return docs.select("doc_id", url.alias("url_raw"),
+                       surt_key(url).alias("surt"))
+
+
+_SQL_SURT_KEYS = """
+    WITH raw AS (
+      SELECT doc_id,
+             'HTTP://'
+               || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+               || 'SuB' || CAST(doc_id % 5 AS VARCHAR)
+               || '.Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example'
+               || CASE doc_id % 4 WHEN 1 THEN ':80' WHEN 2 THEN ':8080'
+                                  WHEN 3 THEN ':443' ELSE '' END
+               || CASE WHEN doc_id % 4 = 3 THEN ''
+                       ELSE '/P/' || CAST(doc_id AS VARCHAR) END
+               || CASE doc_id % 3 WHEN 0 THEN '?B=2&A=1'
+                                  WHEN 1 THEN '#Frag' ELSE '' END AS url_raw
+      FROM documents),
+    nf AS (SELECT doc_id, url_raw,
+                  split_part(url_raw, '#', 1) AS nofrag FROM raw),
+    hp0 AS (SELECT *, CASE WHEN instr(nofrag, '://') > 0
+                           THEN substr(nofrag, instr(nofrag, '://') + 3)
+                           ELSE nofrag END AS hostpath0
+            FROM nf),
+    hp AS (SELECT *, CASE WHEN instr(hostpath0, '?') > 0
+                           AND (instr(hostpath0, '/') = 0
+                                OR instr(hostpath0, '?') < instr(hostpath0, '/'))
+                          THEN substr(hostpath0, 1, instr(hostpath0, '?') - 1)
+                               || '/' || substr(hostpath0, instr(hostpath0, '?'))
+                          ELSE hostpath0 END AS hostpath
+           FROM hp0),
+    h0 AS (SELECT *, lower(split_part(hostpath, '/', 1)) AS hostport
+           FROM hp),
+    h AS (SELECT *,
+                 CASE WHEN starts_with(split_part(hostport, ':', 1), 'www.')
+                      THEN substr(split_part(hostport, ':', 1), 5)
+                      ELSE split_part(hostport, ':', 1) END AS host,
+                 CASE WHEN instr(hostport, ':') > 0
+                      THEN substr(hostport, instr(hostport, ':') + 1)
+                      ELSE '' END AS port
+          FROM h0),
+    parts AS (SELECT *,
+                 CASE WHEN port IN ('', '80', '443') THEN ''
+                      ELSE ':' || port END AS portpart,
+                 CASE WHEN instr(hostpath, '/') > 0
+                      THEN lower(substr(hostpath, instr(hostpath, '/')))
+                      ELSE '/' END AS pathq,
+                 array_to_string(list_reverse(string_split(host, '.')), ',')
+                   AS rev
+              FROM h)
+    SELECT doc_id, url_raw, rev || portpart || ')' || pathq AS surt
+    FROM parts
+"""
+
+
+def q_cdx_index(spark, sf_dir):
+    """CDX capture index over plain WARC files
+    (sources/warc.read_warc_cdx + corpus.surt_key): every record's
+    (offset, length) byte span — the random-access contract that lets a
+    ranged read fetch one page from a 100 TB WARC store. Fixture: two
+    deterministic uncompressed WARC files; the oracle replays the
+    build_warc framing arithmetic (header template lengths + digit
+    counts) and reconstructs every span as a window cumsum, so equality
+    certifies the span scanner byte-for-byte. Compressed-member spans
+    (not SQL-replayable) are round-trip-certified in tests/test_warc.py."""
+    import os
+    from datetime import datetime, timezone
+
+    from geomesa_spark.operators.corpus import surt_key
+    from geomesa_spark.sources.warc import build_warc, read_warc_cdx
+
+    path = _store_tmp(sf_dir, "cdx")
+    os.makedirs(path, exist_ok=True)
+    n = 300
+    recs = [{"url": f"https://site{i % 97}.example/p{i}",
+             "ts": datetime.fromtimestamp(1704067200 + i * 61,
+                                          tz=timezone.utc),
+             "body": (f"<html><body>doc {i:06d} w{i % 13:02d}"
+                      f"</body></html>").encode()}
+            for i in range(n)]
+    half = n // 2
+    with open(os.path.join(path, "a.warc"), "wb") as f:
+        f.write(build_warc(recs[:half], gzip_members=False))
+    with open(os.path.join(path, "b.warc"), "wb") as f:
+        f.write(build_warc(recs[half:], gzip_members=False))
+    df = read_warc_cdx(spark, path)
+    return df.select(
+        F.regexp_extract("path", r"([ab])\.warc$", 1).alias("file"),
+        F.regexp_extract("url", r"/p(\d+)$", 1).cast("long").alias("rec_i"),
+        F.unix_timestamp("warc_ts").alias("secs"),
+        "offset", "length",
+        surt_key(F.col("url")).alias("surt"))
+
+
+def _sql_cdx_index(n: int = 300) -> str:
+    """Framing arithmetic replay of build_warc(http=True) plain records:
+    http prefix = 62 + digits(blen); WARC header = 152 + len(url) +
+    digits(clen); record = header + clen + 4 trailing bytes. Offsets are
+    per-file cumsums in record order."""
+    return f"""
+        WITH t AS (SELECT CAST(u.i AS BIGINT) AS i
+                   FROM unnest(range(0, {n})) AS u(i)),
+        r AS (SELECT i,
+                     CASE WHEN i < {n // 2} THEN 'a' ELSE 'b' END AS file,
+                     'https://site' || CAST(i % 97 AS VARCHAR)
+                       || '.example/p' || CAST(i AS VARCHAR) AS url,
+                     1704067200 + i * 61 AS secs,
+                     CAST(length('<html><body>doc ' || printf('%06d', i)
+                          || ' w' || printf('%02d', i % 13)
+                          || '</body></html>') AS BIGINT) AS blen
+              FROM t),
+        c AS (SELECT *,
+                     62 + length(CAST(blen AS VARCHAR)) + blen AS clen
+              FROM r),
+        l AS (SELECT *,
+                     152 + length(url) + length(CAST(clen AS VARCHAR))
+                       + clen + 4 AS rlen
+              FROM c),
+        o AS (SELECT *,
+                     CAST(COALESCE(sum(rlen) OVER (PARTITION BY file
+                              ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+              FROM l)
+        SELECT file, i AS rec_i, CAST(secs AS BIGINT) AS secs,
+               "offset", CAST(rlen AS BIGINT) AS length,
+               'example,site' || CAST(i % 97 AS VARCHAR) || ')/p'
+                 || CAST(i AS VARCHAR) AS surt
+        FROM o
+    """
 
 
 def _sql_pq_ann(k: int = 5, m: int = 4, n_codes: int = 8, iters: int = 1,
@@ -5235,6 +5393,8 @@ def oracle_sql() -> dict[str, str]:
         "exact_sample": _sql_exact_sample(),
         "weighted_sample": _sql_weighted_sample(),
         "pq_ann": _sql_pq_ann(),
+        "surt_keys": _SQL_SURT_KEYS,
+        "cdx_index": _sql_cdx_index(),
         "score_buckets": _SQL_SCORE_BUCKETS,
         "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),

@@ -54,7 +54,7 @@ __all__ = [
     "pack_sequences", "redact_pii", "pii_stats", "incremental_dedup",
     "gopher_quality", "chunk_text", "quality_classifier",
     "extract_html_text", "extract_main_content", "html_escape", "wrap_html",
-    "extract_links", "url_host",
+    "extract_links", "url_host", "surt_key",
     "bloom_words", "bloom_dense", "bloom_probe",
     "robots_rules", "robots_filter", "fetch_schedule", "parse_sitemap",
 ]
@@ -178,6 +178,50 @@ def url_host(url: Column) -> Column:
     return F.when(rawhost.startswith("www."),
                   rawhost.substr(F.lit(5), F.length(rawhost))
                   ).otherwise(rawhost)
+
+
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key of an absolute
+    URL — the canonical sort/lookup key of web-archive indexes (the
+    Internet Archive / Common Crawl CDX convention, public):
+    ``https://www.Example.com:443/Path?q`` -> ``com,example)/path?q``.
+    Host labels reverse (comma-joined) so one domain's pages sort
+    contiguously — prefix scans over a petabyte index answer "every
+    capture under example.com" without a shuffle. Rules: scheme and
+    fragment drop, host lowercases and loses ``www.`` + default ports
+    (:80/:443; other ports kept as ``:port`` before ``)``), path+query
+    lowercase. Compose with :func:`normalize_url` first when tracking
+    params / param order should also collapse.
+
+    Pure JVM string/array expressions (the normalize_url dialect — no
+    Python, replayable verbatim by a SQL mirror).
+    """
+    nofrag = F.substring_index(url, "#", 1)
+    sep = F.instr(nofrag, "://")
+    hostpath0 = F.when(sep > 0,
+                       nofrag.substr(sep + 3, F.length(nofrag))
+                       ).otherwise(nofrag)
+    # host ends at the first '/' OR '?' (implied-'/' trick)
+    q0 = F.instr(hostpath0, "?")
+    s0 = F.instr(hostpath0, "/")
+    hostpath = F.when((q0 > 0) & ((s0 == 0) | (q0 < s0)),
+                      F.concat(hostpath0.substr(F.lit(1), q0 - 1), F.lit("/"),
+                               hostpath0.substr(q0, F.length(hostpath0)))
+                      ).otherwise(hostpath0)
+    hostport = F.lower(F.substring_index(hostpath, "/", 1))
+    host = F.substring_index(hostport, ":", 1)
+    host = F.when(host.startswith("www."),
+                  host.substr(F.lit(5), F.length(host))).otherwise(host)
+    port = F.when(F.instr(hostport, ":") > 0,
+                  F.substring_index(hostport, ":", -1)).otherwise(F.lit(""))
+    portpart = F.when(port.isin("", "80", "443"), F.lit("")) \
+                .otherwise(F.concat(F.lit(":"), port))
+    pathq = F.when(F.instr(hostpath, "/") > 0,
+                   F.lower(hostpath.substr(F.instr(hostpath, "/"),
+                                           F.length(hostpath)))
+                   ).otherwise(F.lit("/"))
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    return F.concat(rev, portpart, F.lit(")"), pathq)
 
 
 def extract_links(df: DataFrame, html_col: str = "html",

@@ -94,3 +94,62 @@ def test_write_wet_roundtrip(spark, tmp_path, gz):
         # Spark collects naive session-tz datetimes (session tz = UTC)
         assert r["warc_ts"].replace(tzinfo=timezone.utc) == ts
         assert r["content_type"] == "text/plain"
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_record_spans_tile_and_roundtrip(gz):
+    """Spans partition the file exactly and every slice re-parses to the
+    same record — the CDX random-access contract, both layouts."""
+    from geomesa_spark.sources.warc import warc_record_spans
+
+    buf = build_warc(_recs(5), gzip_members=gz)
+    spans = list(warc_record_spans(buf))
+    assert len(spans) == 5
+    assert spans[0][0] == 0
+    for (o1, l1), (o2, _) in zip(spans, spans[1:]):
+        assert o1 + l1 == o2            # contiguous
+    assert spans[-1][0] + spans[-1][1] == len(buf)
+    full = list(parse_warc_bytes(buf))
+    for (off, ln), want in zip(spans, full):
+        got = list(parse_warc_bytes(buf[off:off + ln]))
+        assert got == [want]
+
+
+def test_read_warc_cdx_spark(spark, tmp_path):
+    """read_warc_cdx rows carry working spans for a .warc.gz file: a
+    ranged read of [offset, offset+length) yields that record."""
+    from geomesa_spark.sources.warc import read_warc_cdx
+
+    recs = _recs(4)
+    p = tmp_path / "c.warc.gz"
+    p.write_bytes(build_warc(recs, gzip_members=True))
+    rows = sorted(read_warc_cdx(spark, str(tmp_path)).collect(),
+                  key=lambda r: r["offset"])
+    assert [r["url"] for r in rows] == [r["url"] for r in recs]
+    raw = p.read_bytes()
+    for row, want in zip(rows, recs):
+        sl = raw[row["offset"]:row["offset"] + row["length"]]
+        rt, url, ts, _ct, body = next(parse_warc_bytes(sl))
+        assert (rt, url) == ("response", want["url"])
+        assert body == want["body"]
+        assert row["rec_type"] == "response"
+        assert row["warc_ts"].replace(tzinfo=timezone.utc) == want["ts"]
+
+
+def test_surt_key_known_answers(spark):
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.corpus import surt_key
+
+    cases = [
+        ("HTTPS://WWW.Example.COM/Path/One?Q=1#frag",
+         "com,example)/path/one?q=1"),
+        ("http://a.b.example.org:8080/x", "org,example,b,a:8080)/x"),
+        ("https://Example.com:443", "com,example)/"),
+        ("http://example.com:80?z=1", "com,example)/?z=1"),
+        ("https://sub.site.example/p/2", "example,site,sub)/p/2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["s"] for r in
+           df.select(surt_key(F.col("url")).alias("s")).collect()]
+    assert got == [want for _, want in cases]
