@@ -3349,6 +3349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_ann": q_pq_ann,
         "surt_keys": q_surt_keys,
         "cdx_index": q_cdx_index,
+        "ivfadc": q_ivfadc,
     })
 
 
@@ -3963,6 +3964,120 @@ def _sql_pq_ann(k: int = 5, m: int = 4, n_codes: int = 8, iters: int = 1,
     """
 
 
+def q_ivfadc(spark, sf_dir):
+    """IVFADC (operators/ann.ivfadc_topk, Jegou 2011 §IV): integer
+    coarse quantizer (8 splitmix-picked quantized vectors) prunes to 3
+    probed lists per query; PQ codes of the integer RESIDUALS give
+    in-list ADC distances. Oracle unrolls coarse assign, residuals, the
+    residual-PQ training round, encode, per-(query, probe) LUTs, and
+    the j-ascending adist fold — bit-equal end to end."""
+    from geomesa_spark.operators.ann import ivfadc_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    return ivfadc_topk(q, emb, k=5, n_centroids=8, n_probe=3, m=4,
+                       n_codes=8, iters=1)
+
+
+def _sql_ivfadc(k: int = 5, nc: int = 8, n_probe: int = 3, m: int = 4,
+                n_codes: int = 8, iters: int = 1, dim: int = 64,
+                scale: float = 256.0, nq: int = 5) -> str:
+    """DuckDB mirror of ann.ivfadc_topk (see q_ivfadc). Coarse distances
+    are pure BIGINT folds; residuals are exact ints; the residual PQ
+    round reuses the _sql_pq_ann structure; LUT + adist folds replay the
+    Spark/driver IEEE chains."""
+    sd = dim // m
+    cmix, cmixcol = _sql_mix64_cte("CAST(vec_id AS HUGEINT)")  # seed 42
+    pmix, pmixcol = _sql_mix64_cte("CAST(id AS HUGEINT)", seed=43,
+                                   prefix="px")
+    qx = (f"list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)"
+          f" * {scale!r}) AS BIGINT))")
+    cdist = (f"list_reduce(list_transform(range(1, {dim + 1}), "
+             f"i -> (q[i] - cv[i]) * (q[i] - cv[i])), (a, b) -> a + b)")
+    pdist = (f"list_reduce(list_transform(range(1, {sd + 1}), "
+             f"i -> (sq[i] - cv[i]) * (sq[i] - cv[i])), (a, b) -> a + b)")
+    sums = ", ".join(f"sum(CAST(sq[{d + 1}] AS BIGINT)) AS s{d}"
+                     for d in range(sd))
+    means = ", ".join(f"CAST(s.s{d} AS DOUBLE) / CAST(s.n AS DOUBLE)"
+                      for d in range(sd))
+    rexpr = (f"list_transform(range(1, {dim + 1}), "
+             f"i -> CAST(q[i] - cv[i] AS DOUBLE))")
+    parts = [f"""mx0 AS (SELECT vec_id, embedding FROM embeddings),
+        {cmix},
+        qt AS (SELECT vec_id AS id, {qx} AS q FROM embeddings),
+        coarse AS (SELECT CAST(row_number() OVER (ORDER BY {cmixcol},
+                               vec_id) - 1 AS INTEGER) AS ccid, q0 AS cv
+                   FROM (SELECT vec_id, {qx} AS q0, {cmixcol} FROM mxf
+                         ORDER BY {cmixcol}, vec_id LIMIT {nc})),
+        ca AS (SELECT id, q, ccid, cv,
+                      row_number() OVER (PARTITION BY id
+                          ORDER BY {cdist} ASC, ccid ASC) AS crn
+               FROM qt, coarse),
+        res AS (SELECT id, ccid, {rexpr} AS r FROM ca WHERE crn = 1),
+        px0 AS (SELECT id, r FROM res),
+        {pmix},
+        pseeds AS (SELECT CAST(row_number() OVER (ORDER BY {pmixcol}, id)
+                               - 1 AS INTEGER) AS cid, r AS cv
+                   FROM pxf ORDER BY {pmixcol}, id LIMIT {n_codes}),
+        qn AS (SELECT id AS qid, q FROM qt WHERE id < {nq}),
+        qpr AS (SELECT qid, q, ccid, cv,
+                       row_number() OVER (PARTITION BY qid
+                           ORDER BY {cdist.replace('q[i]', 'q[i]')} ASC,
+                                    ccid ASC) AS prn
+                FROM qn, coarse),
+        qres AS (SELECT qid, ccid, {rexpr} AS r FROM qpr
+                 WHERE prn <= {n_probe})"""]
+    for j in range(m):
+        lo, hi = j * sd + 1, (j + 1) * sd
+        parts.append(f"""sub{j} AS (SELECT id, r[{lo}:{hi}] AS sq
+            FROM res)""")
+        parts.append(f"""b0_{j} AS (SELECT cid, cv[{lo}:{hi}] AS cv
+            FROM pseeds)""")
+        for t in range(iters + 1):
+            parts.append(f"""a{t}_{j} AS (
+                SELECT id, sq, cid, row_number() OVER (PARTITION BY id
+                           ORDER BY {pdist} ASC, cid ASC) AS rn
+                FROM sub{j}, b{t}_{j})""")
+            if t < iters:
+                parts.append(f"""s{t}_{j} AS (
+                SELECT cid, CAST(count(*) AS BIGINT) AS n, {sums}
+                FROM a{t}_{j} WHERE rn = 1 GROUP BY 1)""")
+                parts.append(f"""b{t + 1}_{j} AS (
+                SELECT c.cid,
+                       CASE WHEN s.n IS NULL THEN c.cv
+                            ELSE list_value({means}) END AS cv
+                FROM b{t}_{j} c LEFT JOIN s{t}_{j} s ON s.cid = c.cid)""")
+        parts.append(f"""e_{j} AS (SELECT id, cid AS code FROM a{iters}_{j}
+            WHERE rn = 1)""")
+        parts.append(f"""l_{j} AS (
+            SELECT s.qid, s.ccid, b.cid,
+                   list_reduce(list_transform(range(1, {sd + 1}),
+                       i -> (sq[i] - cv[i]) * (sq[i] - cv[i])),
+                       (a, b) -> a + b) AS v
+            FROM (SELECT qid, ccid, r[{lo}:{hi}] AS sq FROM qres) s,
+                 b{iters}_{j} b)""")
+    joins = ["res", "e_0 ON e_0.id = res.id",
+             "l_0 ON l_0.ccid = res.ccid AND l_0.cid = e_0.code"]
+    adist = "(CAST(0.0 AS DOUBLE) + l_0.v)"
+    for j in range(1, m):
+        joins.append(f"e_{j} ON e_{j}.id = res.id")
+        joins.append(f"l_{j} ON l_{j}.qid = l_0.qid AND "
+                     f"l_{j}.ccid = res.ccid AND l_{j}.cid = e_{j}.code")
+        adist = f"({adist} + l_{j}.v)"
+    jn = " JOIN ".join(joins)
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT qid, vec_id, adist, CAST(rnk AS INTEGER) AS rank FROM (
+            SELECT l_0.qid AS qid, res.id AS vec_id, {adist} AS adist,
+                   row_number() OVER (PARTITION BY l_0.qid
+                       ORDER BY {adist} ASC, res.id ASC) AS rnk
+            FROM {jn})
+        WHERE rnk <= {k}
+    """
+
+
 def _sql_bm25(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
     """DuckDB mirror of text.bm25_score: identical tokenization, exact
     integer corpus stats, the same fixed-order double chain, float32
@@ -4408,19 +4523,22 @@ def _sql_hits(iters: int = 2) -> str:
     """
 
 
-def _sql_mix64_cte(expr: str) -> tuple[str, str]:
+def _sql_mix64_cte(expr: str, seed: int = 42,
+                   prefix: str = "mx") -> tuple[str, str]:
     """Chained-CTE splitmix64 mirror of operators/ann.mix64 over ``expr``
-    (already a HUGEINT in a relation aliased mx0 with the other columns);
-    returns (cte_sql, final_col) where final_col is the 63-bit mix."""
-    k = (0x9E3779B97F4A7C15 * 43) & 0xFFFFFFFFFFFFFFFF  # seed=42
+    (already a HUGEINT in a relation aliased {prefix}0 with the other
+    columns); returns (cte_sql, final_col) where final_col is the 63-bit
+    mix. ``prefix`` lets one query chain two independent mixes."""
+    k = (0x9E3779B97F4A7C15 * (seed + 1)) & 0xFFFFFFFFFFFFFFFF
     c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
     z0 = f"(({expr}) + {k}) % 18446744073709551616"
+    p = prefix
     cte = f"""
-        mx1 AS (SELECT *, ({z0}) AS z0 FROM mx0),
-        mx2 AS (SELECT *, ({_mm64('xor(z0, z0 >> 30)', str(c1))}) AS z1 FROM mx1),
-        mx3 AS (SELECT *, ({_mm64('xor(z1, z1 >> 27)', str(c2))}) AS z2 FROM mx2),
-        mxf AS (SELECT *, (xor(z2, z2 >> 31) >> 1) AS mixv FROM mx3)"""
-    return cte, "mixv"
+        {p}1 AS (SELECT *, ({z0}) AS {p}z0 FROM {p}0),
+        {p}2 AS (SELECT *, ({_mm64(f'xor({p}z0, {p}z0 >> 30)', str(c1))}) AS {p}z1 FROM {p}1),
+        {p}3 AS (SELECT *, ({_mm64(f'xor({p}z1, {p}z1 >> 27)', str(c2))}) AS {p}z2 FROM {p}2),
+        {p}f AS (SELECT *, (xor({p}z2, {p}z2 >> 31) >> 1) AS {p}v FROM {p}3)"""
+    return cte, f"{p}v"
 
 
 def _sql_ivf_ann(k: int = 5, n_centroids: int = 8, n_probe: int = 3) -> str:
@@ -5395,6 +5513,7 @@ def oracle_sql() -> dict[str, str]:
         "pq_ann": _sql_pq_ann(),
         "surt_keys": _SQL_SURT_KEYS,
         "cdx_index": _sql_cdx_index(),
+        "ivfadc": _sql_ivfadc(),
         "score_buckets": _SQL_SCORE_BUCKETS,
         "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),

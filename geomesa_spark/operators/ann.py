@@ -27,7 +27,8 @@ from pyspark.sql.types import (
 __all__ = ["cosine_topk", "cosine_topk_sql", "lsh_topk", "ivf_topk",
            "cosine_dedup_pairs", "cosine_sim_col", "mix64",
            "quantize_int8", "quantized_topk", "semantic_dedup",
-           "random_projection", "pq_train", "pq_encode", "pq_topk"]
+           "random_projection", "pq_train", "pq_encode", "pq_topk",
+           "ivfadc_topk"]
 
 from .cache import attach_cached as _attach_cached  # noqa: E402
 
@@ -753,3 +754,128 @@ def pq_topk(queries: DataFrame, corpus: DataFrame, k: int, m: int = 4,
     return (scored.withColumn("rank", F.row_number().over(win))
                   .filter(F.col("rank") <= k)
                   .select("qid", corpus_id, "adist", "rank"))
+
+
+def ivfadc_topk(queries: DataFrame, corpus: DataFrame, k: int,
+                n_centroids: int = 8, n_probe: int = 3, m: int = 4,
+                n_codes: int = 8, iters: int = 1, scale: float = 256.0,
+                seed: int = 42, query_id: str = "qid",
+                query_vec: str = "qvec", corpus_id: str = "vec_id",
+                corpus_vec: str = "embedding") -> DataFrame:
+    """IVFADC (Jegou 2011 §IV): the coarse inverted file prunes the
+    corpus to ``n_probe`` of ``n_centroids`` lists per query, and PQ
+    codes of the RESIDUAL (vector minus its coarse centroid) give the
+    in-list distances — the composition that serves billion-vector
+    stores (FAISS's default index family). Returns
+    (qid, vec_id, adist, rank), rank 1..k per query by (adist, vec_id).
+
+    Exactness chain (everything a SQL engine can replay): coarse
+    centroids are the ``n_centroids`` quantized corpus vectors with the
+    smallest splitmix64(id) — INTEGER vectors, so residuals stay exact
+    integers; PQ codebooks train on those integer residuals with
+    splitmix64 seed ``seed+1`` (pq_train, scale=1 — already quantized);
+    coarse assignment distances are pure int64 folds; ADC lookup tables
+    replay the d-ascending IEEE fold; adist folds j-ascending.
+
+    Scale shape: coarse assign + residual + encode are ONE map-only
+    pass over the corpus (centroids and codebooks are literal tensors);
+    the query side ships (qid, probed list, LUT) rows — nq * n_probe *
+    m * n_codes doubles, broadcast — and the probe join hits only the
+    probed lists' rows; the only corpus-wide shuffle is the final
+    per-query top-k window. Unlike :func:`pq_topk`'s full scan, the
+    scan cost per query drops by ~n_probe/n_centroids.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_probe < 1 or n_probe > n_centroids:
+        raise ValueError(f"need 1 <= n_probe <= n_centroids, "
+                         f"got n_probe={n_probe}, n_centroids={n_centroids}")
+    spark = corpus.sparkSession
+    qt = corpus.select(
+        F.col(corpus_id).cast("long").alias("id"),
+        F.transform(F.col(corpus_vec),
+                    lambda x: F.floor(x.cast("double") * F.lit(float(scale)))
+                    .cast("long")).alias("q"))
+
+    @F.pandas_udf(LongType())
+    def _mixu(ids: pd.Series) -> pd.Series:
+        return pd.Series(mix64(ids.to_numpy(np.int64), seed)
+                         .astype(np.int64))
+
+    picked = (qt.withColumn("__m__", _mixu("id"))
+                .orderBy("__m__", "id").limit(n_centroids).collect())
+    if not picked:
+        return spark.createDataFrame(
+            [], "qid long, vec_id long, adist double, rank int")
+    coarse = [[int(v) for v in r["q"]] for r in picked]
+    n_centroids = len(coarse)
+    dim = len(coarse[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+
+    ctensor = F.array(*[F.array(*[F.lit(v) for v in cv]) for cv in coarse])
+    cdists = F.transform(ctensor, lambda cv: F.aggregate(
+        F.zip_with(F.col("q"), cv, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, v: acc + v))
+    cid = (F.array_position(cdists, F.array_min(cdists)) - 1).cast("int")
+    resid = (qt.withColumn("cid", cid)
+               .withColumn("r", F.zip_with(
+                   F.col("q"),
+                   F.element_at(ctensor, F.col("cid") + 1),
+                   lambda a, b: (a - b).cast("double")))
+               .persist())
+    books = pq_train(resid, m=m, n_codes=n_codes, iters=iters, scale=1.0,
+                     seed=seed + 1, id_col="id", vec_col="r", dim=dim)
+    sd = dim // m
+    codes = F.array(*[
+        _pq_code_expr(books, F.lit(j), F.slice("r", j * sd + 1, sd))
+        for j in range(m)])
+    encoded = resid.select("id", "cid", codes.alias("codes"))
+
+    qrows = queries.select(F.col(query_id).alias("qid"),
+                           F.col(query_vec).alias("qv")).collect()
+    if not qrows:
+        resid.unpersist()
+        return spark.createDataFrame(
+            [], "qid long, vec_id long, adist double, rank int")
+    luts = []
+    for r in qrows:
+        qint = [int(np.floor(np.float64(x) * np.float64(scale)))
+                for x in r["qv"]]
+        cd = []
+        for c in range(n_centroids):
+            acc = 0
+            for d in range(dim):
+                t = qint[d] - coarse[c][d]
+                acc += t * t
+            cd.append((acc, c))
+        probes = [c for _, c in sorted(cd)[:n_probe]]
+        for c in probes:
+            qres = [float(qint[d] - coarse[c][d]) for d in range(dim)]
+            lut = []
+            for j in range(m):
+                row = []
+                for code in range(len(books[0])):
+                    acc = 0.0
+                    for d in range(sd):   # d-ascending IEEE fold
+                        t = qres[j * sd + d] - books[j][code][d]
+                        acc = acc + t * t
+                    row.append(acc)
+                lut.append(row)
+            luts.append((int(r["qid"]), c, lut))
+    lut_df = spark.createDataFrame(
+        luts, "qid long, cid int, lut array<array<double>>")
+    adist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(m)), F.lit(0.0),
+        lambda acc, j: acc + F.element_at(
+            F.element_at("lut", j),
+            F.element_at("codes", j) + F.lit(1)))
+    scored = (encoded.join(F.broadcast(lut_df), on="cid")
+                     .select("qid", F.col("id").alias(corpus_id),
+                             adist.alias("adist")))
+    win = Window.partitionBy("qid").orderBy(F.col("adist").asc(),
+                                            F.col(corpus_id).asc())
+    out = (scored.withColumn("rank", F.row_number().over(win))
+                 .filter(F.col("rank") <= k)
+                 .select("qid", corpus_id, "adist", "rank"))
+    return _attach_cached(out, resid)

@@ -1553,3 +1553,37 @@ def test_pq_validation_and_empty(spark):
     assert out.count() == 0
     with pytest.raises(ValueError, match="k must be"):
         pq_topk(qdf, df, k=0)
+
+
+def test_ivfadc_probe_widening_and_validation(spark):
+    """More probed lists can only improve (lower) the best ADC distance;
+    full probe returns k rows per query; bad args raise."""
+    import numpy as np
+
+    from geomesa_spark.operators.ann import ivfadc_topk
+
+    rng = np.random.RandomState(11)
+    vecs = [(i, rng.randn(8).astype(np.float32).tolist()) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    qdf = spark.createDataFrame(vecs[:3], "qid long, qvec array<float>")
+
+    def top1(n_probe):
+        out = ivfadc_topk(qdf, df, k=1, n_centroids=4, n_probe=n_probe,
+                          m=2, n_codes=4, iters=1)
+        return {r.qid: r.adist for r in out.collect()}
+
+    narrow, wide = top1(1), top1(4)
+    assert set(wide) == {0, 1, 2}
+    for qid in wide:
+        assert wide[qid] <= narrow[qid] + 1e-12
+    full = ivfadc_topk(qdf, df, k=5, n_centroids=4, n_probe=4,
+                       m=2, n_codes=4, iters=1)
+    from collections import Counter
+    assert Counter(r.qid for r in full.collect()) == {0: 5, 1: 5, 2: 5}
+    with pytest.raises(ValueError, match="n_probe"):
+        ivfadc_topk(qdf, df, k=1, n_centroids=4, n_probe=5)
+    with pytest.raises(ValueError, match="k must be"):
+        ivfadc_topk(qdf, df, k=0)
+    empty = spark.createDataFrame([], "qid long, qvec array<float>")
+    assert ivfadc_topk(empty, df, k=3, n_centroids=4, n_probe=2,
+                       m=2, n_codes=4).count() == 0
