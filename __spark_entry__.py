@@ -2052,6 +2052,88 @@ def q_geoparse_pages(spark, sf_dir):
     return pts.groupBy("lang").agg(F.count("*").alias("n"))
 
 
+def q_tile_place_stats(spark, sf_dir):
+    """The graft fusion end to end: web corpus -> geoparse (gazetteer
+    place mentions) -> GridSnap 1-degree tiles -> per-tile TEXT
+    analytics (page count, distinct cities, distinct languages, total
+    chars). Demonstrates spatial + corpus operators meeting on one plan:
+    the spatial key comes from the text, the aggregates from the text's
+    own stats. Oracle: HUGEINT replay of the generator's place/city/lang
+    splitmix streams + the gazetteer constants through the identical
+    tile arithmetic — no coordinate parsing at all."""
+    from geomesa_spark.sources.pages import generate_pages, geoparse
+
+    pages = generate_pages(spark, 4000, partitions=8, place_mentions=True)
+    pts = geoparse(pages).filter(F.col("text").contains("located in "))
+    city = F.regexp_extract("text", r"located in (\w+)", 1)
+    i = F.least(F.floor((F.col("lon") - F.lit(-180.0)) / F.lit(1.0)),
+                F.lit(359)).cast("int")
+    j = F.least(F.floor((F.col("lat") - F.lit(-90.0)) / F.lit(1.0)),
+                F.lit(179)).cast("int")
+    return (pts.select(i.alias("i"), j.alias("j"), city.alias("city"),
+                       "lang", F.length("text").alias("n_chars"))
+               .groupBy("i", "j")
+               .agg(F.count("*").alias("n_pages"),
+                    F.countDistinct("city").alias("n_cities"),
+                    F.countDistinct("lang").alias("n_langs"),
+                    F.sum("n_chars").alias("sum_chars")))
+
+
+def _sql_tile_place_stats(n: int = 4000) -> str:
+    """DuckDB mirror of q_tile_place_stats: pages._mix chains for salts
+    20 (is_place), 21 (city pick), 9 (lang), gazetteer constants, text
+    length by construction (40 + digits(id) + len(city)), sql_tile cell
+    arithmetic on the constant city coordinates."""
+    from geomesa_spark.sources import tpch_geo as tg
+    from geomesa_spark.sources.pages import CITY_NAMES, GAZETTEER, LANGS, SEED
+
+    gold = 0x9E3779B97F4A7C15
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+
+    def mix_chain(salt: int, out: str) -> str:
+        k = ((salt * gold + SEED) + gold) & 0xFFFFFFFFFFFFFFFF
+        z0 = f"((i + {k}) % 18446744073709551616)"
+        z1 = _mm64(f"xor({z0}, {z0} >> 30)", str(c1))
+        # one nested expression per step would exceed readability; CTE per salt
+        return f"""m{salt}a AS (SELECT i, ({z1}) AS z FROM ids),
+        m{salt}b AS (SELECT i, ({_mm64('xor(z, z >> 27)', str(c2))}) AS z
+                     FROM m{salt}a),
+        m{salt} AS (SELECT i, xor(z, z >> 31) AS {out} FROM m{salt}b)"""
+
+    cities = ", ".join(
+        f"({idx}, '{name}', {GAZETTEER[name][0]!r}, {GAZETTEER[name][1]!r})"
+        for idx, name in enumerate(CITY_NAMES))
+    lang_cases = " ".join(f"WHEN {i} THEN '{lang}'"
+                          for i, lang in enumerate(LANGS[:-1]))
+    ti = tg.sql_tile("c.lon", "-180.0", 1.0, 360)
+    tj = tg.sql_tile("c.lat", "-90.0", 1.0, 180)
+    return f"""
+        WITH ids AS (SELECT CAST(t.i AS HUGEINT) AS i
+                     FROM unnest(range(0, {n})) AS t(i)),
+        {mix_chain(20, 'v20')},
+        {mix_chain(21, 'v21')},
+        {mix_chain(9, 'v9')},
+        cities(cidx, city, lon, lat) AS (VALUES {cities}),
+        place AS (SELECT m20.i AS id,
+                         CAST(m21.v21 % {len(CITY_NAMES)} AS BIGINT) AS cidx,
+                         CAST(m9.v9 % {len(LANGS)} AS BIGINT) AS li
+                  FROM m20 JOIN m21 ON m21.i = m20.i
+                           JOIN m9 ON m9.i = m20.i
+                  WHERE m20.v20 % 10 = 0),
+        rows_ AS (SELECT CAST({ti} AS INTEGER) AS i, CAST({tj} AS INTEGER) AS j,
+                         c.city,
+                         CASE li {lang_cases} ELSE '{LANGS[-1]}' END AS lang,
+                         40 + length(CAST(p.id AS VARCHAR)) + length(c.city)
+                           AS n_chars
+                  FROM place p JOIN cities c ON c.cidx = p.cidx)
+        SELECT i, j, CAST(count(*) AS BIGINT) AS n_pages,
+               CAST(count(DISTINCT city) AS BIGINT) AS n_cities,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM rows_ GROUP BY 1, 2
+    """
+
+
 def _store_tmp(sf_dir: str, kind: str) -> str:
     """Deterministic scratch path for store round-trip queries (keyed by
     sf_dir so sf0.001/sf0.01 runs never read each other's store)."""
@@ -3350,6 +3432,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_keys": q_surt_keys,
         "cdx_index": q_cdx_index,
         "ivfadc": q_ivfadc,
+        "tile_place_stats": q_tile_place_stats,
     })
 
 
@@ -5514,6 +5597,7 @@ def oracle_sql() -> dict[str, str]:
         "surt_keys": _SQL_SURT_KEYS,
         "cdx_index": _sql_cdx_index(),
         "ivfadc": _sql_ivfadc(),
+        "tile_place_stats": _sql_tile_place_stats(),
         "score_buckets": _SQL_SCORE_BUCKETS,
         "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),
