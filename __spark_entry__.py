@@ -2052,6 +2052,91 @@ def q_geoparse_pages(spark, sf_dir):
     return pts.groupBy("lang").agg(F.count("*").alias("n"))
 
 
+def q_cidr_asn(spark, sf_dir):
+    """CIDR longest-prefix-match join (operators/net.cidr_join): every
+    document's deterministic fetch IP (Knuth-hash of doc_id) enriched
+    with its most-specific covering network from a 64-row synthetic
+    routing table, rolled up per (asn, matched_plen). The plan is the
+    prefix-length-stratified broadcast equi-join + ONE struct-max
+    combining agg — zero Python, no window. Oracle replays the LPM rule
+    as a shift-compare join + QUALIFY argmax."""
+    from geomesa_spark.operators.net import cidr_join
+
+    docs = _docs(spark, sf_dir)
+    ips = docs.select(
+        "doc_id",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296))
+        .alias("ip"))
+    nets = spark.range(64).select(
+        ((F.col("id") * F.lit(2246822519)) % F.lit(4294967296)).alias("net"),
+        ((F.col("id") * 5) % 29 + 4).cast("int").alias("plen"),
+        (F.lit(64496) + F.col("id")).alias("asn"))
+    out = cidr_join(ips, nets)
+    return (out.groupBy("asn", "matched_plen")
+               .agg(F.count("*").alias("n_docs"), F.min("ip").alias("min_ip")))
+
+
+_SQL_CIDR_ASN = """
+    WITH ips AS (SELECT doc_id,
+                        (doc_id * 2654435761) % 4294967296 AS ip
+                 FROM documents),
+    nets AS (SELECT (u.n * 2246822519) % 4294967296 AS net,
+                    (u.n * 5) % 29 + 4 AS plen,
+                    64496 + u.n AS asn
+             FROM unnest(range(0, 64)) AS u(n)),
+    m AS (SELECT i.doc_id, i.ip, n.plen, n.asn
+          FROM ips i JOIN nets n
+            ON (i.ip // (1::BIGINT << (32 - n.plen)))
+             = (n.net // (1::BIGINT << (32 - n.plen)))
+          QUALIFY row_number() OVER (PARTITION BY i.doc_id
+                                     ORDER BY n.plen DESC, n.asn DESC) = 1)
+    SELECT asn, CAST(plen AS INTEGER) AS matched_plen,
+           CAST(count(*) AS BIGINT) AS n_docs, min(ip) AS min_ip
+    FROM m GROUP BY asn, plen
+"""
+
+
+def q_winnow_fps(spark, sf_dir):
+    """Winnowing fingerprints (operators/dedup.winnow_fingerprints, the
+    MOSS algorithm): word 3-gram Mersenne-31 hashes, window-4 minimum
+    selection with the paper's rightmost tie rule — map-only JVM folds,
+    the LOCAL-overlap guarantee MinHash lacks. Oracle: identical gram
+    hash, window slices, and rightmost-min arithmetic as nested DuckDB
+    list lambdas."""
+    from geomesa_spark.operators.dedup import winnow_fingerprints
+
+    docs = _docs(spark, sf_dir)
+    return winnow_fingerprints(docs, "doc_id", "text", k=3, w=4)
+
+
+_SQL_WINNOW_FPS = r"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(trim(text), '\s+') AS ws
+               FROM documents),
+    g AS (SELECT doc_id,
+                 list_transform(range(1, len(ws) - 1),
+                     p -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+                              list_transform(range(1, length(
+                                  array_to_string(ws[p:p+2], chr(31))) + 1),
+                                  i -> CAST(ascii(substr(
+                                      array_to_string(ws[p:p+2], chr(31)),
+                                      CAST(i AS INTEGER), 1)) AS BIGINT))),
+                          (a, x) -> (a * 257 + x) % 2147483647)) AS hs
+          FROM w WHERE len(ws) >= 3),
+    s AS (SELECT doc_id,
+                 unnest(list_transform(
+                     range(1, greatest(len(hs) - 3, 1) + 1),
+                     p -> struct_pack(
+                         pos := CAST(p + len(hs[p:p+3])
+                                 - list_position(list_reverse(hs[p:p+3]),
+                                                 list_min(hs[p:p+3]))
+                                 AS INTEGER),
+                         fp := list_min(hs[p:p+3])))) AS st
+          FROM g)
+    SELECT DISTINCT doc_id, st.pos AS pos, st.fp AS fp FROM s
+"""
+
+
 def q_tile_place_stats(spark, sf_dir):
     """The graft fusion end to end: web corpus -> geoparse (gazetteer
     place mentions) -> GridSnap 1-degree tiles -> per-tile TEXT
@@ -3262,7 +3347,12 @@ _NEVER_GRADED_R3 = [
     "unigram_lp", "dup_spans", "cut_spans", "chunk_text",
     "quality_classifier", "fixedwidth_parse", "xml_parse", "url_filter",
     "shp_read", "bpe_train", "bpe_tokenize", "communities", "arrow_export",
-    "store_attr", "unicode_norm", "warc_read"
+    "store_attr", "unicode_norm", "warc_read",
+    "avro_read", "image_feats", "audio_feats", "video_frames",
+    "bloom_probe", "main_content", "robots", "wet_export", "fetch_slots",
+    "sitemap", "exact_sample", "score_buckets", "dsir_select",
+    "weighted_sample", "pq_ann", "surt_keys", "cdx_index", "ivfadc",
+    "tile_place_stats", "winnow_fps", "cidr_asn",
 ]
 
 
@@ -3433,6 +3523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": q_cdx_index,
         "ivfadc": q_ivfadc,
         "tile_place_stats": q_tile_place_stats,
+        "winnow_fps": q_winnow_fps,
+        "cidr_asn": q_cidr_asn,
     })
 
 
@@ -5598,6 +5690,8 @@ def oracle_sql() -> dict[str, str]:
         "cdx_index": _sql_cdx_index(),
         "ivfadc": _sql_ivfadc(),
         "tile_place_stats": _sql_tile_place_stats(),
+        "winnow_fps": _SQL_WINNOW_FPS,
+        "cidr_asn": _SQL_CIDR_ASN,
         "score_buckets": _SQL_SCORE_BUCKETS,
         "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),

@@ -31,6 +31,7 @@ __all__ = [
     "exact_dedup", "content_digest", "minhash_signature_udf", "minhash_dedup_pairs",
     "simhash_udf", "simhash_dedup_pairs", "ngram_jaccard_pairs",
     "dedup_clusters", "shingle_mults", "release",
+    "winnow_fingerprints", "winnow_pairs",
 ]
 
 
@@ -528,3 +529,83 @@ def dedup_clusters(pairs: DataFrame, left_col: str = "id_a",
         prev_sum = s
     out = lab.select(F.col("v").alias("id"), F.col("l").alias("cluster_id"))
     return _attach_cached(out, directed, edges, lab)
+
+
+_WINNOW_P31 = (1 << 31) - 1
+
+
+def _poly31(g: F.Column) -> F.Column:
+    """Mersenne-31 per-character polynomial hash of a string column as a
+    JVM fold (the corpus._dsir_features convention — character-exact, so
+    a SQL engine replays it; swap xxhash64 in for non-verification
+    runs)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(g)), F.lit(0).cast("long"),
+        lambda a, i: (a * 257 + F.ascii(F.substr(g, i, F.lit(1))))
+        % F.lit(_WINNOW_P31))
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str, text_col: str,
+                        k: int = 3, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, the MOSS algorithm — public): hash every word ``k``-gram,
+    slide a window of ``w`` consecutive hashes, and in each window
+    select the minimum (ties -> RIGHTMOST, the paper's rule); the
+    selected (position, hash) pairs are the fingerprint set. Guarantees
+    every shared run of ``w + k - 1`` words leaves at least one shared
+    fingerprint — the local-selection property MinHash lacks (MinHash
+    sketches GLOBAL similarity; winnowing certifies LOCAL overlap, which
+    is why plagiarism/attribution pipelines use it).
+
+    Returns (id_col, pos, fp) — pos the 1-based k-gram position. Docs
+    with fewer than ``k`` words have no fingerprint and are absent;
+    docs with fewer than ``w`` k-grams winnow their single short window.
+
+    Scale shape: ENTIRELY map-only — per-doc arrays flow through JVM
+    higher-order folds (gram hash, per-window min, rightmost-position
+    arithmetic), no Python, no shuffle; downstream joins (see
+    :func:`winnow_pairs`) shuffle only (id, fp) longs.
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"need k >= 1 and w >= 1, got k={k}, w={w}")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    gram = lambda p: F.array_join(F.slice(words, p, k), "\x1f")  # noqa: E731
+    hashes = F.transform(
+        F.sequence(F.lit(1), F.size(words) - (k - 1)),
+        lambda p: _poly31(gram(p)))
+    m = F.size(hashes)
+    sel = F.transform(
+        F.sequence(F.lit(1), F.greatest(m - (w - 1), F.lit(1))),
+        lambda p: F.struct(
+            (p + F.size(F.slice(hashes, p, w))
+             - F.array_position(F.reverse(F.slice(hashes, p, w)),
+                                F.array_min(F.slice(hashes, p, w))))
+            .cast("int").alias("pos"),
+            F.array_min(F.slice(hashes, p, w)).alias("fp")))
+    return (df.filter(F.size(words) >= k)
+              .select(F.col(id_col), F.explode(sel).alias("__s__"))
+              .select(id_col, F.col("__s__.pos").alias("pos"),
+                      F.col("__s__.fp").alias("fp"))
+              .distinct())
+
+
+def winnow_pairs(df: DataFrame, id_col: str, text_col: str, k: int = 3,
+                 w: int = 4, min_shared: int = 2,
+                 max_bucket: int = 200) -> DataFrame:
+    """Candidate local-overlap pairs (id_a < id_b, n_shared) — docs
+    sharing >= ``min_shared`` winnowing fingerprint VALUES. The
+    minhash_dedup_pairs scale shape: fingerprints dedupe to (id, fp),
+    pathological boilerplate hashes are capped at ``max_bucket`` docs
+    (skew guard), the self-join shuffles 16-byte rows only, and the
+    shared count is one combining agg."""
+    fps = (winnow_fingerprints(df, id_col, text_col, k=k, w=w)
+           .select(F.col(id_col).alias("__id__"), "fp").distinct())
+    wb = Window.partitionBy("fp").orderBy("__id__")
+    capped = (fps.withColumn("__fn__", F.row_number().over(wb))
+                 .filter(F.col("__fn__") <= max_bucket).drop("__fn__"))
+    l = capped.select(F.col("__id__").alias("id_a"), "fp")
+    r = capped.select(F.col("__id__").alias("id_b"), "fp")
+    return (l.join(r, on="fp").filter(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count("*").alias("n_shared"))
+             .filter(F.col("n_shared") >= int(min_shared)))

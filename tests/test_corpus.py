@@ -1587,3 +1587,64 @@ def test_ivfadc_probe_widening_and_validation(spark):
     empty = spark.createDataFrame([], "qid long, qvec array<float>")
     assert ivfadc_topk(empty, df, k=3, n_centroids=4, n_probe=2,
                        m=2, n_codes=4).count() == 0
+
+
+def _winnow_ref(text, k, w):
+    """Pure-Python winnowing replica (Schleimer 2003 rightmost-min)."""
+    p31 = (1 << 31) - 1
+
+    def h(g):
+        x = 0
+        for ch in g:
+            x = (x * 257 + ord(ch)) % p31
+        return x
+
+    ws = text.strip().split()
+    hs = [h("\x1f".join(ws[p:p + k])) for p in range(len(ws) - k + 1)]
+    out = set()
+    for p in range(max(len(hs) - w + 1, 1)):
+        win = hs[p:p + w]
+        if not win:
+            continue
+        mn = min(win)
+        rp = len(win) - 1 - win[::-1].index(mn)
+        out.add((p + rp + 1, mn))
+    return out
+
+
+def test_winnow_fingerprints_match_reference(spark):
+    from geomesa_spark.operators.dedup import winnow_fingerprints
+
+    texts = {1: "a b c d e f g h i j", 2: "a b c x y z a b c d",
+             3: "q r", 4: "m n o p"}
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    got = {}
+    for r in winnow_fingerprints(docs, "doc_id", "text", k=3, w=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for i, t in texts.items():
+        want = _winnow_ref(t, 3, 4)
+        assert got.get(i, set()) == want, i
+
+
+def test_winnow_local_guarantee_and_pairs(spark):
+    """Any shared run of w+k-1 words leaves >= 1 shared fingerprint
+    VALUE (the winnowing guarantee); winnow_pairs surfaces the pair."""
+    from geomesa_spark.operators.dedup import (winnow_fingerprints,
+                                               winnow_pairs)
+
+    shared = "the quick brown fox jumps over"   # 6 = w+k-1 words
+    docs = spark.createDataFrame(
+        [(1, "alpha beta " + shared + " gamma delta"),
+         (2, shared + " unrelated tail words here"),
+         (3, "completely different text with no overlap at all")],
+        "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(docs, "doc_id", "text", k=3, w=4).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[1] & fps[2]
+    pairs = winnow_pairs(docs, "doc_id", "text", k=3, w=4,
+                         min_shared=1).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    with pytest.raises(ValueError, match="k >= 1"):
+        winnow_fingerprints(docs, "doc_id", "text", k=0)
