@@ -2096,6 +2096,33 @@ _SQL_CIDR_ASN = """
 """
 
 
+def q_phrase_search(spark, sf_dir):
+    """Positional-postings exact-phrase retrieval (text.phrase_search):
+    where does the token sequence "table table" occur? The duplicate
+    term makes the slot-bitmask plan (anchor = pos - slot, bit_or agg)
+    do real work — a token-set op can't answer this. Oracle: DuckDB
+    list_filter over explicit start positions."""
+    from geomesa_spark.operators.text import phrase_search
+
+    docs = _docs(spark, sf_dir)
+    return phrase_search(docs, "doc_id", "text", "table table")
+
+
+_SQL_PHRASE_SEARCH = r"""
+    WITH w AS (SELECT doc_id,
+                      regexp_split_to_array(trim(lower(text)), '\s+') AS ws
+               FROM documents),
+    h AS (SELECT doc_id,
+                 list_filter(range(1, len(ws) - 2 + 2),
+                             s -> ws[s] = 'table' AND ws[s+1] = 'table')
+                 AS hits
+          FROM w)
+    SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_hits,
+           CAST(hits[1] AS INTEGER) AS first_pos
+    FROM h WHERE len(hits) > 0
+"""
+
+
 def q_winnow_fps(spark, sf_dir):
     """Winnowing fingerprints (operators/dedup.winnow_fingerprints, the
     MOSS algorithm): word 3-gram Mersenne-31 hashes, window-4 minimum
@@ -3352,7 +3379,7 @@ _NEVER_GRADED_R3 = [
     "bloom_probe", "main_content", "robots", "wet_export", "fetch_slots",
     "sitemap", "exact_sample", "score_buckets", "dsir_select",
     "weighted_sample", "pq_ann", "surt_keys", "cdx_index", "ivfadc",
-    "tile_place_stats", "winnow_fps", "cidr_asn",
+    "tile_place_stats", "winnow_fps", "cidr_asn", "phrase_search",
 ]
 
 
@@ -3525,6 +3552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_place_stats": q_tile_place_stats,
         "winnow_fps": q_winnow_fps,
         "cidr_asn": q_cidr_asn,
+        "phrase_search": q_phrase_search,
     })
 
 
@@ -5692,6 +5720,7 @@ def oracle_sql() -> dict[str, str]:
         "tile_place_stats": _sql_tile_place_stats(),
         "winnow_fps": _SQL_WINNOW_FPS,
         "cidr_asn": _SQL_CIDR_ASN,
+        "phrase_search": _SQL_PHRASE_SEARCH,
         "score_buckets": _SQL_SCORE_BUCKETS,
         "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),

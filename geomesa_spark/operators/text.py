@@ -18,6 +18,7 @@ from .cache import attach_cached
 __all__ = [
     "token_count", "approx_bpe_tokens", "text_stats", "quality_score",
     "repetition_stats", "langid_udf", "fingerprint_udf", "bm25_score",
+    "phrase_search",
 ]
 
 
@@ -301,3 +302,73 @@ def bm25_score(docs: DataFrame, id_col: str, text_col: str,
     out = scored.select(F.col(id_col), F.col("dl"),
                         score.cast("float").alias("score32"))
     return attach_cached(out.filter(F.col("score32") > 0), base)
+
+
+def phrase_search(docs: DataFrame, id_col: str, text_col: str,
+                  phrase: str, lowercase: bool = True) -> DataFrame:
+    """Exact-phrase retrieval over whitespace tokens via POSITIONAL
+    postings — the inverted-index phrase query (Manning/Raghavan/Schütze
+    IR ch. 2 positional-intersection algorithm), the decontamination /
+    attribution primitive that token-set ops (bm25_score, ngram keys)
+    can't answer: *where* does this exact k-token sequence occur?
+
+    Semantics: a hit at 1-based token position ``s`` means tokens
+    ``s..s+k-1`` equal the phrase's tokens (lowercased on both sides by
+    default). Overlapping hits all count. Returns
+    ``(id_col, n_hits, first_pos)`` for matching docs only.
+
+    Scale shape — the positional-posting plan, not a per-doc scan trick:
+
+    1. tokenize + ``posexplode`` ONCE, keeping only postings whose term
+       appears in the phrase (a literal isin: the posting stream is
+       ∝ phrase-term frequency, not corpus size — for a typical query
+       phrase this drops >99.9% of tokens map-side);
+    2. each surviving posting (doc, pos, term) emits one candidate
+       anchor ``start = pos - i`` per slot ``i`` where ``term ==
+       phrase[i]`` (bounded ×k, map-only, and exactly the term-offset
+       rewrite that turns phrase matching into equality on (doc,
+       start));
+    3. ONE combining groupBy (doc, start): the anchor is a hit iff all
+       k distinct slots reported — ``count(distinct i) = k`` spelled as
+       an exact bitmask OR (k ≤ 62) so the agg is a LongAccumulator,
+       not a distinct-set;
+    4. one more combining groupBy (doc) for (n_hits, first_pos).
+
+    No join at all — duplicate phrase terms (e.g. "the x the") are
+    handled by the slot bitmask. Both shuffles move (id, start, long)
+    triples only; text never leaves the scan stage.
+    """
+    toks = [t for t in phrase.split() if t]
+    if not toks:
+        raise ValueError("phrase_search needs a non-empty phrase")
+    if len(toks) > 62:
+        raise ValueError(f"phrase too long ({len(toks)} tokens; max 62)")
+    if lowercase:
+        toks = [t.lower() for t in toks]
+    k = len(toks)
+    full = (1 << k) - 1
+    text = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    words = F.split(F.trim(text), r"\s+")
+
+    post = (docs.select(F.col(id_col),
+                        F.posexplode(words).alias("__p0__", "__t__"))
+                .filter(F.col("__t__").isin(*set(toks))))
+    # slot fan-out: term -> [i where phrase[i] == term], as a literal map
+    slot_arr = F.array(*[
+        F.when(F.col("__t__") == F.lit(t), F.lit(i)).otherwise(F.lit(-1))
+        for i, t in enumerate(toks)])
+    anchors = (post.select(
+        F.col(id_col),
+        F.explode(F.filter(slot_arr, lambda s: s >= 0)).alias("__i__"),
+        F.col("__p0__"))
+        .select(F.col(id_col),
+                (F.col("__p0__") - F.col("__i__") + 1).alias("start"),
+                F.call_function("shiftleft", F.lit(1).cast("long"),
+                                F.col("__i__")).alias("__bit__"))
+        .filter(F.col("start") >= 1))
+    hits = (anchors.groupBy(id_col, "start")
+                   .agg(F.bit_or("__bit__").alias("__m__"))
+                   .filter(F.col("__m__") == F.lit(full)))
+    return (hits.groupBy(id_col)
+                .agg(F.count("*").alias("n_hits"),
+                     F.min("start").alias("first_pos")))

@@ -127,3 +127,66 @@ class TestBM25:
                for r in bm25_score(df, "doc_id", "text",
                                    ["rare", "common"]).collect()}
         assert got[100] > got[101]
+
+
+class TestPhraseSearch:
+    @staticmethod
+    def _brute(texts, phrase, lowercase=True):
+        toks = phrase.split()
+        if lowercase:
+            toks = [t.lower() for t in toks]
+        k = len(toks)
+        out = {}
+        for i, t in texts.items():
+            ws = (t.lower() if lowercase else t).strip().split()
+            hits = [s + 1 for s in range(len(ws) - k + 1)
+                    if ws[s:s + k] == toks]
+            if hits:
+                out[i] = (len(hits), hits[0])
+        return out
+
+    def test_matches_brute_force(self, spark):
+        from geomesa_spark.operators.text import phrase_search
+
+        texts = {
+            0: "the quick brown fox jumps over the lazy dog",
+            1: "quick brown fox and another quick brown fox here",
+            2: "quick fox brown",                  # terms present, order wrong
+            3: "THE Quick BROWN fox",              # case folding
+            4: "nothing relevant at all",
+            5: "quick brown",                      # truncated phrase
+        }
+        docs = spark.createDataFrame(list(texts.items()),
+                                     "doc_id long, text string")
+        for phrase in ("quick brown fox", "the quick", "fox"):
+            got = {r.doc_id: (r.n_hits, r.first_pos)
+                   for r in phrase_search(docs, "doc_id", "text",
+                                          phrase).collect()}
+            assert got == self._brute(texts, phrase), phrase
+
+    def test_overlaps_and_duplicate_terms(self, spark):
+        from geomesa_spark.operators.text import phrase_search
+
+        texts = {0: "a a a a a", 1: "the x the x the", 2: "x the x"}
+        docs = spark.createDataFrame(list(texts.items()),
+                                     "doc_id long, text string")
+        for phrase in ("a a", "the x the"):
+            got = {r.doc_id: (r.n_hits, r.first_pos)
+                   for r in phrase_search(docs, "doc_id", "text",
+                                          phrase).collect()}
+            assert got == self._brute(texts, phrase), phrase
+
+    def test_case_sensitive_and_validation(self, spark):
+        import pytest
+
+        from geomesa_spark.operators.text import phrase_search
+
+        docs = spark.createDataFrame([(0, "The cat"), (1, "the cat")],
+                                     "doc_id long, text string")
+        got = {r.doc_id for r in phrase_search(
+            docs, "doc_id", "text", "the cat", lowercase=False).collect()}
+        assert got == {1}
+        with pytest.raises(ValueError, match="non-empty"):
+            phrase_search(docs, "doc_id", "text", "   ")
+        with pytest.raises(ValueError, match="max 62"):
+            phrase_search(docs, "doc_id", "text", " ".join(["w"] * 63))
