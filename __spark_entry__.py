@@ -2096,6 +2096,92 @@ _SQL_CIDR_ASN = """
 """
 
 
+def q_containment(spark, sf_dir):
+    """Asymmetric n-gram containment pairs (dedup.containment_pairs,
+    Broder 1997 containment vs resemblance): the corpus plus a derived
+    12-word excerpt of every doc_id < 50 — each excerpt is fully
+    contained in its source (cont = 1.0) while Jaccard would be ~0.2,
+    the case resemblance dedup structurally misses. Exact inverted-index
+    plan; oracle replays gram construction + pair counting."""
+    from geomesa_spark.operators.dedup import containment_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    words = F.split(F.col("text"), r"\s+")
+    excerpts = (docs.filter(F.col("doc_id") < 50)
+                    .select((F.col("doc_id") + 10000).alias("doc_id"),
+                            F.concat_ws(" ", F.slice(words, 1, 12))
+                            .alias("text")))
+    return containment_pairs(docs.unionByName(excerpts), "doc_id", "text",
+                             n=3, threshold=0.9)
+
+
+_SQL_CONTAINMENT = r"""
+    WITH raw AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 10000 AS doc_id,
+               array_to_string(regexp_split_to_array(text, '\s+')[1:12], ' ')
+        FROM documents WHERE doc_id < 50),
+    w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws FROM raw),
+    g AS (SELECT doc_id,
+                 list_distinct(list_transform(
+                     range(0, greatest(len(ws) - 3, 0) + 1),
+                     i -> array_to_string(ws[i+1:i+3], ' '))) AS gs
+          FROM w),
+    e AS (SELECT doc_id, len(gs) AS n, unnest(gs) AS gram FROM g),
+    p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS common,
+                 any_value(a.n) AS na, any_value(b.n) AS nb
+          FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, common,
+           common / na AS cont_a, common / nb AS cont_b
+    FROM p WHERE greatest(common / na, common / nb) >= 0.9
+"""
+
+
+def q_edit_pairs(spark, sf_dir):
+    """Exact Levenshtein similarity join (dedup.edit_pairs, Gravano
+    2001 q-gram count filter + banded verify): 24-char doc prefixes
+    plus deterministic mutants — one appended char for doc_id < 60
+    (dist 1, kept) and three appended chars for 60 <= doc_id < 80
+    (dist 3 vs source, dropped at max_dist=2). Oracle is the brute
+    levenshtein join — integer distances, engine-agnostic."""
+    from geomesa_spark.operators.dedup import edit_pairs
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    s = F.substring("text", 1, 24)
+    raw = (docs.select("doc_id", s.alias("s"))
+               .unionByName(
+                   docs.filter(F.col("doc_id") < 60)
+                       .select((F.col("doc_id") + 20000).alias("doc_id"),
+                               F.concat(s, F.lit("!")).alias("s")))
+               .unionByName(
+                   docs.filter((F.col("doc_id") >= 60)
+                               & (F.col("doc_id") < 80))
+                       .select((F.col("doc_id") + 40000).alias("doc_id"),
+                               F.concat(s, F.lit("!!!")).alias("s"))))
+    return edit_pairs(raw, "doc_id", "s", max_dist=2, q=3)
+
+
+_SQL_EDIT_PAIRS = """
+    WITH raw AS (
+        SELECT doc_id, substring(text, 1, 24) AS s FROM documents
+        UNION ALL
+        SELECT doc_id + 20000, substring(text, 1, 24) || '!'
+        FROM documents WHERE doc_id < 60
+        UNION ALL
+        SELECT doc_id + 40000, substring(text, 1, 24) || '!!!'
+        FROM documents WHERE doc_id >= 60 AND doc_id < 80)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+    FROM raw a JOIN raw b
+      ON a.doc_id < b.doc_id
+     AND abs(length(a.s) - length(b.s)) <= 2
+    WHERE levenshtein(a.s, b.s) <= 2
+"""
+
+
 def q_phrase_search(spark, sf_dir):
     """Positional-postings exact-phrase retrieval (text.phrase_search):
     where does the token sequence "table table" occur? The duplicate
@@ -3380,6 +3466,7 @@ _NEVER_GRADED_R3 = [
     "sitemap", "exact_sample", "score_buckets", "dsir_select",
     "weighted_sample", "pq_ann", "surt_keys", "cdx_index", "ivfadc",
     "tile_place_stats", "winnow_fps", "cidr_asn", "phrase_search",
+    "containment", "edit_pairs",
 ]
 
 
@@ -3553,6 +3640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fps": q_winnow_fps,
         "cidr_asn": q_cidr_asn,
         "phrase_search": q_phrase_search,
+        "containment": q_containment,
+        "edit_pairs": q_edit_pairs,
     })
 
 
@@ -5721,6 +5810,8 @@ def oracle_sql() -> dict[str, str]:
         "winnow_fps": _SQL_WINNOW_FPS,
         "cidr_asn": _SQL_CIDR_ASN,
         "phrase_search": _SQL_PHRASE_SEARCH,
+        "containment": _SQL_CONTAINMENT,
+        "edit_pairs": _SQL_EDIT_PAIRS,
         "score_buckets": _SQL_SCORE_BUCKETS,
         "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),

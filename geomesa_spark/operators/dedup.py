@@ -31,7 +31,8 @@ __all__ = [
     "exact_dedup", "content_digest", "minhash_signature_udf", "minhash_dedup_pairs",
     "simhash_udf", "simhash_dedup_pairs", "ngram_jaccard_pairs",
     "dedup_clusters", "shingle_mults", "release",
-    "winnow_fingerprints", "winnow_pairs",
+    "winnow_fingerprints", "winnow_pairs", "containment_pairs",
+    "edit_pairs",
 ]
 
 
@@ -413,6 +414,147 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
     out = (common.withColumn("jaccard", jac)
                  .filter(F.col("jaccard") >= threshold)
                  .select("id_a", "id_b", "jaccard"))
+    return _attach_cached(out, base)
+
+
+def containment_pairs(df: DataFrame, id_col: str, text_col: str,
+                      n: int = 3, threshold: float = 0.8,
+                      max_df: int | None = None) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by n-gram containment
+    ``c(A,B) = |A ∩ B| / |A|`` (the overlap coefficient family) — the
+    quote/boilerplate-inclusion detector Jaccard structurally misses: a
+    200-word doc copied verbatim inside a 20k-word page has Jaccard
+    ~0.01 but containment 1.0. Broder's resemblance-vs-containment
+    distinction (Broder 1997, "On the resemblance and containment of
+    documents").
+
+    Returns (id_a < id_b, common, cont_a, cont_b) for pairs where
+    ``max(cont_a, cont_b) >= threshold``; cont_a = common / |grams(A)|.
+    Both directions are reported because which side is "contained"
+    is not known up front. Divisions are exact int/int -> double, so
+    any replaying engine agrees bitwise.
+
+    Scale shape: the inverted-index plan of :func:`ngram_jaccard_pairs`
+    (distinct-shingle explode, xxhash64 keys, self-join keyed by the
+    gram hash, ONE combining pair count) — but NO length filter, by
+    design: containment pairs are exactly the size-skewed ones a length
+    filter would drop. The skew lever is ``max_df``: drop grams present
+    in more than ``max_df`` docs (boilerplate shingles that generate
+    quadratic candidates while identifying nothing). With it set the
+    result is a documented under-approximation (common is undercounted
+    by at most the dropped grams); ``None`` = exact, the verification
+    setting.
+    """
+    words = F.split(F.col(text_col), r"\s+")
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))))
+    base = df.select(F.col(id_col).alias("__id__"), grams.alias("__g__")) \
+             .withColumn("__n__", F.size("__g__")) \
+             .persist()  # both sides of the self-join read it
+    ex = base.select("__id__", "__n__",
+                     F.explode("__g__").alias("__gram__")) \
+             .withColumn("__gram__", F.xxhash64("__gram__"))
+    if max_df is not None:
+        dfc = ex.groupBy("__gram__").agg(F.count("*").alias("__df__")) \
+                .filter(F.col("__df__") <= int(max_df)).drop("__df__")
+        ex = ex.join(dfc, on="__gram__")  # AQE turns this into a
+        # shuffle-reusing semi-join; hot grams never reach the pair join
+    l = ex.select(F.col("__id__").alias("id_a"),
+                  F.col("__n__").alias("__na__"), "__gram__")
+    r = ex.select(F.col("__id__").alias("id_b"),
+                  F.col("__n__").alias("__nb__"), "__gram__")
+    common = (l.join(r, on="__gram__")
+               .filter(F.col("id_a") < F.col("id_b"))
+               .groupBy("id_a", "id_b", "__na__", "__nb__")
+               .agg(F.count("*").alias("common")))
+    ca = F.col("common") / F.col("__na__")
+    cb = F.col("common") / F.col("__nb__")
+    out = (common.withColumn("cont_a", ca).withColumn("cont_b", cb)
+                 .filter(F.greatest(F.col("cont_a"), F.col("cont_b"))
+                         >= float(threshold))
+                 .select("id_a", "id_b", "common", "cont_a", "cont_b"))
+    return _attach_cached(out, base)
+
+
+def edit_pairs(df: DataFrame, id_col: str, text_col: str,
+               max_dist: int = 2, q: int = 3) -> DataFrame:
+    """Exact edit-distance (Levenshtein) similarity join: every pair
+    with ``levenshtein(A, B) <= max_dist`` — the typo/template-variant
+    near-dup detector (URL canonicalization residue, boilerplate with
+    one token swapped) that shingle similarity over-counts and exact
+    dedup misses entirely.
+
+    Candidate generation is the q-gram COUNT FILTER (Gravano et al.
+    2001, "Approximate string joins in a database (almost) for free"):
+    if ``ed(A,B) <= d`` then A and B share at least
+    ``max(|A|,|B|) - q + 1 - q*d`` character q-grams, which is >= 1
+    whenever ``max(|A|,|B|) >= q*(d+1)``. So the inverted-index
+    self-join on the q-gram hash (the :func:`ngram_jaccard_pairs`
+    shuffle shape — keys are (gramhash), payload is (id, len) longs,
+    text never enters the gram shuffle) finds EVERY qualifying pair
+    whose longer side has >= q*(d+1) chars. Pairs where BOTH sides are
+    shorter than q*(d+1) (< 9 chars at the defaults) can disagree on
+    every q-gram, so the short subset joins all-pairs under the
+    ``||A|-|B|| <= d`` length band via a broadcast nested-loop — sound
+    because "shorter than q*(d+1) chars" is a tiny, bounded slice of a
+    web corpus. A short-side string with < q chars has no real q-gram,
+    but any partner within distance d is then itself short (q >= 2
+    forces len < q + d < q*(d+1)), so the short×short pass covers it.
+
+    Verification is the built-in banded ``F.levenshtein(a, b, d)``
+    (JVM whole-stage codegen, returns -1 above the threshold — the
+    O(d*min_len) early-exit DP). Returns (id_a < id_b, dist:int);
+    identical strings report dist = 0. Classic unit-cost Levenshtein,
+    so any engine's standard implementation replays it bit-for-bit.
+    """
+    d = int(max_dist)
+    if d < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")  # the short-string
+        # coverage argument above needs q >= 2
+    lim = q * (d + 1)
+    base = df.select(F.col(id_col).alias("__id__"),
+                     F.col(text_col).alias("__s__"),
+                     F.length(text_col).alias("__len__")).persist()
+    # one pseudo-gram (the whole string) for len < q keeps the explode
+    # total and only ever ADDS candidates — verify kills false positives
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.col("__len__") - q, F.lit(0))),
+        lambda i: F.col("__s__").substr(i + F.lit(1), F.lit(q))))
+    ex = base.select("__id__", "__len__",
+                     F.explode(grams).alias("__gram__")) \
+             .withColumn("__gram__", F.xxhash64("__gram__"))
+    l = ex.select(F.col("__id__").alias("id_a"),
+                  F.col("__len__").alias("__la__"), "__gram__")
+    r = ex.select(F.col("__id__").alias("id_b"),
+                  F.col("__len__").alias("__lb__"), "__gram__")
+    band = (F.abs(F.col("__la__") - F.col("__lb__")) <= d)
+    long_cand = (l.join(r, on="__gram__")
+                  .filter((F.col("id_a") < F.col("id_b")) & band
+                          & (F.greatest("__la__", "__lb__") >= lim))
+                  .select("id_a", "id_b")
+                  .dropDuplicates(["id_a", "id_b"]))
+    short = base.filter(F.col("__len__") < lim) \
+                .select("__id__", "__len__")
+    short_cand = (short.alias("a")
+                  .join(F.broadcast(short.alias("b")),
+                        (F.col("a.__id__") < F.col("b.__id__"))
+                        & (F.abs(F.col("a.__len__") - F.col("b.__len__"))
+                           <= d))
+                  .select(F.col("a.__id__").alias("id_a"),
+                          F.col("b.__id__").alias("id_b")))
+    cand = long_cand.unionByName(short_cand)  # disjoint by the
+    # max(len) >= lim split — no dedup shuffle needed
+    va = base.select(F.col("__id__").alias("id_a"),
+                     F.col("__s__").alias("__sa__"))
+    vb = base.select(F.col("__id__").alias("id_b"),
+                     F.col("__s__").alias("__sb__"))
+    out = (cand.join(va, on="id_a").join(vb, on="id_b")
+               .withColumn("dist", F.levenshtein("__sa__", "__sb__", d))
+               .filter(F.col("dist") >= 0)
+               .select("id_a", "id_b", "dist"))
     return _attach_cached(out, base)
 
 

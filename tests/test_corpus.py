@@ -1648,3 +1648,119 @@ def test_winnow_local_guarantee_and_pairs(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
     with pytest.raises(ValueError, match="k >= 1"):
         winnow_fingerprints(docs, "doc_id", "text", k=0)
+
+
+def _ngrams(text, n):
+    ws = text.split()
+    return {" ".join(ws[i:i + n]) for i in range(max(len(ws) - n + 1, 1))}
+
+
+def test_containment_pairs_match_brute_force(spark):
+    from geomesa_spark.operators.dedup import containment_pairs, release
+
+    texts = {
+        1: "a b c d e f g h",
+        2: "x y a b c d e f g h z w q r s t u v m n o p",   # 1 inside 2
+        3: "a b c d e f g h",                                # dup of 1
+        4: "completely different words in this one here now",
+        5: "x y z",
+    }
+    docs = spark.createDataFrame(list(texts.items()),
+                                 "doc_id long, text string")
+    out = containment_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    got = {(r.id_a, r.id_b): (r.common, r.cont_a, r.cont_b)
+           for r in out.collect()}
+    release(out)
+    want = {}
+    for a in texts:
+        for b in texts:
+            if a >= b:
+                continue
+            ga, gb = _ngrams(texts[a], 3), _ngrams(texts[b], 3)
+            c = len(ga & gb)
+            if c and max(c / len(ga), c / len(gb)) >= 0.8:
+                want[(a, b)] = (c, c / len(ga), c / len(gb))
+    assert got == want
+    assert (1, 2) in got and got[(1, 2)][1] == 1.0   # asymmetric catch
+    assert (1, 3) in got                              # exact dup
+
+
+def test_containment_max_df_drops_hot_grams_only(spark):
+    from geomesa_spark.operators.dedup import containment_pairs, release
+
+    # the gram "t t t" occurs in all 6 docs; pairs held together only by
+    # it vanish under max_df=3, the 1-in-2 containment pair survives
+    rows = [(i, "t t t u%d v%d w%d" % (i, i, i)) for i in range(4)]
+    rows += [(10, "p q r s a b c"), (11, "t t t p q r s a b c d e f g")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = containment_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
+    capped = containment_pairs(docs, "doc_id", "text", n=3, threshold=0.9,
+                               max_df=3)
+    ge = {(r.id_a, r.id_b) for r in exact.collect()}
+    gc = {(r.id_a, r.id_b) for r in capped.collect()}
+    release(exact); release(capped)
+    assert (10, 11) in ge and (10, 11) in gc
+    assert gc <= ge   # under-approximation, never invention
+
+
+def _brute_edit_pairs(strings, d):
+    import itertools
+
+    def lev(a, b):
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                             prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[n]
+
+    want = {}
+    for a, b in itertools.combinations(sorted(strings), 2):
+        dist = lev(strings[a], strings[b])
+        if dist <= d:
+            want[(a, b)] = dist
+    return want
+
+
+def test_edit_pairs_match_brute_force(spark):
+    from geomesa_spark.operators.dedup import edit_pairs, release
+
+    strings = {
+        1: "the quick brown fox jumps",
+        2: "the quick brown fox jumped",    # dist 2 from 1
+        3: "the quick brown fox jumps",     # dup of 1
+        4: "a completely different string",
+        5: "ab",                            # shorts: pairwise close
+        6: "abc",
+        7: "abd",
+        8: "",                              # empty vs shorts
+        9: "zz",
+    }
+    docs = spark.createDataFrame(list(strings.items()),
+                                 "doc_id long, s string")
+    out = edit_pairs(docs, "doc_id", "s", max_dist=2, q=3)
+    got = {(r.id_a, r.id_b): r.dist for r in out.collect()}
+    release(out)
+    assert got == _brute_edit_pairs(strings, 2)
+    assert got[(1, 3)] == 0 and got[(1, 2)] == 2
+    assert (5, 6) in got and (8, 5) in got or (5, 8) in got
+
+
+def test_edit_pairs_threshold_and_validation(spark):
+    from geomesa_spark.operators.dedup import edit_pairs, release
+    import pytest as _pt
+
+    strings = {1: "aaaaaaaaaaaa", 2: "aaaaaaaaaaab", 3: "aaaaaaaabbbb"}
+    docs = spark.createDataFrame(list(strings.items()),
+                                 "doc_id long, s string")
+    out = edit_pairs(docs, "doc_id", "s", max_dist=1, q=2)
+    got = {(r.id_a, r.id_b): r.dist for r in out.collect()}
+    release(out)
+    assert got == _brute_edit_pairs(strings, 1)    # (1,2) only
+    with _pt.raises(ValueError, match="max_dist"):
+        edit_pairs(docs, "doc_id", "s", max_dist=-1)
+    with _pt.raises(ValueError, match="q must"):
+        edit_pairs(docs, "doc_id", "s", q=1)
