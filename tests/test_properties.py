@@ -139,3 +139,33 @@ def test_wkb_roundtrip_polygon(coords):
     back = wkb_read(wkb_write(g))
     assert isinstance(back, Polygon)
     assert np.array_equal(back.rings[0], g.rings[0])
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[len(b)]
+
+
+@given(st.text(alphabet="ab", max_size=16), st.text(alphabet="ab", max_size=16),
+       st.integers(min_value=0, max_value=2))
+def test_edit_pairs_qgram_filter_is_complete(a, b, d):
+    """The exactness of dedup.edit_pairs rests on the Gravano 2001 count
+    filter: any pair within edit distance d either (long case) shares a
+    character q-gram when max(len) >= q*(d+1), or (short case) has both
+    sides < q*(d+1) and lands in the all-pairs band join. The two-letter
+    alphabet maximizes adversarial gram collisions/disjointness."""
+    q = 3
+    if _lev(a, b) > d:
+        return
+    assert abs(len(a) - len(b)) <= d          # the band filter is sound
+    lim = q * (d + 1)
+    if max(len(a), len(b)) >= lim:
+        ga = {a[i:i + q] for i in range(len(a) - q + 1)}
+        gb = {b[i:i + q] for i in range(len(b) - q + 1)}
+        assert ga & gb, (a, b, d)             # the gram join finds it
+    # else: both sides < lim -> covered by the short-slice cross join
