@@ -3440,10 +3440,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-4 ROTATION NOTE: assuming r03 grades the first 50 of this list, the
 # still-never-graded set going into round 4 is the TAIL of this list from
-# "store_s3" on (17 keys) PLUS the queries added after the r03 rotation:
-# avro_read, image_feats, audio_feats, video_frames, bloom_probe (and any
-# added later — diff queries() against the union of CORRECTNESS_r0*.json).
-# Rebuild this list with that set at the front at the start of round 4.
+# position 51 ("store_s3") onward — 36 keys ending with the round-3
+# additions (surt_keys ... containment, edit_pairs). Rebuild this list at the
+# start of round 4 with that tail at the front; the authoritative recipe is
+# to diff queries() against the union of green rows in CORRECTNESS_r0*.json.
 _NEVER_GRADED_R3 = [
     "minhash_pairs", "simhash_pairs", "lsh_ann", "ivf_ann", "sketches",
     "geoparse_pages", "store_bbox", "store_stbox", "store_xz2", "store_s2",
