@@ -394,3 +394,122 @@ def test_compact_store_binpacks_and_sorts(spark, tmp_path):
     want = sorted(ids[(lon >= bbox[0]) & (lon <= bbox[2])
                       & (lat >= bbox[1]) & (lat <= bbox[3])].tolist())
     assert got == want
+
+
+def test_crawl_to_training_pipeline_checkpointed(spark, tmp_path):
+    """End-to-end crawl -> training-data pipeline, every stage through
+    plans.checkpoint.run_stage: extract (north-rule byte-identical text
+    invariant), Gopher gates, exact dedup, near dedup, benchmark
+    decontamination, context chunking. A second driver run replays the
+    identical program and every stage must no-op (resume); bumping one
+    mid-pipeline param must rebuild that stage and everything downstream
+    while upstream stages stay checkpointed (lineage)."""
+    from geomesa_spark.operators.corpus import (
+        chunk_text, dedup_apply, decontaminate, extract_html_text,
+        gopher_quality,
+    )
+    from geomesa_spark.operators.dedup import exact_dedup, ngram_jaccard_pairs
+    from geomesa_spark.sources.pages import generate_pages
+
+    base = str(tmp_path)
+    built = []
+
+    def stage(name, build, inputs=None, params=None):
+        def counted():
+            built.append(name)
+            return build()
+        return run_stage(spark, name, f"{base}/{name}", counted,
+                         inputs=inputs or [], params=params or {})
+
+    def run_all(min_words=5):
+        r_raw = stage("raw", lambda: generate_pages(spark, 400)
+                      .select("url", "html", "text", "lang"),
+                      params={"n": 400})
+
+        def build_extract():
+            df = r_raw.df.withColumn("etext", extract_html_text(F.col("html")))
+            # the input_hint per-row invariant: byte-identical extracted
+            # text per url
+            assert df.filter(F.col("etext") != F.col("text")).count() == 0
+            return df.select(
+                F.xxhash64("url").alias("doc_id"), "url",
+                F.col("etext").alias("text"), "lang",
+                F.split("etext", " ")[1].cast("long").alias("pid"))
+        r_ex = stage("extracted", build_extract, inputs=[r_raw])
+
+        def build_corpus():
+            d = r_ex.df
+            recrawl = (d.filter(F.col("pid") < 30)
+                        .withColumn("url", F.concat("url", F.lit("?recrawl")))
+                        .withColumn("doc_id", F.xxhash64("url")))
+            variant = (d.filter((F.col("pid") >= 30) & (F.col("pid") < 50))
+                        .withColumn("url", F.concat("url", F.lit("?v2")))
+                        .withColumn("doc_id", F.xxhash64("url"))
+                        .withColumn("text", F.concat("text", F.lit(" extra"))))
+            junk = spark.createDataFrame(
+                [(-(i + 1), f"junk{i}", "### ### ###", "en", -1)
+                 for i in range(5)],
+                "doc_id long, url string, text string, lang string, pid long")
+            return d.unionByName(recrawl).unionByName(variant) \
+                    .unionByName(junk)
+        r_corpus = stage("corpus", build_corpus, inputs=[r_ex])
+
+        def build_gated():
+            g = gopher_quality(r_corpus.df, "doc_id", "text",
+                               min_words=min_words, max_words=100,
+                               max_mean_word_len=12,
+                               min_alpha_word_ppm=400_000, min_stopwords=0)
+            return r_corpus.df.join(g.filter("keep").select("doc_id"),
+                                    on="doc_id", how="left_semi")
+        r_gated = stage("gated", build_gated, inputs=[r_corpus],
+                        params={"min_words": min_words})
+
+        def build_exact():
+            keep = exact_dedup(r_gated.df, "doc_id", "text") \
+                .select(F.col("keep_id").alias("doc_id"))
+            return r_gated.df.join(keep, on="doc_id", how="left_semi")
+        r_exact = stage("exact_deduped", build_exact, inputs=[r_gated])
+
+        def build_near():
+            pairs = ngram_jaccard_pairs(r_exact.df, "doc_id", "text",
+                                        n=3, threshold=0.8)
+            return dedup_apply(r_exact.df, pairs, "doc_id")
+        r_near = stage("near_deduped", build_near, inputs=[r_exact])
+
+        def build_clean():
+            ev = r_near.df.filter(F.col("pid").isin(100, 200, 300)) \
+                          .select("doc_id", "text")
+            flagged = decontaminate(r_near.df, ev, "doc_id", "text", n=8)
+            return r_near.df.join(flagged.select("doc_id"),
+                                  on="doc_id", how="left_anti")
+        r_clean = stage("decontaminated", build_clean, inputs=[r_near])
+
+        r_chunks = stage("chunks", lambda: chunk_text(
+            r_clean.df, "doc_id", "text", chunk_tokens=4, overlap=1),
+            inputs=[r_clean])
+        return [r_raw, r_ex, r_corpus, r_gated, r_exact, r_near,
+                r_clean, r_chunks]
+
+    rs = run_all()
+    counts = [r.manifest["row_count"] for r in rs]
+    assert counts == [400, 400, 455, 450, 420, 400, 397, 397 * 3]
+    assert all(not r.skipped for r in rs)
+    assert built == ["raw", "extracted", "corpus", "gated",
+                     "exact_deduped", "near_deduped", "decontaminated",
+                     "chunks"]
+
+    # resume: identical program -> every stage no-ops off its manifest
+    built.clear()
+    rs2 = run_all()
+    assert all(r.skipped for r in rs2) and built == []
+    assert [r.manifest["row_count"] for r in rs2] == counts
+
+    # lineage: bump a mid-pipeline param -> that stage and everything
+    # downstream rebuild; upstream stages stay checkpointed
+    built.clear()
+    rs3 = run_all(min_words=4)
+    assert [r.skipped for r in rs3] == [True, True, True] + [False] * 5
+    assert built == ["gated", "exact_deduped", "near_deduped",
+                     "decontaminated", "chunks"]
+    assert [r.manifest["row_count"] for r in rs3] == counts  # junk is
+    # 3 words — still below the loosened gate; content identical
