@@ -3393,6 +3393,85 @@ def q_gopher_quality(spark, sf_dir):
                           min_stopwords=1)
 
 
+def q_pipeline_clean(spark, sf_dir):
+    """Composed training-data pipeline as ONE declarative plan: Gopher
+    gates -> exact dedup (40 injected re-crawl copies) -> benchmark
+    decontamination (eval = surviving doc_id % 97 == 0), returning the
+    surviving (doc_id, n_words). Each stage is individually
+    oracle-proven (gopher_quality / dedup_exact / decontam); this gate
+    proves the COMPOSITION — Catalyst fuses the gates map-side, the
+    dedup agg and the two id joins are the only shuffles, and the eval
+    gram set broadcasts."""
+    from geomesa_spark.operators.corpus import decontaminate, gopher_quality
+    from geomesa_spark.operators.dedup import exact_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 40)
+            .select((F.col("doc_id") + 50000).alias("doc_id"), "text"))
+    g = gopher_quality(corpus, "doc_id", "text", min_words=20,
+                       min_stopwords=1)
+    gated = corpus.join(g.filter("keep").select("doc_id"),
+                        on="doc_id", how="left_semi")
+    keep = exact_dedup(gated, "doc_id", "text") \
+        .select(F.col("keep_id").alias("doc_id"))
+    surv = gated.join(keep, on="doc_id", how="left_semi")
+    ev = surv.filter(F.col("doc_id") % 97 == 0)
+    flagged = decontaminate(surv, ev, "doc_id", "text", n=8)
+    out = surv.join(flagged.select("doc_id"), on="doc_id", how="left_anti")
+    return out.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))),
+                       r"\s+")).cast("long").alias("n_words"))
+
+
+def _sql_pipeline_clean() -> str:
+    from geomesa_spark.operators.corpus import GOPHER_STOPWORDS
+
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    return f"""
+        WITH d AS (
+            SELECT doc_id, coalesce(text, '') AS t FROM documents
+            UNION ALL
+            SELECT doc_id + 50000, coalesce(text, '') FROM documents
+            WHERE doc_id < 40),
+        w AS (SELECT doc_id, t,
+                     regexp_split_to_array(trim(t), '\\s+') AS ws FROM d),
+        s AS (SELECT doc_id, t,
+                     CAST(len(ws) AS BIGINT) AS n_words,
+                     CAST(list_sum(list_transform(ws, x -> length(x)))
+                          AS BIGINT) AS n_word_chars,
+                     CAST(length(t) - length(replace(t, '#', ''))
+                          AS BIGINT) AS n_hash,
+                     CAST(len(list_filter(ws,
+                          x -> regexp_matches(x, '[A-Za-z]')))
+                          AS BIGINT) AS n_alpha,
+                     CAST(len(list_filter(ws, x -> lower(x) IN ({stops})))
+                          AS BIGINT) AS n_stop
+              FROM w),
+        gated AS (SELECT doc_id, t, n_words FROM s
+                  WHERE n_words >= 20 AND n_words <= 100000
+                    AND n_word_chars >= 3 * n_words
+                    AND n_word_chars <= 10 * n_words
+                    AND n_hash * 1000000 <= 100000 * n_words
+                    AND n_alpha * 1000000 >= 800000 * n_words
+                    AND n_stop >= 1),
+        keepers AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY t),
+        surv AS (SELECT g.doc_id, g.t, g.n_words FROM gated g
+                 JOIN keepers k ON g.doc_id = k.doc_id),
+        sw AS (SELECT doc_id, string_split(t, ' ') AS w8 FROM surv),
+        evn AS (SELECT DISTINCT unnest(list_transform(range(0, len(w8) - 7),
+                    i -> array_to_string(w8[i+1:i+8], ' '))) AS ng
+                FROM sw WHERE doc_id % 97 = 0 AND len(w8) >= 8),
+        trn AS (SELECT doc_id, unnest(list_transform(range(0, len(w8) - 7),
+                    i -> array_to_string(w8[i+1:i+8], ' '))) AS ng
+                FROM sw WHERE len(w8) >= 8),
+        flagged AS (SELECT DISTINCT t.doc_id FROM trn t JOIN evn e USING (ng))
+        SELECT s.doc_id, s.n_words FROM surv s
+        WHERE s.doc_id NOT IN (SELECT doc_id FROM flagged)
+    """
+
+
 def q_quality_classifier(spark, sf_dir):
     """Hashed linear quality scorer (operators/corpus.quality_classifier)
     in its deterministic cross-engine mode (sha256-derived pseudo-weights
@@ -3466,7 +3545,7 @@ _NEVER_GRADED_R3 = [
     "sitemap", "exact_sample", "score_buckets", "dsir_select",
     "weighted_sample", "pq_ann", "surt_keys", "cdx_index", "ivfadc",
     "tile_place_stats", "winnow_fps", "cidr_asn", "phrase_search",
-    "containment", "edit_pairs",
+    "containment", "edit_pairs", "pipeline_clean",
 ]
 
 
@@ -3642,6 +3721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": q_phrase_search,
         "containment": q_containment,
         "edit_pairs": q_edit_pairs,
+        "pipeline_clean": q_pipeline_clean,
     })
 
 
@@ -5812,6 +5892,7 @@ def oracle_sql() -> dict[str, str]:
         "phrase_search": _SQL_PHRASE_SEARCH,
         "containment": _SQL_CONTAINMENT,
         "edit_pairs": _SQL_EDIT_PAIRS,
+        "pipeline_clean": _sql_pipeline_clean(),
         "score_buckets": _SQL_SCORE_BUCKETS,
         "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),
