@@ -3401,7 +3401,12 @@ def q_pipeline_clean(spark, sf_dir):
     oracle-proven (gopher_quality / dedup_exact / decontam); this gate
     proves the COMPOSITION — Catalyst fuses the gates map-side, the
     dedup agg and the two id joins are the only shuffles, and the eval
-    gram set broadcasts."""
+    gram set broadcasts (plan audit: zero Python, all joins broadcast
+    at gate SF). The single-plan form recomputes shared subtrees where
+    Spark's ReusedExchange can't unify them; the 100 TB run of this
+    exact chain materializes each stage once through
+    plans.checkpoint.run_stage (lineage + resume — see the
+    checkpointed-pipeline test in tests/test_plans.py)."""
     from geomesa_spark.operators.corpus import decontaminate, gopher_quality
     from geomesa_spark.operators.dedup import exact_dedup
 
