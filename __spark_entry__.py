@@ -3430,6 +3430,69 @@ def q_pipeline_clean(spark, sf_dir):
                        r"\s+")).cast("long").alias("n_words"))
 
 
+def q_host_boilerplate(spark, sf_dir):
+    """Per-site boilerplate strip (operators/corpus.host_boilerplate):
+    docs become pages on 37 synthetic hosts, every page of a host gains
+    that host's NAV/FOOT template lines (100% of the host's pages) and
+    even doc_ids gain a COOKIE line (~50% — the min_ratio=0.5
+    borderline). Lines on >= max(2, 0.5 x host_pages) distinct pages of
+    the SAME host are stripped; prose survives. The oracle derives
+    host/url by generation arithmetic (independent of url_host) and
+    replays the per-host counting + ordered reassembly in SQL."""
+    from geomesa_spark.operators.corpus import host_boilerplate
+
+    docs = _docs(spark, sf_dir)
+    k = (F.col("doc_id") % 37).cast("string")
+    pages = docs.select(
+        F.concat(F.lit("https://site"), k, F.lit(".example/d"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(
+            F.lit("NAV-"), k, F.lit("\n"), F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.concat(F.lit("\nCOOKIE-"), k)).otherwise(F.lit("")),
+            F.lit("\nFOOT-"), k).alias("text"))
+    return (host_boilerplate(pages, "url", "text",
+                             min_ratio=0.5, min_pages=2)
+            .select("url", "host", "text", "n_lines", "n_kept"))
+
+
+def q_canonical_dedup(spark, sf_dir):
+    """rel=canonical capture dedup (operators/corpus.canonical_dedup):
+    docs become captures in groups of 4 — members 0/1/2 declare the
+    group's canonical URL in three different link syntaxes (rel-first
+    double-quoted, href-first single-quoted, unquoted), member 3
+    declares none and falls back to its own url. Newest warc_ts wins
+    per canonical. The oracle computes the expected grouping from the
+    generation arithmetic — fully independent of the Spark-side regexp
+    extraction, so an extraction bug in ANY of the three syntaxes
+    surfaces as a row mismatch."""
+    from geomesa_spark.operators.corpus import canonical_dedup
+
+    docs = _docs(spark, sf_dir)
+    g = F.call_function("div", F.col("doc_id"), F.lit(4)).cast("string")
+    target = F.concat(F.lit("https://site.example/art"), g)
+    link = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit('<link rel="canonical" href="'), target,
+                        F.lit('">')))
+         .when(F.col("doc_id") % 4 == 1,
+               F.concat(F.lit("<link href='"), target,
+                        F.lit("' rel='canonical'>")))
+         .when(F.col("doc_id") % 4 == 2,
+               F.concat(F.lit("<link rel=canonical href="), target,
+                        F.lit(">")))
+         .otherwise(F.lit("")))
+    pages = docs.select(
+        F.concat(target, F.lit("?v="), F.col("doc_id").cast("string"))
+         .alias("url"),
+        F.concat(F.lit("<html><head>"), link,
+                 F.lit("</head><body>"), F.col("text"),
+                 F.lit("</body></html>")).alias("html"),
+        F.col("doc_id").alias("ts"))
+    return (canonical_dedup(pages, "url", "html", ts_col="ts")
+            .select("canonical", "url", "ts", "n_dupes"))
+
+
 def _sql_pipeline_clean() -> str:
     from geomesa_spark.operators.corpus import GOPHER_STOPWORDS
 
@@ -3552,7 +3615,8 @@ _NEVER_GRADED_R3 = [
     "sitemap", "exact_sample", "score_buckets", "dsir_select",
     "weighted_sample", "pq_ann", "surt_keys", "cdx_index", "ivfadc",
     "tile_place_stats", "winnow_fps", "cidr_asn", "phrase_search",
-    "containment", "edit_pairs", "pipeline_clean",
+    "containment", "edit_pairs", "pipeline_clean", "host_boilerplate",
+    "canonical_dedup",
 ]
 
 
@@ -3729,6 +3793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment": q_containment,
         "edit_pairs": q_edit_pairs,
         "pipeline_clean": q_pipeline_clean,
+        "host_boilerplate": q_host_boilerplate,
+        "canonical_dedup": q_canonical_dedup,
     })
 
 
@@ -5900,6 +5966,70 @@ def oracle_sql() -> dict[str, str]:
         "containment": _SQL_CONTAINMENT,
         "edit_pairs": _SQL_EDIT_PAIRS,
         "pipeline_clean": _sql_pipeline_clean(),
+        # host_boilerplate: host/url derived by generation arithmetic
+        # (independent of url_host); counting + reassembly replayed.
+        # Keep rule mirrors the operator bit-for-bit: boilerplate iff
+        # pf >= 2 AND CAST(pf AS DOUBLE) >= 0.5 * np (double multiply
+        # of small ints — exact in both engines).
+        "host_boilerplate": """
+            WITH pages AS (
+              SELECT 'https://site' || (doc_id % 37) || '.example/d'
+                       || doc_id AS url,
+                     'site' || (doc_id % 37) || '.example' AS host,
+                     'NAV-' || (doc_id % 37) || chr(10) || text ||
+                     CASE WHEN doc_id % 2 = 0
+                          THEN chr(10) || 'COOKIE-' || (doc_id % 37)
+                          ELSE '' END ||
+                     chr(10) || 'FOOT-' || (doc_id % 37) AS text
+              FROM documents),
+            lines AS (SELECT url, host,
+                             unnest(string_split(text, chr(10))) AS line,
+                             generate_subscripts(
+                                 string_split(text, chr(10)), 1) AS pos
+                      FROM pages),
+            np AS (SELECT host, count(DISTINCT url) AS np
+                   FROM lines GROUP BY 1),
+            pf AS (SELECT host, line, count(DISTINCT url) AS pf
+                   FROM lines GROUP BY 1, 2),
+            fl AS (SELECT l.url, l.host, l.pos, l.line,
+                          (p.pf < 2 OR CAST(p.pf AS DOUBLE) < 0.5 * n.np)
+                              AS keep
+                   FROM lines l
+                   JOIN pf p USING (host, line)
+                   JOIN np n USING (host))
+            SELECT url, host,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                            FILTER (WHERE keep), '') AS text,
+                   count(*) AS n_lines,
+                   CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept
+            FROM fl GROUP BY url, host HAVING n_kept > 0
+        """,
+        # canonical_dedup: expected grouping computed from the
+        # generation arithmetic — fully independent of the Spark-side
+        # <link rel=canonical> regexp extraction (members 0/1/2 of each
+        # group of 4 declare the group target in three syntaxes, member
+        # 3 falls back to its own url). ts = doc_id is unique, so
+        # arg_max is deterministic and mirrors Spark's struct-max.
+        "canonical_dedup": """
+            WITH caps AS (
+              SELECT doc_id,
+                     'https://site.example/art'
+                       || CAST(doc_id // 4 AS VARCHAR) AS target,
+                     'https://site.example/art'
+                       || CAST(doc_id // 4 AS VARCHAR)
+                       || '?v=' || CAST(doc_id AS VARCHAR) AS url,
+                     doc_id AS ts,
+                     (doc_id % 4) < 3 AS declared
+              FROM documents),
+            keyed AS (SELECT CASE WHEN declared THEN target
+                                  ELSE url END AS canonical, url, ts
+                      FROM caps)
+            SELECT canonical,
+                   arg_max(url, ts) AS url,
+                   max(ts) AS ts,
+                   CAST(count(*) AS BIGINT) AS n_dupes
+            FROM keyed GROUP BY canonical
+        """,
         "score_buckets": _SQL_SCORE_BUCKETS,
         "arrow_export": _SQL_ARROW_EXPORT,
         "link_hits": _sql_hits(),

@@ -54,7 +54,8 @@ __all__ = [
     "pack_sequences", "redact_pii", "pii_stats", "incremental_dedup",
     "gopher_quality", "chunk_text", "quality_classifier",
     "extract_html_text", "extract_main_content", "html_escape", "wrap_html",
-    "extract_links", "url_host", "surt_key",
+    "extract_links", "url_host", "surt_key", "host_boilerplate",
+    "canonical_dedup",
     "bloom_words", "bloom_dense", "bloom_probe",
     "robots_rules", "robots_filter", "fetch_schedule", "parse_sitemap",
 ]
@@ -224,6 +225,53 @@ def surt_key(url: Column) -> Column:
     return F.concat(rev, portpart, F.lit(")"), pathq)
 
 
+def canonical_dedup(df: DataFrame, url_col: str, html_col: str,
+                    ts_col: str | None = None) -> DataFrame:
+    """rel=canonical dedup — the crawl-side complement of
+    :func:`normalize_url`: group captures by the canonical URL the page
+    itself declares (``<link rel="canonical" href="...">``; CMSes emit
+    one per template page, so /article?page=2, /article?utm_source=x and
+    /amp/article all point at /article) and keep ONE representative per
+    canonical — the newest capture when ``ts_col`` is given (ties break
+    to the max url), else the lexicographically greatest url.
+
+    Only absolute http(s) canonicals are honored (the extract_links
+    convention); relative or missing canonicals fall back to the page's
+    own url, which leaves undeclared pages ungrouped. Both attribute
+    orders are matched (``rel`` before ``href`` and ``href`` before
+    ``rel``), double- or single-quoted (the Java∩RE2 dialect subset).
+
+    Returns (canonical, url[, ts_col], n_dupes) — one row per canonical.
+
+    Plan shape (100 TB): map-only regexp extract + ONE combining
+    struct-max aggregation keyed by canonical (map-side partial agg, no
+    window, no Python). Hot canonicals (a CMS pointing a million spam
+    pages at one URL) are a single-row-out agg key — partial aggregation
+    absorbs them before the shuffle.
+    """
+    html = F.col(html_col).cast("string")
+    pat_rel_first = (r'(?i)<link[^>]*rel=["\']?canonical["\']?[^>]*'
+                     r'href=["\']?(https?://[^"\'\s>]+)')
+    pat_href_first = (r'(?i)<link[^>]*href=["\']?(https?://[^"\'\s>]+)'
+                      r'["\']?[^>]*rel=["\']?canonical')
+    c1 = F.regexp_extract(html, pat_rel_first, 1)
+    c2 = F.regexp_extract(html, pat_href_first, 1)
+    declared = F.when(c1 != "", c1).when(c2 != "", c2) \
+                .otherwise(F.col(url_col))
+    rep_cols = ([F.col(ts_col)] if ts_col else []) + [F.col(url_col)]
+    best = F.max(F.struct(*rep_cols)).alias("__best__")
+    out = (df.withColumn("__canon__", declared)
+             .groupBy("__canon__")
+             .agg(best, F.count("*").alias("n_dupes")))
+    keep = [F.col("__canon__").alias("canonical")]
+    if ts_col:
+        keep += [F.col(f"__best__.{url_col}").alias(url_col),
+                 F.col(f"__best__.{ts_col}").alias(ts_col)]
+    else:
+        keep += [F.col(f"__best__.{url_col}").alias(url_col)]
+    return out.select(*keep, "n_dupes")
+
+
 def extract_links(df: DataFrame, html_col: str = "html",
                   url_col: str = "url") -> DataFrame:
     """Outlink extraction — the crawl-graph ingest stage: one row
@@ -345,6 +393,70 @@ def line_dedup(df: DataFrame, id_col: str, text_col: str, sep: str = "\n",
          .alias(text_col),
         F.count("*").alias("n_lines"),
         F.sum(F.col("__keep__").cast("long")).alias("n_kept")))
+    if drop_empty:
+        out = out.filter(F.col("n_kept") > 0)
+    return _attach_cached(out, lines)
+
+
+def host_boilerplate(df: DataFrame, url_col: str, text_col: str,
+                     sep: str = "\n", min_ratio: float = 0.5,
+                     min_pages: int = 2, drop_empty: bool = True
+                     ) -> DataFrame:
+    """Per-site boilerplate strip (the site-scoped variant of C4 §2.2 /
+    CCNet paragraph dedup): a line is template chrome when it appears on
+    >= ``min_pages`` distinct pages AND on >= ``min_ratio`` of ALL pages
+    of the SAME host — nav bars, cookie banners, and copyright footers
+    repeat within a site; prose does not. ``line_dedup`` removes lines
+    duplicated across the whole corpus; this catches site templates too
+    rare globally to clear a corpus-wide threshold (a 30-page blog's
+    footer occurs 30 times in 10^12 documents).
+
+    Returns one surviving row per page:
+    (url, host, text with offending lines removed in original order,
+    n_lines, n_kept).
+
+    Plan shape (100 TB): explode -> distinct (host, line-hash, url) ->
+    per-(host, line-hash) page counts (two-level agg) -> join per-host
+    page totals (host-keyed; one row per host) -> hash-keyed join back
+    -> per-page ordered reassembly. Every shuffle rides (host, 8-byte
+    hash) keys — the line text travels only inside the page-keyed
+    reassembly where it must; AQE skew-join covers mega-hosts.
+    """
+    reserved = {"__host__", "__pos__", "__line__", "__lh__", "__pf__",
+                "__np__", "__keep__"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input must not carry the reserved internal columns: "
+            f"{sorted(reserved)}")
+    lines = df.select(
+        F.col(url_col), url_host(F.col(url_col)).alias("__host__"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep)))
+         .alias("__pos__", "__line__"),
+    ).withColumn("__lh__", F.xxhash64("__line__")).persist()
+    # one row per host: how many distinct pages it has
+    totals = (lines.select("__host__", url_col).distinct()
+                   .groupBy("__host__").agg(F.count("*").alias("__np__")))
+    # per-(host, line) distinct-page frequency; a line repeated inside
+    # one page counts that page once
+    freq = (lines.select("__host__", "__lh__", url_col).distinct()
+                 .groupBy("__host__", "__lh__")
+                 .agg(F.count("*").alias("__pf__"))
+                 .join(totals, on="__host__"))
+    flagged = (lines.join(freq, on=["__host__", "__lh__"])
+                    .withColumn(
+                        "__keep__",
+                        (F.col("__pf__") < F.lit(int(min_pages))) |
+                        (F.col("__pf__").cast("double") <
+                         F.lit(float(min_ratio)) * F.col("__np__"))))
+    parts = F.array_sort(F.collect_list(
+        F.struct(F.col("__pos__"), F.col("__line__"), F.col("__keep__"))))
+    kept = F.filter(parts, lambda s: s["__keep__"])
+    out = (flagged.groupBy(url_col, "__host__").agg(
+        F.array_join(F.transform(kept, lambda s: s["__line__"]), sep)
+         .alias(text_col),
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("__keep__").cast("long")).alias("n_kept"))
+        .withColumnRenamed("__host__", "host"))
     if drop_empty:
         out = out.filter(F.col("n_kept") > 0)
     return _attach_cached(out, lines)

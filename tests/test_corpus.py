@@ -1764,3 +1764,96 @@ def test_edit_pairs_threshold_and_validation(spark):
         edit_pairs(docs, "doc_id", "s", max_dist=-1)
     with _pt.raises(ValueError, match="q must"):
         edit_pairs(docs, "doc_id", "s", q=1)
+
+
+def test_host_boilerplate_per_site_threshold(spark):
+    from geomesa_spark.operators.corpus import host_boilerplate
+
+    # site-a: footer on 3/3 pages (stripped); "shared prose" on 2/3
+    # pages clears min_pages=2 AND ratio 0.5 -> also stripped there.
+    # site-b: the SAME footer text on only 1/2 pages -> kept (per-host
+    # scoping: site-a's count must not bleed into site-b).
+    docs = spark.createDataFrame(
+        [("https://a.example/1", "FOOT\nshared prose\nalpha"),
+         ("https://a.example/2", "FOOT\nshared prose"),
+         ("https://a.example/3", "FOOT\nbeta"),
+         ("https://b.example/1", "FOOT\ngamma"),
+         ("https://b.example/2", "delta")],
+        "url string, text string")
+    out = {r["url"]: r for r in
+           host_boilerplate(docs, "url", "text",
+                            min_ratio=0.5, min_pages=2).collect()}
+    assert set(out) == {"https://a.example/1", "https://a.example/3",
+                        "https://b.example/1", "https://b.example/2"}
+    assert out["https://a.example/1"]["text"] == "alpha"
+    assert out["https://a.example/1"]["host"] == "a.example"
+    assert (out["https://a.example/1"]["n_lines"],
+            out["https://a.example/1"]["n_kept"]) == (3, 1)
+    # page 2 of site-a lost every line -> dropped (drop_empty)
+    assert out["https://b.example/1"]["text"] == "FOOT\ngamma"
+
+
+def test_host_boilerplate_min_pages_guards_tiny_hosts(spark):
+    from geomesa_spark.operators.corpus import host_boilerplate
+
+    # one-page host: every line is 100% of the host's pages, but
+    # min_pages=2 keeps single-page hosts intact
+    docs = spark.createDataFrame(
+        [("https://solo.example/only", "line one\nline two")],
+        "url string, text string")
+    out = host_boilerplate(docs, "url", "text").collect()
+    assert len(out) == 1 and out[0]["text"] == "line one\nline two"
+
+
+def test_host_boilerplate_rejects_reserved_columns(spark):
+    from geomesa_spark.operators.corpus import host_boilerplate
+
+    docs = spark.createDataFrame(
+        [("https://a.example/1", "x", 0)],
+        "url string, text string, __host__ int")
+    with pytest.raises(ValueError, match="__host__"):
+        host_boilerplate(docs, "url", "text")
+
+
+def test_canonical_dedup_groups_and_keeps_newest(spark):
+    from geomesa_spark.operators.corpus import canonical_dedup
+
+    rows = [
+        # three captures declaring the same canonical, mixed attribute
+        # order and quoting; newest ts wins
+        ("https://s.example/a?page=2",
+         '<html><link rel="canonical" href="https://s.example/a"></html>', 2),
+        ("https://s.example/a?utm=x",
+         "<html><link href='https://s.example/a' rel='canonical'></html>", 5),
+        ("https://s.example/amp/a",
+         '<html><link rel=canonical href=https://s.example/a></html>', 3),
+        # relative canonical -> falls back to own url (ungrouped)
+        ("https://s.example/b",
+         '<html><link rel="canonical" href="/b"></html>', 1),
+        # no canonical at all
+        ("https://s.example/c", "<html><p>hi</p></html>", 4),
+    ]
+    df = spark.createDataFrame(rows, "url string, html string, ts long")
+    out = {r["canonical"]: r for r in
+           canonical_dedup(df, "url", "html", ts_col="ts").collect()}
+    assert set(out) == {"https://s.example/a", "https://s.example/b",
+                        "https://s.example/c"}
+    a = out["https://s.example/a"]
+    assert (a["url"], a["ts"], a["n_dupes"]) == (
+        "https://s.example/a?utm=x", 5, 3)
+    assert out["https://s.example/b"]["n_dupes"] == 1
+
+
+def test_canonical_dedup_no_ts_max_url(spark):
+    from geomesa_spark.operators.corpus import canonical_dedup
+
+    df = spark.createDataFrame(
+        [("https://s.example/z1",
+          '<link rel="canonical" href="https://s.example/z">'),
+         ("https://s.example/z2",
+          '<link rel="canonical" href="https://s.example/z">')],
+        "url string, html string")
+    out = canonical_dedup(df, "url", "html").collect()
+    assert len(out) == 1
+    assert out[0]["url"] == "https://s.example/z2"
+    assert out[0]["n_dupes"] == 2
