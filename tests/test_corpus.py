@@ -1857,3 +1857,47 @@ def test_canonical_dedup_no_ts_max_url(spark):
     assert len(out) == 1
     assert out[0]["url"] == "https://s.example/z2"
     assert out[0]["n_dupes"] == 2
+
+
+def test_host_boilerplate_matches_bruteforce(spark):
+    """Randomized (seeded) equivalence vs a pure-Python reference:
+    pages over few hosts drawing lines from a tiny vocabulary so
+    per-host frequencies hit every regime (unique, = min_pages,
+    above/below the ratio)."""
+    import random
+
+    from geomesa_spark.operators.corpus import host_boilerplate
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(6)]
+    rows = []
+    for h in range(3):
+        for p in range(rng.randint(1, 7)):
+            n = rng.randint(1, 5)
+            text = "\n".join(rng.choice(vocab) for _ in range(n))
+            rows.append((f"https://h{h}.example/p{p}", f"h{h}.example", text))
+    min_ratio, min_pages = 0.4, 2
+
+    # pure-Python reference
+    from collections import defaultdict
+    host_pages = defaultdict(set)
+    line_pages = defaultdict(set)
+    for url, host, text in rows:
+        host_pages[host].add(url)
+        for ln in text.split("\n"):
+            line_pages[(host, ln)].add(url)
+    expect = {}
+    for url, host, text in rows:
+        np_ = len(host_pages[host])
+        kept = [ln for ln in text.split("\n")
+                if len(line_pages[(host, ln)]) < min_pages
+                or float(len(line_pages[(host, ln)])) < min_ratio * np_]
+        if kept:
+            expect[url] = ("\n".join(kept), len(text.split("\n")), len(kept))
+
+    df = spark.createDataFrame([(u, t) for u, _, t in rows],
+                               "url string, text string")
+    got = {r["url"]: (r["text"], r["n_lines"], r["n_kept"])
+           for r in host_boilerplate(df, "url", "text", min_ratio=min_ratio,
+                                     min_pages=min_pages).collect()}
+    assert got == expect
