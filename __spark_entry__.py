@@ -3587,12 +3587,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-4 ROTATION NOTE: assuming r03 grades the first 50 of this list, the
 # still-never-graded set going into round 4 is the TAIL of this list from
-# position 51 ("store_s3") onward — 42 keys ending with the round-3
-# additions (... containment, edit_pairs, pipeline_clean). Rebuild this list
-# at the start of round 4 with that tail at the front (42 < 50, so the
-# remaining 8 driver slots should hold the oldest previously-graded keys for
-# re-confirmation); the authoritative recipe is to diff queries() against the
-# union of green rows in CORRECTNESS_r0*.json.
+# position 51 ("store_s3") onward — 44 keys ending with the round-3
+# additions (... pipeline_clean, host_boilerplate, canonical_dedup). Rebuild
+# this list at the start of round 4 with that tail at the front (44 < 50, so
+# the remaining 6 driver slots should hold the oldest previously-graded keys
+# for re-confirmation); the authoritative recipe is to diff queries() against
+# the union of green rows in CORRECTNESS_r0*.json.
 _NEVER_GRADED_R3 = [
     "minhash_pairs", "simhash_pairs", "lsh_ann", "ivf_ann", "sketches",
     "geoparse_pages", "store_bbox", "store_stbox", "store_xz2", "store_s2",
