@@ -58,6 +58,7 @@ __all__ = [
     "canonical_dedup",
     "bloom_words", "bloom_dense", "bloom_probe",
     "robots_rules", "robots_filter", "fetch_schedule", "parse_sitemap",
+    "capture_churn",
 ]
 
 
@@ -2029,3 +2030,45 @@ def gopher_quality(docs: DataFrame, id_col: str, text_col: str,
            >= F.lit(min_alpha_word_ppm) * F.col("n_words"))
         & (F.col("n_stopwords") >= min_stopwords))
     return sig.withColumn("keep", keep)
+
+
+def capture_churn(captures: DataFrame, url_col: str = "url",
+                  ts_col: str = "warc_ts",
+                  digest_col: str = "digest") -> DataFrame:
+    """Per-URL content-churn profile over a multi-capture crawl store —
+    the signal a recrawl scheduler feeds on (Cho & Garcia-Molina 2003
+    poisson-change estimation; Common Crawl / Wayback stores keep every
+    capture, so change history is a pure scan). For each url: capture
+    count, how many consecutive-capture pairs changed content digest,
+    the change rate, and the observed span.
+
+    One lag window partitioned by url (per-key state, no global sort)
+    feeding one combining aggregate — at 10^12 captures the shuffle key
+    is the url, skew is bounded by captures-per-url (crawl stores cap
+    revisit frequency), and nothing but (url, ts, digest) scalars move.
+    ``change_ppm`` is an exact integer cross-multiplication
+    (1e6 * changes DIV (n-1)) so the result is bit-identical across
+    engines — no float division to defend.
+
+    Returns (url, n_captures, n_changes, change_ppm, first_ts, last_ts);
+    single-capture urls report change_ppm = 0.
+    """
+    w = Window.partitionBy(url_col).orderBy(ts_col)
+    prev = F.lag(F.col(digest_col)).over(w)
+    changed = (prev.isNotNull()
+               & (prev != F.col(digest_col))).cast("long")
+    agg = (captures.select(F.col(url_col).alias("url"),
+                           F.col(ts_col).alias("__ts__"),
+                           changed.alias("__chg__"))
+                   .groupBy("url")
+                   .agg(F.count("*").alias("n_captures"),
+                        F.sum("__chg__").alias("n_changes"),
+                        F.min("__ts__").alias("first_ts"),
+                        F.max("__ts__").alias("last_ts")))
+    rate = F.when(
+        F.col("n_captures") > 1,
+        F.call_function("div", F.col("n_changes") * 1_000_000,
+                        F.col("n_captures") - 1)).otherwise(F.lit(0))
+    return agg.select("url", "n_captures", "n_changes",
+                      rate.cast("long").alias("change_ppm"),
+                      "first_ts", "last_ts")

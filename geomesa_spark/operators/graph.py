@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["pagerank", "hits", "triangle_counts", "bfs_distances",
-           "label_propagation"]
+           "label_propagation", "resolve_redirects", "co_citation"]
 
 
 def _fold_sum(sorted_arr) -> F.Column:
@@ -330,3 +330,90 @@ def label_propagation(edges: DataFrame, src: str = "src", dst: str = "dst",
     e.unpersist()
     nodes.unpersist()
     return labels
+
+
+def resolve_redirects(edges: DataFrame, src: str = "src", dst: str = "dst",
+                      max_rounds: int = 5) -> DataFrame:
+    """Resolve HTTP-redirect chains to their terminal URL by pointer
+    doubling: crawl stores record one hop per fetch (301/302/meta
+    refresh), but dedup, canonicalization and link analysis all need
+    the CHAIN's endpoint. Complements corpus.canonical_capture (the
+    page-declared canonical) with the protocol-level one.
+
+    Pointer doubling: after round k every pointer has advanced
+    min(2**k, hops-to-terminal) steps, so a chain of length L resolves
+    in ceil(log2 L) self-joins of the (node, nxt, hops) map — O(log L)
+    shuffle rounds keyed by node id, vs the O(L) of one-hop-per-round
+    iteration. The map is |redirect sources| rows of three scalars,
+    orders of magnitude smaller than the page payloads it serves;
+    per-round frames are eagerly checkpointed (the dedup_clusters
+    pattern) so lineage stays O(1). Terminals need no explicit flag: a
+    pointer parked on a non-source finds no match in the left join and
+    simply stops advancing.
+
+    Returns (src, final, hops, resolved) for every redirect source:
+    the terminal target and exact hop count, or — for chains still
+    open after 2**max_rounds hops (cycles, over-long chains) —
+    resolved=false with the pointer parked at exactly 2**max_rounds
+    hops. Ambiguous sources (two targets for one URL — malformed in a
+    real crawl store) deterministically resolve to the smallest
+    target rather than raising, so the op stays action-free.
+    """
+    if max_rounds < 1:
+        raise ValueError(f"resolve_redirects needs max_rounds >= 1, "
+                         f"got {max_rounds}")
+    e = (edges.select(F.col(src).cast("long").alias("node"),
+                      F.col(dst).cast("long").alias("nxt"))
+              .groupBy("node").agg(F.min("nxt").alias("nxt")))
+    m = e.withColumn("hops", F.lit(1)).localCheckpoint(eager=True)
+    for _ in range(int(max_rounds)):
+        m2 = m.select(F.col("node").alias("__jn__"),
+                      F.col("nxt").alias("__jnxt__"),
+                      F.col("hops").alias("__jh__"))
+        m = (m.join(m2, m["nxt"] == m2["__jn__"], "left")
+              .select("node",
+                      F.coalesce("__jnxt__", "nxt").alias("nxt"),
+                      (F.col("hops") + F.coalesce("__jh__", F.lit(0)))
+                      .alias("hops"))
+              .localCheckpoint(eager=True))
+    srcs = e.select(F.col("node").alias("__t__")).distinct()
+    return (m.join(srcs, m["nxt"] == srcs["__t__"], "left")
+             .select(F.col("node").alias("src"),
+                     F.col("nxt").alias("final"),
+                     F.col("hops").cast("int").alias("hops"),
+                     F.col("__t__").isNull().alias("resolved")))
+
+
+def co_citation(edges: DataFrame, src: str = "src", dst: str = "dst",
+                min_common: int = 1,
+                max_out_degree: int = 10_000) -> DataFrame:
+    """Co-citation related-pages join (Small 1973; the classic
+    link-structure "related:" signal): two pages are related when many
+    sources link to BOTH. Returns (a, b, n_common) with a < b for every
+    unordered target pair sharing at least ``min_common`` distinct
+    citing sources.
+
+    Plan: dedup edges, cap per-source out-degree at ``max_out_degree``
+    (a mega-hub contributes O(deg^2) pairs and near-zero signal — the
+    same hot-key cap the MinHash-LSH bucket join uses; dropped sources
+    are dropped whole, so the count semantics stay exact over the kept
+    set), then a self-join keyed by source with d1 < d2 and one
+    combining pair count. Work is sum(deg^2) over kept sources —
+    bounded by cap * |edges| — and every shuffle row is two longs.
+    """
+    if min_common < 1:
+        raise ValueError(f"min_common must be >= 1, got {min_common}")
+    if max_out_degree < 2:
+        raise ValueError(f"max_out_degree must be >= 2, "
+                         f"got {max_out_degree}")
+    e = (edges.select(F.col(src).cast("long").alias("s"),
+                      F.col(dst).cast("long").alias("d"))
+              .distinct())
+    deg = e.groupBy("s").agg(F.count("*").alias("__deg__"))
+    kept = (e.join(deg.filter(F.col("__deg__") <= max_out_degree), "s")
+             .select("s", "d"))
+    a = kept.select("s", F.col("d").alias("a"))
+    b = kept.select(F.col("s").alias("__s2__"), F.col("d").alias("b"))
+    return (a.join(b, (a["s"] == b["__s2__"]) & (a["a"] < b["b"]))
+             .groupBy("a", "b").agg(F.count("*").alias("n_common"))
+             .filter(F.col("n_common") >= min_common))

@@ -1901,3 +1901,22 @@ def test_host_boilerplate_matches_bruteforce(spark):
            for r in host_boilerplate(df, "url", "text", min_ratio=min_ratio,
                                      min_pages=min_pages).collect()}
     assert got == expect
+
+
+def test_capture_churn_known_answer(spark):
+    """Hand-traced change counts: url A changes digest once across 4
+    captures (ppm = 1e6 * 1 // 3), url B is a single capture (ppm 0),
+    url C never changes."""
+    from geomesa_spark.operators.corpus import capture_churn
+
+    caps = spark.createDataFrame(
+        [("A", 1, 5), ("A", 2, 5), ("A", 3, 7), ("A", 4, 7),
+         ("B", 10, 1),
+         ("C", 1, 9), ("C", 5, 9)],
+        "url string, warc_ts long, digest long")
+    got = {r.url: (r.n_captures, r.n_changes, r.change_ppm,
+                   r.first_ts, r.last_ts)
+           for r in capture_churn(caps).collect()}
+    assert got == {"A": (4, 1, 333_333, 1, 4),
+                   "B": (1, 0, 0, 10, 10),
+                   "C": (2, 0, 0, 1, 5)}

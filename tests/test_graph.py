@@ -179,3 +179,71 @@ def test_label_propagation_directed_and_validation(spark):
     assert got == {0: 0, 1: 0, 2: 0}
     with pytest.raises(ValueError, match="iters"):
         label_propagation(edges, iters=0)
+
+
+def test_resolve_redirects_chains_cycle_ambiguous(spark):
+    """Chains i -> i-1 (i % 8 != 0) resolve to the preceding multiple
+    of 8 with exact hop counts after log2 doubling rounds; a 3-cycle
+    parks unresolved at exactly 2**max_rounds hops; an ambiguous source
+    (two targets for one URL) deterministically takes the smaller."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.graph import resolve_redirects
+
+    chains = spark.range(0, 32).filter("id % 8 != 0").select(
+        F.col("id").alias("src"), (F.col("id") - 1).alias("dst"))
+    cyc = spark.createDataFrame(
+        [(100, 101), (101, 102), (102, 100)], "src long, dst long")
+    out = {r.src: (r.final, r.hops, r.resolved)
+           for r in resolve_redirects(chains.union(cyc),
+                                      max_rounds=3).collect()}
+    assert len(out) == 31
+    for s in range(32):
+        if s % 8 == 0:
+            assert s not in out  # terminals are not sources
+        else:
+            assert out[s] == (s - s % 8, s % 8, True)
+    # 8 steps around a 3-cycle: 8 % 3 == 2 hops forward, unresolved
+    assert out[100] == (102, 8, False)
+    assert out[101] == (100, 8, False)
+    assert out[102] == (101, 8, False)
+
+    # ambiguous source: 5 -> {9, 7}; min target wins, then 7 -> 6
+    amb = spark.createDataFrame(
+        [(5, 9), (5, 7), (7, 6)], "src long, dst long")
+    got = {r.src: (r.final, r.hops, r.resolved)
+           for r in resolve_redirects(amb, max_rounds=2).collect()}
+    assert got == {5: (6, 2, True), 7: (6, 1, True)}
+
+    with pytest.raises(ValueError, match="max_rounds"):
+        resolve_redirects(chains, max_rounds=0)
+
+
+def test_co_citation_counts_cap_validation(spark):
+    """Hand-traced pair counts, duplicate-edge dedup, hub degree cap,
+    and parameter validation."""
+    import pytest
+
+    from geomesa_spark.operators.graph import co_citation
+
+    edges = spark.createDataFrame(
+        [(1, 10), (1, 10), (1, 20),          # dup edge collapses
+         (2, 10), (2, 20), (2, 30),
+         (3, 20), (3, 30)], "src long, dst long")
+    got = {(r.a, r.b): r.n_common
+           for r in co_citation(edges, min_common=2).collect()}
+    assert got == {(10, 20): 2, (20, 30): 2}
+    # full pair table at min_common=1
+    all_p = {(r.a, r.b): r.n_common
+             for r in co_citation(edges, min_common=1).collect()}
+    assert all_p == {(10, 20): 2, (10, 30): 1, (20, 30): 2}
+    # degree cap drops source 2 (out-degree 3) whole
+    capped = {(r.a, r.b): r.n_common
+              for r in co_citation(edges, min_common=1,
+                                   max_out_degree=2).collect()}
+    assert capped == {(10, 20): 1, (20, 30): 1}
+    with pytest.raises(ValueError, match="min_common"):
+        co_citation(edges, min_common=0)
+    with pytest.raises(ValueError, match="max_out_degree"):
+        co_citation(edges, max_out_degree=1)
