@@ -766,6 +766,26 @@ def q_bm25(spark, sf_dir):
                       ["hash", "join", "vector"])
 
 
+def q_geo_search(spark, sf_dir):
+    """Geo-aware retrieval (operators/text.geo_search): BM25 relevance
+    x spherical distance decay, global top-25 — the graft's native
+    query shape ("most relevant pages near here"). Coordinates derive
+    from doc_id via the tpch_geo point arithmetic; the oracle composes
+    the _sql_bm25 mirror with the dwithin_sphere haversine spelling and
+    the decayed_density pow/REAL convention, ranking by the float32 key
+    with an id tie-break (the weighted_sample convention)."""
+    from geomesa_spark.operators.text import geo_search
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text",
+        tg.point_lon("doc_id").alias("lon"),
+        tg.point_lat("doc_id").alias("lat"))
+    return geo_search(docs, "doc_id", "text", "lon", "lat",
+                      ["hash", "join", "vector"],
+                      qlon=10.0, qlat=20.0, k=25,
+                      half_dist_m=2_000_000.0)
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank (operators/graph.pagerank): URL-importance power
     iteration over the deterministic synthetic doc link graph
@@ -3645,10 +3665,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-4 ROTATION NOTE: assuming r03 grades the first 50 of this list, the
 # still-never-graded set going into round 4 is the TAIL of this list from
-# position 51 ("store_s3") onward — 47 keys ending with the round-3
-# additions (... redirects, co_citation, capture_churn). Rebuild
-# this list at the start of round 4 with that tail at the front (47 < 50, so
-# the remaining 3 driver slots should hold the oldest previously-graded keys
+# position 51 ("store_s3") onward — 48 keys ending with the round-3
+# additions (... co_citation, capture_churn, geo_search). Rebuild
+# this list at the start of round 4 with that tail at the front (48 < 50, so
+# the remaining 2 driver slots should hold the oldest previously-graded keys
 # for re-confirmation); the authoritative recipe is to diff queries() against
 # the union of green rows in CORRECTNESS_r0*.json.
 _NEVER_GRADED_R3 = [
@@ -3675,6 +3695,7 @@ _NEVER_GRADED_R3 = [
     "tile_place_stats", "winnow_fps", "cidr_asn", "phrase_search",
     "containment", "edit_pairs", "pipeline_clean", "host_boilerplate",
     "canonical_dedup", "redirects", "co_citation", "capture_churn",
+    "geo_search",
 ]
 
 
@@ -3856,6 +3877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirects": q_redirects,
         "co_citation": q_co_citation,
         "capture_churn": q_capture_churn,
+        "geo_search": q_geo_search,
     })
 
 
@@ -4618,6 +4640,67 @@ def _sql_bm25(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
         s AS (SELECT b.doc_id, b.dl, CAST({score} AS REAL) AS score32
               FROM base b CROSS JOIN g)
         SELECT doc_id, dl, score32 FROM s WHERE score32 > 0
+    """
+
+
+def _sql_geo_search(terms: list[str], qlon: float, qlat: float, k: int,
+                    half_m: float, k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB mirror of text.geo_search: the _sql_bm25 scoring CTEs
+    composed with the dwithin_sphere haversine spelling (radians as
+    x / 180.0 * pi()), the decayed_density pow -> REAL convention, and
+    rank-by-float32 with an id tie-break."""
+    tf_cols = ",\n                   ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{t.lower()}')) AS BIGINT) AS tf{i}"
+        for i, t in enumerate(terms))
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms)))
+    k1s = f"CAST({k1!r} AS DOUBLE)"
+    bs = f"CAST({b!r} AS DOUBLE)"
+    k1p1 = f"({k1s} + CAST(1.0 AS DOUBLE))"
+    avgdl = "(CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))"
+    score = "CAST(0.0 AS DOUBLE)"
+    for i in range(len(terms)):
+        idf = (f"ln((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+               f" / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)")
+        denom = (f"(CAST(tf{i} AS DOUBLE) + {k1s} * (CAST(1.0 AS DOUBLE) - {bs}"
+                 f" + {bs} * CAST(dl AS DOUBLE) / {avgdl}))")
+        score = f"{score} + {idf} * (CAST(tf{i} AS DOUBLE) * {k1p1}) / {denom}"
+    qla = f"(CAST({qlat!r} AS DOUBLE) / 180.0 * pi())"
+    qlo = f"(CAST({qlon!r} AS DOUBLE) / 180.0 * pi())"
+    return f"""
+        WITH d AS (SELECT doc_id,
+                          regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+                   FROM documents),
+        base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+                   {tf_cols}
+                 FROM d),
+        g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(dl) AS BIGINT) AS sdl, {df_cols}
+              FROM base),
+        s AS (SELECT b.doc_id, b.dl, CAST({score} AS REAL) AS score32
+              FROM base b CROSS JOIN g),
+        sc AS (SELECT doc_id, dl, score32 FROM s WHERE score32 > 0),
+        p AS (SELECT doc_id,
+                     ({tg.sql_point_lon('doc_id')}) / 180.0 * pi() AS lo2,
+                     ({tg.sql_point_lat('doc_id')}) / 180.0 * pi() AS la2
+              FROM documents),
+        dd AS (SELECT sc.doc_id, sc.dl, sc.score32,
+                      2.0 * 6371008.7714 * asin(sqrt(
+                        sin((la2 - {qla}) / 2) * sin((la2 - {qla}) / 2)
+                        + cos({qla}) * cos(la2)
+                          * sin((lo2 - {qlo}) / 2) * sin((lo2 - {qlo}) / 2)
+                      )) AS dist
+               FROM sc JOIN p USING (doc_id)),
+        r AS (SELECT doc_id, dl, CAST(dist AS REAL) AS dist32,
+                     CAST(CAST(score32 AS DOUBLE)
+                          * pow(0.5, dist / CAST({half_m!r} AS DOUBLE))
+                          AS REAL) AS geo_score32
+              FROM dd)
+        SELECT doc_id, dl, dist32, geo_score32,
+               CAST(row_number() OVER (ORDER BY geo_score32 DESC, doc_id ASC)
+                    AS INTEGER) AS rank
+        FROM r ORDER BY geo_score32 DESC, doc_id ASC LIMIT {int(k)}
     """
 
 
@@ -5989,6 +6072,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmeans": _sql_kmeans(),
         "bm25": _sql_bm25(["hash", "join", "vector"]),
+        "geo_search": _sql_geo_search(["hash", "join", "vector"],
+                                      qlon=10.0, qlat=20.0, k=25,
+                                      half_m=2_000_000.0),
         "pagerank": _sql_pagerank(),
         "link_hosts": _sql_link_hosts(),
         "anchor_text": _sql_anchor_text(),

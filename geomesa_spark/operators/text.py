@@ -18,7 +18,7 @@ from .cache import attach_cached
 __all__ = [
     "token_count", "approx_bpe_tokens", "text_stats", "quality_score",
     "repetition_stats", "langid_udf", "fingerprint_udf", "bm25_score",
-    "phrase_search",
+    "phrase_search", "geo_search",
 ]
 
 
@@ -372,3 +372,62 @@ def phrase_search(docs: DataFrame, id_col: str, text_col: str,
     return (hits.groupBy(id_col)
                 .agg(F.count("*").alias("n_hits"),
                      F.min("start").alias("first_pos")))
+
+
+def geo_search(docs: DataFrame, id_col: str, text_col: str,
+               lon_col: str, lat_col: str, terms: list[str],
+               qlon: float, qlat: float, k: int = 20,
+               half_dist_m: float = 100_000.0,
+               k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Geo-aware retrieval: BM25 text relevance x exponential distance
+    decay, global top-k — "the most relevant pages NEAR here", the
+    query shape a geospatial web-corpus engine exists to serve (the
+    reference's attribute+spatial predicate combination expressed as a
+    ranking instead of a filter). Combined score:
+
+        geo_score = bm25(d, terms) * 0.5^(dist_sphere(d, q)/half_dist_m)
+
+    so relevance halves every ``half_dist_m`` meters from the query
+    point (the decayed_density half-life convention, applied to space).
+
+    Scale shape: :func:`bm25_score` is the one corpus pass (map-only
+    tokenize + broadcast corpus stats — doc text never shuffles); the
+    haversine leg is map-only over (id, lon, lat); the two narrow
+    frames join on id and the global top-k is ``orderBy().limit(k)``
+    (TakeOrderedAndProject: per-partition heaps + driver merge, never a
+    single-partition sort); rank attaches over only the k survivors.
+
+    Exactness: the haversine double chain is engine-exact (the
+    dwithin_sphere convention); bm25 and the decay product are float32
+    (`score32`/`geo_score32`), absorbing ln/pow libm ulps; ordering is
+    by the float32 key with an id tie-break (the weighted_sample
+    rank-by-float32 convention). Returns
+    (id, dl, dist32, geo_score32, rank).
+    """
+    if k < 1:
+        raise ValueError(f"geo_search needs k >= 1, got {k}")
+    if half_dist_m <= 0:
+        raise ValueError(f"half_dist_m must be positive, "
+                         f"got {half_dist_m}")
+    from ..geom.measures import EARTH_MEAN_RADIUS_M
+    from pyspark.sql import Window
+
+    scored = bm25_score(docs, id_col, text_col, terms, k1=k1, b=b)
+    la1 = F.radians(F.lit(float(qlat)))
+    la2 = F.radians(F.col(lat_col))
+    sd = F.sin((la2 - la1) / 2)
+    sl = F.sin((F.radians(F.col(lon_col))
+                - F.radians(F.lit(float(qlon)))) / 2)
+    h = sd * sd + F.cos(la1) * F.cos(la2) * sl * sl
+    dist = F.lit(2.0 * EARTH_MEAN_RADIUS_M) * F.asin(F.sqrt(h))
+    pts = docs.select(F.col(id_col), dist.alias("__dist__"))
+    geo = (F.col("score32").cast("double")
+           * F.pow(F.lit(0.5), F.col("__dist__") / F.lit(float(half_dist_m))))
+    ranked = (scored.join(pts, on=id_col)
+                    .select(F.col(id_col), F.col("dl"),
+                            F.col("__dist__").cast("float").alias("dist32"),
+                            geo.cast("float").alias("geo_score32")))
+    order = [F.col("geo_score32").desc(), F.col(id_col).asc()]
+    topk = ranked.orderBy(*order).limit(int(k))
+    win = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(win))

@@ -190,3 +190,51 @@ class TestPhraseSearch:
             phrase_search(docs, "doc_id", "text", "   ")
         with pytest.raises(ValueError, match="max 62"):
             phrase_search(docs, "doc_id", "text", " ".join(["w"] * 63))
+
+
+class TestGeoSearch:
+    def test_brute_force_ranking(self, spark):
+        """Equal-relevance docs rank purely by distance (nearest first);
+        a no-match doc near the query point is excluded (bm25 > 0
+        filter); combined score matches the brute-force formula."""
+        import math
+
+        import pytest
+
+        from geomesa_spark.operators.text import geo_search
+
+        # same text => identical bm25; distance decides the order
+        rows = [
+            (0, "hash join", 10.0, 20.0),    # at the query point
+            (1, "hash join", 10.0, 25.0),    # ~556 km north
+            (2, "hash join", 10.0, 60.0),    # far
+            (3, "no match here", 10.0, 20.0),  # nearest but irrelevant
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lon double, lat double")
+        got = geo_search(df, "doc_id", "text", "lon", "lat",
+                         ["hash"], qlon=10.0, qlat=20.0, k=10,
+                         half_dist_m=500_000.0).collect()
+        assert [r.doc_id for r in got] == [0, 1, 2]
+        assert [r.rank for r in got] == [1, 2, 3]
+
+        # brute-force the combined score for doc 1
+        R = 6371008.7714
+        la1, la2 = math.radians(20.0), math.radians(25.0)
+        d = 2 * R * math.asin(math.sqrt(
+            math.sin((la2 - la1) / 2) ** 2))
+        k1, b = 1.2, 0.75
+        N, df_t, dls, avgdl = 4, 3, 2, (2 + 2 + 2 + 3) / 4
+        idf = math.log((N - df_t + 0.5) / (df_t + 0.5) + 1.0)
+        bm = idf * (1 * (k1 + 1)) / (1 + k1 * (1 - b + b * dls / avgdl))
+        exp = bm * 0.5 ** (d / 500_000.0)
+        r1 = [r for r in got if r.doc_id == 1][0]
+        assert abs(r1.geo_score32 - exp) < 1e-5
+        assert abs(r1.dist32 - d) < 1.0
+
+        with pytest.raises(ValueError, match="k >="):
+            geo_search(df, "doc_id", "text", "lon", "lat", ["hash"],
+                       qlon=0.0, qlat=0.0, k=0)
+        with pytest.raises(ValueError, match="half_dist_m"):
+            geo_search(df, "doc_id", "text", "lon", "lat", ["hash"],
+                       qlon=0.0, qlat=0.0, half_dist_m=0.0)
