@@ -786,6 +786,40 @@ def q_geo_search(spark, sf_dir):
                       half_dist_m=2_000_000.0)
 
 
+def q_crawl_diff(spark, sf_dir):
+    """Two-snapshot crawl diff (operators/corpus.crawl_diff): one
+    url-keyed full-outer join classifying every url as added / removed
+    / changed / unchanged. Synthetic snapshots from documents: the old
+    crawl misses doc_id % 10 == 9 (later 'added'), the new crawl
+    misses doc_id % 10 == 0 ('removed'), and the new digest bumps when
+    doc_id % 3 == 0 ('changed'). Oracle replays the join + CASE
+    chain."""
+    from geomesa_spark.operators.corpus import crawl_diff
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(F.lit("u"), F.col("doc_id").cast("string"))
+    old = (docs.filter(F.col("doc_id") % 10 != 9)
+               .select(url.alias("url"),
+                       (F.col("doc_id") % 5).alias("digest")))
+    new = (docs.filter(F.col("doc_id") % 10 != 0)
+               .select(url.alias("url"),
+                       (F.col("doc_id") % 5
+                        + F.when(F.col("doc_id") % 3 == 0, F.lit(1))
+                           .otherwise(F.lit(0))).alias("digest")))
+    return crawl_diff(old, new)
+
+
+def q_script_mix(spark, sf_dir):
+    """Per-doc Unicode-script composition (operators/text.script_mix):
+    exact char counts per script class as pure codegen regexp chains —
+    the mixed-script / mojibake curation signal. Oracle runs the same
+    character-class patterns through DuckDB's RE2 (the patterns are
+    dialect-shared by construction)."""
+    from geomesa_spark.operators.text import script_mix
+
+    return script_mix(_docs(spark, sf_dir), "doc_id", "text")
+
+
 def q_pagerank(spark, sf_dir):
     """PageRank (operators/graph.pagerank): URL-importance power
     iteration over the deterministic synthetic doc link graph
@@ -3665,10 +3699,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-4 ROTATION NOTE: assuming r03 grades the first 50 of this list, the
 # still-never-graded set going into round 4 is the TAIL of this list from
-# position 51 ("store_s3") onward — 48 keys ending with the round-3
-# additions (... co_citation, capture_churn, geo_search). Rebuild
-# this list at the start of round 4 with that tail at the front (48 < 50, so
-# the remaining 2 driver slots should hold the oldest previously-graded keys
+# position 51 ("store_s3") onward — 50 keys ending with the round-3
+# additions (... geo_search, crawl_diff, script_mix). Rebuild
+# this list at the start of round 4 with that tail at the front (50 keys =
+# exactly the 50 driver slots; any further additions displace the oldest
 # for re-confirmation); the authoritative recipe is to diff queries() against
 # the union of green rows in CORRECTNESS_r0*.json.
 _NEVER_GRADED_R3 = [
@@ -3695,7 +3729,7 @@ _NEVER_GRADED_R3 = [
     "tile_place_stats", "winnow_fps", "cidr_asn", "phrase_search",
     "containment", "edit_pairs", "pipeline_clean", "host_boilerplate",
     "canonical_dedup", "redirects", "co_citation", "capture_churn",
-    "geo_search",
+    "geo_search", "crawl_diff", "script_mix",
 ]
 
 
@@ -3878,6 +3912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "co_citation": q_co_citation,
         "capture_churn": q_capture_churn,
         "geo_search": q_geo_search,
+        "crawl_diff": q_crawl_diff,
+        "script_mix": q_script_mix,
     })
 
 
@@ -4701,6 +4737,33 @@ def _sql_geo_search(terms: list[str], qlon: float, qlat: float, k: int,
                CAST(row_number() OVER (ORDER BY geo_score32 DESC, doc_id ASC)
                     AS INTEGER) AS rank
         FROM r ORDER BY geo_score32 DESC, doc_id ASC LIMIT {int(k)}
+    """
+
+
+def _sql_script_mix() -> str:
+    """DuckDB mirror of text.script_mix — the character-class patterns
+    import from the operator module (dialect-shared Java∩RE2 classes),
+    so the two engines can never drift."""
+    from geomesa_spark.operators.text import SCRIPT_CLASSES
+
+    cnt_cols = []
+    for name, pat in SCRIPT_CLASSES:
+        # standard SQL literals pass backslashes through, so RE2 sees
+        # the \t/\n/\r escapes exactly as Java did
+        sql_pat = pat.replace("'", "''")
+        c = (f"CAST(length(coalesce(text, '')) - length(regexp_replace("
+             f"coalesce(text, ''), '{sql_pat}', '', 'g')) AS BIGINT)")
+        cnt_cols.append(f"{c} AS n_{name}")
+    cols = ",\n                   ".join(cnt_cols)
+    names = [f"n_{n}" for n, _ in SCRIPT_CLASSES]
+    other = "n_chars - " + " - ".join(names)
+    return f"""
+        SELECT doc_id, n_chars, {", ".join(names)},
+               CAST({other} AS BIGINT) AS n_other
+        FROM (SELECT doc_id,
+                   CAST(length(coalesce(text, '')) AS BIGINT) AS n_chars,
+                   {cols}
+              FROM documents)
     """
 
 
@@ -6075,6 +6138,26 @@ def oracle_sql() -> dict[str, str]:
         "geo_search": _sql_geo_search(["hash", "join", "vector"],
                                       qlon=10.0, qlat=20.0, k=25,
                                       half_m=2_000_000.0),
+        # crawl_diff: the same full-outer join + CASE chain over the
+        # synthetic two-snapshot rule.
+        "crawl_diff": """
+            WITH o AS (SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                              doc_id % 5 AS old_digest
+                       FROM documents WHERE doc_id % 10 <> 9),
+            n AS (SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                         doc_id % 5
+                         + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                           AS new_digest
+                  FROM documents WHERE doc_id % 10 <> 0)
+            SELECT coalesce(o.url, n.url) AS url,
+                   CASE WHEN o.url IS NULL THEN 'added'
+                        WHEN n.url IS NULL THEN 'removed'
+                        WHEN old_digest <> new_digest THEN 'changed'
+                        ELSE 'unchanged' END AS status,
+                   old_digest, new_digest
+            FROM o FULL OUTER JOIN n ON o.url = n.url
+        """,
+        "script_mix": _sql_script_mix(),
         "pagerank": _sql_pagerank(),
         "link_hosts": _sql_link_hosts(),
         "anchor_text": _sql_anchor_text(),

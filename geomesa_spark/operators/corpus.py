@@ -58,7 +58,7 @@ __all__ = [
     "canonical_dedup",
     "bloom_words", "bloom_dense", "bloom_probe",
     "robots_rules", "robots_filter", "fetch_schedule", "parse_sitemap",
-    "capture_churn",
+    "capture_churn", "crawl_diff",
 ]
 
 
@@ -2072,3 +2072,31 @@ def capture_churn(captures: DataFrame, url_col: str = "url",
     return agg.select("url", "n_captures", "n_changes",
                       rate.cast("long").alias("change_ppm"),
                       "first_ts", "last_ts")
+
+
+def crawl_diff(old: DataFrame, new: DataFrame, url_col: str = "url",
+               digest_col: str = "digest") -> DataFrame:
+    """Snapshot diff between two crawls — which URLs were added,
+    removed, changed, or unchanged (the incremental-recrawl report;
+    pairs with :func:`capture_churn`, which profiles the full capture
+    history instead of two snapshots). Inputs carry one row per url
+    (run latest-capture selection upstream when they don't).
+
+    Plan: ONE url-keyed full-outer hash join of two (url, digest)
+    projections — at 10^12 urls that is a single co-partitioned
+    shuffle of two scalars per row, AQE handles skew, no window, no
+    Python. Returns (url, status, old_digest, new_digest) with status
+    in ('added', 'removed', 'changed', 'unchanged').
+    """
+    o = old.select(F.col(url_col).alias("url"),
+                   F.col(digest_col).alias("old_digest"))
+    n = new.select(F.col(url_col).alias("url"),
+                   F.col(digest_col).alias("new_digest"))
+    j = o.join(n, on="url", how="full_outer")
+    status = (F.when(F.col("old_digest").isNull(), F.lit("added"))
+               .when(F.col("new_digest").isNull(), F.lit("removed"))
+               .when(F.col("old_digest") != F.col("new_digest"),
+                     F.lit("changed"))
+               .otherwise(F.lit("unchanged")))
+    return j.select("url", status.alias("status"),
+                    "old_digest", "new_digest")

@@ -18,7 +18,7 @@ from .cache import attach_cached
 __all__ = [
     "token_count", "approx_bpe_tokens", "text_stats", "quality_score",
     "repetition_stats", "langid_udf", "fingerprint_udf", "bm25_score",
-    "phrase_search", "geo_search",
+    "phrase_search", "geo_search", "script_mix",
 ]
 
 
@@ -431,3 +431,46 @@ def geo_search(docs: DataFrame, id_col: str, text_col: str,
     topk = ranked.orderBy(*order).limit(int(k))
     win = Window.partitionBy(F.lit(0)).orderBy(*order)
     return topk.withColumn("rank", F.row_number().over(win))
+
+
+# Unicode script classes for script_mix. Character-class-only patterns
+# (no alternation-with-backreference), valid in both the Java regex and
+# RE2 (DuckDB) dialects so oracles replay them verbatim.
+SCRIPT_CLASSES = (
+    ("latin", "[A-Za-zÀ-ɏ]"),
+    ("digit", "[0-9]"),
+    ("cyrillic", "[Ѐ-ӿ]"),
+    ("greek", "[Ͱ-Ͽ]"),
+    ("arabic", "[؀-ۿ]"),
+    ("cjk", "[぀-ヿ一-鿿가-힯]"),
+    ("space", "[ \\t\\n\\r]"),
+)
+
+
+def script_mix(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document Unicode-script composition — exact character counts
+    per script class (latin/digit/cyrillic/greek/arabic/CJK/space plus
+    an ``other`` remainder). The multilingual-curation signal that
+    catches mislabeled-language and mixed-script (spam, encoding-mojibake)
+    documents before language-ID sees them.
+
+    Every count is length(text) - length(regexp_replace(text, cls, ''))
+    — exact integers, map-only, whole-stage codegen, shuffle-free; the
+    patterns are plain character classes shared verbatim with SQL
+    engines. Returns (id, n_chars, n_latin, n_digit, n_cyrillic,
+    n_greek, n_arabic, n_cjk, n_space, n_other).
+    """
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    total = F.length(txt).cast("long")
+    cols = [F.col(id_col), total.alias("n_chars")]
+    covered = F.lit(0).cast("long")
+    for name, pat in SCRIPT_CLASSES:
+        c = (F.length(txt)
+             - F.length(F.regexp_replace(txt, pat, ""))).cast("long")
+        cols.append(c.alias(f"n_{name}"))
+        covered = covered + c
+    out = docs.select(*cols)
+    other = F.col("n_chars")
+    for name, _ in SCRIPT_CLASSES:
+        other = other - F.col(f"n_{name}")
+    return out.withColumn("n_other", other.cast("long"))

@@ -1920,3 +1920,19 @@ def test_capture_churn_known_answer(spark):
     assert got == {"A": (4, 1, 333_333, 1, 4),
                    "B": (1, 0, 0, 10, 10),
                    "C": (2, 0, 0, 1, 5)}
+
+
+def test_crawl_diff_statuses(spark):
+    """All four statuses from a hand-built pair of snapshots."""
+    from geomesa_spark.operators.corpus import crawl_diff
+
+    old = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 3)], "url string, digest long")
+    new = spark.createDataFrame(
+        [("a", 1), ("b", 9), ("d", 4)], "url string, digest long")
+    got = {r.url: (r.status, r.old_digest, r.new_digest)
+           for r in crawl_diff(old, new).collect()}
+    assert got == {"a": ("unchanged", 1, 1),
+                   "b": ("changed", 2, 9),
+                   "c": ("removed", 3, None),
+                   "d": ("added", None, 4)}

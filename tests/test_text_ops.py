@@ -238,3 +238,33 @@ class TestGeoSearch:
         with pytest.raises(ValueError, match="half_dist_m"):
             geo_search(df, "doc_id", "text", "lon", "lat", ["hash"],
                        qlon=0.0, qlat=0.0, half_dist_m=0.0)
+
+
+def test_script_mix_unicode_brute_force(spark):
+    """Exact per-class counts on mixed-script text, checked against a
+    pure-Python count over the same class ranges."""
+    import re
+
+    from geomesa_spark.operators.text import SCRIPT_CLASSES, script_mix
+
+    rows = [
+        (0, "Hello мир 123"),
+        (1, "日本語 text with καλημέρα and مرحبا"),
+        (2, ""),
+        (3, None),
+        (4, "tabs\tand\nnewlines plus emoji \U0001F600"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in script_mix(df, "doc_id", "text").collect()}
+    for i, t in rows:
+        t = t or ""
+        exp_total = len(t)
+        assert got[i]["n_chars"] == exp_total
+        covered = 0
+        for name, pat in SCRIPT_CLASSES:
+            exp = len(re.findall(pat, t))
+            assert got[i][f"n_{name}"] == exp, (i, name)
+            covered += exp
+        assert got[i]["n_other"] == exp_total - covered
+    # the emoji (non-BMP, outside every class) lands in n_other
+    assert got[4]["n_other"] >= 1
