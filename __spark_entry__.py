@@ -786,6 +786,37 @@ def q_geo_search(spark, sf_dir):
                       half_dist_m=2_000_000.0)
 
 
+def q_alias_clusters(spark, sf_dir):
+    """URL alias-group assembly — the composition a crawl store runs to
+    get ONE identity per page: protocol-level redirect chains
+    (graph.resolve_redirects, pointer doubling) unioned with
+    page-declared canonical edges, closed transitively by
+    dedup_clusters (min-label connected components), plus cluster
+    sizes. Synthetic rule: redirect chains glue each 8-block
+    (doc_id -> doc_id-1 unless doc_id % 8 == 0), canonical edges from
+    even ids to their 16-boundary glue adjacent 8-blocks — so the
+    closed form cluster_id = doc_id - doc_id % 16 verifies the whole
+    redirect-resolution + union + connected-components pipeline with
+    an oracle that never runs any of it."""
+    from geomesa_spark.operators.dedup import dedup_clusters
+    from geomesa_spark.operators.graph import resolve_redirects
+
+    docs = _t(spark, sf_dir, "documents")
+    redirects = (docs.filter(F.col("doc_id") % 8 != 0)
+                     .select(F.col("doc_id").alias("src"),
+                             (F.col("doc_id") - 1).alias("dst")))
+    resolved = resolve_redirects(redirects, max_rounds=3)
+    canon = (docs.filter(F.col("doc_id") % 2 == 0)
+                 .select(F.col("doc_id").alias("id_a"),
+                         (F.col("doc_id") - F.col("doc_id") % 16)
+                         .alias("id_b")))
+    pairs = resolved.select(F.col("src").alias("id_a"),
+                            F.col("final").alias("id_b")).union(canon)
+    cl = dedup_clusters(pairs)
+    w = Window.partitionBy("cluster_id")
+    return cl.withColumn("cluster_size", F.count("*").over(w))
+
+
 def q_crawl_diff(spark, sf_dir):
     """Two-snapshot crawl diff (operators/corpus.crawl_diff): one
     url-keyed full-outer join classifying every url as added / removed
@@ -3699,10 +3730,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-4 ROTATION NOTE: assuming r03 grades the first 50 of this list, the
 # still-never-graded set going into round 4 is the TAIL of this list from
-# position 51 ("store_s3") onward — 50 keys ending with the round-3
-# additions (... geo_search, crawl_diff, script_mix). Rebuild
-# this list at the start of round 4 with that tail at the front (50 keys =
-# exactly the 50 driver slots; any further additions displace the oldest
+# position 51 ("store_s3") onward — 51 keys ending with the round-3
+# additions (... crawl_diff, script_mix, alias_clusters). Rebuild this
+# list at the start of round 4 with that tail at the front (51 keys: one
+# more than the 50 driver slots, so the overflow plus re-confirmations
 # for re-confirmation); the authoritative recipe is to diff queries() against
 # the union of green rows in CORRECTNESS_r0*.json.
 _NEVER_GRADED_R3 = [
@@ -3729,7 +3760,7 @@ _NEVER_GRADED_R3 = [
     "tile_place_stats", "winnow_fps", "cidr_asn", "phrase_search",
     "containment", "edit_pairs", "pipeline_clean", "host_boilerplate",
     "canonical_dedup", "redirects", "co_citation", "capture_churn",
-    "geo_search", "crawl_diff", "script_mix",
+    "geo_search", "crawl_diff", "script_mix", "alias_clusters",
 ]
 
 
@@ -3914,6 +3945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "geo_search": q_geo_search,
         "crawl_diff": q_crawl_diff,
         "script_mix": q_script_mix,
+        "alias_clusters": q_alias_clusters,
     })
 
 
@@ -6158,6 +6190,19 @@ def oracle_sql() -> dict[str, str]:
             FROM o FULL OUTER JOIN n ON o.url = n.url
         """,
         "script_mix": _sql_script_mix(),
+        # alias_clusters: closed-form mirror of the synthetic glue rule
+        # (8-block redirect chains + even->16-boundary canonicals =>
+        # 16-blocks) — independently derives cluster id and size with
+        # no graph traversal at all.
+        "alias_clusters": """
+            WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+            SELECT doc_id AS id,
+                   doc_id - (doc_id % 16) AS cluster_id,
+                   CAST(least(16, (SELECT n FROM nd)
+                                  - (doc_id - (doc_id % 16)))
+                        AS BIGINT) AS cluster_size
+            FROM documents
+        """,
         "pagerank": _sql_pagerank(),
         "link_hosts": _sql_link_hosts(),
         "anchor_text": _sql_anchor_text(),
