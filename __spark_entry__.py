@@ -817,6 +817,19 @@ def q_alias_clusters(spark, sf_dir):
     return cl.withColumn("cluster_size", F.count("*").over(w))
 
 
+def q_trending_terms(spark, sf_dir):
+    """Burst detection (operators/corpus.trending_terms): top-40 terms
+    by lift over their uniform share across 7 synthetic time buckets
+    (bucket = doc_id % 7). Oracle replays the two-level token count,
+    bucket-count broadcast, fixed-order lift chain and float32-keyed
+    top-k in SQL."""
+    from geomesa_spark.operators.corpus import trending_terms
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "bucket", F.col("doc_id") % 7)
+    return trending_terms(docs, "text", "bucket", k=40, min_count=5)
+
+
 def q_crawl_diff(spark, sf_dir):
     """Two-snapshot crawl diff (operators/corpus.crawl_diff): one
     url-keyed full-outer join classifying every url as added / removed
@@ -3730,9 +3743,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-4 ROTATION NOTE: assuming r03 grades the first 50 of this list, the
 # still-never-graded set going into round 4 is the TAIL of this list from
-# position 51 ("store_s3") onward — 51 keys ending with the round-3
-# additions (... crawl_diff, script_mix, alias_clusters). Rebuild this
-# list at the start of round 4 with that tail at the front (51 keys: one
+# position 51 ("store_s3") onward — 52 keys ending with the round-3
+# additions (... script_mix, alias_clusters, trending_terms). Rebuild this
+# list at the start of round 4 with that tail at the front (52 keys: two
 # more than the 50 driver slots, so the overflow plus re-confirmations
 # for re-confirmation); the authoritative recipe is to diff queries() against
 # the union of green rows in CORRECTNESS_r0*.json.
@@ -3761,6 +3774,7 @@ _NEVER_GRADED_R3 = [
     "containment", "edit_pairs", "pipeline_clean", "host_boilerplate",
     "canonical_dedup", "redirects", "co_citation", "capture_churn",
     "geo_search", "crawl_diff", "script_mix", "alias_clusters",
+    "trending_terms",
 ]
 
 
@@ -3946,6 +3960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_diff": q_crawl_diff,
         "script_mix": q_script_mix,
         "alias_clusters": q_alias_clusters,
+        "trending_terms": q_trending_terms,
     })
 
 
@@ -6190,6 +6205,29 @@ def oracle_sql() -> dict[str, str]:
             FROM o FULL OUTER JOIN n ON o.url = n.url
         """,
         "script_mix": _sql_script_mix(),
+        "trending_terms": """
+            WITH tok AS (
+              SELECT doc_id % 7 AS bucket,
+                     unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))
+                       AS token
+              FROM documents),
+            ctb AS (SELECT token, bucket,
+                           CAST(count(*) AS BIGINT) AS n_in_bucket
+                    FROM tok GROUP BY token, bucket),
+            ct AS (SELECT token, CAST(sum(n_in_bucket) AS BIGINT) AS n_total
+                   FROM ctb GROUP BY token),
+            nb AS (SELECT CAST(count(DISTINCT bucket) AS BIGINT) AS b FROM ctb),
+            s AS (SELECT c.token, c.bucket, c.n_in_bucket, t.n_total,
+                         CAST(CAST(c.n_in_bucket AS DOUBLE)
+                              * CAST((SELECT b FROM nb) AS DOUBLE)
+                              / CAST(t.n_total AS DOUBLE) AS REAL) AS lift32
+                  FROM ctb c JOIN ct t USING (token)
+                  WHERE c.n_in_bucket >= 5)
+            SELECT token, bucket, n_in_bucket, n_total, lift32,
+                   CAST(row_number() OVER (ORDER BY lift32 DESC, token ASC,
+                                           bucket ASC) AS INTEGER) AS rank
+            FROM s ORDER BY lift32 DESC, token ASC, bucket ASC LIMIT 40
+        """,
         # alias_clusters: closed-form mirror of the synthetic glue rule
         # (8-block redirect chains + even->16-boundary canonicals =>
         # 16-blocks) — independently derives cluster id and size with

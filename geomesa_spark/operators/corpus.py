@@ -58,7 +58,7 @@ __all__ = [
     "canonical_dedup",
     "bloom_words", "bloom_dense", "bloom_probe",
     "robots_rules", "robots_filter", "fetch_schedule", "parse_sitemap",
-    "capture_churn", "crawl_diff",
+    "capture_churn", "crawl_diff", "trending_terms",
 ]
 
 
@@ -2100,3 +2100,55 @@ def crawl_diff(old: DataFrame, new: DataFrame, url_col: str = "url",
                .otherwise(F.lit("unchanged")))
     return j.select("url", status.alias("status"),
                     "old_digest", "new_digest")
+
+
+def trending_terms(docs: DataFrame, text_col: str, bucket_col: str,
+                   k: int = 50, min_count: int = 5) -> DataFrame:
+    """Burst detection over time-bucketed token counts — the trend-
+    mining pass (Kleinberg 2002's burst intuition reduced to the
+    mergeable statistic): a term trends in a bucket when its count
+    there exceeds its uniform share across buckets,
+
+        lift = n_tb * B / n_t
+
+    (n_tb = term count in the bucket, n_t = corpus-wide term count,
+    B = number of buckets). ``min_count`` floors n_tb (hapax spikes
+    are noise, same rationale as collocations). Returns the global
+    top-k (token, bucket, n_in_bucket, n_total, lift32, rank).
+
+    Scale shape: one token explode + combining (token, bucket) count;
+    per-token totals REUSE that count frame (two-level aggregation —
+    the corpus is read once); the bucket count B is a one-row
+    broadcast; top-k is ``orderBy().limit(k)`` (TakeOrderedAndProject)
+    with rank attached over only the k survivors. All counts exact
+    integers; the one double chain is fixed-order and lands in
+    float32 (the collocations convention).
+    """
+    if k < 1:
+        raise ValueError(f"trending_terms needs k >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    tok = docs.select(F.col(bucket_col).alias("bucket"),
+                      F.explode(words).alias("token"))
+    ctb = (tok.groupBy("token", "bucket")
+              .agg(F.count("*").alias("n_in_bucket"))
+              .persist())   # feeds totals, B, and the scored scan
+    ct = ctb.groupBy("token").agg(F.sum("n_in_bucket").alias("n_total"))
+    nb = ctb.select(F.countDistinct("bucket").alias("__nb__"))
+    scored = (ctb.filter(F.col("n_in_bucket") >= int(min_count))
+                 .join(ct, on="token")
+                 .crossJoin(F.broadcast(nb))
+                 .withColumn(
+                     "lift32",
+                     (F.col("n_in_bucket").cast("double")
+                      * F.col("__nb__").cast("double")
+                      / F.col("n_total").cast("double")).cast("float")))
+    order = [F.col("lift32").desc(), F.col("token").asc(),
+             F.col("bucket").asc()]
+    topk = scored.orderBy(*order).limit(int(k))
+    win = Window.partitionBy(F.lit(0)).orderBy(*order)
+    out = (topk.withColumn("rank", F.row_number().over(win))
+               .select("token", "bucket", "n_in_bucket", "n_total",
+                       "lift32", "rank"))
+    return _attach_cached(out, ctb)

@@ -1936,3 +1936,33 @@ def test_crawl_diff_statuses(spark):
                    "b": ("changed", 2, 9),
                    "c": ("removed", 3, None),
                    "d": ("added", None, 4)}
+
+
+def test_trending_terms_burst_detection(spark):
+    """A term concentrated in one bucket outranks a uniform term; the
+    lift matches the closed formula; min_count floors hapax spikes."""
+    import pytest
+
+    from geomesa_spark.operators.corpus import trending_terms
+
+    rows = []
+    # "steady" appears 4x per bucket across buckets 0..3 (lift 1.0)
+    for i in range(8):
+        rows.append((i % 4, "steady steady filler"))
+    # "burst" appears 5 times, all in bucket 2 (lift = 4.0)
+    rows.append((2, "burst burst burst burst burst"))
+    # "spike" appears twice in bucket 1 — below min_count=3
+    rows.append((1, "spike spike"))
+    df = spark.createDataFrame(rows, "bucket long, text string")
+    got = trending_terms(df, "text", "bucket", k=10, min_count=3).collect()
+    by_tok = {(r.token, r.bucket): r for r in got}
+    assert ("spike", 1) not in by_tok
+    b = by_tok[("burst", 2)]
+    assert (b.n_in_bucket, b.n_total, b.rank) == (5, 5, 1)
+    assert abs(b.lift32 - 4.0) < 1e-6
+    s = by_tok[("steady", 2)]
+    assert abs(s.lift32 - 1.0) < 1e-6 and s.n_total == 16
+    with pytest.raises(ValueError, match="k >="):
+        trending_terms(df, "text", "bucket", k=0)
+    with pytest.raises(ValueError, match="min_count"):
+        trending_terms(df, "text", "bucket", min_count=0)
