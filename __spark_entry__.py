@@ -4689,10 +4689,14 @@ def _sql_ivfadc(k: int = 5, nc: int = 8, n_probe: int = 3, m: int = 4,
     """
 
 
-def _sql_bm25(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
-    """DuckDB mirror of text.bm25_score: identical tokenization, exact
+def _bm25_ctes(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """Shared CTE prefix for the BM25-family mirrors (d/base/g/s,
+    ending with s(doc_id, dl, score32)): identical tokenization, exact
     integer corpus stats, the same fixed-order double chain, float32
-    output absorbing ln() libm ulps (the unigram_logprob convention)."""
+    output absorbing ln() libm ulps (the unigram_logprob convention).
+    ONE spelling consumed by both _sql_bm25 and _sql_geo_search, so the
+    two oracles can never drift from the single Spark-side
+    text.bm25_score they both mirror."""
     tf_cols = ",\n                   ".join(
         f"CAST(len(list_filter(toks, x -> x = '{t.lower()}')) AS BIGINT) AS tf{i}"
         for i, t in enumerate(terms))
@@ -4710,8 +4714,7 @@ def _sql_bm25(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
         denom = (f"(CAST(tf{i} AS DOUBLE) + {k1s} * (CAST(1.0 AS DOUBLE) - {bs}"
                  f" + {bs} * CAST(dl AS DOUBLE) / {avgdl}))")
         score = f"{score} + {idf} * (CAST(tf{i} AS DOUBLE) * {k1p1}) / {denom}"
-    return f"""
-        WITH d AS (SELECT doc_id,
+    return f"""d AS (SELECT doc_id,
                           regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
                    FROM documents),
         base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
@@ -4721,7 +4724,14 @@ def _sql_bm25(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
                      CAST(sum(dl) AS BIGINT) AS sdl, {df_cols}
               FROM base),
         s AS (SELECT b.doc_id, b.dl, CAST({score} AS REAL) AS score32
-              FROM base b CROSS JOIN g)
+              FROM base b CROSS JOIN g)"""
+
+
+def _sql_bm25(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB mirror of text.bm25_score — the shared _bm25_ctes prefix
+    plus the score32 > 0 projection."""
+    return f"""
+        WITH {_bm25_ctes(terms, k1, b)}
         SELECT doc_id, dl, score32 FROM s WHERE score32 > 0
     """
 
@@ -4732,37 +4742,10 @@ def _sql_geo_search(terms: list[str], qlon: float, qlat: float, k: int,
     composed with the dwithin_sphere haversine spelling (radians as
     x / 180.0 * pi()), the decayed_density pow -> REAL convention, and
     rank-by-float32 with an id tie-break."""
-    tf_cols = ",\n                   ".join(
-        f"CAST(len(list_filter(toks, x -> x = '{t.lower()}')) AS BIGINT) AS tf{i}"
-        for i, t in enumerate(terms))
-    df_cols = ", ".join(
-        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
-        for i in range(len(terms)))
-    k1s = f"CAST({k1!r} AS DOUBLE)"
-    bs = f"CAST({b!r} AS DOUBLE)"
-    k1p1 = f"({k1s} + CAST(1.0 AS DOUBLE))"
-    avgdl = "(CAST(sdl AS DOUBLE) / CAST(n AS DOUBLE))"
-    score = "CAST(0.0 AS DOUBLE)"
-    for i in range(len(terms)):
-        idf = (f"ln((CAST(n AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
-               f" / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)")
-        denom = (f"(CAST(tf{i} AS DOUBLE) + {k1s} * (CAST(1.0 AS DOUBLE) - {bs}"
-                 f" + {bs} * CAST(dl AS DOUBLE) / {avgdl}))")
-        score = f"{score} + {idf} * (CAST(tf{i} AS DOUBLE) * {k1p1}) / {denom}"
     qla = f"(CAST({qlat!r} AS DOUBLE) / 180.0 * pi())"
     qlo = f"(CAST({qlon!r} AS DOUBLE) / 180.0 * pi())"
     return f"""
-        WITH d AS (SELECT doc_id,
-                          regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-                   FROM documents),
-        base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-                   {tf_cols}
-                 FROM d),
-        g AS (SELECT CAST(count(*) AS BIGINT) AS n,
-                     CAST(sum(dl) AS BIGINT) AS sdl, {df_cols}
-              FROM base),
-        s AS (SELECT b.doc_id, b.dl, CAST({score} AS REAL) AS score32
-              FROM base b CROSS JOIN g),
+        WITH {_bm25_ctes(terms, k1, b)},
         sc AS (SELECT doc_id, dl, score32 FROM s WHERE score32 > 0),
         p AS (SELECT doc_id,
                      ({tg.sql_point_lon('doc_id')}) / 180.0 * pi() AS lo2,
@@ -6199,7 +6182,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(o.url, n.url) AS url,
                    CASE WHEN o.url IS NULL THEN 'added'
                         WHEN n.url IS NULL THEN 'removed'
-                        WHEN old_digest <> new_digest THEN 'changed'
+                        WHEN old_digest IS DISTINCT FROM new_digest
+                          THEN 'changed'
                         ELSE 'unchanged' END AS status,
                    old_digest, new_digest
             FROM o FULL OUTER JOIN n ON o.url = n.url

@@ -2088,14 +2088,18 @@ def crawl_diff(old: DataFrame, new: DataFrame, url_col: str = "url",
     Python. Returns (url, status, old_digest, new_digest) with status
     in ('added', 'removed', 'changed', 'unchanged').
     """
+    # explicit presence markers: digest nullity is NOT a presence proxy
+    # (a crawl may legitimately store a NULL digest, e.g. fetch errors)
     o = old.select(F.col(url_col).alias("url"),
-                   F.col(digest_col).alias("old_digest"))
+                   F.col(digest_col).alias("old_digest"),
+                   F.lit(True).alias("__in_old__"))
     n = new.select(F.col(url_col).alias("url"),
-                   F.col(digest_col).alias("new_digest"))
+                   F.col(digest_col).alias("new_digest"),
+                   F.lit(True).alias("__in_new__"))
     j = o.join(n, on="url", how="full_outer")
-    status = (F.when(F.col("old_digest").isNull(), F.lit("added"))
-               .when(F.col("new_digest").isNull(), F.lit("removed"))
-               .when(F.col("old_digest") != F.col("new_digest"),
+    status = (F.when(F.col("__in_old__").isNull(), F.lit("added"))
+               .when(F.col("__in_new__").isNull(), F.lit("removed"))
+               .when(~F.col("old_digest").eqNullSafe(F.col("new_digest")),
                      F.lit("changed"))
                .otherwise(F.lit("unchanged")))
     return j.select("url", status.alias("status"),

@@ -430,7 +430,10 @@ def geo_search(docs: DataFrame, id_col: str, text_col: str,
     order = [F.col("geo_score32").desc(), F.col(id_col).asc()]
     topk = ranked.orderBy(*order).limit(int(k))
     win = Window.partitionBy(F.lit(0)).orderBy(*order)
-    return topk.withColumn("rank", F.row_number().over(win))
+    # carry bm25's persisted tokenize frame forward so
+    # cache.release(result) still frees it
+    return attach_cached(topk.withColumn("rank", F.row_number().over(win)),
+                         *getattr(scored, "_geomesa_cached", []))
 
 
 # Unicode script classes for script_mix. Character-class-only patterns
@@ -463,12 +466,10 @@ def script_mix(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     txt = F.coalesce(F.col(text_col), F.lit(""))
     total = F.length(txt).cast("long")
     cols = [F.col(id_col), total.alias("n_chars")]
-    covered = F.lit(0).cast("long")
     for name, pat in SCRIPT_CLASSES:
         c = (F.length(txt)
              - F.length(F.regexp_replace(txt, pat, ""))).cast("long")
         cols.append(c.alias(f"n_{name}"))
-        covered = covered + c
     out = docs.select(*cols)
     other = F.col("n_chars")
     for name, _ in SCRIPT_CLASSES:

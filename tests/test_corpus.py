@@ -1927,15 +1927,21 @@ def test_crawl_diff_statuses(spark):
     from geomesa_spark.operators.corpus import crawl_diff
 
     old = spark.createDataFrame(
-        [("a", 1), ("b", 2), ("c", 3)], "url string, digest long")
+        [("a", 1), ("b", 2), ("c", 3), ("e", None), ("f", None)],
+        "url string, digest long")
     new = spark.createDataFrame(
-        [("a", 1), ("b", 9), ("d", 4)], "url string, digest long")
+        [("a", 1), ("b", 9), ("d", 4), ("e", 5), ("f", None)],
+        "url string, digest long")
     got = {r.url: (r.status, r.old_digest, r.new_digest)
            for r in crawl_diff(old, new).collect()}
     assert got == {"a": ("unchanged", 1, 1),
                    "b": ("changed", 2, 9),
                    "c": ("removed", 3, None),
-                   "d": ("added", None, 4)}
+                   "d": ("added", None, 4),
+                   # NULL digests: presence decides added/removed, the
+                   # null-safe compare decides changed/unchanged
+                   "e": ("changed", None, 5),
+                   "f": ("unchanged", None, None)}
 
 
 def test_trending_terms_burst_detection(spark):
