@@ -1373,6 +1373,28 @@ _SQL_WARC_READ = """
 """
 
 
+def q_wat_export(spark, sf_dir):
+    """WAT export round trip (sources/warc.wat_metadata + write_wat —
+    Common Crawl's metadata sidecar, completing the WARC/WAT/WET wire
+    triple): the generated pages corpus becomes JSON metadata envelopes
+    (title + absolute outlinks in the public Links shape) written as
+    gzip-member `metadata` records and read back through read_warc.
+    Returns every (url, wat) pair; the oracle REBUILDS the exact
+    to_json byte string — title, link targets from the generator's
+    splitmix64 salts 30-32 — in pure SQL, so equality certifies the
+    envelope build, record framing, gzip members, and the JSON payload
+    round trip byte-for-byte."""
+    from geomesa_spark.sources.pages import generate_pages
+    from geomesa_spark.sources.warc import (read_warc, wat_metadata,
+                                            write_wat)
+
+    pages = generate_pages(spark, 400, partitions=8)
+    path = _store_tmp(sf_dir, "wat")
+    write_wat(wat_metadata(pages), path)
+    back = read_warc(spark, path, record_types=("metadata",))
+    return back.select("url", F.col("payload").cast("string").alias("wat"))
+
+
 def q_avro_read(spark, sf_dir):
     """Avro OCF ingest round trip (sources/avro.read_avro — the
     geomesa-convert-avro analog; spark-avro jar absent in-container so
@@ -3743,9 +3765,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-4 ROTATION NOTE: assuming r03 grades the first 50 of this list, the
 # still-never-graded set going into round 4 is the TAIL of this list from
-# position 51 ("store_s3") onward — 52 keys ending with the round-3
-# additions (... script_mix, alias_clusters, trending_terms). Rebuild this
-# list at the start of round 4 with that tail at the front (52 keys: two
+# position 51 ("store_s3") onward — 53 keys ending with the round-3
+# additions (... alias_clusters, trending_terms, wat_export). Rebuild this
+# list at the start of round 4 with that tail at the front (53 keys: three
 # more than the 50 driver slots, so the overflow plus re-confirmations
 # for re-confirmation); the authoritative recipe is to diff queries() against
 # the union of green rows in CORRECTNESS_r0*.json.
@@ -3774,7 +3796,7 @@ _NEVER_GRADED_R3 = [
     "containment", "edit_pairs", "pipeline_clean", "host_boilerplate",
     "canonical_dedup", "redirects", "co_citation", "capture_churn",
     "geo_search", "crawl_diff", "script_mix", "alias_clusters",
-    "trending_terms",
+    "trending_terms", "wat_export",
 ]
 
 
@@ -3961,6 +3983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_mix": q_script_mix,
         "alias_clusters": q_alias_clusters,
         "trending_terms": q_trending_terms,
+        "wat_export": q_wat_export,
     })
 
 
@@ -5064,6 +5087,50 @@ def _sql_frechet() -> str:
         SELECT ta AS track_a, tb AS track_b, na AS n_a, nb AS n_b,
                ca AS frechet
         FROM rec WHERE t = na * nb - 1
+    """
+
+
+def _sql_wat_export(n: int = 400) -> str:
+    """DuckDB mirror of generate_pages |> wat_metadata |> write_wat |>
+    read_warc: REBUILDS the exact to_json envelope bytes — the title
+    and the three splitmix64 outlink targets (salts 30-32, mod 997,
+    the _sql_link_hosts chain) — in pure SQL string concatenation, so
+    equality is byte-for-byte on the JSON payload after the full WARC
+    round trip."""
+    from geomesa_spark.sources.pages import SEED
+
+    gold = 0x9E3779B97F4A7C15
+    c1, c2 = 0xBF58476D1CE4E5B9, 0x94D049BB133111EB
+    url = "'https://site' || CAST(i % 997 AS VARCHAR) || '.example/' || CAST(i AS VARCHAR)"
+    link = lambda d: ("'{\"path\":\"A@/href\",\"url\":\"https://site' || "
+                      f"CAST({d} AS VARCHAR) || '.example/r\"}}'")
+    wat = (
+        "'{\"Envelope\":{\"WARC-Header-Metadata\":{\"WARC-Target-URI\":\"' || "
+        + url
+        + " || '\"},\"Payload-Metadata\":{\"HTTP-Response-Metadata\":"
+          "{\"HTML-Metadata\":{\"Title\":\"doc ' || CAST(i AS VARCHAR) || "
+          "'\",\"Links\":[' || "
+        + link("d0") + " || ',' || " + link("d1") + " || ',' || " + link("d2")
+        + " || ']}}}}}'"
+    )
+    return f"""
+        WITH ids AS (SELECT CAST(t.i AS HUGEINT) AS i
+                     FROM unnest(range(0, {n})) AS t(i)),
+        sl AS (SELECT i, CAST(s.s AS HUGEINT) AS salt
+               FROM ids, (VALUES (30), (31), (32)) AS s(s)),
+        z0 AS (SELECT i, salt, ((i + (salt * {gold} + {SEED} + {gold}))
+                                % 18446744073709551616) AS z FROM sl),
+        z1 AS (SELECT i, salt, ({_mm64('xor(z, z >> 30)', str(c1))}) AS z FROM z0),
+        z2 AS (SELECT i, salt, ({_mm64('xor(z, z >> 27)', str(c2))}) AS z FROM z1),
+        zf AS (SELECT i, salt, xor(z, z >> 31) % 997 AS d FROM z2),
+        pv AS (SELECT i,
+                 CAST(max(CASE WHEN salt = 30 THEN d END) AS BIGINT) AS d0,
+                 CAST(max(CASE WHEN salt = 31 THEN d END) AS BIGINT) AS d1,
+                 CAST(max(CASE WHEN salt = 32 THEN d END) AS BIGINT) AS d2
+               FROM zf GROUP BY i)
+        SELECT {url} AS url,
+               {wat} AS wat
+        FROM pv
     """
 
 
@@ -6189,6 +6256,7 @@ def oracle_sql() -> dict[str, str]:
             FROM o FULL OUTER JOIN n ON o.url = n.url
         """,
         "script_mix": _sql_script_mix(),
+        "wat_export": _sql_wat_export(),
         "trending_terms": """
             WITH tok AS (
               SELECT doc_id % 7 AS bucket,

@@ -30,7 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["read_warc", "parse_warc_bytes", "build_warc", "write_wet",
-           "warc_record_spans", "read_warc_cdx"]
+           "warc_record_spans", "read_warc_cdx", "wat_metadata",
+           "write_wat"]
 
 _CRLF = b"\r\n"
 
@@ -278,3 +279,82 @@ def read_warc_cdx(spark, path: str) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return files.mapInPandas(index, _CDX_SCHEMA)
+
+
+def wat_metadata(pages: DataFrame, url_col: str = "url",
+                 html_col: str = "html") -> DataFrame:
+    """Derive the WAT metadata sidecar column — Common Crawl's third
+    wire format alongside WARC (raw) and WET (text): a JSON envelope of
+    per-page metadata (target URI, page title, extracted absolute
+    links in the public ``{"path": "A@/href", "url": ...}`` shape).
+    This reduced envelope is deliberately timezone-free (the UTC
+    WARC-Date lives in the record header build_warc writes, not in the
+    JSON), so the bytes are a pure function of (url, html).
+
+    Pure JVM expression chain (regexp extract + to_json over nested
+    structs) — map-only, shuffle-free, whole-stage codegen. Returns the
+    input plus a ``wat`` JSON string column; write with
+    :func:`write_wat`, read back with
+    ``read_warc(record_types=("metadata",))``.
+    """
+    html = F.col(html_col).cast("string")
+    title = F.regexp_extract(html, r"(?is)<title[^>]*>(.*?)</title>", 1)
+    links = F.regexp_extract_all(html, F.lit(r'href="(https?://[^"]+)"'),
+                                 F.lit(1))
+    env = F.struct(
+        F.struct(F.col(url_col).alias("WARC-Target-URI"))
+         .alias("WARC-Header-Metadata"),
+        F.struct(
+            F.struct(
+                F.struct(
+                    title.alias("Title"),
+                    F.transform(
+                        links,
+                        lambda u: F.struct(F.lit("A@/href").alias("path"),
+                                           u.alias("url"))).alias("Links"),
+                ).alias("HTML-Metadata"),
+            ).alias("HTTP-Response-Metadata"),
+        ).alias("Payload-Metadata"),
+    )
+    return pages.withColumn("wat", F.to_json(F.struct(env.alias("Envelope"))))
+
+
+def write_wat(df: DataFrame, path: str, url_col: str = "url",
+              ts_col: str = "warc_ts", wat_col: str = "wat",
+              gzip_members: bool = True) -> list:
+    """WAT export — ``metadata`` records (Content-Type application/json,
+    no HTTP message) holding the :func:`wat_metadata` envelope, one
+    ``part-<partition>.warc.wat.gz`` per partition, written
+    EXECUTOR-side exactly like :func:`write_wet` (rows never pass the
+    driver; returns the per-partition manifest). Rows with a NULL
+    url/timestamp/envelope are skipped. Overwrite semantics."""
+    import os
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    ext = "warc.wat.gz" if gzip_members else "warc.wat"
+
+    def dump(batches):
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        recs = []
+        for pdf in batches:
+            for url, ts, wat in zip(pdf[url_col], pdf[ts_col],
+                                    pdf[wat_col]):
+                if url is None or wat is None or pd.isna(ts):
+                    continue
+                recs.append({"url": url, "ts": ts,
+                             "body": str(wat).encode("utf-8"),
+                             "rec_type": "metadata", "http": False,
+                             "content_type": "application/json"})
+        if not recs:
+            return
+        fname = os.path.join(path, f"part-{pid:05d}.{ext}")
+        with open(fname, "wb") as f:
+            f.write(build_warc(recs, gzip_members=gzip_members))
+        yield pd.DataFrame({"file": [fname], "rows": [len(recs)]})
+
+    manifest = df.mapInPandas(dump, "file string, rows long").collect()
+    return sorted((r.file, r.rows) for r in manifest)

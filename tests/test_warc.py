@@ -153,3 +153,56 @@ def test_surt_key_known_answers(spark):
     got = [r["s"] for r in
            df.select(surt_key(F.col("url")).alias("s")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_wat_metadata_and_roundtrip(spark, tmp_path):
+    """Envelope JSON content (title, absolute-double-quoted links only,
+    empty-title and no-link edge cases), null-row skip, and the full
+    write_wat -> read_warc metadata round trip."""
+    import json
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.sources.warc import (read_warc, wat_metadata,
+                                            write_wat)
+
+    ts = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    rows = [
+        ("https://a.example/1",
+         b'<html><head><title>Page One</title></head><body>'
+         b'<a href="https://x.example/p">x</a>'
+         b"<a href='https://skipped.example/'>q</a>"
+         b'<a href="/relative">r</a>'
+         b'<a href="http://y.example/q">y</a></body></html>', ts),
+        ("https://a.example/2", b"<html><body>no title no links</body></html>",
+         ts),
+        (None, b"<html></html>", ts),   # skipped by write_wat
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary, warc_ts timestamp")
+    wat = wat_metadata(df)
+    env1 = json.loads(wat.filter(F.col("url") == "https://a.example/1")
+                         .select("wat").collect()[0][0])["Envelope"]
+    assert env1["WARC-Header-Metadata"]["WARC-Target-URI"] == "https://a.example/1"
+    hm = env1["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+    assert hm["Title"] == "Page One"
+    # absolute double-quoted links only, document order, public shape
+    assert hm["Links"] == [
+        {"path": "A@/href", "url": "https://x.example/p"},
+        {"path": "A@/href", "url": "http://y.example/q"}]
+    env2 = json.loads(wat.filter(F.col("url") == "https://a.example/2")
+                         .select("wat").collect()[0][0])["Envelope"]
+    hm2 = env2["Payload-Metadata"]["HTTP-Response-Metadata"]["HTML-Metadata"]
+    assert hm2["Title"] == "" and hm2["Links"] == []
+
+    path = str(tmp_path / "wat_store")
+    manifest = write_wat(wat, path)
+    assert sum(r for _, r in manifest) == 2   # null-url row skipped
+    back = read_warc(spark, path, record_types=("metadata",))
+    got = {r.url: (r.content_type, bytes(r.payload).decode())
+           for r in back.collect()}
+    assert set(got) == {"https://a.example/1", "https://a.example/2"}
+    assert all(ct == "application/json" for ct, _ in got.values())
+    w1 = wat.filter(F.col("url") == "https://a.example/1") \
+            .select("wat").collect()[0][0]
+    assert got["https://a.example/1"][1] == w1
