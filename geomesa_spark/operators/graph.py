@@ -34,11 +34,25 @@ def _fold_sum(sorted_arr) -> F.Column:
 
 def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
              iters: int = 3, damping: float = 0.85,
-             deterministic: bool = False) -> DataFrame:
+             deterministic: bool = False,
+             personalization: DataFrame | None = None,
+             pers_node: str = "node",
+             pers_weight: str = "weight") -> DataFrame:
     """Power-iteration PageRank; returns (node, pr) after ``iters``
-    rounds from the uniform start 1/N.
+    rounds.
 
-        pr'(v) = (1-d)/N + d * (sum_{u->v} pr(u)/deg(u) + dangling/N)
+        pr'(v) = (1-d)*w_v + d * (sum_{u->v} pr(u)/deg(u) + dangling*w_v)
+
+    Uniform mode (``personalization=None``): w_v = 1/N and the start
+    vector is uniform — classic PageRank. Personalized mode (Haveliwala
+    2002 topic-sensitive / the crawl-frontier host-bias variant):
+    ``personalization`` is a (node, weight) seed frame; w_v =
+    weight_v / sum(weights) (0 off the seed set), teleport AND dangling
+    mass land on the seeds, and iteration starts from w. Integer-valued
+    weights keep the normalizing sum exact (order-free), which the
+    bit-reproducible ``deterministic=True`` mode relies on. The seed
+    frame is aggregated driver-side to one scalar (seed sets are tiny
+    next to the graph) and joined once onto the node base.
 
     Nodes are every distinct src or dst; parallel edges each carry a
     contribution (multigraph semantics — dedup upstream if unwanted).
@@ -51,14 +65,28 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     deg = e.groupBy("s").agg(F.count("*").alias("deg"))
     # degree joined once; dangling nodes keep deg NULL
     base = nodes.join(deg, nodes["node"] == deg["s"], "left").drop("s")
-    base = base.persist()
+    if personalization is not None:
+        p = personalization.select(
+            F.col(pers_node).cast("long").alias("node"),
+            F.col(pers_weight).cast("double").alias("__w__"))
+        tw = p.agg(F.sum("__w__")).collect()[0][0]
+        if not tw or tw <= 0:
+            raise ValueError("personalization weights must sum to > 0")
+        base = (base.join(p, "node", "left")
+                    .withColumn("w", F.coalesce(F.col("__w__"), F.lit(0.0))
+                                / F.lit(float(tw)))
+                    .drop("__w__"))
+    cached = base.persist()   # handle for unpersist: `base` may derive
+    base = cached
     n_nodes = base.count()  # action AFTER persist so the cache is populated
     if n_nodes == 0:
-        base.unpersist()
+        cached.unpersist()
         return edges.sparkSession.createDataFrame([], "node long, pr double")
     inv_n = 1.0 / float(n_nodes)
     d = float(damping)
-    pr = base.select("node", F.lit(inv_n).alias("pr"))
+    if personalization is None:
+        base = base.withColumn("w", F.lit(inv_n))
+    pr = base.select("node", F.col("w").alias("pr"))
     for _ in range(iters):
         state = base.join(pr, "node")
         contrib = (e.join(state.select("node", "deg", "pr"),
@@ -79,13 +107,13 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             summed = contrib.groupBy("node").agg(F.sum("c").alias("insum"))
             dang = (state.filter(F.col("deg").isNull())
                     .agg(F.coalesce(F.sum("pr"), F.lit(0.0)).alias("dm")))
-        pr = (base.select("node")
+        pr = (base.select("node", "w")
               .join(summed, "node", "left")
               .crossJoin(F.broadcast(dang))
               .select("node",
-                      (F.lit((1.0 - d) * inv_n)
+                      (F.lit(1.0 - d) * F.col("w")
                        + F.lit(d) * (F.coalesce(F.col("insum"), F.lit(0.0))
-                                     + F.col("dm") * F.lit(inv_n)))
+                                     + F.col("dm") * F.col("w")))
                       .alias("pr"))
               # eager checkpoint per round (the dedup_clusters pattern):
               # both `summed` and `dang` reference the prior pr, so an
@@ -93,7 +121,7 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
               # re-executes at every downstream action
               .localCheckpoint(eager=True))
     out = pr
-    base.unpersist()  # final pr is checkpoint-truncated; no recompute
+    cached.unpersist()  # final pr is checkpoint-truncated; no recompute
     return out
 
 

@@ -247,3 +247,51 @@ def test_co_citation_counts_cap_validation(spark):
         co_citation(edges, min_common=0)
     with pytest.raises(ValueError, match="max_out_degree"):
         co_citation(edges, max_out_degree=1)
+
+
+def test_pagerank_personalized_brute_force(spark):
+    """Personalized teleport vs a numpy reference: teleport + dangling
+    mass land on the seeds, iteration starts from w; off-seed nodes get
+    w=0; mass stays conserved. Plus weight validation."""
+    import pytest
+
+    rng = np.random.default_rng(43)
+    edges = sorted({(int(a), int(b)) for a, b in
+                    zip(rng.integers(0, 15, 40), rng.integers(0, 15, 40))})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = {0: 2, 3: 1, 7: 3}
+    sdf = spark.createDataFrame(list(seeds.items()), "node long, weight long")
+
+    def brute(iters=3, d=0.85):
+        nodes = sorted({u for e in edges for u in e})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        deg = np.zeros(n)
+        for s, _ in edges:
+            deg[idx[s]] += 1
+        tw = sum(seeds.values())
+        w = np.zeros(n)
+        for v, wt in seeds.items():
+            w[idx[v]] = wt / tw
+        pr = w.copy()
+        for _ in range(iters):
+            dangling = pr[deg == 0].sum()
+            add = np.zeros(n)
+            for s, t in edges:
+                add[idx[t]] += pr[idx[s]] / deg[idx[s]]
+            pr = (1.0 - d) * w + d * (add + dangling * w)
+        return {v: pr[idx[v]] for v in nodes}
+
+    for det in (False, True):
+        got = {r["node"]: r["pr"]
+               for r in pagerank(df, iters=3, deterministic=det,
+                                 personalization=sdf).collect()}
+        exp = brute()
+        assert set(got) == set(exp)
+        for v in exp:
+            assert abs(got[v] - exp[v]) < 1e-12
+        assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    bad = spark.createDataFrame([(0, 0)], "node long, weight long")
+    with pytest.raises(ValueError, match="sum to > 0"):
+        pagerank(df, personalization=bad)
