@@ -2598,6 +2598,26 @@ def q_store_stbox(spark, sf_dir):
     return out.select("event_id", "lon", "lat", "secs")
 
 
+def q_store_ageoff(spark, sf_dir):
+    """Dtg age-off retention scan (plans/store.age_off_query_z3 — the
+    reference's DtgAgeOffFilter at scan time): events younger than a
+    14-day TTL at the explicit reference instant Jan 31 2024, over a
+    Z3-partitioned store — expired whole weeks drop at the PARTITION
+    level before any file opens. Oracle is the plain time filter."""
+    from geomesa_spark.plans.store import age_off_query_z3, write_indexed_z3
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"),
+        F.unix_timestamp("ts").alias("secs"))
+    path = _store_tmp(sf_dir, "ageoff")
+    write_indexed_z3(ev, path)
+    out = age_off_query_z3(spark, path, ttl_s=14 * 86400,
+                           now_s=1706659200)
+    return out.select("event_id", "lon", "lat", "secs")
+
+
 _ROUTE = dict(mlon=4409, olon=17, mlat=15101, olat=3)
 
 
@@ -3784,9 +3804,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-4 ROTATION NOTE: assuming r03 grades the first 50 of this list, the
 # still-never-graded set going into round 4 is the TAIL of this list from
-# position 51 ("store_s3") onward — 54 keys ending with the round-3
-# additions (... trending_terms, wat_export, pagerank_pers). Rebuild this
-# list at the start of round 4 with that tail at the front (54 keys: four
+# position 51 ("store_s3") onward — 55 keys ending with the round-3
+# additions (... wat_export, pagerank_pers, store_ageoff). Rebuild this
+# list at the start of round 4 with that tail at the front (55 keys: five
 # more than the 50 driver slots, so the overflow plus re-confirmations
 # for re-confirmation); the authoritative recipe is to diff queries() against
 # the union of green rows in CORRECTNESS_r0*.json.
@@ -3815,7 +3835,7 @@ _NEVER_GRADED_R3 = [
     "containment", "edit_pairs", "pipeline_clean", "host_boilerplate",
     "canonical_dedup", "redirects", "co_citation", "capture_churn",
     "geo_search", "crawl_diff", "script_mix", "alias_clusters",
-    "trending_terms", "wat_export", "pagerank_pers",
+    "trending_terms", "wat_export", "pagerank_pers", "store_ageoff",
 ]
 
 
@@ -4004,6 +4024,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trending_terms": q_trending_terms,
         "wat_export": q_wat_export,
         "pagerank_pers": q_pagerank_pers,
+        "store_ageoff": q_store_ageoff,
     })
 
 
@@ -6365,6 +6386,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _sql_pagerank(),
         "pagerank_pers": _sql_pagerank_pers(),
+        "store_ageoff": f"""
+            SELECT event_id,
+                   {tg.sql_point_lon('event_id', _e['mlon'], _e['olon'])} AS lon,
+                   {tg.sql_point_lat('event_id', _e['mlat'], _e['olat'])} AS lat,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS secs
+            FROM events
+            WHERE floor(epoch(ts)) >= 1706659200 - 14 * 86400
+              AND floor(epoch(ts)) < 1706659200
+        """,
         "link_hosts": _sql_link_hosts(),
         "anchor_text": _sql_anchor_text(),
         "latest_capture": _sql_latest_capture(),

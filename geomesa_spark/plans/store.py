@@ -392,6 +392,27 @@ def stbox_query_z3(spark, path: str, xmin: float, ymin: float, xmax: float,
     return df.filter(cond & exact)
 
 
+def age_off_query_z3(spark, path: str, ttl_s: int, now_s: int,
+                     digits: int = 2, x: str = "lon", y: str = "lat",
+                     secs: str = "secs") -> DataFrame:
+    """Dtg age-off retention scan over a Z3 store: keep only features
+    younger than ``ttl_s`` at the EXPLICIT reference time ``now_s``
+    (half-open [now - ttl, now); explicit now keeps the scan
+    deterministic across retries — the decayed_density convention).
+    The reference applies age-off per-row at scan time
+    (geomesa-index-api .../index/filters/DtgAgeOffFilter.scala,
+    AgeOffFilter.scala); a store partitioned by Z3 (bin, prefix) gets
+    the same semantics with whole EXPIRED WEEKS dropped at the
+    partition level — the scan never opens files older than the
+    retention horizon, which is the 100 TB point of age-off.
+    Implemented as the whole-world stbox scan, so the per-bin interval
+    decomposition and pushed time predicates are shared, tested code.
+    """
+    return stbox_query_z3(spark, path, -180.0, -90.0, 180.0, 90.0,
+                          int(now_s) - int(ttl_s), int(now_s),
+                          digits=digits, x=x, y=y, secs=secs)
+
+
 # ---------------------------------------------------------------------------
 # XZ3 store: extended geometries + time (XZ3IndexKeySpace
 # [shard][bin:2][xz3] -> (xz3_bin, xz3_p) partitions; instant-dtg

@@ -513,3 +513,32 @@ def test_crawl_to_training_pipeline_checkpointed(spark, tmp_path):
                      "decontaminated", "chunks"]
     assert [r.manifest["row_count"] for r in rs3] == counts  # junk is
     # 3 words — still below the loosened gate; content identical
+
+
+def test_z3_store_age_off_query(spark, tmp_path):
+    """Age-off retention scan: exactly the rows inside [now-ttl, now),
+    and whole expired week-bins are pruned at the partition level (the
+    executed plan's PartitionFilters carry z3_bin)."""
+    import numpy as np
+
+    from geomesa_spark.plans.store import age_off_query_z3, write_indexed_z3
+
+    rng = np.random.RandomState(7)
+    base = 1_600_000_000
+    rows = [(int(i),
+             float(rng.uniform(-170, 170)), float(rng.uniform(-80, 80)),
+             int(base + rng.randint(0, 4 * 604_800)))   # 4 weeks
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "pid long, lon double, lat double, secs long")
+    path = str(tmp_path / "ageoff_store")
+    write_indexed_z3(df, path)
+
+    now = base + 4 * 604_800
+    ttl = 10 * 86400   # horizon lands mid-week: oldest ~2.5 weeks expire
+    out = age_off_query_z3(spark, path, ttl_s=ttl, now_s=now)
+    got = {r["pid"] for r in out.collect()}
+    want = {r[0] for r in rows if now - ttl <= r[3] < now}
+    assert got == want and got and len(got) < len(rows)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "z3_bin" in plan
