@@ -830,6 +830,31 @@ def q_trending_terms(spark, sf_dir):
     return trending_terms(docs, "text", "bucket", k=40, min_count=5)
 
 
+def q_degree_dist(spark, sf_dir):
+    """Degree histograms (operators/graph.degree_distribution) in all
+    three directions over the dense synthetic link set (dst =
+    (doc_id*31 + j) % 97 — out-degree uniform at 3, in-degree varies
+    across the 97 targets, 'both' exercises the undirected dedup +
+    self-loop filter). Oracle replays each direction's count chain."""
+    from functools import reduce
+
+    from geomesa_spark.operators.graph import degree_distribution
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = (docs.select(
+                "doc_id",
+                F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))).alias("j"))
+                 .select(F.col("doc_id").alias("src"),
+                         ((F.col("doc_id") * 31 + F.col("j")) % 97)
+                         .alias("dst")))
+    parts = [degree_distribution(edges, direction=d)
+             .withColumn("direction", F.lit(d))
+             for d in ("out", "in", "both")]
+    return (reduce(DataFrame.unionByName, parts)
+            .select("direction", F.col("degree").cast("long").alias("degree"),
+                    "n_nodes"))
+
+
 def q_crawl_diff(spark, sf_dir):
     """Two-snapshot crawl diff (operators/corpus.crawl_diff): one
     url-keyed full-outer join classifying every url as added / removed
@@ -3804,9 +3829,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-4 ROTATION NOTE: assuming r03 grades the first 50 of this list, the
 # still-never-graded set going into round 4 is the TAIL of this list from
-# position 51 ("store_s3") onward — 55 keys ending with the round-3
-# additions (... wat_export, pagerank_pers, store_ageoff). Rebuild this
-# list at the start of round 4 with that tail at the front (55 keys: five
+# position 51 ("store_s3") onward — 56 keys ending with the round-3
+# additions (... pagerank_pers, store_ageoff, degree_dist). Rebuild this
+# list at the start of round 4 with that tail at the front (56 keys: six
 # more than the 50 driver slots, so the overflow plus re-confirmations
 # for re-confirmation); the authoritative recipe is to diff queries() against
 # the union of green rows in CORRECTNESS_r0*.json.
@@ -3836,6 +3861,7 @@ _NEVER_GRADED_R3 = [
     "canonical_dedup", "redirects", "co_citation", "capture_churn",
     "geo_search", "crawl_diff", "script_mix", "alias_clusters",
     "trending_terms", "wat_export", "pagerank_pers", "store_ageoff",
+    "degree_dist",
 ]
 
 
@@ -4025,6 +4051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wat_export": q_wat_export,
         "pagerank_pers": q_pagerank_pers,
         "store_ageoff": q_store_ageoff,
+        "degree_dist": q_degree_dist,
     })
 
 
@@ -6386,6 +6413,33 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _sql_pagerank(),
         "pagerank_pers": _sql_pagerank_pers(),
+        "degree_dist": """
+            WITH eg AS (SELECT doc_id AS s, (doc_id * 31 + j.j) % 97 AS t
+                        FROM documents, (VALUES (1), (2), (3)) AS j(j)),
+            nodes AS (SELECT DISTINCT s AS node FROM eg
+                      UNION SELECT DISTINCT t FROM eg),
+            outd AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS degree
+                     FROM eg GROUP BY 1),
+            ind AS (SELECT t AS node, CAST(count(*) AS BIGINT) AS degree
+                    FROM eg GROUP BY 1),
+            und AS (SELECT DISTINCT s, t FROM
+                      (SELECT s, t FROM eg UNION ALL SELECT t, s FROM eg)
+                    WHERE s <> t),
+            bothd AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS degree
+                      FROM und GROUP BY 1),
+            h AS (
+              SELECT 'out' AS direction,
+                     CAST(coalesce(o.degree, 0) AS BIGINT) AS degree
+              FROM nodes n LEFT JOIN outd o ON o.node = n.node
+              UNION ALL
+              SELECT 'in', CAST(coalesce(i.degree, 0) AS BIGINT)
+              FROM nodes n LEFT JOIN ind i ON i.node = n.node
+              UNION ALL
+              SELECT 'both', CAST(coalesce(b.degree, 0) AS BIGINT)
+              FROM nodes n LEFT JOIN bothd b ON b.node = n.node)
+            SELECT direction, degree, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM h GROUP BY 1, 2
+        """,
         "store_ageoff": f"""
             SELECT event_id,
                    {tg.sql_point_lon('event_id', _e['mlon'], _e['olon'])} AS lon,

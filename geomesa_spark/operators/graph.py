@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["pagerank", "hits", "triangle_counts", "bfs_distances",
-           "label_propagation", "resolve_redirects", "co_citation"]
+           "label_propagation", "resolve_redirects", "co_citation",
+           "degree_distribution"]
 
 
 def _fold_sum(sorted_arr) -> F.Column:
@@ -445,3 +446,40 @@ def co_citation(edges: DataFrame, src: str = "src", dst: str = "dst",
     return (a.join(b, (a["s"] == b["__s2__"]) & (a["a"] < b["b"]))
              .groupBy("a", "b").agg(F.count("*").alias("n_common"))
              .filter(F.col("n_common") >= min_common))
+
+
+def degree_distribution(edges: DataFrame, src: str = "src",
+                        dst: str = "dst",
+                        direction: str = "out") -> DataFrame:
+    """Degree histogram — (degree, n_nodes) for the chosen direction
+    ('out', 'in', or 'both' = undirected-with-dedup). THE first-look
+    diagnostic of a crawl graph (power-law exponent, mega-hub mass,
+    dangling fraction); nodes with zero degree in the chosen direction
+    are reported under degree 0 so the histogram covers every node.
+
+    Two combining aggregations (node -> degree, degree -> count) plus
+    one left join onto the node set — every shuffle row is two longs;
+    the second agg's key space is the distinct degrees (tiny under any
+    power law).
+    """
+    if direction not in ("out", "in", "both"):
+        raise ValueError(f"direction must be out/in/both, got {direction}")
+    e = edges.select(F.col(src).cast("long").alias("s"),
+                     F.col(dst).cast("long").alias("t"))
+    nodes = (e.select(F.col("s").alias("node"))
+              .union(e.select(F.col("t").alias("node")))
+              .distinct())
+    if direction == "out":
+        keyed = e.select(F.col("s").alias("node"))
+    elif direction == "in":
+        keyed = e.select(F.col("t").alias("node"))
+    else:
+        und = e.select("s", "t").union(
+            e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+        keyed = (und.filter(F.col("s") != F.col("t")).distinct()
+                    .select(F.col("s").alias("node")))
+    deg = keyed.groupBy("node").agg(F.count("*").alias("degree"))
+    full = (nodes.join(deg, "node", "left")
+                 .select(F.coalesce("degree", F.lit(0)).alias("degree")))
+    return (full.groupBy("degree")
+                .agg(F.count("*").alias("n_nodes")))

@@ -295,3 +295,28 @@ def test_pagerank_personalized_brute_force(spark):
     bad = spark.createDataFrame([(0, 0)], "node long, weight long")
     with pytest.raises(ValueError, match="sum to > 0"):
         pagerank(df, personalization=bad)
+
+
+def test_degree_distribution_directions(spark):
+    """Hand-traced histograms: multigraph out-degrees, zero-degree
+    inclusion, undirected dedup + self-loop drop, validation."""
+    import pytest
+
+    from geomesa_spark.operators.graph import degree_distribution
+
+    # 0->1 twice (parallel), 0->2, 1->2, 2->2 (self loop)
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 1), (0, 2), (1, 2), (2, 2)], "src long, dst long")
+
+    def hist(direction):
+        return {r.degree: r.n_nodes for r in
+                degree_distribution(edges, direction=direction).collect()}
+
+    # out: node0=3, node1=1, node2=1  -> {3:1, 1:2}
+    assert hist("out") == {3: 1, 1: 2}
+    # in: node1=2, node2=3, node0=0 -> {2:1, 3:1, 0:1}
+    assert hist("in") == {2: 1, 3: 1, 0: 1}
+    # both: dedup {0-1, 0-2, 1-2}; self loop dropped -> all degree 2
+    assert hist("both") == {2: 3}
+    with pytest.raises(ValueError, match="direction"):
+        degree_distribution(edges, direction="sideways")
