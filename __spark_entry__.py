@@ -2789,6 +2789,20 @@ def q_semantic_dedup(spark, sf_dir):
     return semantic_dedup(emb, tau=0.42, n_clusters=4, blocks=2)
 
 
+def q_emb_outliers(spark, sf_dir):
+    """Embedding-space outlier gate (operators/ann.embedding_outliers):
+    max-cosine assignment to the deterministic splitmix64 sample
+    quantizer (raw centroids inlined as plan literals — one map-only
+    codegen scan), flag rows below 0.13 similarity to their own
+    cluster. Every similarity is the sequential-fold built-in, bit-equal
+    to DuckDB's list_cosine_similarity, so the knife-edge threshold
+    compare is safe."""
+    from geomesa_spark.operators.ann import embedding_outliers
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_outliers(emb, threshold=0.13, n_clusters=4)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive closure of the jaccard duplicate pairs: per-doc
     cluster assignment (cluster_id = min reachable doc id) + cluster
@@ -3829,9 +3843,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-4 ROTATION NOTE: assuming r03 grades the first 50 of this list, the
 # still-never-graded set going into round 4 is the TAIL of this list from
-# position 51 ("store_s3") onward — 56 keys ending with the round-3
-# additions (... pagerank_pers, store_ageoff, degree_dist). Rebuild this
-# list at the start of round 4 with that tail at the front (56 keys: six
+# position 51 ("store_s3") onward — 57 keys ending with the round-3
+# additions (... store_ageoff, degree_dist, emb_outliers). Rebuild this
+# list at the start of round 4 with that tail at the front (57 keys: seven
 # more than the 50 driver slots, so the overflow plus re-confirmations
 # for re-confirmation); the authoritative recipe is to diff queries() against
 # the union of green rows in CORRECTNESS_r0*.json.
@@ -3861,7 +3875,7 @@ _NEVER_GRADED_R3 = [
     "canonical_dedup", "redirects", "co_citation", "capture_churn",
     "geo_search", "crawl_diff", "script_mix", "alias_clusters",
     "trending_terms", "wat_export", "pagerank_pers", "store_ageoff",
-    "degree_dist",
+    "degree_dist", "emb_outliers",
 ]
 
 
@@ -4052,6 +4066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_pers": q_pagerank_pers,
         "store_ageoff": q_store_ageoff,
         "degree_dist": q_degree_dist,
+        "emb_outliers": q_emb_outliers,
     })
 
 
@@ -5477,6 +5492,38 @@ def _sql_semantic_dedup(tau: float = 0.42, n_clusters: int = 4) -> str:
                   WHERE list_cosine_similarity(ea.v, eb.v) >= {tau})
         SELECT a.vec_id, CAST(a.cluster_id AS BIGINT) AS cluster_id
         FROM asg a ANTI JOIN drops d ON a.vec_id = d.id_b
+    """
+
+
+def _sql_emb_outliers(threshold: float = 0.13,
+                      n_clusters: int = 4) -> str:
+    """DuckDB mirror of embedding_outliers: the splitmix64 centroid pick
+    (RAW vectors — cosine is scale-invariant, so no normalization
+    drift), per-row argmax by (list_cosine_similarity DESC, cidx ASC),
+    and the same threshold compare on the bit-equal double."""
+    mix_cte, mix_col = _sql_mix64_cte("CAST(vec_id AS HUGEINT)")
+    return f"""
+        WITH live AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                      FROM embeddings
+                      WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                             CAST(embedding AS DOUBLE[])) > 0),
+        mx0 AS (SELECT vec_id, v FROM live),
+        {mix_cte},
+        ranked AS (SELECT vec_id, v AS cv,
+                          row_number() OVER (ORDER BY {mix_col}, vec_id) - 1
+                            AS cidx
+                   FROM mxf ORDER BY {mix_col}, vec_id LIMIT {n_clusters}),
+        sims AS (SELECT e.vec_id, c.cidx,
+                        list_cosine_similarity(e.v, c.cv) AS s
+                 FROM live e, ranked c),
+        asg AS (SELECT vec_id, cidx, s FROM (
+                  SELECT *, row_number() OVER (PARTITION BY vec_id
+                               ORDER BY s DESC, cidx ASC) AS rn
+                  FROM sims) WHERE rn = 1)
+        SELECT vec_id, CAST(cidx AS INTEGER) AS cluster_id,
+               CAST(s AS REAL) AS sim32,
+               s < CAST({threshold!r} AS DOUBLE) AS is_outlier
+        FROM asg
     """
 
 
@@ -6924,6 +6971,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE abs(lat) <= 85.055
         """,
         "semantic_dedup": _sql_semantic_dedup(),
+        "emb_outliers": _sql_emb_outliers(),
         # zero-norm vectors excluded (cosine vs them is NaN; DuckDB sorts
         # NaN greatest while numpy drops the comparison — the operator
         # filters them, so the mirror must too)

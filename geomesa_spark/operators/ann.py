@@ -28,7 +28,7 @@ __all__ = ["cosine_topk", "cosine_topk_sql", "lsh_topk", "ivf_topk",
            "cosine_dedup_pairs", "cosine_sim_col", "mix64",
            "quantize_int8", "quantized_topk", "semantic_dedup",
            "random_projection", "pq_train", "pq_encode", "pq_topk",
-           "ivfadc_topk"]
+           "ivfadc_topk", "embedding_outliers"]
 
 from .cache import attach_cached as _attach_cached  # noqa: E402
 
@@ -879,3 +879,65 @@ def ivfadc_topk(queries: DataFrame, corpus: DataFrame, k: int,
                  .filter(F.col("rank") <= k)
                  .select("qid", corpus_id, "adist", "rank"))
     return _attach_cached(out, resid)
+
+
+def embedding_outliers(corpus: DataFrame, threshold: float,
+                       n_clusters: int = 8, seed: int = 42,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Quantizer-distance outlier flagging — the embedding-space
+    curation gate (SemDeDup's §4 "semantic outliers" / CLIP-score-style
+    pruning): assign every vector to its max-cosine coarse centroid and
+    flag rows whose similarity to their OWN cluster falls below
+    ``threshold`` — far-from-every-cluster points are mislabeled,
+    mojibake, or off-distribution documents. Returns
+    (id, cluster_id, sim32, is_outlier); zero-norm vectors are
+    excluded (no direction to judge).
+
+    Centroids are the deterministic splitmix64 sample quantizer of
+    :func:`ivf_topk`/:func:`semantic_dedup`, kept UNNORMALIZED here:
+    cosine is scale-invariant, and raw float32 components inline into
+    the plan exactly, so the SQL mirror reads the identical values from
+    the data with no normalization drift. Every similarity is the
+    sequential-fold :func:`cosine_sim_col` built-in (bit-equal to
+    DuckDB's list_cosine_similarity), so the threshold compare can sit
+    on a knife edge safely.
+
+    Scale shape: the centroid pick is a bounded ``limit(n)`` collect
+    (the quantizer is tiny by construction); the scan is ONE map-only
+    whole-stage-codegen pass with the centroids inlined as literals —
+    no shuffle, no Python, no broadcast round trip. For quantizers too
+    large to inline, compose :func:`ivf_topk`'s GEMM path instead.
+    """
+    if n_clusters < 1:
+        raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
+
+    @F.pandas_udf(LongType())
+    def _mixu(ids: pd.Series) -> pd.Series:
+        return pd.Series(mix64(ids.to_numpy(np.int64),
+                               seed).astype(np.int64))
+
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm2 = F.aggregate(F.transform(vd, lambda x: x * x), F.lit(0.0),
+                       lambda a, x: a + x)
+    live = corpus.filter(nrm2 > 0)
+    picked = (live.select(F.col(id_col).cast("long").alias("__i__"),
+                          F.col(vec_col).alias("__v__"))
+                  .withColumn("__m__", _mixu("__i__"))
+                  .orderBy("__m__", "__i__").limit(int(n_clusters))
+                  .collect())
+    if not picked:
+        raise ValueError("corpus has no non-zero vectors to quantize")
+    sims = [cosine_sim_col(
+                F.col(vec_col),
+                F.array(*[F.lit(float(x)) for x in r["__v__"]]))
+            for r in picked]
+    packed = F.array(*[F.struct(s.alias("s"), F.lit(-i).alias("ni"))
+                       for i, s in enumerate(sims)])
+    best = F.array_max(packed)
+    sim = best["s"]
+    return live.select(
+        F.col(id_col),
+        (-best["ni"]).cast("int").alias("cluster_id"),
+        sim.cast("float").alias("sim32"),
+        (sim < float(threshold)).alias("is_outlier"))

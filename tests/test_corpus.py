@@ -1972,3 +1972,40 @@ def test_trending_terms_burst_detection(spark):
         trending_terms(df, "text", "bucket", k=0)
     with pytest.raises(ValueError, match="min_count"):
         trending_terms(df, "text", "bucket", min_count=0)
+
+
+def test_embedding_outliers_known_answer(spark):
+    """Hand-built vectors: assignment to the max-cosine centroid, the
+    below-threshold flag, zero-vector exclusion, and validation. With
+    seed=42 the two smallest-mix ids of {0..4} pick the centroids, so
+    we pin the pick by construction: only ids 0 and 1 are non-parallel
+    axes and n_clusters=2 selects the two smallest mix values among
+    the non-zero rows — asserted from the op's own cluster count."""
+    import pytest
+
+    from geomesa_spark.operators.ann import embedding_outliers
+
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),    # near whichever centroid is x-axis
+        (3, [0.0, 0.0, 1.0]),    # orthogonal to both axes -> outlier
+        (4, [0.0, 0.0, 0.0]),    # zero norm -> excluded
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in
+           embedding_outliers(df, threshold=0.5, n_clusters=2).collect()}
+    assert set(got) == {0, 1, 2, 3}          # zero vector dropped
+    # centroid members sit at sim 1.0 in their own cluster
+    cents = {i for i in got if abs(got[i].sim32 - 1.0) < 1e-6}
+    assert len(cents) == 2
+    # the orthogonal vector is below threshold everywhere
+    assert got[3].is_outlier and got[3].sim32 < 0.5
+    # 2 is ~0.994-similar to the x-axis centroid: kept
+    assert not got[2].is_outlier and got[2].sim32 > 0.9
+    with pytest.raises(ValueError, match="n_clusters"):
+        embedding_outliers(df, threshold=0.5, n_clusters=0)
+    empty = spark.createDataFrame([(9, [0.0, 0.0])],
+                                  "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="non-zero"):
+        embedding_outliers(empty, threshold=0.5, n_clusters=1)
