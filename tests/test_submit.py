@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import subprocess
 import sys
@@ -12,8 +13,22 @@ import pytest
 REPO = __file__.rsplit("/tests/", 1)[0]
 
 
-@pytest.mark.skipif(shutil.which("spark-submit") is None,
-                    reason="spark-submit not on PATH")
+def _spark_submit() -> str | None:
+    """spark-submit from PATH, $SPARK_HOME/bin, or the stock install
+    location — the binary exists in this container but is not on PATH."""
+    found = shutil.which("spark-submit")
+    if found:
+        return found
+    for c in (os.path.join(os.environ.get("SPARK_HOME", ""), "bin",
+                           "spark-submit"),
+              "/opt/spark/bin/spark-submit"):
+        if c and os.access(c, os.X_OK):
+            return c
+    return None
+
+
+@pytest.mark.skipif(_spark_submit() is None,
+                    reason="spark-submit not found")
 def test_spark_submit_pyfiles(tmp_path):
     zip_path = str(tmp_path / "engine.zip")
     subprocess.run([sys.executable, f"{REPO}/scripts/make_pyfiles.py", zip_path],
@@ -22,7 +37,7 @@ def test_spark_submit_pyfiles(tmp_path):
 
     def run():
         p = subprocess.run(
-            ["spark-submit", "--master", "local[4]", "--py-files", zip_path,
+            [_spark_submit(), "--master", "local[4]", "--py-files", zip_path,
              f"{REPO}/scripts/pip_job.py", "--pages", "20000", "--polys", "20",
              "--out", out_dir],
             check=True, capture_output=True, text=True, cwd=str(tmp_path),
