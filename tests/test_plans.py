@@ -542,3 +542,34 @@ def test_z3_store_age_off_query(spark, tmp_path):
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "z3_bin" in plan
+
+
+def test_inverted_index_store_query(spark, tmp_path):
+    """Posting correctness vs a brute force over the same tokenization,
+    case-normalized query terms, and hash-prefix partition pruning
+    visible in the executed plan."""
+    from geomesa_spark.plans.text_index import (term_query,
+                                                write_inverted_index)
+
+    rows = [(0, "the Hash join beats the hash LOOP"),
+            (1, "vector scan"),
+            (2, "no match here"),
+            (3, "hash")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "tidx")
+    write_inverted_index(df, path)
+
+    out = term_query(spark, path, ["HASH", "vector"])
+    got = {(r.term, r.doc_id): (r.tf, r.first_pos, list(r.positions))
+           for r in out.collect()}
+    assert got == {
+        ("hash", 0): (2, 1, [1, 5]),
+        ("hash", 3): (1, 0, [0]),
+        ("vector", 1): (1, 0, [0]),
+    }
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "term_p" in plan
+
+    import pytest
+    with pytest.raises(ValueError, match="at least one term"):
+        term_query(spark, path, [])
