@@ -2821,6 +2821,22 @@ def q_term_index(spark, sf_dir):
     return term_query(spark, path, ["hash", "join", "vector"])
 
 
+def q_index_phrase(spark, sf_dir):
+    """Exact phrase search served FROM the inverted-index store
+    (plans/text_index.phrase_query): pruned posting fetch for the
+    phrase terms + per-doc position-list adjacency fold — no document
+    text is ever read. Shares the store q_term_index builds (same
+    deterministic path; rebuilt if absent). Oracle computes the same
+    starts by direct adjacent-token scan over the raw text."""
+    from geomesa_spark.plans.text_index import (phrase_query,
+                                                write_inverted_index)
+
+    docs = _docs(spark, sf_dir)
+    path = _store_tmp(sf_dir, "tidx")
+    write_inverted_index(docs, path)
+    return phrase_query(spark, path, "hash join")
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive closure of the jaccard duplicate pairs: per-doc
     cluster assignment (cluster_id = min reachable doc id) + cluster
@@ -3861,9 +3877,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-4 ROTATION NOTE: assuming r03 grades the first 50 of this list, the
 # still-never-graded set going into round 4 is the TAIL of this list from
-# position 51 ("store_s3") onward — 58 keys ending with the round-3
-# additions (... degree_dist, emb_outliers, term_index). Rebuild this
-# list at the start of round 4 with that tail at the front (58 keys: eight
+# position 51 ("store_s3") onward — 59 keys ending with the round-3
+# additions (... emb_outliers, term_index, index_phrase). Rebuild this
+# list at the start of round 4 with that tail at the front (59 keys: nine
 # more than the 50 driver slots, so the overflow plus re-confirmations
 # for re-confirmation); the authoritative recipe is to diff queries() against
 # the union of green rows in CORRECTNESS_r0*.json.
@@ -3893,7 +3909,7 @@ _NEVER_GRADED_R3 = [
     "canonical_dedup", "redirects", "co_citation", "capture_churn",
     "geo_search", "crawl_diff", "script_mix", "alias_clusters",
     "trending_terms", "wat_export", "pagerank_pers", "store_ageoff",
-    "degree_dist", "emb_outliers", "term_index",
+    "degree_dist", "emb_outliers", "term_index", "index_phrase",
 ]
 
 
@@ -4086,6 +4102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_dist": q_degree_dist,
         "emb_outliers": q_emb_outliers,
         "term_index": q_term_index,
+        "index_phrase": q_index_phrase,
     })
 
 
@@ -6991,6 +7008,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semantic_dedup": _sql_semantic_dedup(),
         "emb_outliers": _sql_emb_outliers(),
+        "index_phrase": """
+            WITH d AS (SELECT doc_id,
+                              regexp_split_to_array(trim(lower(text)), '\\s+')
+                                AS toks
+                       FROM documents),
+            m AS (SELECT doc_id,
+                         CASE WHEN len(toks) >= 2
+                              THEN list_filter(range(len(toks) - 1),
+                                       i -> toks[i + 1] = 'hash'
+                                            AND toks[i + 2] = 'join')
+                              ELSE [] END AS starts
+                  FROM d)
+            SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_matches,
+                   CAST(starts[1] AS BIGINT) AS first_start
+            FROM m WHERE len(starts) > 0
+        """,
         # term_index: tokenization + 0-based position arithmetic replay;
         # the store's hash-prefix partitioning is placement-only.
         "term_index": """

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["write_inverted_index", "term_query"]
+__all__ = ["write_inverted_index", "term_query", "phrase_query"]
 
 
 def _term_prefix(col, digits: int):
@@ -73,3 +73,62 @@ def term_query(spark, path: str, terms: list[str],
     return (df.filter(F.col("term_p").isin(sorted(set(pfx)))
                       & F.col("term").isin(lows))
               .select("term", "doc_id", "tf", "first_pos", "positions"))
+
+
+def phrase_query(spark, path: str, phrase: str,
+                 digits: int = 2) -> DataFrame:
+    """Exact phrase match served FROM THE STORE (the point of keeping
+    positions in the postings — `operators/text.phrase_search` computes
+    the same answer from raw text; this path never touches a document):
+    fetch the phrase terms' posting rows through the pruned
+    :func:`term_query` scan, then verify adjacency with one k-way
+    position-list intersection per candidate doc.
+
+    Plan: the pruned scan returns <= k posting lists per doc; a doc
+    survives only if it holds ALL k terms (count == k after a (doc)
+    groupBy), and the adjacency check folds the FIRST term's position
+    list against array_contains of the later lists shifted by their
+    phrase offset — all built-in HOFs on rows of one doc, no
+    explode-to-token shuffle, no Python. Returns (doc_id, n_matches,
+    first_start) for docs containing the phrase, with n_matches the
+    exact occurrence count and first_start the 0-based token offset.
+    """
+    toks = [t for t in str(phrase).lower().split() if t]
+    if not toks:
+        raise ValueError("phrase_query needs a non-empty phrase")
+    k = len(toks)
+    post = term_query(spark, path, toks, digits=digits)
+    # phrase offset of each term; duplicate terms in the phrase keep
+    # every offset they appear at
+    offs = {}
+    for i, t in enumerate(toks):
+        offs.setdefault(t, []).append(i)
+    off_arr = F.create_map(*[x for t, os_ in offs.items()
+                             for x in (F.lit(t),
+                                       F.array(*[F.lit(o) for o in os_]))])
+    rows = post.select("doc_id", "term", "positions",
+                       off_arr[F.col("term")].alias("offs"))
+    # per doc: the distinct-term count must equal len(offs); collect
+    # (term -> positions) and fold starts from the first term's list
+    per_doc = (rows.groupBy("doc_id")
+                   .agg(F.count("*").alias("nt"),
+                        F.map_from_entries(F.collect_list(
+                            F.struct("term", "positions"))).alias("pl")))
+    per_doc = per_doc.filter(F.col("nt") == len(offs))
+    first = F.col("pl")[toks[0]]
+    # candidate starts: positions p of toks[0] at phrase offset 0 such
+    # that for EVERY (term, offset) pair, p + offset is in that term's
+    # list (array_contains; the long cast matches the stored type)
+    conds = None
+    for t, os_ in offs.items():
+        for o in os_:
+            c = (lambda p, t=t, o=o: F.array_contains(
+                F.col("pl")[t], p + F.lit(int(o)).cast("long")))
+            conds = c if conds is None else (
+                lambda p, a=conds, b=c: a(p) & b(p))
+    starts = F.filter(first, lambda p: conds(p))
+    out = (per_doc.select("doc_id",
+                          F.size(starts).cast("long").alias("n_matches"),
+                          F.element_at(starts, 1).alias("first_start"))
+                  .filter(F.col("n_matches") > 0))
+    return out

@@ -573,3 +573,41 @@ def test_inverted_index_store_query(spark, tmp_path):
     import pytest
     with pytest.raises(ValueError, match="at least one term"):
         term_query(spark, path, [])
+
+
+def test_inverted_index_phrase_query(spark, tmp_path):
+    """Phrase search from the store matches a direct-text brute force,
+    incl. overlapping and repeated-term phrases; validation."""
+    import pytest
+
+    from geomesa_spark.plans.text_index import (phrase_query,
+                                                write_inverted_index)
+
+    rows = [(0, "the hash join beats the hash join loop"),
+            (1, "hash join"),
+            (2, "join hash"),
+            (3, "hash"),
+            (4, "go go go"),
+            (5, "a go go stop")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "tidx_p")
+    write_inverted_index(df, path)
+
+    def brute(phrase):
+        toks = phrase.lower().split()
+        out = {}
+        for i, t in rows:
+            ws = t.lower().split()
+            st = [j for j in range(len(ws) - len(toks) + 1)
+                  if ws[j:j + len(toks)] == toks]
+            if st:
+                out[i] = (len(st), st[0])
+        return out
+
+    for phrase in ("hash join", "go go", "the hash join"):
+        got = {r.doc_id: (r.n_matches, r.first_start)
+               for r in phrase_query(spark, path, phrase).collect()}
+        assert got == brute(phrase), phrase
+
+    with pytest.raises(ValueError, match="non-empty"):
+        phrase_query(spark, path, "   ")
