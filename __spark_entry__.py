@@ -2837,6 +2837,22 @@ def q_index_phrase(spark, sf_dir):
     return phrase_query(spark, path, "hash join")
 
 
+def q_index_bm25(spark, sf_dir):
+    """BM25 ranked retrieval FROM the inverted-index store
+    (plans/text_index.ranked_query): candidates + term frequencies from
+    the pruned posting scan, lengths from the docstats sidecar, the
+    shared bm25_score_expr chain — bit-identical to scoring raw text
+    (asserted in tests), so the oracle is the shared _bm25_ctes prefix
+    with the top-k projection."""
+    from geomesa_spark.plans.text_index import (ranked_query,
+                                                write_inverted_index)
+
+    docs = _docs(spark, sf_dir)
+    path = _store_tmp(sf_dir, "tidx")
+    write_inverted_index(docs, path)
+    return ranked_query(spark, path, ["hash", "join", "vector"], k=25)
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive closure of the jaccard duplicate pairs: per-doc
     cluster assignment (cluster_id = min reachable doc id) + cluster
@@ -3877,9 +3893,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-4 ROTATION NOTE: assuming r03 grades the first 50 of this list, the
 # still-never-graded set going into round 4 is the TAIL of this list from
-# position 51 ("store_s3") onward — 59 keys ending with the round-3
-# additions (... emb_outliers, term_index, index_phrase). Rebuild this
-# list at the start of round 4 with that tail at the front (59 keys: nine
+# position 51 ("store_s3") onward — 60 keys ending with the round-3
+# additions (... term_index, index_phrase, index_bm25). Rebuild this
+# list at the start of round 4 with that tail at the front (60 keys: ten
 # more than the 50 driver slots, so the overflow plus re-confirmations
 # for re-confirmation); the authoritative recipe is to diff queries() against
 # the union of green rows in CORRECTNESS_r0*.json.
@@ -3910,6 +3926,7 @@ _NEVER_GRADED_R3 = [
     "geo_search", "crawl_diff", "script_mix", "alias_clusters",
     "trending_terms", "wat_export", "pagerank_pers", "store_ageoff",
     "degree_dist", "emb_outliers", "term_index", "index_phrase",
+    "index_bm25",
 ]
 
 
@@ -4103,6 +4120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_outliers": q_emb_outliers,
         "term_index": q_term_index,
         "index_phrase": q_index_phrase,
+        "index_bm25": q_index_bm25,
     })
 
 
@@ -4875,6 +4893,22 @@ def _sql_bm25(terms: list[str], k1: float = 1.2, b: float = 0.75) -> str:
     return f"""
         WITH {_bm25_ctes(terms, k1, b)}
         SELECT doc_id, dl, score32 FROM s WHERE score32 > 0
+    """
+
+
+def _sql_index_bm25(terms: list[str], k: int,
+                    k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB mirror of text_index.ranked_query: the shared _bm25_ctes
+    prefix (the Spark side scores through the same bm25_score_expr
+    chain, proven bit-identical to raw-text scoring) + the float32-key
+    top-k with id tie-break (the geo_search convention)."""
+    return f"""
+        WITH {_bm25_ctes(terms, k1, b)},
+        sc AS (SELECT doc_id, dl, score32 FROM s WHERE score32 > 0)
+        SELECT doc_id, dl, score32,
+               CAST(row_number() OVER (ORDER BY score32 DESC, doc_id ASC)
+                    AS INTEGER) AS rank
+        FROM sc ORDER BY score32 DESC, doc_id ASC LIMIT {int(k)}
     """
 
 
@@ -7008,6 +7042,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "semantic_dedup": _sql_semantic_dedup(),
         "emb_outliers": _sql_emb_outliers(),
+        "index_bm25": _sql_index_bm25(["hash", "join", "vector"], k=25),
         "index_phrase": """
             WITH d AS (SELECT doc_id,
                               regexp_split_to_array(trim(lower(text)), '\\s+')

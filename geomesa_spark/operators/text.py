@@ -18,7 +18,7 @@ from .cache import attach_cached
 __all__ = [
     "token_count", "approx_bpe_tokens", "text_stats", "quality_score",
     "repetition_stats", "langid_udf", "fingerprint_udf", "bm25_score",
-    "phrase_search", "geo_search", "script_mix",
+    "phrase_search", "geo_search", "script_mix", "bm25_score_expr",
 ]
 
 
@@ -245,6 +245,30 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str,
                        / F.col("n_grams")).alias("dup_gram_frac")))
 
 
+def bm25_score_expr(n_terms: int, k1: float = 1.2,
+                    b: float = 0.75) -> F.Column:
+    """The BM25 scoring expression over columns (dl, n, sdl, tf0..,
+    df0..) — ONE spelling shared by :func:`bm25_score` (computing from
+    raw text) and plans/text_index.ranked_query (computing from stored
+    postings), so the two paths and their common DuckDB mirror
+    (_bm25_ctes) can never drift. Fixed term-order summation; absent
+    terms contribute an exact +0.0, so posting-only evaluation is
+    bit-identical to the full chain."""
+    nd = F.col("n").cast("double")
+    avgdl = F.col("sdl").cast("double") / nd
+    dl = F.col("dl").cast("double")
+    k1p1 = float(k1) + 1.0
+    score = F.lit(0.0)
+    for i in range(int(n_terms)):
+        tf = F.col(f"tf{i}").cast("double")
+        dfd = F.col(f"df{i}").cast("double")
+        idf = F.log((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)) + F.lit(1.0))
+        denom = tf + F.lit(float(k1)) * (F.lit(1.0) - F.lit(float(b))
+                                         + F.lit(float(b)) * dl / avgdl)
+        score = score + idf * (tf * F.lit(k1p1)) / denom
+    return score
+
+
 def bm25_score(docs: DataFrame, id_col: str, text_col: str,
                terms: list[str], k1: float = 1.2, b: float = 0.75) -> DataFrame:
     """BM25 relevance of every document against a literal query-term
@@ -287,18 +311,7 @@ def bm25_score(docs: DataFrame, id_col: str, text_col: str,
         *[F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
           for i in range(len(terms))])
     scored = base.crossJoin(F.broadcast(g))
-    nd = F.col("n").cast("double")
-    avgdl = F.col("sdl").cast("double") / nd
-    dl = F.col("dl").cast("double")
-    k1p1 = float(k1) + 1.0
-    score = F.lit(0.0)
-    for i in range(len(terms)):
-        tf = F.col(f"tf{i}").cast("double")
-        dfd = F.col(f"df{i}").cast("double")
-        idf = F.log((nd - dfd + F.lit(0.5)) / (dfd + F.lit(0.5)) + F.lit(1.0))
-        denom = tf + F.lit(float(k1)) * (F.lit(1.0) - F.lit(float(b))
-                                         + F.lit(float(b)) * dl / avgdl)
-        score = score + idf * (tf * F.lit(k1p1)) / denom
+    score = bm25_score_expr(len(terms), k1=k1, b=b)
     out = scored.select(F.col(id_col), F.col("dl"),
                         score.cast("float").alias("score32"))
     return attach_cached(out.filter(F.col("score32") > 0), base)

@@ -26,7 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["write_inverted_index", "term_query", "phrase_query"]
+__all__ = ["write_inverted_index", "term_query", "phrase_query",
+           "ranked_query"]
 
 
 def _term_prefix(col, digits: int):
@@ -41,10 +42,18 @@ def _term_prefix(col, digits: int):
 
 def write_inverted_index(docs: DataFrame, path: str, id_col: str = "doc_id",
                          text_col: str = "text", digits: int = 2) -> None:
-    """Build and write the term-partitioned inverted index."""
+    """Build and write the term-partitioned inverted index: postings at
+    ``path/postings`` plus the per-doc stats sidecar (doc_id, dl) at
+    ``path/docstats`` — the corpus-level lengths BM25-family ranking
+    needs, collected in the same single tokenize pass."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    posting = (docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                           F.posexplode(toks).alias("pos", "term"))
+    base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       toks.alias("__toks__"))
+    (base.select("doc_id", F.size("__toks__").cast("long").alias("dl"))
+         .write.mode("overwrite").parquet(f"{path}/docstats"))
+    posting = (base.select("doc_id",
+                           F.posexplode(F.col("__toks__"))
+                            .alias("pos", "term"))
                    .filter(F.length("term") > 0)
                    .select("doc_id", F.col("pos").cast("long").alias("pos"),
                            "term")
@@ -53,7 +62,8 @@ def write_inverted_index(docs: DataFrame, path: str, id_col: str = "doc_id",
                         F.min("pos").alias("first_pos"),
                         F.array_sort(F.collect_list("pos")).alias("positions"))
                    .withColumn("term_p", _term_prefix(F.col("term"), digits)))
-    posting.write.mode("overwrite").partitionBy("term_p").parquet(path)
+    (posting.write.mode("overwrite").partitionBy("term_p")
+            .parquet(f"{path}/postings"))
 
 
 def term_query(spark, path: str, terms: list[str],
@@ -69,7 +79,7 @@ def term_query(spark, path: str, terms: list[str],
     pfx = [r["p"] for r in
            tdf.select(_term_prefix(F.col("term"), digits).alias("p"))
               .collect()]
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(f"{path}/postings")
     return (df.filter(F.col("term_p").isin(sorted(set(pfx)))
                       & F.col("term").isin(lows))
               .select("term", "doc_id", "tf", "first_pos", "positions"))
@@ -132,3 +142,57 @@ def phrase_query(spark, path: str, phrase: str,
                           F.element_at(starts, 1).alias("first_start"))
                   .filter(F.col("n_matches") > 0))
     return out
+
+
+def ranked_query(spark, path: str, terms: list[str], k: int = 20,
+                 k1: float = 1.2, b: float = 0.75,
+                 digits: int = 2) -> DataFrame:
+    """BM25 ranked retrieval served FROM the store — the full search-
+    engine read path: candidate docs and term frequencies come from the
+    pruned posting scan, document lengths from the docstats sidecar,
+    corpus stats (N, Σdl, df_t) from two tiny aggregations broadcast
+    back; no document text is ever read. Returns the global top-k
+    (doc_id, dl, score32, rank).
+
+    Bit-parity: scoring uses the SAME `text.bm25_score_expr` chain as
+    the raw-text scorer (and therefore the shared _bm25_ctes oracle);
+    absent terms contribute an exact +0.0, so posting-only evaluation
+    is bit-identical to evaluating over the whole corpus. df_t comes
+    from the posting row counts (exact integers, identical to the
+    tf>0 count the raw-text path takes). Top-k is ``orderBy().limit``
+    (TakeOrderedAndProject), rank over the k survivors — the
+    geo_search convention.
+    """
+    from ..operators.text import bm25_score_expr
+
+    if not terms:
+        raise ValueError("ranked_query needs at least one term")
+    if k < 1:
+        raise ValueError(f"ranked_query needs k >= 1, got {k}")
+    lows = [str(t).lower() for t in terms]
+    post = term_query(spark, path, lows, digits=digits)
+    stats = spark.read.parquet(f"{path}/docstats")
+    # per-doc tf pivot in fixed term order (duplicate query terms share
+    # one posting row, as in bm25_score they share one tf)
+    piv = (post.groupBy("doc_id")
+               .agg(*[F.coalesce(
+                         F.max(F.when(F.col("term") == t, F.col("tf"))),
+                         F.lit(0).cast("long")).alias(f"tf{i}")
+                      for i, t in enumerate(lows)]))
+    dfs = post.groupBy("term").agg(F.count("*").alias("df"))
+    g = stats.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
+    for i, t in enumerate(lows):
+        g = g.crossJoin(F.broadcast(
+            dfs.filter(F.col("term") == t)
+               .agg(F.coalesce(F.max("df"), F.lit(0).cast("long"))
+                     .alias(f"df{i}"))))
+    scored = (piv.join(stats, "doc_id")
+                 .crossJoin(F.broadcast(g))
+                 .select("doc_id", "dl",
+                         bm25_score_expr(len(lows), k1=k1, b=b)
+                         .cast("float").alias("score32")))
+    order = [F.col("score32").desc(), F.col("doc_id").asc()]
+    from pyspark.sql import Window
+    topk = scored.filter(F.col("score32") > 0).orderBy(*order).limit(int(k))
+    win = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(win))

@@ -611,3 +611,35 @@ def test_inverted_index_phrase_query(spark, tmp_path):
 
     with pytest.raises(ValueError, match="non-empty"):
         phrase_query(spark, path, "   ")
+
+
+def test_inverted_index_ranked_query_parity(spark, tmp_path):
+    """Store-served BM25 is bit-identical to the raw-text scorer over
+    the same corpus and terms (absent terms contribute an exact +0.0,
+    df/N/dl all exact integers); validation."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from geomesa_spark.operators.text import bm25_score
+    from geomesa_spark.plans.text_index import (ranked_query,
+                                                write_inverted_index)
+
+    rows = [(0, "hash join hash join scan"),
+            (1, "vector scan filter"),
+            (2, "merge sort order by"),
+            (3, "hash"),
+            (4, "the hash vector vector mix")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "tidx_r")
+    write_inverted_index(df, path)
+    terms = ["hash", "vector"]
+    store = [(r.doc_id, r.dl, r.score32, r.rank)
+             for r in ranked_query(spark, path, terms, k=10).collect()]
+    raw = bm25_score(df, "doc_id", "text", terms) \
+        .orderBy(F.col("score32").desc(), "doc_id").limit(10).collect()
+    assert store == [(r.doc_id, r.dl, r.score32, i + 1)
+                     for i, r in enumerate(raw)]
+    with pytest.raises(ValueError, match="at least one term"):
+        ranked_query(spark, path, [])
+    with pytest.raises(ValueError, match="k >="):
+        ranked_query(spark, path, terms, k=0)
