@@ -26,8 +26,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["write_inverted_index", "term_query", "phrase_query",
-           "ranked_query"]
+__all__ = ["write_inverted_index", "append_inverted_index",
+           "term_query", "phrase_query", "ranked_query"]
 
 
 def _term_prefix(col, digits: int):
@@ -41,16 +41,27 @@ def _term_prefix(col, digits: int):
 
 
 def write_inverted_index(docs: DataFrame, path: str, id_col: str = "doc_id",
-                         text_col: str = "text", digits: int = 2) -> None:
+                         text_col: str = "text", digits: int = 2,
+                         mode: str = "overwrite") -> None:
     """Build and write the term-partitioned inverted index: postings at
     ``path/postings`` plus the per-doc stats sidecar (doc_id, dl) at
     ``path/docstats`` — the corpus-level lengths BM25-family ranking
-    needs, collected in the same single tokenize pass."""
+    needs, collected in the same single tokenize pass.
+
+    ``mode="append"`` is the incremental-crawl path (see
+    :func:`append_inverted_index`): new batches land as additional
+    files inside the same term_p partitions, so ingest cost scales
+    with the BATCH, never the index. Appended doc_ids must be disjoint
+    from the stored ones (the crawl-batch contract; run
+    corpus.incremental_dedup upstream) — per-(term, doc) posting rows
+    are whole, so disjoint ids make append exactly equal to a full
+    rebuild, and compact_store-style file merging applies when small
+    files accumulate."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
                        toks.alias("__toks__"))
     (base.select("doc_id", F.size("__toks__").cast("long").alias("dl"))
-         .write.mode("overwrite").parquet(f"{path}/docstats"))
+         .write.mode(mode).parquet(f"{path}/docstats"))
     posting = (base.select("doc_id",
                            F.posexplode(F.col("__toks__"))
                             .alias("pos", "term"))
@@ -62,7 +73,7 @@ def write_inverted_index(docs: DataFrame, path: str, id_col: str = "doc_id",
                         F.min("pos").alias("first_pos"),
                         F.array_sort(F.collect_list("pos")).alias("positions"))
                    .withColumn("term_p", _term_prefix(F.col("term"), digits)))
-    (posting.write.mode("overwrite").partitionBy("term_p")
+    (posting.write.mode(mode).partitionBy("term_p")
             .parquet(f"{path}/postings"))
 
 
@@ -196,3 +207,15 @@ def ranked_query(spark, path: str, terms: list[str], k: int = 20,
     topk = scored.filter(F.col("score32") > 0).orderBy(*order).limit(int(k))
     win = Window.partitionBy(F.lit(0)).orderBy(*order)
     return topk.withColumn("rank", F.row_number().over(win))
+
+
+def append_inverted_index(docs: DataFrame, path: str,
+                          id_col: str = "doc_id", text_col: str = "text",
+                          digits: int = 2) -> None:
+    """Incremental index maintenance: add a new crawl batch's postings
+    and doc stats to an existing store. Ids must be disjoint from the
+    stored corpus (posting rows are per-(term, doc) and whole, so
+    disjoint-id append == full rebuild exactly); ingest cost scales
+    with the batch."""
+    write_inverted_index(docs, path, id_col=id_col, text_col=text_col,
+                         digits=digits, mode="append")

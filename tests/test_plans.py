@@ -643,3 +643,30 @@ def test_inverted_index_ranked_query_parity(spark, tmp_path):
         ranked_query(spark, path, [])
     with pytest.raises(ValueError, match="k >="):
         ranked_query(spark, path, terms, k=0)
+
+
+def test_inverted_index_append_equals_rebuild(spark, tmp_path):
+    """Disjoint-id append produces exactly the postings and ranking of
+    a full single build — rerunning overwrite+append is idempotent."""
+    from geomesa_spark.plans.text_index import (append_inverted_index,
+                                                ranked_query, term_query,
+                                                write_inverted_index)
+
+    rows = [(i, t) for i, t in enumerate(
+        ["hash join scan", "vector filter", "hash hash", "merge sort",
+         "vector hash join", "plain text row"])]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = str(tmp_path / "tidx_full")
+    inc = str(tmp_path / "tidx_inc")
+    write_inverted_index(df, full)
+    for _ in range(2):   # idempotent overwrite + append
+        write_inverted_index(df.filter("doc_id % 2 = 0"), inc)
+        append_inverted_index(df.filter("doc_id % 2 = 1"), inc)
+
+    def snap(path, fn, *a, **kw):
+        return sorted(tuple(r) for r in fn(spark, path, *a, **kw).collect())
+
+    assert snap(inc, term_query, ["hash", "vector"]) == \
+        snap(full, term_query, ["hash", "vector"])
+    assert snap(inc, ranked_query, ["hash", "vector"], k=10) == \
+        snap(full, ranked_query, ["hash", "vector"], k=10)
