@@ -2872,6 +2872,22 @@ def q_index_append(spark, sf_dir):
     return ranked_query(spark, path, ["hash", "join", "vector"], k=25)
 
 
+def q_cube_stats(spark, sf_dir):
+    """OLAP cube rollup (Spark's built-in F.cube — the reference's
+    GroupBy stats scan generalized to all 2^k grouping sets in ONE
+    pass): doc counts + char totals by (lang, source), each margin,
+    and the grand total; grouping_id disambiguates a real NULL key
+    from a rolled-up margin. Oracle: DuckDB GROUP BY CUBE with
+    GROUPING(...) bit arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    return (docs.cube("lang", "source")
+                .agg(F.grouping_id("lang", "source").cast("int")
+                      .alias("gid"),
+                     F.count("*").alias("n_docs"),
+                     F.sum("n_chars").alias("sum_chars"))
+                .select("lang", "source", "gid", "n_docs", "sum_chars"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     """Transitive closure of the jaccard duplicate pairs: per-doc
     cluster assignment (cluster_id = min reachable doc id) + cluster
@@ -3912,9 +3928,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-4 ROTATION NOTE: assuming r03 grades the first 50 of this list, the
 # still-never-graded set going into round 4 is the TAIL of this list from
-# position 51 ("store_s3") onward — 61 keys ending with the round-3
-# additions (... index_phrase, index_bm25, index_append). Rebuild this
-# list at the start of round 4 with that tail at the front (61 keys: eleven
+# position 51 ("store_s3") onward — 62 keys ending with the round-3
+# additions (... index_bm25, index_append, cube_stats). Rebuild this
+# list at the start of round 4 with that tail at the front (62 keys: twelve
 # more than the 50 driver slots, so the overflow plus re-confirmations
 # for re-confirmation); the authoritative recipe is to diff queries() against
 # the union of green rows in CORRECTNESS_r0*.json.
@@ -3945,7 +3961,7 @@ _NEVER_GRADED_R3 = [
     "geo_search", "crawl_diff", "script_mix", "alias_clusters",
     "trending_terms", "wat_export", "pagerank_pers", "store_ageoff",
     "degree_dist", "emb_outliers", "term_index", "index_phrase",
-    "index_bm25", "index_append",
+    "index_bm25", "index_append", "cube_stats",
 ]
 
 
@@ -4141,6 +4157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_phrase": q_index_phrase,
         "index_bm25": q_index_bm25,
         "index_append": q_index_append,
+        "cube_stats": q_cube_stats,
     })
 
 
@@ -7063,6 +7080,16 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": _sql_semantic_dedup(),
         "emb_outliers": _sql_emb_outliers(),
         "index_bm25": _sql_index_bm25(["hash", "join", "vector"], k=25),
+        # cube_stats: GROUPING() bits composed in Spark's grouping_id
+        # order (lang = high bit).
+        "cube_stats": """
+            SELECT lang, source,
+                   CAST(GROUPING(lang) * 2 + GROUPING(source) AS INTEGER)
+                     AS gid,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY CUBE (lang, source)
+        """,
         # index_append: append == full rebuild (disjoint ids), so the
         # oracle is the identical full-corpus top-k.
         "index_append": _sql_index_bm25(["hash", "join", "vector"], k=25),
