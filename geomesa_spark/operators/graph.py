@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["pagerank", "hits", "triangle_counts", "bfs_distances",
            "label_propagation", "resolve_redirects", "co_citation",
-           "degree_distribution"]
+           "degree_distribution", "k_core"]
 
 
 def _fold_sum(sorted_arr) -> F.Column:
@@ -483,3 +483,50 @@ def degree_distribution(edges: DataFrame, src: str = "src",
                  .select(F.coalesce("degree", F.lit(0)).alias("degree")))
     return (full.groupBy("degree")
                 .agg(F.count("*").alias("n_nodes")))
+
+
+def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
+           max_rounds: int = 10) -> DataFrame:
+    """k-core of the undirected simple graph (Seidman 1983): the
+    maximal subgraph where every node keeps degree >= k — the
+    link-spam / template-farm detector (dense cores) and its
+    complement the fringe filter. Iterative peeling: drop nodes under
+    degree k, recompute degrees in the induced subgraph, repeat to the
+    fixpoint (early-stopped when a round removes nothing, bounded by
+    ``max_rounds``; peeling is monotone, so extra rounds after the
+    fixpoint are no-ops — which lets fixed-round oracles mirror the
+    early-stopping run exactly). Returns (node, degree) inside the
+    core.
+
+    Scale shape: each round is one semi-join of the undirected edge
+    list against the kept set per endpoint + one combining degree
+    count — all shuffles carry two longs keyed by node; kept sets are
+    eagerly checkpointed (the dedup_clusters pattern) so lineage stays
+    O(1); the convergence probe is one count per round.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    e = edges.select(F.col(src).cast("long").alias("s"),
+                     F.col(dst).cast("long").alias("t"))
+    und = (e.union(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+            .filter(F.col("s") != F.col("t"))
+            .distinct()
+            .persist())
+    cur = und
+    deg = cur.groupBy("s").agg(F.count("*").alias("degree"))
+    kept = (deg.filter(F.col("degree") >= int(k))
+               .localCheckpoint(eager=True))
+    n_prev = kept.count()
+    for _ in range(int(max_rounds)):
+        kn = kept.select("s")
+        cur = (und.join(kn, "s", "left_semi")
+                  .join(kn.select(F.col("s").alias("t")), "t", "left_semi"))
+        deg = cur.groupBy("s").agg(F.count("*").alias("degree"))
+        kept = (deg.filter(F.col("degree") >= int(k))
+                   .localCheckpoint(eager=True))
+        n = kept.count()
+        if n == n_prev:
+            break
+        n_prev = n
+    und.unpersist()
+    return kept.select(F.col("s").alias("node"), "degree")

@@ -320,3 +320,43 @@ def test_degree_distribution_directions(spark):
     assert hist("both") == {2: 3}
     with pytest.raises(ValueError, match="direction"):
         degree_distribution(edges, direction="sideways")
+
+
+def test_k_core_brute_force_and_known(spark):
+    """Triangle + pendant at k=2 keeps exactly the triangle; random
+    graph k-cores match python fixpoint peeling; validation."""
+    import pytest
+
+    from geomesa_spark.operators.graph import k_core
+
+    tri = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3)], "src long, dst long")
+    got = {r.node: r.degree for r in k_core(tri, k=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
+
+    rng = np.random.default_rng(44)
+    edges = sorted({(int(a), int(b)) for a, b in
+                    zip(rng.integers(0, 25, 80), rng.integers(0, 25, 80))
+                    if a != b})
+    df = spark.createDataFrame(edges, "src long, dst long")
+
+    def brute(k):
+        adj = {}
+        for s, t in edges:
+            adj.setdefault(s, set()).add(t)
+            adj.setdefault(t, set()).add(s)
+        kept = set(adj)
+        while True:
+            drop = {v for v in kept
+                    if len(adj[v] & kept) < k}
+            if not drop:
+                break
+            kept -= drop
+        return {v: len(adj[v] & kept) for v in kept}
+
+    for k in (2, 3, 4):
+        got = {r.node: r.degree
+               for r in k_core(df, k=k, max_rounds=30).collect()}
+        assert got == brute(k), k
+    with pytest.raises(ValueError, match="k must"):
+        k_core(df, k=0)
