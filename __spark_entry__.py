@@ -3948,11 +3948,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # ROUND-4 ROTATION NOTE: assuming r03 grades the first 50 of this list, the
 # still-never-graded set going into round 4 is the TAIL of this list from
 # position 51 ("store_s3") onward — 63 keys ending with the round-3
-# additions (... index_append, cube_stats, k_core). Rebuild this
-# list at the start of round 4 with that tail at the front (63 keys: thirteen
-# more than the 50 driver slots, so the overflow plus re-confirmations
-# for re-confirmation); the authoritative recipe is to diff queries() against
-# the union of green rows in CORRECTNESS_r0*.json.
+# additions (... index_append, cube_stats, k_core). Rebuild this list at the
+# start of round 4 with that tail at the front; 63 > 50 driver slots, so 13
+# keys will still be ungraded going into round 5 — rotate those to the front
+# then. The authoritative recipe is to diff queries() against the union of
+# green rows in CORRECTNESS_r0*.json.
 _NEVER_GRADED_R3 = [
     "minhash_pairs", "simhash_pairs", "lsh_ann", "ivf_ann", "sketches",
     "geoparse_pages", "store_bbox", "store_stbox", "store_xz2", "store_s2",
