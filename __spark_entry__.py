@@ -2888,13 +2888,19 @@ def q_cube_stats(spark, sf_dir):
                 .select("lang", "source", "gid", "n_docs", "sum_chars"))
 
 
+_KCORE_PEELS = 4   # loop peels; total = 1 + this, shared with the oracle
+
+
 def q_k_core(spark, sf_dir):
     """k-core extraction (operators/graph.k_core): 4-core of the dense
     synthetic link set (dst = (doc_id*31 + j) % 97) — the fringe
     (nodes >= 97, undirected degree ~3) peels off in the first rounds
-    and the dense 97-node kernel survives. Peeling is monotone and
-    extra rounds past the fixpoint are no-ops, so the oracle unrolls a
-    fixed 4 peels and equality holds whether or not Spark early-stops."""
+    and the dense 97-node kernel survives. Spark runs 1 + _KCORE_PEELS
+    peel rounds max (early-stopping at the fixpoint) and the oracle
+    unrolls exactly 1 + _KCORE_PEELS peels from the SAME constant:
+    converged runs agree because extra peels are no-ops, and
+    non-converged runs agree because both sides did the identical
+    number of peels — parity holds at ANY corpus size."""
     from geomesa_spark.operators.graph import k_core
 
     docs = _t(spark, sf_dir, "documents")
@@ -2904,7 +2910,7 @@ def q_k_core(spark, sf_dir):
                  .select(F.col("doc_id").alias("src"),
                          ((F.col("doc_id") * 31 + F.col("j")) % 97)
                          .alias("dst")))
-    return k_core(edges, k=4, max_rounds=3)
+    return k_core(edges, k=4, max_rounds=_KCORE_PEELS)
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -4969,12 +4975,16 @@ def _sql_index_bm25(terms: list[str], k: int,
     """
 
 
-def _sql_k_core(k: int = 4, peels: int = 4) -> str:
+def _sql_k_core(k: int = 4, peels: int | None = None) -> str:
     """DuckDB mirror of graph.k_core over the dense synthetic link set:
     the peeling rounds UNROLLED as plain CTEs (kept_i = nodes whose
-    degree within the kept_{i-1}-induced subgraph is >= k). Monotone
-    no-op rounds past the fixpoint make the fixed unroll equal to the
-    early-stopping Spark run."""
+    degree within the kept_{i-1}-induced subgraph is >= k). peels
+    defaults to the _KCORE_PEELS constant q_k_core passes as
+    max_rounds, so Spark and the mirror always run the same total
+    number of peels (1 + peels) when neither converges, and monotone
+    no-op rounds cover the converged case."""
+    if peels is None:
+        peels = _KCORE_PEELS
     parts = ["""eg0 AS (SELECT doc_id AS s, (doc_id * 31 + j.j) % 97 AS t
                  FROM documents, (VALUES (1), (2), (3)) AS j(j)),
         und AS (SELECT DISTINCT s, t FROM

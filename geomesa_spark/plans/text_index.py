@@ -46,7 +46,8 @@ def write_inverted_index(docs: DataFrame, path: str, id_col: str = "doc_id",
     """Build and write the term-partitioned inverted index: postings at
     ``path/postings`` plus the per-doc stats sidecar (doc_id, dl) at
     ``path/docstats`` — the corpus-level lengths BM25-family ranking
-    needs, collected in the same single tokenize pass.
+    needs. The tokenized frame is persisted across the two writes so
+    the corpus is read and tokenized once per build.
 
     ``mode="append"`` is the incremental-crawl path (see
     :func:`append_inverted_index`): new batches land as additional
@@ -59,7 +60,7 @@ def write_inverted_index(docs: DataFrame, path: str, id_col: str = "doc_id",
     files accumulate."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     base = docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                       toks.alias("__toks__"))
+                       toks.alias("__toks__")).persist()
     (base.select("doc_id", F.size("__toks__").cast("long").alias("dl"))
          .write.mode(mode).parquet(f"{path}/docstats"))
     posting = (base.select("doc_id",
@@ -75,6 +76,7 @@ def write_inverted_index(docs: DataFrame, path: str, id_col: str = "doc_id",
                    .withColumn("term_p", _term_prefix(F.col("term"), digits)))
     (posting.write.mode(mode).partitionBy("term_p")
             .parquet(f"{path}/postings"))
+    base.unpersist()
 
 
 def term_query(spark, path: str, terms: list[str],
@@ -117,18 +119,14 @@ def phrase_query(spark, path: str, phrase: str,
     toks = [t for t in str(phrase).lower().split() if t]
     if not toks:
         raise ValueError("phrase_query needs a non-empty phrase")
-    k = len(toks)
     post = term_query(spark, path, toks, digits=digits)
-    # phrase offset of each term; duplicate terms in the phrase keep
-    # every offset they appear at
+    # phrase offsets per distinct term (duplicate phrase terms keep
+    # every offset they appear at); applied driver-side when the
+    # adjacency predicate is built below
     offs = {}
     for i, t in enumerate(toks):
         offs.setdefault(t, []).append(i)
-    off_arr = F.create_map(*[x for t, os_ in offs.items()
-                             for x in (F.lit(t),
-                                       F.array(*[F.lit(o) for o in os_]))])
-    rows = post.select("doc_id", "term", "positions",
-                       off_arr[F.col("term")].alias("offs"))
+    rows = post.select("doc_id", "term", "positions")
     # per doc: the distinct-term count must equal len(offs); collect
     # (term -> positions) and fold starts from the first term's list
     per_doc = (rows.groupBy("doc_id")
@@ -190,13 +188,13 @@ def ranked_query(spark, path: str, terms: list[str], k: int = 20,
                          F.max(F.when(F.col("term") == t, F.col("tf"))),
                          F.lit(0).cast("long")).alias(f"tf{i}")
                       for i, t in enumerate(lows)]))
-    dfs = post.groupBy("term").agg(F.count("*").alias("df"))
-    g = stats.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
-    for i, t in enumerate(lows):
-        g = g.crossJoin(F.broadcast(
-            dfs.filter(F.col("term") == t)
-               .agg(F.coalesce(F.max("df"), F.lit(0).cast("long"))
-                     .alias(f"df{i}"))))
+    # df0..df{k-1} in ONE conditional aggregation over the postings
+    # (each posting row is a distinct (term, doc), so the sum of the
+    # term indicator IS the document frequency)
+    dfs = post.agg(*[F.sum((F.col("term") == t).cast("long"))
+                      .alias(f"df{i}") for i, t in enumerate(lows)])
+    g = (stats.agg(F.count("*").alias("n"), F.sum("dl").alias("sdl"))
+              .crossJoin(F.broadcast(dfs)))
     scored = (piv.join(stats, "doc_id")
                  .crossJoin(F.broadcast(g))
                  .select("doc_id", "dl",

@@ -19,10 +19,13 @@ def _spark_submit() -> str | None:
     found = shutil.which("spark-submit")
     if found:
         return found
-    for c in (os.path.join(os.environ.get("SPARK_HOME", ""), "bin",
-                           "spark-submit"),
-              "/opt/spark/bin/spark-submit"):
-        if c and os.access(c, os.X_OK):
+    cands = []
+    if os.environ.get("SPARK_HOME"):
+        cands.append(os.path.abspath(
+            os.path.join(os.environ["SPARK_HOME"], "bin", "spark-submit")))
+    cands.append("/opt/spark/bin/spark-submit")
+    for c in cands:
+        if os.access(c, os.X_OK):
             return c
     return None
 
