@@ -2582,6 +2582,26 @@ def q_store_bbox(spark, sf_dir):
     return bbox_query(spark, path, x0, y0, x1, y1).select("c_custkey", "lon", "lat")
 
 
+def q_store_compact(spark, sf_dir):
+    """Store compaction round trip (plans/store.compact_store — the
+    reference FSDS compact command): the Z2 store is written FRAGMENTED
+    (8 shuffle files per partition, the incremental-ingest aftermath),
+    compacted to one sorted file per hive partition (atomic-by-rename),
+    and the planned pruned bbox scan over the COMPACTED store must
+    return exactly the plain-filter row set — proves compaction loses
+    and invents nothing while restoring the one-file-per-partition
+    layout (asserted file counts in tests)."""
+    from geomesa_spark.plans.store import (bbox_query, compact_store,
+                                           write_indexed)
+
+    path = _store_tmp(sf_dir, "z2c")
+    write_indexed(_cust_points(spark, sf_dir).repartition(8), path)
+    compact_store(spark, path, ["z2_p"], sort_by=["z2_hex"])
+    x0, y0, x1, y1 = _STORE_BBOX
+    return (bbox_query(spark, path, x0, y0, x1, y1)
+            .select("c_custkey", "lon", "lat"))
+
+
 def q_store_attr(spark, sf_dir):
     """Attribute-index store round trip (plans/store.write_indexed_attr
     — the reference AttributeIndex's value-prefix + spatial-tier key,
@@ -3953,9 +3973,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-4 ROTATION NOTE: assuming r03 grades the first 50 of this list, the
 # still-never-graded set going into round 4 is the TAIL of this list from
-# position 51 ("store_s3") onward — 63 keys ending with the round-3
-# additions (... index_append, cube_stats, k_core). Rebuild this list at the
-# start of round 4 with that tail at the front; 63 > 50 driver slots, so 13
+# position 51 ("store_s3") onward — 64 keys ending with the round-3
+# additions (... cube_stats, k_core, store_compact). Rebuild this list at the
+# start of round 4 with that tail at the front; 64 > 50 driver slots, so 14
 # keys will still be ungraded going into round 5 — rotate those to the front
 # then. The authoritative recipe is to diff queries() against the union of
 # green rows in CORRECTNESS_r0*.json.
@@ -3987,6 +4007,7 @@ _NEVER_GRADED_R3 = [
     "trending_terms", "wat_export", "pagerank_pers", "store_ageoff",
     "degree_dist", "emb_outliers", "term_index", "index_phrase",
     "index_bm25", "index_append", "cube_stats", "k_core",
+    "store_compact",
 ]
 
 
@@ -4184,6 +4205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_append": q_index_append,
         "cube_stats": q_cube_stats,
         "k_core": q_k_core,
+        "store_compact": q_store_compact,
     })
 
 
@@ -7076,6 +7098,14 @@ def oracle_sql() -> dict[str, str]:
               AND lat >= -45.0 AND lat <= 45.0
         """,
         "store_bbox": f"""
+            WITH c AS ({_CUST_SQL})
+            SELECT c_custkey, lon, lat FROM c
+            WHERE lon >= {_STORE_BBOX[0]} AND lon <= {_STORE_BBOX[2]}
+              AND lat >= {_STORE_BBOX[1]} AND lat <= {_STORE_BBOX[3]}
+        """,
+        # store_compact: same plain-filter oracle as store_bbox — the
+        # compacted store must answer identically.
+        "store_compact": f"""
             WITH c AS ({_CUST_SQL})
             SELECT c_custkey, lon, lat FROM c
             WHERE lon >= {_STORE_BBOX[0]} AND lon <= {_STORE_BBOX[2]}
