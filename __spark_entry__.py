@@ -3957,6 +3957,111 @@ def q_chunk_text(spark, sf_dir):
     return chunk_text(docs, "doc_id", "text", chunk_tokens=40, overlap=10)
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix (operators/temporal.retention_cohorts):
+    first-seen week x active-week-age distinct-user counts, one-week
+    integer-microsecond buckets — all-integer arithmetic."""
+    from geomesa_spark.operators.temporal import retention_cohorts
+
+    ev = _t(spark, sf_dir, "events")
+    return retention_cohorts(ev, "user_id", "ts")
+
+
+def q_bearing_rose(spark, sf_dir):
+    """Per-cell travel-direction wind rose
+    (operators/trajectory.bearing_rose): great-circle initial bearing of
+    every consecutive track leg, 8 compass sectors, 45-degree grid."""
+    from geomesa_spark.operators.trajectory import bearing_rose
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"))
+    return bearing_rose(ev, "user_id", "ts", "event_id", "lon", "lat",
+                        cell_deg=45.0, sectors=8)
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Lexical hard-negative mining (operators/text.hard_negatives):
+    top-25 BM25 partial matches (>= 1 query term but not all) — the
+    contrastive-retrieval training-pair generator."""
+    from geomesa_spark.operators.text import hard_negatives
+
+    return hard_negatives(_docs(spark, sf_dir), "doc_id", "text",
+                          ["hash", "join", "vector"], k=25)
+
+
+def q_readability(spark, sf_dir):
+    """Flesch reading-ease curation signal (operators/text.readability):
+    map-only codegen HOF chain — exact integer counts, fixed-order
+    double score, float32 out."""
+    from geomesa_spark.operators.text import readability
+
+    return readability(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def q_zipf_fit(spark, sf_dir):
+    """Zipf rank-frequency OLS fit (operators/corpus.zipf_fit): one
+    combining token count, TakeOrderedAndProject top-100, ordered-fold
+    regression sums (the idw deterministic-fold convention)."""
+    from geomesa_spark.operators.corpus import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), "doc_id", "text", top_n=100)
+
+
+def q_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary growth (operators/corpus.heaps_law):
+    first-appearance min per token + broadcast threshold cross — the
+    no-prefix-rescan plan; all-integer outputs."""
+    from geomesa_spark.operators.corpus import heaps_law
+
+    return heaps_law(_docs(spark, sf_dir), "doc_id", "text", n_points=20)
+
+
+def q_transform_laea(spark, sf_dir):
+    """st_transform 4326 -> EPSG:3035 (Lambert Azimuthal Equal Area,
+    oblique ellipsoidal — Snyder 1987 §24 via geom/crs.laea_forward)
+    over the customers inside the ETRS grid's comfortable window.
+    float32 outputs absorb last-ulp libm divergence (the transform_3857
+    convention); the oracle replays the same Snyder chain with the
+    module's own float64 constants inlined, so the formula itself is
+    what's verified."""
+    from geomesa_spark.functions import register_functions
+
+    register_functions(spark)
+    _cust_points(spark, sf_dir).createOrReplaceTempView("__ptslaea__")
+    return spark.sql("""
+        SELECT c_custkey,
+               CAST(st_x(st_transform(st_makePoint(lon, lat),
+                                      'EPSG:4326', 'EPSG:3035')) AS FLOAT) AS ex32,
+               CAST(st_y(st_transform(st_makePoint(lon, lat),
+                                      'EPSG:4326', 'EPSG:3035')) AS FLOAT) AS ny32
+        FROM __ptslaea__
+        WHERE lon BETWEEN -10.0 AND 30.0 AND lat BETWEEN 35.0 AND 70.0
+    """)
+
+
+def q_transform_ps(spark, sf_dir):
+    """st_transform 4326 -> EPSG:3413 (NSIDC north polar stereographic,
+    variant B: scale true at 70N, lon0 = -45 — Snyder 1987 §21 via
+    geom/crs.ps_forward) over the high-latitude customers. Same
+    float32-output / inlined-constant oracle protocol as
+    q_transform_laea."""
+    from geomesa_spark.functions import register_functions
+
+    register_functions(spark)
+    _cust_points(spark, sf_dir).createOrReplaceTempView("__ptsps__")
+    return spark.sql("""
+        SELECT c_custkey,
+               CAST(st_x(st_transform(st_makePoint(lon, lat),
+                                      'EPSG:4326', 'EPSG:3413')) AS FLOAT) AS ex32,
+               CAST(st_y(st_transform(st_makePoint(lon, lat),
+                                      'EPSG:4326', 'EPSG:3413')) AS FLOAT) AS ny32
+        FROM __ptsps__
+        WHERE lat >= 60.0
+    """)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -3973,12 +4078,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #
 # ROUND-4 ROTATION NOTE: assuming r03 grades the first 50 of this list, the
 # still-never-graded set going into round 4 is the TAIL of this list from
-# position 51 ("store_s3") onward — 64 keys ending with the round-3
-# additions (... cube_stats, k_core, store_compact). Rebuild this list at the
-# start of round 4 with that tail at the front; 64 > 50 driver slots, so 14
-# keys will still be ungraded going into round 5 — rotate those to the front
-# then. The authoritative recipe is to diff queries() against the union of
-# green rows in CORRECTNESS_r0*.json.
+# position 51 ("store_s3") onward — 64 keys — PLUS the round-3 session
+# additions appended after the rotated block in queries() (transform_laea,
+# transform_ps, readability, zipf_fit, heaps_law, retention_cohorts,
+# bearing_rose, hard_negatives, ...): 72+ keys. Rebuild this list at the
+# start of round 4 with that tail at the front; 72 > 50 driver slots, so
+# ~22 keys will still be ungraded going into round 5 — rotate those to the
+# front then. The authoritative recipe is to diff queries() against the
+# union of green rows in CORRECTNESS_r0*.json.
 _NEVER_GRADED_R3 = [
     "minhash_pairs", "simhash_pairs", "lsh_ann", "ivf_ann", "sketches",
     "geoparse_pages", "store_bbox", "store_stbox", "store_xz2", "store_s2",
@@ -4206,6 +4313,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_stats": q_cube_stats,
         "k_core": q_k_core,
         "store_compact": q_store_compact,
+        "transform_laea": q_transform_laea,
+        "transform_ps": q_transform_ps,
+        "readability": q_readability,
+        "zipf_fit": q_zipf_fit,
+        "heaps_law": q_heaps_law,
+        "retention_cohorts": q_retention_cohorts,
+        "bearing_rose": q_bearing_rose,
+        "hard_negatives": q_hard_negatives,
     })
 
 
@@ -5968,6 +6083,102 @@ _GEOFENCE_VISITS_SQL = f"""e AS ({_EVT_SQL}), rects AS ({_NATION_SQL}),
                   FROM g)"""
 
 
+def _sql_hard_negatives(terms: list[str], k: int,
+                        k1: float = 1.2, b: float = 0.75) -> str:
+    """DuckDB mirror of text.hard_negatives — the shared _bm25_ctes
+    prefix, the not-all-terms exclusion over the same tf columns, and
+    the float32-key top-k with id tie-break (the index_bm25 spelling)."""
+    all_tf = " AND ".join(f"base.tf{i} > 0" for i in range(len(terms)))
+    return f"""
+        WITH {_bm25_ctes(terms, k1, b)},
+        neg AS (SELECT s.doc_id, s.dl, s.score32
+                FROM s JOIN base USING (doc_id)
+                WHERE s.score32 > 0 AND NOT ({all_tf}))
+        SELECT doc_id, dl, score32,
+               CAST(row_number() OVER (ORDER BY score32 DESC, doc_id ASC)
+                    AS INTEGER) AS rank
+        FROM neg ORDER BY score32 DESC, doc_id ASC LIMIT {int(k)}
+    """
+
+
+def _sql_transform_laea() -> str:
+    """DuckDB mirror of geom/crs.laea_forward (EPSG:3035) — the Snyder
+    §24 chain replayed term-for-term with the module's own float64
+    scalar constants inlined (same doubles the pandas UDF multiplies
+    by), float32 outputs absorbing last-ulp libm spread."""
+    from geomesa_spark.geom import crs as C
+
+    kw = C.LAEA_CRS["3035"]
+    beta0, rq, d = C._laea_consts(kw["lat0"])
+    sb0 = float(np.sin(beta0))
+    cb0 = float(np.cos(beta0))
+    lam0 = float(np.radians(kw["lon0"]))
+    one_e2 = 1.0 - float(C._E2)
+    inv2e = 1.0 / (2.0 * float(C._E))
+    e, e2, qp = float(C._E), float(C._E2), float(C._QP)
+    fe, fn = kw["fe"], kw["fn"]
+    return f"""
+        WITH pts AS ({_CUST_SQL}),
+        f AS (SELECT c_custkey,
+                     radians(lon) - ({lam0!r}) AS lam,
+                     sin(radians(lat)) AS sp
+              FROM pts
+              WHERE lon BETWEEN -10.0 AND 30.0 AND lat BETWEEN 35.0 AND 70.0),
+        q AS (SELECT c_custkey, lam,
+                     {one_e2!r} * (sp / (1.0 - {e2!r} * sp * sp)
+                       - {inv2e!r} * ln((1.0 - {e!r} * sp)
+                                        / (1.0 + {e!r} * sp))) AS qv
+              FROM f),
+        bb AS (SELECT c_custkey, lam,
+                      asin(least(greatest(qv / {qp!r}, -1.0), 1.0)) AS beta
+               FROM q),
+        tr AS (SELECT c_custkey, lam, sin(beta) AS sb, cos(beta) AS cb
+               FROM bb),
+        bv AS (SELECT c_custkey, lam, sb, cb,
+                      {float(rq)!r} * sqrt(2.0 / (1.0 + {sb0!r} * sb
+                        + {cb0!r} * cb * cos(lam))) AS b
+               FROM tr)
+        SELECT c_custkey,
+               CAST({fe!r} + b * {float(d)!r} * cb * sin(lam) AS REAL) AS ex32,
+               CAST({fn!r} + (b / {float(d)!r})
+                    * ({cb0!r} * sb - {sb0!r} * cb * cos(lam)) AS REAL) AS ny32
+        FROM bv
+    """
+
+
+def _sql_transform_ps() -> str:
+    """DuckDB mirror of geom/crs.ps_forward (EPSG:3413, north variant B)
+    — Snyder §21 replayed with inlined float64 constants, float32 out."""
+    from geomesa_spark.geom import crs as C
+
+    kw = C.PS_CRS["3413"]
+    lam0 = float(np.radians(kw["lon0"]))
+    pi4 = float(np.pi / 4.0)
+    eh = float(C._E / 2.0)
+    e = float(C._E)
+    c2ak0 = 2.0 * C._A * kw["k0"]
+    psk = float(C._PS_K)
+    return f"""
+        WITH pts AS ({_CUST_SQL}),
+        f AS (SELECT c_custkey,
+                     radians(lon) - ({lam0!r}) AS lam,
+                     radians(lat) AS phi,
+                     sin(radians(lat)) AS sp
+              FROM pts WHERE lat >= 60.0),
+        tv AS (SELECT c_custkey, lam,
+                      tan({pi4!r} - phi / 2.0)
+                        * pow((1.0 + {e!r} * sp) / (1.0 - {e!r} * sp),
+                              {eh!r}) AS t
+               FROM f),
+        rv AS (SELECT c_custkey, lam, ({c2ak0!r} * t) / {psk!r} AS rho
+               FROM tv)
+        SELECT c_custkey,
+               CAST(0.0 + rho * sin(lam) AS REAL) AS ex32,
+               CAST(0.0 - rho * cos(lam) AS REAL) AS ny32
+        FROM rv
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     z2 = tg.sql_z2_cell("lon", "lat", 8)
     gh = tg.sql_geohash("lon", "lat", 6)
@@ -7164,6 +7375,126 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ln(tan(pi() / 4.0 + radians(lat) / 2.0)) * 6378137.0 AS REAL) AS my32
             FROM pts
             WHERE abs(lat) <= 85.055
+        """,
+        "transform_laea": _sql_transform_laea(),
+        "transform_ps": _sql_transform_ps(),
+        "retention_cohorts": """
+            WITH uw AS (SELECT DISTINCT user_id,
+                               CAST(floor(epoch_us(ts) / 604800000000.0)
+                                    AS BIGINT) AS wk
+                        FROM events),
+            c AS (SELECT user_id, min(wk) AS cohort_week
+                  FROM uw GROUP BY user_id)
+            SELECT c.cohort_week, uw.wk - c.cohort_week AS age_weeks,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM uw JOIN c USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "bearing_rose": f"""
+            WITH e AS ({_EVT_SQL}),
+            legs AS (SELECT lon, lat,
+                            lead(lon) OVER w AS nlon,
+                            lead(lat) OVER w AS nlat
+                     FROM e WINDOW w AS (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC)),
+            d AS (SELECT lon, lat,
+                         atan2(sin(radians(nlon) - radians(lon))
+                                 * cos(radians(nlat)),
+                               cos(radians(lat)) * sin(radians(nlat))
+                                 - sin(radians(lat)) * cos(radians(nlat))
+                                   * cos(radians(nlon) - radians(lon)))
+                           * 57.29577951308232 AS deg
+                  FROM legs WHERE nlon IS NOT NULL),
+            bb AS (SELECT lon, lat,
+                          CAST(CASE WHEN deg < 0 THEN deg + 360.0
+                                    ELSE deg END AS REAL) AS bear32
+                   FROM d)
+            SELECT CAST(least(floor((lon + 180.0) / 45.0), 7) AS INTEGER)
+                     AS cx,
+                   CAST(least(floor((lat + 90.0) / 45.0), 3) AS INTEGER)
+                     AS cy,
+                   CAST(least(floor(CAST(bear32 AS DOUBLE) / 45.0), 7)
+                        AS INTEGER) AS sector,
+                   CAST(count(*) AS BIGINT) AS n_legs
+            FROM bb GROUP BY 1, 2, 3
+        """,
+        "hard_negatives": _sql_hard_negatives(["hash", "join", "vector"],
+                                              k=25),
+        "readability": """
+            WITH d AS (SELECT doc_id, text,
+                              regexp_split_to_array(trim(lower(text)), '\\s+')
+                                AS toks
+                       FROM documents),
+            s AS (SELECT doc_id,
+                         CAST(len(toks) AS BIGINT) AS n_words,
+                         CAST(greatest(1, len(regexp_extract_all(text,
+                              '[.!?]+'))) AS BIGINT) AS n_sent,
+                         CAST(list_sum(list_transform(toks,
+                              w -> greatest(1, len(regexp_extract_all(w,
+                                   '[aeiouy]+'))))) AS BIGINT) AS n_syll
+                  FROM d)
+            SELECT doc_id, n_words, n_sent, n_syll,
+                   CAST(206.835 - 1.015 * (n_words / n_sent)
+                                - 84.6 * (n_syll / n_words) AS REAL)
+                     AS flesch32
+            FROM s
+        """,
+        "zipf_fit": """
+            WITH d AS (SELECT regexp_split_to_array(trim(lower(text)), '\\s+')
+                                AS toks
+                       FROM documents),
+            u AS (SELECT unnest(toks) AS w FROM d),
+            f AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM u GROUP BY w),
+            top AS (SELECT w, n FROM f ORDER BY n DESC, w ASC LIMIT 100),
+            r AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, w ASC)
+                              AS INTEGER) AS rank, n
+                  FROM top),
+            l AS (SELECT rank, ln(CAST(rank AS DOUBLE)) AS lx,
+                         ln(CAST(n AS DOUBLE)) AS ly
+                  FROM r),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n_top,
+                         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list(lx ORDER BY rank)), (a, x) -> a + x) AS sx,
+                         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list(ly ORDER BY rank)), (a, x) -> a + x) AS sy,
+                         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list(lx * ly ORDER BY rank)), (a, x) -> a + x)
+                           AS sxy,
+                         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list(lx * lx ORDER BY rank)), (a, x) -> a + x)
+                           AS sxx
+                  FROM l)
+            SELECT n_top,
+                   CAST((CAST(n_top AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n_top AS DOUBLE) * sxx - sx * sx) AS REAL)
+                     AS slope32,
+                   CAST((sy - ((CAST(n_top AS DOUBLE) * sxy - sx * sy)
+                               / (CAST(n_top AS DOUBLE) * sxx - sx * sx))
+                              * sx) / CAST(n_top AS DOUBLE) AS REAL)
+                     AS intercept32
+            FROM s
+        """,
+        "heaps_law": """
+            WITH b AS (SELECT min(doc_id) AS lo, max(doc_id) AS hi
+                       FROM documents),
+            t AS (SELECT DISTINCT lo + (hi - lo) * (i + 1) // 20
+                           AS threshold_doc
+                  FROM b, range(20) AS r(i)),
+            d AS (SELECT doc_id,
+                         regexp_split_to_array(trim(lower(text)), '\\s+')
+                           AS toks
+                  FROM documents),
+            u AS (SELECT doc_id, unnest(toks) AS w FROM d),
+            fst AS (SELECT w, min(doc_id) AS fdoc FROM u GROUP BY w),
+            vc AS (SELECT t.threshold_doc, CAST(count(*) AS BIGINT) AS vocab
+                   FROM fst f JOIN t ON f.fdoc <= t.threshold_doc
+                   GROUP BY t.threshold_doc),
+            nd AS (SELECT t.threshold_doc, CAST(count(*) AS BIGINT) AS n_docs
+                   FROM documents d2 JOIN t ON d2.doc_id <= t.threshold_doc
+                   GROUP BY t.threshold_doc)
+            SELECT nd.threshold_doc, nd.n_docs,
+                   COALESCE(vc.vocab, CAST(0 AS BIGINT)) AS vocab
+            FROM nd LEFT JOIN vc USING (threshold_doc)
         """,
         "semantic_dedup": _sql_semantic_dedup(),
         "emb_outliers": _sql_emb_outliers(),

@@ -51,6 +51,7 @@ __all__ = [
     "mixing_stats", "word_ngrams", "tfidf_topk_terms", "unigram_logprob",
     "normalize_url", "write_shards", "duplicated_ngram_fraction",
     "bigram_logprob", "collocations", "dsir_weights",
+    "zipf_fit", "heaps_law",
     "pack_sequences", "redact_pii", "pii_stats", "incremental_dedup",
     "gopher_quality", "chunk_text", "quality_classifier",
     "extract_html_text", "extract_main_content", "html_escape", "wrap_html",
@@ -904,6 +905,106 @@ def collocations(docs: DataFrame, id_col: str, text_col: str,
     out = (topk.withColumn("rank", F.row_number().over(win))
                .select("w1", "w2", "n_pair", "ratio32", "rank"))
     return _attach_cached(out, uni)
+
+
+def zipf_fit(docs: DataFrame, id_col: str, text_col: str,
+             top_n: int = 100) -> DataFrame:
+    """Zipf's-law fit over the corpus unigram distribution: OLS of
+    ln(frequency) on ln(rank) across the ``top_n`` most frequent
+    tokens — the standard corpus-health diagnostic (natural text slopes
+    ~ -1; template/boilerplate-heavy or deduplicated-to-death corpora
+    drift visibly). Returns one row (n_top, slope32, intercept32).
+
+    Scale shape: one explode + combining count per token (the
+    collocations unigram pass), global top-n via ``orderBy().limit``
+    (TakeOrderedAndProject), rank attached over the n survivors only,
+    then one tiny aggregation. The four OLS sums are ordered left folds
+    over the rank-sorted n-row list (collect_list + array_sort +
+    F.aggregate — the idw deterministic-fold convention) so the double
+    chain is bit-reproducible in any engine; ln ulps are absorbed by
+    the float32 outputs.
+    """
+    if top_n < 2:
+        raise ValueError(f"zipf_fit needs top_n >= 2, got {top_n}")
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    freq = (docs.select(F.explode(words).alias("w"))
+                .groupBy("w").agg(F.count("*").alias("n")))
+    order = [F.col("n").desc(), F.col("w").asc()]
+    top = freq.orderBy(*order).limit(int(top_n))
+    win = Window.partitionBy(F.lit(0)).orderBy(*order)
+    ranked = (top.withColumn("rank", F.row_number().over(win))
+                 .select("rank",
+                         F.log(F.col("rank").cast("double")).alias("lx"),
+                         F.log(F.col("n").cast("double")).alias("ly")))
+    arr = F.array_sort(F.collect_list(F.struct("rank", "lx", "ly")))
+
+    def _fold(a, field):
+        return F.aggregate(a, F.lit(0.0),
+                           lambda acc, s: acc + s.getField(field))
+
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_top"),
+        _fold(arr, "lx").alias("sx"),
+        _fold(arr, "ly").alias("sy"),
+        F.aggregate(arr, F.lit(0.0),
+                    lambda acc, s: acc + s.getField("lx")
+                    * s.getField("ly")).alias("sxy"),
+        F.aggregate(arr, F.lit(0.0),
+                    lambda acc, s: acc + s.getField("lx")
+                    * s.getField("lx")).alias("sxx"))
+    nn = F.col("n_top").cast("double")
+    slope = ((nn * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (nn * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return agg.select(
+        "n_top",
+        slope.cast("float").alias("slope32"),
+        ((F.col("sy") - slope * F.col("sx")) / nn)
+        .cast("float").alias("intercept32"))
+
+
+def heaps_law(docs: DataFrame, id_col: str, text_col: str,
+              n_points: int = 20) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct-vocabulary size as a
+    function of corpus prefix size, at ``n_points`` evenly spaced
+    document-id thresholds — the other classic corpus diagnostic
+    (vocabulary should keep growing ~ n^beta; a flattening curve means
+    the crawl is re-reading the same template text).
+
+    The curve is computed WITHOUT any prefix re-scan: vocabulary first
+    appearance is ``min(doc_id)`` per token (one combining agg over the
+    exploded corpus — the only corpus-sized pass), and
+    ``vocab(t) = #{tokens: first_doc <= t}`` needs only that
+    token-level frame crossed with the tiny broadcast threshold list
+    (n_points rows) and one combining count per threshold. Document
+    counts per threshold come the same way from the distinct doc-id
+    frame. Returns (threshold_doc, n_docs, vocab) — all exact integers.
+    """
+    if n_points < 1:
+        raise ValueError(f"heaps_law needs n_points >= 1, got {n_points}")
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    spark = docs.sparkSession
+    lo, hi = docs.agg(F.min(id_col), F.max(id_col)).first()
+    if lo is None:
+        return spark.createDataFrame(
+            [], "threshold_doc long, n_docs long, vocab long")
+    # n_points evenly spaced id thresholds, always ending at hi
+    ths = sorted({int(lo) + (int(hi) - int(lo)) * (i + 1) // int(n_points)
+                  for i in range(int(n_points))})
+    tdf = F.broadcast(spark.createDataFrame(
+        [(t,) for t in ths], "threshold_doc long"))
+    first = (docs.select(F.col(id_col).alias("__id__"),
+                         F.explode(words).alias("w"))
+                 .groupBy("w").agg(F.min("__id__").alias("fdoc")))
+    vocab = (first.join(tdf, F.col("fdoc") <= F.col("threshold_doc"))
+                  .groupBy("threshold_doc")
+                  .agg(F.count("*").alias("vocab")))
+    ndocs = (docs.select(F.col(id_col).alias("__id__"))
+                 .join(tdf, F.col("__id__") <= F.col("threshold_doc"))
+                 .groupBy("threshold_doc")
+                 .agg(F.count("*").alias("n_docs")))
+    return (ndocs.join(vocab, "threshold_doc", "left")
+                 .select("threshold_doc", "n_docs",
+                         F.coalesce("vocab", F.lit(0)).alias("vocab")))
 
 
 _DSIR_P31 = (1 << 31) - 1   # Mersenne-31 modulus of the feature hash

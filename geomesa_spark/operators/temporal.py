@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["asof_join", "sessionize", "session_stats", "interval_join",
-           "funnel", "transition_matrix"]
+           "funnel", "transition_matrix", "retention_cohorts"]
 
 
 def transition_matrix(df: DataFrame, key_col: str, ts_col: str,
@@ -290,3 +290,34 @@ def session_stats(df: DataFrame, key_col: str, ts_col: str,
              .agg(F.count("*").alias("n_events"),
                   F.min(ts_col).alias("t_start"),
                   F.max(ts_col).alias("t_end")))
+
+
+def retention_cohorts(df: DataFrame, key_col: str, ts_col: str,
+                      bucket_us: int = 604_800_000_000) -> DataFrame:
+    """Cohort retention matrix — the classic activity-analytics rollup:
+    users bucketed by their first-seen period (``cohort_week``), counted
+    in every later period they were active in (``age_weeks`` = periods
+    since the cohort period). ``bucket_us`` is the period length in
+    exact integer microseconds (default one week).
+
+    Scale shape: one distinct on (key, period) — the only corpus-sized
+    shuffle, keyed by the pair so map-side partial dedup absorbs
+    per-user repetition; a combining min per key for the cohort; a join
+    keyed by the user; a final combining count per (cohort, age) cell.
+    All-integer arithmetic (the epoch_us convention), so any SQL engine
+    replays it exactly.
+    """
+    if bucket_us <= 0:
+        raise ValueError(f"bucket_us must be positive, got {bucket_us}")
+    epoch = F.lit("1970-01-01 00:00:00").cast(
+        df.schema[ts_col].dataType.simpleString())
+    tus = F.timestamp_diff("MICROSECOND", epoch, F.col(ts_col))
+    wk = F.floor(tus / F.lit(float(bucket_us))).cast("long")
+    uw = df.select(F.col(key_col), wk.alias("__wk__")).distinct()
+    cohort = uw.groupBy(key_col).agg(F.min("__wk__").alias("cohort_week"))
+    return (uw.join(cohort, key_col)
+              .groupBy("cohort_week",
+                       (F.col("__wk__") - F.col("cohort_week"))
+                       .alias("age_weeks"))
+              # (key, period) is distinct, so plain count == distinct users
+              .agg(F.count("*").alias("n_users")))

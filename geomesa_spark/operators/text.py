@@ -19,6 +19,7 @@ __all__ = [
     "token_count", "approx_bpe_tokens", "text_stats", "quality_score",
     "repetition_stats", "langid_udf", "fingerprint_udf", "bm25_score",
     "phrase_search", "geo_search", "script_mix", "bm25_score_expr",
+    "readability", "hard_negatives",
 ]
 
 
@@ -86,6 +87,50 @@ def quality_score(df: DataFrame, id_col: str, text_col: str,
         punct_ok.alias("punct_ok"), rep_ok.alias("rep_ok"),
         score.alias("quality_score"),
     )
+
+
+def readability(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic prose-difficulty
+    score used as a curation signal in web-corpus quality pipelines
+    (readable prose scores ~60-80; tables/code/keyword-stuffed pages
+    score far lower or negative):
+
+        flesch = 206.835 - 1.015 * (words/sentences)
+                         - 84.6  * (syllables/words)
+
+    Counting conventions (identical in the Java-regex and RE2/DuckDB
+    dialects so oracles replay them verbatim):
+
+    - words: whitespace-split of the trimmed lowercased text (the
+      bm25/text_stats tokenization — one shared spelling);
+    - sentences: runs of terminal punctuation ``[.!?]+`` in the raw
+      text, floored at 1;
+    - syllables: vowel-group runs ``[aeiouy]+`` per word, floored at 1
+      per word (the standard cheap syllable estimator).
+
+    Scale shape: one map-only pass, every expression a built-in
+    higher-order function in whole-stage codegen — no shuffle, no
+    Python. The counts are exact integers; the score is a fixed-order
+    double chain over integer ratios (IEEE-exact in any engine), cast
+    to float32 on output per the repo convention.
+    """
+    t = F.col(text_col)
+    words = F.split(F.trim(F.lower(t)), r"\s+")
+    n_words = F.size(words).cast("long")
+    n_sent = F.greatest(
+        F.lit(1),
+        F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0))).cast("long")
+    n_syll = F.aggregate(
+        words, F.lit(0).cast("long"),
+        lambda acc, w: acc + F.greatest(
+            F.lit(1), F.size(F.regexp_extract_all(w, F.lit(r"[aeiouy]+"), 0))))
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * (F.col("n_words") / F.col("n_sent"))
+              - F.lit(84.6) * (F.col("n_syll") / F.col("n_words")))
+    return (df.select(F.col(id_col), n_words.alias("n_words"),
+                      n_sent.alias("n_sent"), n_syll.alias("n_syll"))
+              .select(id_col, "n_words", "n_sent", "n_syll",
+                      flesch.cast("float").alias("flesch32")))
 
 
 # --- language ID -----------------------------------------------------------
@@ -315,6 +360,63 @@ def bm25_score(docs: DataFrame, id_col: str, text_col: str,
     out = scored.select(F.col(id_col), F.col("dl"),
                         score.cast("float").alias("score32"))
     return attach_cached(out.filter(F.col("score32") > 0), base)
+
+
+def hard_negatives(docs: DataFrame, id_col: str, text_col: str,
+                   terms: list[str], k: int = 25,
+                   k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Lexical hard-negative mining for retrieval training: the top-k
+    BM25-scored documents that match AT LEAST ONE query term but NOT
+    ALL of them — high-scoring partial matches, exactly the confusable
+    negatives contrastive retrievers train against (full matches are
+    presumed positives and excluded).
+
+    Scale shape: the single bm25_score tokenize pass (the per-term tf
+    columns it already computes drive both the score and the
+    all-terms exclusion — no second corpus scan), broadcast corpus
+    stats, then a global top-k via ``orderBy().limit(k)``
+    (TakeOrderedAndProject) with rank attached over only the k
+    survivors (the geo_search convention). Returns
+    (id, dl, score32, rank).
+
+    Exactness: same contract as :func:`bm25_score` — exact integer
+    stats, float32 score absorbing ln ulps, rank by the float32 key
+    with an id tie-break.
+    """
+    if k < 1:
+        raise ValueError(f"hard_negatives needs k >= 1, got {k}")
+    if not terms:
+        raise ValueError("hard_negatives needs at least one query term")
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = docs.select(F.col(id_col), toks.alias("__toks__"))
+    base = base.withColumn("dl", F.size("__toks__").cast("long"))
+    for i, t in enumerate(terms):
+        tl = str(t).lower()
+        tf = F.size(F.filter("__toks__", lambda x: x == F.lit(tl)))
+        base = base.withColumn(f"tf{i}", tf.cast("long"))
+    base = base.drop("__toks__").persist()
+    g = base.agg(
+        F.count("*").alias("n"),
+        F.sum("dl").alias("sdl"),
+        *[F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+          for i in range(len(terms))])
+    scored = base.crossJoin(F.broadcast(g))
+    score = bm25_score_expr(len(terms), k1=k1, b=b)
+    has_all = F.lit(True)
+    for i in range(len(terms)):
+        has_all = has_all & (F.col(f"tf{i}") > 0)
+    neg = (scored.select(F.col(id_col), F.col("dl"),
+                         score.cast("float").alias("score32"),
+                         has_all.alias("__all__"))
+                 .filter((F.col("score32") > 0) & ~F.col("__all__"))
+                 .drop("__all__"))
+    order = [F.col("score32").desc(), F.col(id_col).asc()]
+    topk = neg.orderBy(*order).limit(int(k))
+    win = Window.partitionBy(F.lit(0)).orderBy(*order)
+    return attach_cached(topk.withColumn("rank", F.row_number().over(win)),
+                         base)
 
 
 def phrase_search(docs: DataFrame, id_col: str, text_col: str,

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
 __all__ = ["hausdorff_join", "frechet_join", "co_travel",
-           "simplify_tracks", "convoys"]
+           "simplify_tracks", "convoys", "bearing_rose"]
 
 
 def _disk_cover_udf(eps_deg: float, level: int):
@@ -439,3 +439,70 @@ def convoys(fixes: DataFrame, track_col: str, ts_col: str,
                 .select(F.col("ta").alias("track_a"),
                         F.col("tb").alias("track_b"),
                         "start_bin", "end_bin", "run_len"))
+
+
+def bearing_rose(fixes: DataFrame, track_col: str, ts_col: str,
+                 order_col: str, lon_col: str, lat_col: str,
+                 cell_deg: float = 45.0, sectors: int = 8) -> DataFrame:
+    """Wind-rose of travel directions: every consecutive leg of every
+    track contributes its great-circle initial bearing (Snyder/aviation
+    forward-azimuth formula), binned into ``sectors`` compass sectors
+    and rolled up per coarse lon/lat grid cell — "which way does
+    traffic flow through this cell", the movement-analytics complement
+    of the density surfaces in operators/tiling.
+
+        theta = atan2(sin dlam * cos lat2,
+                      cos lat1 * sin lat2 - sin lat1 * cos lat2 * cos dlam)
+
+    Scale shape: one lead() window per track (partitioned by the track
+    key — never global), map-only trig in whole-stage codegen, one
+    combining count per (cell, sector). Returns (cx, cy, sector,
+    n_legs).
+
+    Exactness: the bearing double chain is engine-exact (the
+    dwithin_sphere trig convention); the float32 cast before sector
+    binning absorbs any last-ulp spread, and the normalization is an
+    explicit conditional add (``deg < 0 ? deg + 360 : deg``) that any
+    SQL engine replays bit-for-bit. The sector index is clamped to
+    ``sectors - 1`` (a float32 round-up can land exactly on 360.0f).
+    Cell indices are exact linear arithmetic (the tile_density
+    convention).
+    """
+    if sectors < 1:
+        raise ValueError(f"bearing_rose needs sectors >= 1, got {sectors}")
+    if cell_deg <= 0:
+        raise ValueError(f"cell_deg must be positive, got {cell_deg}")
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(track_col)
+               .orderBy(F.col(ts_col).asc(), F.col(order_col).asc()))
+    nlon = F.lead(lon_col).over(w)
+    nlat = F.lead(lat_col).over(w)
+    la1 = F.radians(F.col(lat_col))
+    la2 = F.radians(nlat)
+    dl = F.radians(nlon) - F.radians(F.col(lon_col))
+    theta = F.atan2(F.sin(dl) * F.cos(la2),
+                    F.cos(la1) * F.sin(la2)
+                    - F.sin(la1) * F.cos(la2) * F.cos(dl))
+    # degrees spelled as one inline double constant (180/pi) so the
+    # oracle multiplies by the identical literal
+    deg = theta * F.lit(57.29577951308232)
+    bear32 = F.when(deg < 0, deg + F.lit(360.0)).otherwise(deg).cast("float")
+    nx = int(round(360.0 / cell_deg))
+    ny = int(round(180.0 / cell_deg))
+    legs = (fixes.select(F.col(lon_col).alias("__lon__"),
+                         F.col(lat_col).alias("__lat__"),
+                         nlon.alias("__nlon__"),
+                         bear32.alias("__bear32__"))
+                 .filter(F.col("__nlon__").isNotNull()))
+    sector = F.least(F.floor(F.col("__bear32__").cast("double")
+                             / F.lit(360.0 / float(sectors))),
+                     F.lit(sectors - 1)).cast("int")
+    cx = F.least(F.floor((F.col("__lon__") + 180.0) / F.lit(float(cell_deg))),
+                 F.lit(nx - 1)).cast("int")
+    cy = F.least(F.floor((F.col("__lat__") + 90.0) / F.lit(float(cell_deg))),
+                 F.lit(ny - 1)).cast("int")
+    return (legs.select(cx.alias("cx"), cy.alias("cy"),
+                        sector.alias("sector"))
+                .groupBy("cx", "cy", "sector")
+                .agg(F.count("*").alias("n_legs")))

@@ -1,0 +1,246 @@
+"""Round-3 operator unit tests: readability, zipf_fit, heaps_law,
+retention_cohorts, bearing_rose, hard_negatives — brute-force / known-value
+equivalence checks (the oracle mirror in test_entry_oracle.py covers the
+cross-engine contract; these pin the operator semantics directly)."""
+
+import datetime as dt
+import math
+import re
+
+import numpy as np
+import pytest
+
+
+def _ts(m, s=0):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=m, seconds=s)
+
+
+# ---------------------------------------------------------------------------
+# readability
+
+def _flesch_ref(text):
+    words = [w for w in text.strip().lower().split()]
+    if text.strip() == "":
+        words = [""]
+    n_words = len(words)
+    n_sent = max(1, len(re.findall(r"[.!?]+", text)))
+    n_syll = sum(max(1, len(re.findall(r"[aeiouy]+", w))) for w in words)
+    score = 206.835 - 1.015 * (n_words / n_sent) - 84.6 * (n_syll / n_words)
+    return n_words, n_sent, n_syll, score
+
+
+@pytest.mark.parametrize("text", [
+    "The cat sat on the mat. It was happy!",
+    "One two three",
+    "Antidisestablishmentarianism notwithstanding, brevity wins. Yes? Yes.",
+    "xyz qrst bcdfg",          # no vowels: 1 syllable per word floor
+])
+def test_readability_matches_reference(spark, text):
+    from geomesa_spark.operators.text import readability
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = readability(df, "doc_id", "text").collect()[0]
+    nw, ns, sy, score = _flesch_ref(text)
+    assert (row.n_words, row.n_sent, row.n_syll) == (nw, ns, sy)
+    assert row.flesch32 == pytest.approx(score, rel=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit
+
+def test_zipf_fit_matches_numpy_ols(spark):
+    from geomesa_spark.operators.corpus import zipf_fit
+
+    # known frequencies: a x8, b x4, c x2, d x1
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = zipf_fit(df, "doc_id", "text", top_n=10).collect()[0]
+    freqs = [8, 4, 2, 1]
+    x = np.log(np.arange(1, 5, dtype=float))
+    y = np.log(np.array(freqs, dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert row.n_top == 4
+    assert row.slope32 == pytest.approx(slope, rel=1e-5)
+    assert row.intercept32 == pytest.approx(intercept, rel=1e-5)
+
+
+def test_zipf_fit_tie_break_on_token(spark):
+    from geomesa_spark.operators.corpus import zipf_fit
+
+    # all equal frequency: top_n cut must be deterministic (token asc)
+    df = spark.createDataFrame([(1, "z y x w v u")],
+                               "doc_id long, text string")
+    row = zipf_fit(df, "doc_id", "text", top_n=3).collect()[0]
+    # freqs all 1 -> ly = 0 everywhere -> slope 0, intercept 0
+    assert row.n_top == 3
+    assert row.slope32 == pytest.approx(0.0, abs=1e-7)
+    assert row.intercept32 == pytest.approx(0.0, abs=1e-7)
+
+    with pytest.raises(ValueError):
+        zipf_fit(df, "doc_id", "text", top_n=1)
+
+
+# ---------------------------------------------------------------------------
+# heaps_law
+
+def test_heaps_law_brute_force(spark):
+    from geomesa_spark.operators.corpus import heaps_law
+
+    docs = [(1, "a b c"), (2, "a b"), (3, "d"), (4, "e a"), (10, "f f g")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.threshold_doc: (r.n_docs, r.vocab)
+           for r in heaps_law(df, "doc_id", "text", n_points=4).collect()}
+    # thresholds: 1 + (10-1)*(i+1)//4 for i in 0..3 -> {3, 5, 7, 10}
+    assert set(out) == {3, 5, 7, 10}
+
+    def brute(t):
+        seen = set()
+        nd = 0
+        for d, txt in docs:
+            if d <= t:
+                nd += 1
+                seen.update(txt.strip().lower().split())
+        return nd, len(seen)
+
+    for t in out:
+        assert out[t] == brute(t)
+
+
+def test_heaps_law_empty_and_validation(spark):
+    from geomesa_spark.operators.corpus import heaps_law
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert heaps_law(empty, "doc_id", "text").count() == 0
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        heaps_law(df, "doc_id", "text", n_points=0)
+
+
+# ---------------------------------------------------------------------------
+# retention_cohorts
+
+def test_retention_cohorts_brute_force(spark):
+    from geomesa_spark.operators.temporal import retention_cohorts
+
+    day = 86_400_000_000
+    rows = [
+        (1, _ts(0)),                      # u1 day 0
+        (1, _ts(0, 30)),                  # same day (dedup)
+        (1, _ts(2 * 1440)),               # u1 day 2
+        (2, _ts(1 * 1440)),               # u2 day 1
+        (2, _ts(3 * 1440)),               # u2 day 3
+        (3, _ts(1 * 1440)),               # u3 day 1 only
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {(r.cohort_week, r.age_weeks): r.n_users
+           for r in retention_cohorts(df, "user_id", "ts",
+                                      bucket_us=day).collect()}
+    base_day = int(dt.datetime(2024, 1, 1)
+                   .replace(tzinfo=dt.timezone.utc).timestamp()
+                   * 1_000_000) // day
+    assert out == {
+        (base_day, 0): 1,       # u1 cohort day0 active day0
+        (base_day, 2): 1,       # u1 day2
+        (base_day + 1, 0): 2,   # u2+u3 cohort day1
+        (base_day + 1, 2): 1,   # u2 day3
+    }
+    with pytest.raises(ValueError):
+        retention_cohorts(df, "user_id", "ts", bucket_us=0)
+
+
+# ---------------------------------------------------------------------------
+# bearing_rose
+
+def _bearing_deg(lon1, lat1, lon2, lat2):
+    la1, la2 = math.radians(lat1), math.radians(lat2)
+    dl = math.radians(lon2) - math.radians(lon1)
+    th = math.atan2(math.sin(dl) * math.cos(la2),
+                    math.cos(la1) * math.sin(la2)
+                    - math.sin(la1) * math.cos(la2) * math.cos(dl))
+    d = math.degrees(th)
+    return d + 360.0 if d < 0 else d
+
+
+def test_bearing_rose_known_directions(spark):
+    from geomesa_spark.operators.trajectory import bearing_rose
+
+    # one track through 4 cardinal moves from (0, 0)
+    rows = [
+        (1, 1, _ts(0), 0.0, 0.0),
+        (2, 1, _ts(1), 0.0, 1.0),    # due north  -> sector 0
+        (3, 1, _ts(2), 1.0, 1.0),    # ~east      -> sector 2
+        (4, 1, _ts(3), 1.0, 0.0),    # due south  -> sector 4
+        (5, 1, _ts(4), 0.0, 0.0),    # ~west      -> sector 6
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "lon double, lat double")
+    out = {}
+    for r in bearing_rose(df, "user_id", "ts", "event_id",
+                          "lon", "lat").collect():
+        out[(r.cx, r.cy, r.sector)] = r.n_legs
+    # all legs start in cell (4, 2) = lon [0,45), lat [0,45)
+    exp = {}
+    for (lo1, la1), (lo2, la2) in zip([(0, 0), (0, 1), (1, 1), (1, 0)],
+                                      [(0, 1), (1, 1), (1, 0), (0, 0)]):
+        s = min(int(_bearing_deg(lo1, la1, lo2, la2) // 45), 7)
+        exp[(4, 2, s)] = exp.get((4, 2, s), 0) + 1
+    assert out == exp
+    # the eastbound leg starts at lat 1N: its great-circle initial
+    # bearing is just UNDER 90 (the great circle bows poleward), so it
+    # lands in sector 1; due north/south/west are exact 0/180/270.
+    assert {k[2] for k in out} == {0, 1, 4, 6}
+
+
+def test_bearing_rose_validation(spark):
+    from geomesa_spark.operators.trajectory import bearing_rose
+
+    df = spark.createDataFrame(
+        [(1, 1, _ts(0), 0.0, 0.0)],
+        "event_id long, user_id long, ts timestamp, lon double, lat double")
+    # single-fix track: no legs
+    assert bearing_rose(df, "user_id", "ts", "event_id",
+                        "lon", "lat").count() == 0
+    with pytest.raises(ValueError):
+        bearing_rose(df, "user_id", "ts", "event_id", "lon", "lat",
+                     sectors=0)
+    with pytest.raises(ValueError):
+        bearing_rose(df, "user_id", "ts", "event_id", "lon", "lat",
+                     cell_deg=-1.0)
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives
+
+def test_hard_negatives_excludes_full_matches(spark):
+    from geomesa_spark.operators.text import bm25_score, hard_negatives
+    from geomesa_spark.operators import cache
+
+    docs = spark.createDataFrame(
+        [(1, "hash join vector pipeline"),       # all 3 terms -> excluded
+         (2, "hash hash hash only"),             # partial
+         (3, "join vector join"),                # partial
+         (4, "nothing relevant here"),           # no term -> score 0
+         (5, "vector"),                          # partial
+         ],
+        "doc_id long, text string")
+    terms = ["hash", "join", "vector"]
+    out = hard_negatives(docs, "doc_id", "text", terms, k=10)
+    rows = out.collect()
+    got = {r.doc_id for r in rows}
+    assert got == {2, 3, 5}
+    # ranks are 1..n by score desc
+    by_rank = sorted(rows, key=lambda r: r.rank)
+    scores = [r.score32 for r in by_rank]
+    assert scores == sorted(scores, reverse=True)
+    # scores agree with bm25_score on the same corpus
+    full = {r.doc_id: r.score32
+            for r in bm25_score(docs, "doc_id", "text", terms).collect()}
+    for r in rows:
+        assert r.score32 == full[r.doc_id]
+    cache.release(out)
+
+    with pytest.raises(ValueError):
+        hard_negatives(docs, "doc_id", "text", terms, k=0)
+    with pytest.raises(ValueError):
+        hard_negatives(docs, "doc_id", "text", [], k=5)
