@@ -3957,6 +3957,25 @@ def q_chunk_text(spark, sf_dir):
     return chunk_text(docs, "doc_id", "text", chunk_tokens=40, overlap=10)
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN index-quality audit (operators/ann.recall_at_k): recall@5 of
+    the IVF probe search vs the exact cosine top-5 over the same 10
+    queries — measure the loose/exact split, don't assume it."""
+    from geomesa_spark.operators.ann import cosine_topk, ivf_topk, recall_at_k
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    exact = cosine_topk(q, emb, k=5, query_id="qid", query_vec="embedding",
+                        corpus_id="vec_id", corpus_vec="embedding")
+    qi = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    approx = ivf_topk(qi, emb, k=5, n_centroids=8, n_probe=3,
+                      init="sample", iters=0)
+    return recall_at_k(approx.select("qid", "vec_id"),
+                       exact.select("qid", "vec_id"))
+
+
 def q_retention_cohorts(spark, sf_dir):
     """Cohort retention matrix (operators/temporal.retention_cohorts):
     first-seen week x active-week-age distinct-user counts, one-week
@@ -4321,6 +4340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retention_cohorts": q_retention_cohorts,
         "bearing_rose": q_bearing_rose,
         "hard_negatives": q_hard_negatives,
+        "ann_recall": q_ann_recall,
     })
 
 
@@ -7420,6 +7440,29 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hard_negatives": _sql_hard_negatives(["hash", "join", "vector"],
                                               k=25),
+        "ann_recall": f"""
+            WITH ex AS (
+              SELECT q.vec_id AS qid, c.vec_id AS vec_id,
+                     CAST(row_number() OVER (PARTITION BY q.vec_id
+                          ORDER BY list_cosine_similarity(q.embedding,
+                                                          c.embedding) DESC,
+                                   c.vec_id ASC) AS INTEGER) AS rank
+              FROM embeddings q, embeddings c
+              WHERE q.vec_id < 10 QUALIFY rank <= 5
+            ),
+            iv AS (SELECT * FROM ({_sql_ivf_ann()})),
+            base AS (SELECT qid, CAST(count(*) AS BIGINT) AS kk
+                     FROM ex GROUP BY qid),
+            h AS (SELECT ex.qid, CAST(count(*) AS BIGINT) AS n_hit
+                  FROM ex JOIN iv ON ex.qid = iv.qid
+                                 AND ex.vec_id = iv.vec_id
+                  GROUP BY ex.qid)
+            SELECT base.qid,
+                   COALESCE(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+                   CAST(CAST(COALESCE(h.n_hit, CAST(0 AS BIGINT)) AS DOUBLE)
+                        / CAST(base.kk AS DOUBLE) AS REAL) AS recall32
+            FROM base LEFT JOIN h USING (qid)
+        """,
         "readability": """
             WITH d AS (SELECT doc_id, text,
                               regexp_split_to_array(trim(lower(text)), '\\s+')

@@ -28,7 +28,7 @@ __all__ = ["cosine_topk", "cosine_topk_sql", "lsh_topk", "ivf_topk",
            "cosine_dedup_pairs", "cosine_sim_col", "mix64",
            "quantize_int8", "quantized_topk", "semantic_dedup",
            "random_projection", "pq_train", "pq_encode", "pq_topk",
-           "ivfadc_topk", "embedding_outliers"]
+           "ivfadc_topk", "embedding_outliers", "recall_at_k"]
 
 from .cache import attach_cached as _attach_cached  # noqa: E402
 
@@ -941,3 +941,32 @@ def embedding_outliers(corpus: DataFrame, threshold: float,
         (-best["ni"]).cast("int").alias("cluster_id"),
         sim.cast("float").alias("sim32"),
         (sim < float(threshold)).alias("is_outlier"))
+
+
+def recall_at_k(approx: DataFrame, exact: DataFrame,
+                query_col: str = "qid", id_col: str = "vec_id") -> DataFrame:
+    """Recall@k audit between an approximate and an exact top-k result —
+    the index-quality gate every ANN deployment needs before swapping
+    the exact scan out (reference analog: the engine's loose-bbox /
+    exact-refine split, measured instead of assumed). Both inputs are
+    (query, id) top-k frames (e.g. :func:`ivf_topk` vs
+    :func:`cosine_topk` over the same queries). Returns
+    (query, n_hit, recall32) with recall = |approx ∩ exact| / |exact|
+    per query.
+
+    Scale shape: the two top-k frames are tiny relative to the corpus
+    (n_queries x k rows); one equi-join on (query, id) + two combining
+    counts + a query-keyed join. Exactness: integer counts and one
+    exact small-integer division, float32 out.
+    """
+    ex = exact.select(F.col(query_col), F.col(id_col))
+    ap = approx.select(F.col(query_col), F.col(id_col))
+    base = ex.groupBy(query_col).agg(F.count("*").alias("__k__"))
+    hits = (ex.join(ap, [query_col, id_col])
+              .groupBy(query_col).agg(F.count("*").alias("__h__")))
+    n_hit = F.coalesce(F.col("__h__"), F.lit(0)).cast("long")
+    return (base.join(hits, query_col, "left")
+                .select(F.col(query_col), n_hit.alias("n_hit"),
+                        (n_hit.cast("double")
+                         / F.col("__k__").cast("double"))
+                        .cast("float").alias("recall32")))

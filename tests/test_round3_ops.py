@@ -244,3 +244,25 @@ def test_hard_negatives_excludes_full_matches(spark):
         hard_negatives(docs, "doc_id", "text", terms, k=0)
     with pytest.raises(ValueError):
         hard_negatives(docs, "doc_id", "text", [], k=5)
+
+
+# ---------------------------------------------------------------------------
+# recall_at_k
+
+def test_recall_at_k_brute_force(spark):
+    from geomesa_spark.operators.ann import recall_at_k
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12),
+         (2, 20), (2, 21), (2, 22)],
+        "qid long, vec_id long")
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (1, 12),     # 2/3 hits
+         (2, 77), (2, 78), (2, 79)],    # 0/3 hits
+        "qid long, vec_id long")
+    out = {r.qid: (r.n_hit, r.recall32)
+           for r in recall_at_k(approx, exact).collect()}
+    assert out[1] == (2, pytest.approx(2 / 3))
+    assert out[2] == (0, 0.0)
+    # every exact query appears even with zero hits
+    assert set(out) == {1, 2}
