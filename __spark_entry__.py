@@ -7424,7 +7424,9 @@ def oracle_sql() -> dict[str, str]:
                                  - sin(radians(lat)) * cos(radians(nlat))
                                    * cos(radians(nlon) - radians(lon)))
                            * 57.29577951308232 AS deg
-                  FROM legs WHERE nlon IS NOT NULL),
+                  FROM legs
+                  WHERE nlon IS NOT NULL
+                    AND (nlon <> lon OR nlat <> lat)),
             bb AS (SELECT lon, lat,
                           CAST(CASE WHEN deg < 0 THEN deg + 360.0
                                     ELSE deg END AS REAL) AS bear32

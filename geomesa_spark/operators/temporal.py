@@ -304,8 +304,13 @@ def retention_cohorts(df: DataFrame, key_col: str, ts_col: str,
     shuffle, keyed by the pair so map-side partial dedup absorbs
     per-user repetition; a combining min per key for the cohort; a join
     keyed by the user; a final combining count per (cohort, age) cell.
-    All-integer arithmetic (the epoch_us convention), so any SQL engine
-    replays it exactly.
+    The period index is ``floor(epoch_us / float(bucket_us))`` — one
+    exact-integer-input DOUBLE division (the shared day-bucket
+    spelling; exact for epochs below 2^53 µs ≈ year 2255) — and every
+    value after it is an exact integer, so an oracle replaying the
+    same float spelling matches bit-for-bit. Respelling either side as
+    integer division would desync the pair — keep both on the float
+    spelling.
     """
     if bucket_us <= 0:
         raise ValueError(f"bucket_us must be positive, got {bucket_us}")

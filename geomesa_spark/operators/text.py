@@ -337,8 +337,26 @@ def bm25_score(docs: DataFrame, id_col: str, text_col: str,
     unigram_logprob convention). Returns (id, dl, score32) for docs
     matching at least one term.
     """
+    scored, base = _bm25_scored(docs, id_col, text_col, terms, k1, b)
+    score = bm25_score_expr(len(terms), k1=k1, b=b)
+    out = scored.select(F.col(id_col), F.col("dl"),
+                        score.cast("float").alias("score32"))
+    return attach_cached(out.filter(F.col("score32") > 0), base)
+
+
+def _bm25_scored(docs: DataFrame, id_col: str, text_col: str,
+                 terms: list[str], k1: float, b: float):
+    """The shared tokenize / per-term tf / persist / corpus-stats prefix
+    of :func:`bm25_score` AND :func:`hard_negatives` — ONE spelling so
+    the two callers (and the single DuckDB ``_bm25_ctes`` mirror both
+    oracles replay) can never drift. Returns ``(scored, base)``:
+    ``scored`` is the narrow per-doc frame crossed with the broadcast
+    (n, sdl, df...) stats row, tf columns intact for callers that need
+    them; ``base`` is the persisted tokenize frame to ride on the
+    result via ``attach_cached`` (both downstream scans share the one
+    tokenize pass)."""
     if not terms:
-        raise ValueError("bm25_score needs at least one query term")
+        raise ValueError("bm25 scoring needs at least one query term")
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     base = docs.select(F.col(id_col), toks.alias("__toks__"))
     base = base.withColumn("dl", F.size("__toks__").cast("long"))
@@ -355,11 +373,7 @@ def bm25_score(docs: DataFrame, id_col: str, text_col: str,
         F.sum("dl").alias("sdl"),
         *[F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
           for i in range(len(terms))])
-    scored = base.crossJoin(F.broadcast(g))
-    score = bm25_score_expr(len(terms), k1=k1, b=b)
-    out = scored.select(F.col(id_col), F.col("dl"),
-                        score.cast("float").alias("score32"))
-    return attach_cached(out.filter(F.col("score32") > 0), base)
+    return base.crossJoin(F.broadcast(g)), base
 
 
 def hard_negatives(docs: DataFrame, id_col: str, text_col: str,
@@ -389,20 +403,7 @@ def hard_negatives(docs: DataFrame, id_col: str, text_col: str,
         raise ValueError("hard_negatives needs at least one query term")
     from pyspark.sql import Window
 
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    base = docs.select(F.col(id_col), toks.alias("__toks__"))
-    base = base.withColumn("dl", F.size("__toks__").cast("long"))
-    for i, t in enumerate(terms):
-        tl = str(t).lower()
-        tf = F.size(F.filter("__toks__", lambda x: x == F.lit(tl)))
-        base = base.withColumn(f"tf{i}", tf.cast("long"))
-    base = base.drop("__toks__").persist()
-    g = base.agg(
-        F.count("*").alias("n"),
-        F.sum("dl").alias("sdl"),
-        *[F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
-          for i in range(len(terms))])
-    scored = base.crossJoin(F.broadcast(g))
+    scored, base = _bm25_scored(docs, id_col, text_col, terms, k1, b)
     score = bm25_score_expr(len(terms), k1=k1, b=b)
     has_all = F.lit(True)
     for i in range(len(terms)):

@@ -456,8 +456,9 @@ def bearing_rose(fixes: DataFrame, track_col: str, ts_col: str,
 
     Scale shape: one lead() window per track (partitioned by the track
     key — never global), map-only trig in whole-stage codegen, one
-    combining count per (cell, sector). Returns (cx, cy, sector,
-    n_legs).
+    combining count per (cell, sector). Zero-displacement legs (a
+    parked tracker pinging in place) are dropped — they have no
+    direction. Returns (cx, cy, sector, n_legs).
 
     Exactness: the bearing double chain is engine-exact (the
     dwithin_sphere trig convention); the float32 cast before sector
@@ -492,9 +493,14 @@ def bearing_rose(fixes: DataFrame, track_col: str, ts_col: str,
     ny = int(round(180.0 / cell_deg))
     legs = (fixes.select(F.col(lon_col).alias("__lon__"),
                          F.col(lat_col).alias("__lat__"),
-                         nlon.alias("__nlon__"),
+                         nlon.alias("__nlon__"), nlat.alias("__nlat__"),
                          bear32.alias("__bear32__"))
-                 .filter(F.col("__nlon__").isNotNull()))
+                 .filter(F.col("__nlon__").isNotNull())
+                 # zero-displacement legs (a parked tracker pinging in
+                 # place) have no direction — atan2(0, 0) would count
+                 # them all as due north and fabricate flow
+                 .filter((F.col("__nlon__") != F.col("__lon__"))
+                         | (F.col("__nlat__") != F.col("__lat__"))))
     sector = F.least(F.floor(F.col("__bear32__").cast("double")
                              / F.lit(360.0 / float(sectors))),
                      F.lit(sectors - 1)).cast("int")

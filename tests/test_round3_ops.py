@@ -266,3 +266,23 @@ def test_recall_at_k_brute_force(spark):
     assert out[2] == (0, 0.0)
     # every exact query appears even with zero hits
     assert set(out) == {1, 2}
+
+
+def test_bearing_rose_drops_stationary_legs(spark):
+    from geomesa_spark.operators.trajectory import bearing_rose
+
+    # parked tracker: 3 identical fixes, then one true northbound move
+    rows = [
+        (1, 1, _ts(0), 5.0, 5.0),
+        (2, 1, _ts(1), 5.0, 5.0),
+        (3, 1, _ts(2), 5.0, 5.0),
+        (4, 1, _ts(3), 5.0, 6.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "lon double, lat double")
+    out = bearing_rose(df, "user_id", "ts", "event_id",
+                       "lon", "lat").collect()
+    # only the single moving leg survives (sector 0, due north)
+    assert len(out) == 1
+    assert (out[0].sector, out[0].n_legs) == (0, 1)

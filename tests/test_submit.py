@@ -14,8 +14,9 @@ REPO = __file__.rsplit("/tests/", 1)[0]
 
 
 def _spark_submit() -> str | None:
-    """spark-submit from PATH, $SPARK_HOME/bin, or the stock install
-    location — the binary exists in this container but is not on PATH."""
+    """spark-submit from PATH, $SPARK_HOME/bin, the stock install
+    location, or the pyspark wheel's own bin/ (where pip installs
+    put it — present in this container but not on PATH)."""
     found = shutil.which("spark-submit")
     if found:
         return found
@@ -24,6 +25,12 @@ def _spark_submit() -> str | None:
         cands.append(os.path.abspath(
             os.path.join(os.environ["SPARK_HOME"], "bin", "spark-submit")))
     cands.append("/opt/spark/bin/spark-submit")
+    try:
+        import pyspark
+        cands.append(os.path.join(os.path.dirname(pyspark.__file__),
+                                  "bin", "spark-submit"))
+    except ImportError:
+        pass
     for c in cands:
         if os.access(c, os.X_OK):
             return c
