@@ -3957,6 +3957,61 @@ def q_chunk_text(spark, sf_dir):
     return chunk_text(docs, "doc_id", "text", chunk_tokens=40, overlap=10)
 
 
+def q_speed_outliers(spark, sf_dir):
+    """Track QA pre-filter (operators/trajectory.speed_outliers): legs
+    whose implied great-circle speed exceeds 200 m/s — division-free
+    flag test, so zero-duration teleports are caught too."""
+    from geomesa_spark.operators.trajectory import speed_outliers
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"))
+    return speed_outliers(ev, "user_id", "ts", "event_id", "lon", "lat",
+                          vmax_mps=200.0)
+
+
+def q_cell_entropy(spark, sf_dir):
+    """Visitor-diversity surface (operators/stats.group_entropy): Shannon
+    entropy of the user distribution per 10-degree cell, deterministic
+    key-ordered fold (the idw convention) for the gate."""
+    from geomesa_spark.operators.stats import group_entropy
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"))
+    i = F.least(F.floor((F.col("lon") - (-180.0)) / 10.0), F.lit(35)).cast("int")
+    j = F.least(F.floor((F.col("lat") - (-90.0)) / 10.0), F.lit(17)).cast("int")
+    cells = (ev.filter((F.col("lon") >= -180.0) & (F.col("lon") <= 180.0)
+                       & (F.col("lat") >= -90.0) & (F.col("lat") <= 90.0))
+               .select(i.alias("i"), j.alias("j"), "user_id"))
+    return group_entropy(cells, ["i", "j"], "user_id", deterministic=True)
+
+
+def q_peak_hours(spark, sf_dir):
+    """Per-cell temporal rhythm (operators/temporal.peak_bucket): the
+    busiest UTC hour-of-day per 10-degree cell — argmax via ONE
+    combining struct-max (the latest_capture shape), no window."""
+    from geomesa_spark.operators.temporal import peak_bucket
+
+    ev = _t(spark, sf_dir, "events").select(
+        "ts",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"))
+    epoch = F.lit("1970-01-01 00:00:00").cast(
+        ev.schema["ts"].dataType.simpleString())
+    tus = F.timestamp_diff("MICROSECOND", epoch, F.col("ts"))
+    hour = F.floor(tus / F.lit(3600000000.0)).cast("long") % 24
+    i = F.least(F.floor((F.col("lon") - (-180.0)) / 10.0), F.lit(35)).cast("int")
+    j = F.least(F.floor((F.col("lat") - (-90.0)) / 10.0), F.lit(17)).cast("int")
+    cells = (ev.filter((F.col("lon") >= -180.0) & (F.col("lon") <= 180.0)
+                       & (F.col("lat") >= -90.0) & (F.col("lat") <= 90.0))
+               .select(i.alias("i"), j.alias("j"), hour.alias("__h__")))
+    return peak_bucket(cells, ["i", "j"], F.col("__h__"),
+                       bucket_name="peak_hour")
+
+
 def q_ann_recall(spark, sf_dir):
     """ANN index-quality audit (operators/ann.recall_at_k): recall@5 of
     the IVF probe search vs the exact cosine top-5 over the same 10
@@ -4341,6 +4396,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bearing_rose": q_bearing_rose,
         "hard_negatives": q_hard_negatives,
         "ann_recall": q_ann_recall,
+        "speed_outliers": q_speed_outliers,
+        "cell_entropy": q_cell_entropy,
+        "peak_hours": q_peak_hours,
     })
 
 
@@ -7442,6 +7500,82 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hard_negatives": _sql_hard_negatives(["hash", "join", "vector"],
                                               k=25),
+        "speed_outliers": f"""
+            WITH e AS ({_EVT_SQL}),
+            legs AS (SELECT user_id, event_id AS o1,
+                            lead(event_id) OVER w AS o2,
+                            lon, lat,
+                            lead(lon) OVER w AS nlon,
+                            lead(lat) OVER w AS nlat,
+                            epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt
+                     FROM e WINDOW w AS (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC)),
+            d AS (SELECT user_id AS track, o1, o2, dt,
+                         2.0 * 6371008.7714 * asin(sqrt(
+                           sin((nlat / 180.0 * pi() - lat / 180.0 * pi()) / 2)
+                             * sin((nlat / 180.0 * pi()
+                                    - lat / 180.0 * pi()) / 2)
+                           + cos(lat / 180.0 * pi())
+                             * cos(nlat / 180.0 * pi())
+                             * sin((nlon / 180.0 * pi()
+                                    - lon / 180.0 * pi()) / 2)
+                             * sin((nlon / 180.0 * pi()
+                                    - lon / 180.0 * pi()) / 2)
+                         )) AS dist
+                  FROM legs WHERE o2 IS NOT NULL)
+            SELECT track, o1, o2,
+                   CAST(dist AS REAL) AS dist32,
+                   CAST(dt AS BIGINT) AS dt_us,
+                   CASE WHEN dt > 0
+                        THEN CAST(dist / (CAST(dt AS DOUBLE) / 1000000.0)
+                                  AS REAL)
+                   END AS speed32
+            FROM d
+            WHERE dist * 1000000.0 > 200.0 * CAST(dt AS DOUBLE)
+        """,
+        "cell_entropy": f"""
+            WITH e AS ({_EVT_SQL}),
+            c AS (SELECT CAST(least(floor((lon - (-180.0)) / 10.0), 35)
+                              AS INTEGER) AS i,
+                         CAST(least(floor((lat - (-90.0)) / 10.0), 17)
+                              AS INTEGER) AS j,
+                         user_id
+                  FROM e
+                  WHERE lon >= -180.0 AND lon <= 180.0
+                    AND lat >= -90.0 AND lat <= 90.0),
+            cnt AS (SELECT i, j, user_id, CAST(count(*) AS BIGINT) AS n
+                    FROM c GROUP BY i, j, user_id),
+            g AS (SELECT i, j,
+                         CAST(sum(n) AS BIGINT) AS n_events,
+                         CAST(count(*) AS BIGINT) AS n_keys,
+                         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                             list(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE))
+                                  ORDER BY user_id)),
+                             (a, x) -> a + x) AS s
+                  FROM cnt GROUP BY i, j)
+            SELECT i, j, n_events, n_keys,
+                   CAST(ln(CAST(n_events AS DOUBLE))
+                        - s / CAST(n_events AS DOUBLE) AS REAL) AS entropy32
+            FROM g
+        """,
+        "peak_hours": f"""
+            WITH e AS ({_EVT_SQL}),
+            c AS (SELECT CAST(least(floor((lon - (-180.0)) / 10.0), 35)
+                              AS INTEGER) AS i,
+                         CAST(least(floor((lat - (-90.0)) / 10.0), 17)
+                              AS INTEGER) AS j,
+                         CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT)
+                           % 24 AS h
+                  FROM e
+                  WHERE lon >= -180.0 AND lon <= 180.0
+                    AND lat >= -90.0 AND lat <= 90.0),
+            cnt AS (SELECT i, j, h, CAST(count(*) AS BIGINT) AS n
+                    FROM c GROUP BY i, j, h)
+            SELECT i, j, h AS peak_hour, n AS n_peak
+            FROM cnt
+            QUALIFY row_number() OVER (PARTITION BY i, j
+                                       ORDER BY n DESC, h DESC) = 1
+        """,
         "ann_recall": f"""
             WITH ex AS (
               SELECT q.vec_id AS qid, c.vec_id AS vec_id,

@@ -43,7 +43,8 @@ import re
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["parse_stats", "run_stats", "enumerate_values", "z3_cell_exprs"]
+__all__ = ["parse_stats", "run_stats", "enumerate_values", "z3_cell_exprs",
+           "group_entropy"]
 
 _TERM_RE = re.compile(r"\s*([A-Za-z][A-Za-z0-9]*)\s*\(([^()]*(?:\([^()]*\))?)\s*\)\s*")
 
@@ -218,3 +219,54 @@ def run_stats(df: DataFrame, spec: str, max_enum: int = 10_000) -> dict:
         for field, value in zip(row.__fields__, row):
             result[field] = value
     return result
+
+
+def group_entropy(df: DataFrame, group_cols: list[str], key_col: str,
+                  deterministic: bool = False) -> DataFrame:
+    """Shannon entropy of the ``key_col`` distribution within each
+    ``group_cols`` group — the diversity surface ("how many DIFFERENT
+    visitors does this cell see, weighted by share"): 0 for a
+    single-key group, ln(k) for k equally frequent keys. The classic
+    mobility/segmentation signal (tourist cell vs commuter cell), and
+    host-visitor diversity when grouped by site.
+
+    Computed via the streaming identity  H = ln N - (sum n*ln n) / N
+    over the per-key counts n — so the default path is TWO combining
+    aggregations (per (group, key), then per group) with no
+    collect_list: a mega-group (a hot cell with millions of distinct
+    keys) never materializes an array. ``deterministic=True`` switches
+    the second stage to a key-ordered left fold (collect_list +
+    array_sort + F.aggregate — the idw convention) for bit-reproducible
+    cross-engine parity; use it only where group cardinality is
+    bounded (the gate query). float32 output absorbs ln ulps either
+    way.
+
+    Returns (group..., n_events, n_keys, entropy32).
+    """
+    if not group_cols:
+        raise ValueError("group_entropy needs at least one group column")
+    cnt = (df.groupBy(*group_cols, key_col)
+             .agg(F.count("*").alias("__n__")))
+    nln = F.col("__n__").cast("double") * F.log(F.col("__n__").cast("double"))
+    if deterministic:
+        arr = F.array_sort(F.collect_list(
+            F.struct(F.col(key_col).alias("k"), F.col("__n__").alias("n"))))
+        g = cnt.groupBy(*group_cols).agg(
+            F.sum("__n__").alias("__N__"),
+            F.count("*").alias("n_keys"),
+            F.aggregate(arr, F.lit(0.0),
+                        lambda acc, s: acc
+                        + s.getField("n").cast("double")
+                        * F.log(s.getField("n").cast("double")))
+             .alias("__s__"))
+    else:
+        g = cnt.groupBy(*group_cols).agg(
+            F.sum("__n__").alias("__N__"),
+            F.count("*").alias("n_keys"),
+            F.sum(nln).alias("__s__"))
+    ent = (F.log(F.col("__N__").cast("double"))
+           - F.col("__s__") / F.col("__N__").cast("double"))
+    return g.select(*group_cols,
+                    F.col("__N__").alias("n_events"),
+                    F.col("n_keys"),
+                    ent.cast("float").alias("entropy32"))

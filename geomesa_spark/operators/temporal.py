@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["asof_join", "sessionize", "session_stats", "interval_join",
-           "funnel", "transition_matrix", "retention_cohorts"]
+           "funnel", "transition_matrix", "retention_cohorts", "peak_bucket"]
 
 
 def transition_matrix(df: DataFrame, key_col: str, ts_col: str,
@@ -326,3 +326,29 @@ def retention_cohorts(df: DataFrame, key_col: str, ts_col: str,
                        .alias("age_weeks"))
               # (key, period) is distinct, so plain count == distinct users
               .agg(F.count("*").alias("n_users")))
+
+
+def peak_bucket(df: DataFrame, group_cols: list[str],
+                bucket: F.Column, bucket_name: str = "peak_bucket") -> DataFrame:
+    """Per-group busiest time bucket — "when is this cell/host/zone at
+    its peak": count rows per (group, bucket), then ONE combining
+    struct-max per group picks the bucket with the largest count
+    (lexicographic (n, bucket) order — ties break on the LARGER bucket
+    value, deterministically). The latest_capture argmax-without-a-window
+    shape: partial aggregation absorbs hot groups; no window, no
+    collect.
+
+    ``bucket`` is any integer-valued Column (e.g. hour-of-day spelled
+    as ``floor(epoch_us / 3.6e9) % 24`` — UTC-exact, engine-agnostic).
+    Returns (group..., <bucket_name>, n_peak).
+    """
+    if not group_cols:
+        raise ValueError("peak_bucket needs at least one group column")
+    cnt = (df.select(*group_cols, bucket.alias("__b__"))
+             .groupBy(*group_cols, "__b__")
+             .agg(F.count("*").alias("__n__")))
+    best = F.max(F.struct(F.col("__n__"), F.col("__b__")))
+    return (cnt.groupBy(*group_cols).agg(best.alias("__best__"))
+               .select(*group_cols,
+                       F.col("__best__.__b__").alias(bucket_name),
+                       F.col("__best__.__n__").alias("n_peak")))

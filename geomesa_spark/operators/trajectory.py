@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
 __all__ = ["hausdorff_join", "frechet_join", "co_travel",
-           "simplify_tracks", "convoys", "bearing_rose"]
+           "simplify_tracks", "convoys", "bearing_rose", "speed_outliers"]
 
 
 def _disk_cover_udf(eps_deg: float, level: int):
@@ -512,3 +512,57 @@ def bearing_rose(fixes: DataFrame, track_col: str, ts_col: str,
                         sector.alias("sector"))
                 .groupBy("cx", "cy", "sector")
                 .agg(F.count("*").alias("n_legs")))
+
+
+def speed_outliers(fixes: DataFrame, track_col: str, ts_col: str,
+                   order_col: str, lon_col: str, lat_col: str,
+                   vmax_mps: float = 70.0) -> DataFrame:
+    """GPS glitch / teleport detection: consecutive legs whose implied
+    great-circle speed exceeds ``vmax_mps`` — the standard track-QA
+    pre-filter before any trajectory analytics (a multipath fix 500 km
+    off-track otherwise poisons stay points, legs, bearings alike).
+
+    The flag test is the division-free cross-multiplication
+    ``dist_m * 1e6 > vmax * dt_us`` so zero-duration legs (two fixes
+    with one timestamp — a true teleport) are flagged without a
+    divide-by-zero; ``speed32`` is NULL for those. Distance is the
+    dwithin_sphere haversine double chain (engine-exact); dt is exact
+    integer microseconds.
+
+    Scale shape: one lead() window per track + a map-only filter —
+    nothing global. Returns
+    (track, order, next_order, dist32, dt_us, speed32).
+    """
+    if vmax_mps <= 0:
+        raise ValueError(f"vmax_mps must be positive, got {vmax_mps}")
+    from pyspark.sql import Window
+
+    from ..geom.measures import EARTH_MEAN_RADIUS_M
+
+    w = (Window.partitionBy(track_col)
+               .orderBy(F.col(ts_col).asc(), F.col(order_col).asc()))
+    nlon = F.lead(lon_col).over(w)
+    nlat = F.lead(lat_col).over(w)
+    nts = F.lead(ts_col).over(w)
+    nord = F.lead(order_col).over(w)
+    la1, la2 = F.radians(F.col(lat_col)), F.radians(nlat)
+    sd = F.sin((la2 - la1) / 2)
+    sl = F.sin((F.radians(nlon) - F.radians(F.col(lon_col))) / 2)
+    a = sd * sd + F.cos(la1) * F.cos(la2) * sl * sl
+    dist = F.lit(2.0 * EARTH_MEAN_RADIUS_M) * F.asin(F.sqrt(a))
+    dt = F.timestamp_diff("MICROSECOND", F.col(ts_col), nts)
+    legs = (fixes.select(F.col(track_col).alias("track"),
+                         F.col(order_col).alias("o1"),
+                         nord.alias("o2"),
+                         dist.alias("__d__"), dt.alias("dt_us"))
+                 .filter(F.col("o2").isNotNull()))
+    flagged = legs.filter(F.col("__d__") * F.lit(1_000_000.0)
+                          > F.lit(float(vmax_mps))
+                          * F.col("dt_us").cast("double"))
+    speed = F.when(F.col("dt_us") > 0,
+                   (F.col("__d__")
+                    / (F.col("dt_us").cast("double") / F.lit(1_000_000.0)))
+                   .cast("float"))
+    return flagged.select("track", "o1", "o2",
+                          F.col("__d__").cast("float").alias("dist32"),
+                          "dt_us", speed.alias("speed32"))

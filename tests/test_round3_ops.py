@@ -286,3 +286,72 @@ def test_bearing_rose_drops_stationary_legs(spark):
     # only the single moving leg survives (sector 0, due north)
     assert len(out) == 1
     assert (out[0].sector, out[0].n_legs) == (0, 1)
+
+
+# ---------------------------------------------------------------------------
+# speed_outliers
+
+def test_speed_outliers_flags_and_speed(spark):
+    from geomesa_spark.operators.trajectory import speed_outliers
+
+    # ~111 km northward in 1 minute = ~1853 m/s (flagged);
+    # same displacement in 1 day = ~1.3 m/s (not flagged);
+    # zero-duration teleport (same ts) = flagged with NULL speed
+    rows = [
+        (1, 1, _ts(0), 0.0, 0.0),
+        (2, 1, _ts(1), 0.0, 1.0),          # fast leg
+        (3, 1, _ts(1 + 1440), 0.0, 2.0),   # slow leg
+        (4, 1, _ts(1 + 1440), 0.0, 3.0),   # teleport (dt = 0)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "lon double, lat double")
+    out = {r.o1: r for r in speed_outliers(
+        df, "user_id", "ts", "event_id", "lon", "lat",
+        vmax_mps=70.0).collect()}
+    assert set(out) == {1, 3}
+    assert out[1].speed32 == pytest.approx(111195 / 60.0, rel=1e-3)
+    assert out[3].dt_us == 0 and out[3].speed32 is None
+    with pytest.raises(ValueError):
+        speed_outliers(df, "user_id", "ts", "event_id", "lon", "lat",
+                       vmax_mps=0.0)
+
+
+# ---------------------------------------------------------------------------
+# group_entropy
+
+def test_group_entropy_known_values(spark):
+    from geomesa_spark.operators.stats import group_entropy
+
+    rows = ([("a", 1)] * 4                       # single key -> H = 0
+            + [("b", 1), ("b", 2)]               # 2 equal keys -> ln 2
+            + [("c", 1), ("c", 1), ("c", 1), ("c", 2)])  # 3:1 split
+    df = spark.createDataFrame(rows, "g string, user long")
+    for det in (False, True):
+        out = {r.g: r for r in group_entropy(
+            df, ["g"], "user", deterministic=det).collect()}
+        assert (out["a"].n_events, out["a"].n_keys) == (4, 1)
+        assert out["a"].entropy32 == 0.0
+        assert out["b"].entropy32 == pytest.approx(math.log(2), rel=1e-6)
+        p = [0.75, 0.25]
+        h = -sum(x * math.log(x) for x in p)
+        assert out["c"].entropy32 == pytest.approx(h, rel=1e-6)
+    with pytest.raises(ValueError):
+        group_entropy(df, [], "user")
+
+
+# ---------------------------------------------------------------------------
+# peak_bucket
+
+def test_peak_bucket_argmax_and_ties(spark):
+    from pyspark.sql import functions as F
+    from geomesa_spark.operators.temporal import peak_bucket
+
+    rows = [("x", 3), ("x", 3), ("x", 5),        # peak bucket 3 (n=2)
+            ("y", 1), ("y", 2)]                  # tie -> larger bucket 2
+    df = spark.createDataFrame(rows, "g string, b long")
+    out = {r.g: (r.peak_bucket, r.n_peak)
+           for r in peak_bucket(df, ["g"], F.col("b")).collect()}
+    assert out == {"x": (3, 2), "y": (2, 1)}
+    with pytest.raises(ValueError):
+        peak_bucket(df, [], F.col("b"))
