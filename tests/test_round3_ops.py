@@ -355,3 +355,53 @@ def test_peak_bucket_argmax_and_ties(spark):
     assert out == {"x": (3, 2), "y": (2, 1)}
     with pytest.raises(ValueError):
         peak_bucket(df, [], F.col("b"))
+
+
+# ---------------------------------------------------------------------------
+# plan shapes
+
+def test_zipf_fit_topk_plan(spark):
+    """The top-n cut must plan as TakeOrderedAndProject (per-partition
+    bounded heaps + driver merge), never a single-partition sort of the
+    full token-frequency table."""
+    from geomesa_spark.operators.corpus import zipf_fit
+
+    df = spark.createDataFrame([(1, "a b a c")], "doc_id long, text string")
+    plan = (zipf_fit(df, "doc_id", "text", top_n=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_hard_negatives_topk_plan(spark):
+    from geomesa_spark.operators.text import hard_negatives
+    from geomesa_spark.operators import cache
+
+    df = spark.createDataFrame([(1, "hash x"), (2, "join y")],
+                               "doc_id long, text string")
+    out = hard_negatives(df, "doc_id", "text", ["hash", "join"], k=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    cache.release(out)
+
+
+def test_heaps_law_broadcasts_thresholds(spark):
+    """The threshold side must broadcast — the token->first-doc frame
+    never shuffles on anything but the token count."""
+    from geomesa_spark.operators.corpus import heaps_law
+
+    df = spark.createDataFrame([(1, "a b"), (9, "c")],
+                               "doc_id long, text string")
+    plan = (heaps_law(df, "doc_id", "text", n_points=3)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_group_entropy_default_has_no_collect_list(spark):
+    """The default (scale) path must aggregate via plain sums — no
+    collect_list in the plan (mega-groups stream through partial agg)."""
+    from geomesa_spark.operators.stats import group_entropy
+
+    df = spark.createDataFrame([("a", 1), ("a", 2)], "g string, user long")
+    plan = (group_entropy(df, ["g"], "user")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "collect_list" not in plan
