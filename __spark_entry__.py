@@ -551,6 +551,18 @@ def q_zone_paths(spark, sf_dir):
                       zone_id="n_nationkey", order_col="event_id")
 
 
+def _cell10(ev):
+    """10-degree grid binning + bounds filter — ONE spelling shared by
+    _event_cube / cell_entropy / peak_hours (their DuckDB mirrors all
+    replay this exact least/floor chain): adds (i, j) int columns,
+    drops out-of-bounds rows, keeps every other column."""
+    i = F.least(F.floor((F.col("lon") - (-180.0)) / 10.0), F.lit(35)).cast("int")
+    j = F.least(F.floor((F.col("lat") - (-90.0)) / 10.0), F.lit(17)).cast("int")
+    return (ev.filter((F.col("lon") >= -180.0) & (F.col("lon") <= 180.0)
+                      & (F.col("lat") >= -90.0) & (F.col("lat") <= 90.0))
+              .withColumn("i", i).withColumn("j", j))
+
+
 def _event_cube(spark, sf_dir):
     """Sparse space-time cube: events binned to 10-degree cells x day
     bins (Jan 2024 -> t in [0, 30)), weight = count."""
@@ -561,12 +573,9 @@ def _event_cube(spark, sf_dir):
     epoch = F.lit("1970-01-01 00:00:00").cast(
         ev.schema["ts"].dataType.simpleString())
     tus = F.timestamp_diff("MICROSECOND", epoch, F.col("ts"))
-    i = F.least(F.floor((F.col("lon") - (-180.0)) / 10.0), F.lit(35)).cast("int")
-    j = F.least(F.floor((F.col("lat") - (-90.0)) / 10.0), F.lit(17)).cast("int")
     t = (F.floor(tus / F.lit(86400000000.0)) - F.lit(19723)).cast("int")
-    return (ev.filter((F.col("lon") >= -180.0) & (F.col("lon") <= 180.0)
-                      & (F.col("lat") >= -90.0) & (F.col("lat") <= 90.0))
-              .select(i.alias("i"), j.alias("j"), t.alias("t"))
+    return (_cell10(ev)
+              .select("i", "j", t.alias("t"))
               # events outside the 30-day window must be DROPPED, not
               # clamped: an out-of-window t would feed the Gi* global
               # moments yet fall outside the scatter bounds
@@ -3981,11 +3990,7 @@ def q_cell_entropy(spark, sf_dir):
         "user_id",
         tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
         tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"))
-    i = F.least(F.floor((F.col("lon") - (-180.0)) / 10.0), F.lit(35)).cast("int")
-    j = F.least(F.floor((F.col("lat") - (-90.0)) / 10.0), F.lit(17)).cast("int")
-    cells = (ev.filter((F.col("lon") >= -180.0) & (F.col("lon") <= 180.0)
-                       & (F.col("lat") >= -90.0) & (F.col("lat") <= 90.0))
-               .select(i.alias("i"), j.alias("j"), "user_id"))
+    cells = _cell10(ev).select("i", "j", "user_id")
     return group_entropy(cells, ["i", "j"], "user_id", deterministic=True)
 
 
@@ -4003,11 +4008,7 @@ def q_peak_hours(spark, sf_dir):
         ev.schema["ts"].dataType.simpleString())
     tus = F.timestamp_diff("MICROSECOND", epoch, F.col("ts"))
     hour = F.floor(tus / F.lit(3600000000.0)).cast("long") % 24
-    i = F.least(F.floor((F.col("lon") - (-180.0)) / 10.0), F.lit(35)).cast("int")
-    j = F.least(F.floor((F.col("lat") - (-90.0)) / 10.0), F.lit(17)).cast("int")
-    cells = (ev.filter((F.col("lon") >= -180.0) & (F.col("lon") <= 180.0)
-                       & (F.col("lat") >= -90.0) & (F.col("lat") <= 90.0))
-               .select(i.alias("i"), j.alias("j"), hour.alias("__h__")))
+    cells = _cell10(ev).select("i", "j", hour.alias("__h__"))
     return peak_bucket(cells, ["i", "j"], F.col("__h__"),
                        bucket_name="peak_hour")
 

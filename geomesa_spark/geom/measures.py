@@ -38,6 +38,23 @@ WGS84_F = 1.0 / 298.257223563
 WGS84_B = WGS84_A * (1 - WGS84_F)
 
 
+def haversine_col(lon1, lat1, lon2, lat2):
+    """The engine-exact haversine Column chain (meters on the spatial4j
+    mean sphere) — ONE spelling shared by the dwithin sphere join, kNN
+    sphere metric, geo_search and speed_outliers, so the single DuckDB
+    mirror spelling (``x / 180.0 * pi()`` radians, ``(la2-la1)/2``
+    half-angles, ``2R * asin(sqrt(a))``) can never drift from any
+    caller. Args are pyspark Columns (lon/lat degrees).
+    """
+    from pyspark.sql import functions as F
+
+    la1, la2 = F.radians(lat1), F.radians(lat2)
+    sd = F.sin((la2 - la1) / 2)
+    sl = F.sin((F.radians(lon2) - F.radians(lon1)) / 2)
+    a = sd * sd + F.cos(la1) * F.cos(la2) * sl * sl
+    return F.lit(2.0 * EARTH_MEAN_RADIUS_M) * F.asin(F.sqrt(a))
+
+
 # --------------------------------------------------------------------------
 # planar measures
 # --------------------------------------------------------------------------

@@ -50,11 +50,9 @@ def _dist_expr(qx, qy, px, py, metric: str):
     if metric == "degrees":
         return F.sqrt((qx - px) * (qx - px) + (qy - py) * (qy - py))
     if metric == "sphere":
-        lat1, lat2 = F.radians(qy), F.radians(py)
-        dlat = (lat2 - lat1) / 2
-        dlon = (F.radians(px) - F.radians(qx)) / 2
-        a = F.sin(dlat) * F.sin(dlat) + F.cos(lat1) * F.cos(lat2) * F.sin(dlon) * F.sin(dlon)
-        return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+        from ..geom.measures import haversine_col
+
+        return haversine_col(qx, qy, px, py)
     raise ValueError(metric)
 
 

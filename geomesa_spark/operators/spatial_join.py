@@ -42,7 +42,6 @@ from ..curves.zorder import z2_encode
 from ..curves.norm import normalized_lat, normalized_lon
 from ..geom import kernels as K
 from ..geom import measures as M
-from ..geom.measures import EARTH_MEAN_RADIUS_M
 from ..geom.wkb import Point, Polygon, wkb_batch_envrect, wkb_read
 from ..functions.registry import dwithin_geoms
 
@@ -797,11 +796,9 @@ def dwithin_join_points(
         dist = F.sqrt((F.col(lx) - F.col(rx)) * (F.col(lx) - F.col(rx))
                       + (F.col(ly) - F.col(ry)) * (F.col(ly) - F.col(ry)))
     else:
-        la1, la2 = F.radians(F.col(ly)), F.radians(F.col(ry))
-        sd = F.sin((la2 - la1) / 2)
-        sl = F.sin((F.radians(F.col(rx)) - F.radians(F.col(lx))) / 2)
-        a = sd * sd + F.cos(la1) * F.cos(la2) * sl * sl
-        dist = F.lit(2.0 * EARTH_MEAN_RADIUS_M) * F.asin(F.sqrt(a))
+        from ..geom.measures import haversine_col
+
+        dist = haversine_col(F.col(lx), F.col(ly), F.col(rx), F.col(ry))
     return cand.withColumn("dist", dist).filter(F.col("dist") < radius)
 
 

@@ -525,17 +525,12 @@ def geo_search(docs: DataFrame, id_col: str, text_col: str,
     if half_dist_m <= 0:
         raise ValueError(f"half_dist_m must be positive, "
                          f"got {half_dist_m}")
-    from ..geom.measures import EARTH_MEAN_RADIUS_M
+    from ..geom.measures import haversine_col
     from pyspark.sql import Window
 
     scored = bm25_score(docs, id_col, text_col, terms, k1=k1, b=b)
-    la1 = F.radians(F.lit(float(qlat)))
-    la2 = F.radians(F.col(lat_col))
-    sd = F.sin((la2 - la1) / 2)
-    sl = F.sin((F.radians(F.col(lon_col))
-                - F.radians(F.lit(float(qlon)))) / 2)
-    h = sd * sd + F.cos(la1) * F.cos(la2) * sl * sl
-    dist = F.lit(2.0 * EARTH_MEAN_RADIUS_M) * F.asin(F.sqrt(h))
+    dist = haversine_col(F.lit(float(qlon)), F.lit(float(qlat)),
+                         F.col(lon_col), F.col(lat_col))
     pts = docs.select(F.col(id_col), dist.alias("__dist__"))
     geo = (F.col("score32").cast("double")
            * F.pow(F.lit(0.5), F.col("__dist__") / F.lit(float(half_dist_m))))

@@ -537,7 +537,7 @@ def speed_outliers(fixes: DataFrame, track_col: str, ts_col: str,
         raise ValueError(f"vmax_mps must be positive, got {vmax_mps}")
     from pyspark.sql import Window
 
-    from ..geom.measures import EARTH_MEAN_RADIUS_M
+    from ..geom.measures import haversine_col
 
     w = (Window.partitionBy(track_col)
                .orderBy(F.col(ts_col).asc(), F.col(order_col).asc()))
@@ -545,11 +545,7 @@ def speed_outliers(fixes: DataFrame, track_col: str, ts_col: str,
     nlat = F.lead(lat_col).over(w)
     nts = F.lead(ts_col).over(w)
     nord = F.lead(order_col).over(w)
-    la1, la2 = F.radians(F.col(lat_col)), F.radians(nlat)
-    sd = F.sin((la2 - la1) / 2)
-    sl = F.sin((F.radians(nlon) - F.radians(F.col(lon_col))) / 2)
-    a = sd * sd + F.cos(la1) * F.cos(la2) * sl * sl
-    dist = F.lit(2.0 * EARTH_MEAN_RADIUS_M) * F.asin(F.sqrt(a))
+    dist = haversine_col(F.col(lon_col), F.col(lat_col), nlon, nlat)
     dt = F.timestamp_diff("MICROSECOND", F.col(ts_col), nts)
     legs = (fixes.select(F.col(track_col).alias("track"),
                          F.col(order_col).alias("o1"),
