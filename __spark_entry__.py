@@ -1283,6 +1283,22 @@ def q_seed_distance(spark, sf_dir):
     return bfs_distances(edges, [0, 1, 2], max_hops=6)
 
 
+def q_shortest_paths(spark, sf_dir):
+    """Weighted multi-source shortest paths (operators/graph.
+    shortest_paths): distributed Bellman-Ford over the shared doc link
+    graph with exact integer edge costs w = (src + dst) % 7 + 1, seeds
+    {0, 1, 2}, 6 relaxation rounds — the weighted companion of
+    seed_distance; oracle is a bounded-depth recursive CTE (min over
+    all <= 6-edge paths, which fixed-round Bellman-Ford computes
+    exactly)."""
+    from geomesa_spark.operators.graph import shortest_paths
+
+    edges = (_doc_link_edges(spark, sf_dir)
+             .withColumn("w", ((F.col("src") + F.col("dst")) % 7 + 1)
+                         .cast("long")))
+    return shortest_paths(edges, [0, 1, 2], max_rounds=6)
+
+
 def q_redirects(spark, sf_dir):
     """HTTP-redirect chain resolution (operators/graph.
     resolve_redirects): pointer-doubling walk to each chain's terminal
@@ -4156,11 +4172,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # position 51 ("store_s3") onward — 64 keys — PLUS the round-3 session
 # additions appended after the rotated block in queries() (transform_laea,
 # transform_ps, readability, zipf_fit, heaps_law, retention_cohorts,
-# bearing_rose, hard_negatives, ...): 72+ keys. Rebuild this list at the
-# start of round 4 with that tail at the front; 72 > 50 driver slots, so
-# ~22 keys will still be ungraded going into round 5 — rotate those to the
-# front then. The authoritative recipe is to diff queries() against the
-# union of green rows in CORRECTNESS_r0*.json.
+# bearing_rose, hard_negatives, ann_recall, speed_outliers, cell_entropy,
+# peak_hours, shortest_paths): 77 keys. Rebuild this list at the start of
+# round 4 with that tail at the front; 77 > 50 driver slots, so ~27 keys
+# will still be ungraded going into round 5 — rotate those to the front
+# then. The authoritative recipe is to diff queries() against the union
+# of green rows in CORRECTNESS_r0*.json.
 _NEVER_GRADED_R3 = [
     "minhash_pairs", "simhash_pairs", "lsh_ann", "ivf_ann", "sketches",
     "geoparse_pages", "store_bbox", "store_stbox", "store_xz2", "store_s2",
@@ -4400,6 +4417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "speed_outliers": q_speed_outliers,
         "cell_entropy": q_cell_entropy,
         "peak_hours": q_peak_hours,
+        "shortest_paths": q_shortest_paths,
     })
 
 
@@ -7138,6 +7156,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT eg.t AS node, r.d + 1 AS d
               FROM r JOIN eg ON eg.s = r.node WHERE r.d < 6)
             SELECT node, CAST(min(d) AS INTEGER) AS hops
+            FROM r GROUP BY 1
+        """,
+        "shortest_paths": f"""
+            WITH RECURSIVE
+            {_DOC_EG_SQL},
+            ew AS (SELECT s, t, CAST((s + t) % 7 + 1 AS BIGINT) AS w
+                   FROM eg),
+            r AS (
+              SELECT CAST(sv.node AS BIGINT) AS node,
+                     CAST(0 AS BIGINT) AS d, 0 AS k
+              FROM (VALUES (0), (1), (2)) sv(node)
+              UNION
+              SELECT ew.t AS node, r.d + ew.w AS d, r.k + 1 AS k
+              FROM r JOIN ew ON ew.s = r.node WHERE r.k < 6)
+            SELECT node, CAST(min(d) AS BIGINT) AS dist
             FROM r GROUP BY 1
         """,
         # triangle mirror: id-ordered direct enumeration a<b<c over the

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = ["pagerank", "hits", "triangle_counts", "bfs_distances",
            "label_propagation", "resolve_redirects", "co_citation",
-           "degree_distribution", "k_core"]
+           "degree_distribution", "k_core", "shortest_paths"]
 
 
 def _fold_sum(sorted_arr) -> F.Column:
@@ -530,3 +530,66 @@ def k_core(edges: DataFrame, k: int, src: str = "src", dst: str = "dst",
         n_prev = n
     und.unpersist()
     return kept.select(F.col("s").alias("node"), "degree")
+
+
+def shortest_paths(edges: DataFrame, sources: list,
+                   src: str = "src", dst: str = "dst", weight: str = "w",
+                   max_rounds: int = 10, directed: bool = True) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths — distributed Bellman-Ford
+    (label-correcting relaxation), the weighted companion of
+    :func:`bfs_distances`: link-cost crawl distance, weighted trust
+    propagation, road-network reach. After round k every reachable node
+    holds the minimum total weight over paths of <= k edges from the
+    seed set; with non-negative weights the iteration is monotone
+    non-increasing and stops early at the fixpoint (extra rounds are
+    exact no-ops — the k_core convention that lets a fixed-unroll
+    oracle equal the early-stopping run).
+
+    Weights are cast to long — exact integer sums in any engine; for
+    float costs pre-scale to integer units (ppm) upstream.
+
+    Per round: ONE frontier->edges join (shuffle keyed by node id), a
+    combining min per relaxed node, an improvement check against the
+    standing distances (only IMPROVED nodes re-enter the frontier, so
+    quiescent regions cost nothing), and a combining min merge; every
+    per-round frame is eagerly checkpointed so lineage stays O(1).
+    Returns (node, dist); unreached nodes are absent.
+    """
+    if not sources:
+        raise ValueError("shortest_paths needs at least one source")
+    if max_rounds < 1:
+        raise ValueError(f"shortest_paths needs max_rounds >= 1, "
+                         f"got {max_rounds}")
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).cast("long").alias("s"),
+                     F.col(dst).cast("long").alias("t"),
+                     F.col(weight).cast("long").alias("w"))
+    if not directed:
+        e = e.unionAll(e.select(F.col("t").alias("s"),
+                                F.col("s").alias("t"), "w"))
+    # parallel edges: keep only the cheapest — min() would absorb the
+    # rest anyway, this just shrinks every round's join fan-out
+    e = e.groupBy("s", "t").agg(F.min("w").alias("w")).persist()
+    dist = spark.createDataFrame(
+        [(int(v), 0) for v in sorted(set(sources))],
+        "node long, dist long").localCheckpoint(eager=True)
+    frontier = dist
+    for _ in range(int(max_rounds)):
+        cand = (e.join(frontier.withColumnRenamed("node", "s"), on="s")
+                 .select(F.col("t").alias("node"),
+                         (F.col("dist") + F.col("w")).alias("dist"))
+                 .groupBy("node").agg(F.min("dist").alias("dist")))
+        improved = (cand.join(dist.withColumnRenamed("dist", "__d0__"),
+                              "node", "left")
+                        .filter(F.col("__d0__").isNull()
+                                | (F.col("dist") < F.col("__d0__")))
+                        .select("node", "dist")
+                        .localCheckpoint(eager=True))
+        if improved.isEmpty():
+            break
+        dist = (dist.unionAll(improved)
+                    .groupBy("node").agg(F.min("dist").alias("dist"))
+                    .localCheckpoint(eager=True))
+        frontier = improved
+    e.unpersist()
+    return dist

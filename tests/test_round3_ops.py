@@ -405,3 +405,65 @@ def test_group_entropy_default_has_no_collect_list(spark):
     plan = (group_entropy(df, ["g"], "user")
             ._jdf.queryExecution().executedPlan().toString())
     assert "collect_list" not in plan
+
+
+# ---------------------------------------------------------------------------
+# shortest_paths
+
+def test_shortest_paths_vs_dijkstra(spark):
+    import heapq
+
+    from geomesa_spark.operators.graph import shortest_paths
+
+    edges = [(0, 1, 4), (0, 2, 1), (2, 1, 2), (1, 3, 5),
+             (2, 3, 8), (3, 4, 1), (9, 0, 1)]   # 9 unreachable from 0
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    out = {r.node: r.dist
+           for r in shortest_paths(df, [0], max_rounds=10).collect()}
+
+    # reference Dijkstra
+    adj = {}
+    for s, t, w in edges:
+        adj.setdefault(s, []).append((t, w))
+    dist, pq = {0: 0}, [(0, 0)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, 1 << 60):
+            continue
+        for v, w in adj.get(u, []):
+            if d + w < dist.get(v, 1 << 60):
+                dist[v] = d + w
+                heapq.heappush(pq, (dist[v], v))
+    assert out == dist
+    assert 9 not in out   # unreached nodes absent
+
+
+def test_shortest_paths_round_limit_and_undirected(spark):
+    from geomesa_spark.operators.graph import shortest_paths
+
+    # chain 0-1-2-3, weight 1 each
+    df = spark.createDataFrame([(0, 1, 1), (1, 2, 1), (2, 3, 1)],
+                               "src long, dst long, w long")
+    # 2 rounds: only <= 2-edge paths
+    out = {r.node: r.dist
+           for r in shortest_paths(df, [0], max_rounds=2).collect()}
+    assert out == {0: 0, 1: 1, 2: 2}
+    # undirected: seed 3 reaches 0 backwards
+    out2 = {r.node: r.dist
+            for r in shortest_paths(df, [3], max_rounds=5,
+                                    directed=False).collect()}
+    assert out2 == {3: 0, 2: 1, 1: 2, 0: 3}
+    with pytest.raises(ValueError):
+        shortest_paths(df, [], max_rounds=3)
+    with pytest.raises(ValueError):
+        shortest_paths(df, [0], max_rounds=0)
+
+
+def test_shortest_paths_parallel_edges_take_cheapest(spark):
+    from geomesa_spark.operators.graph import shortest_paths
+
+    df = spark.createDataFrame([(0, 1, 9), (0, 1, 2)],
+                               "src long, dst long, w long")
+    out = {r.node: r.dist
+           for r in shortest_paths(df, [0], max_rounds=3).collect()}
+    assert out == {0: 0, 1: 2}
