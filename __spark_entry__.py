@@ -1283,6 +1283,26 @@ def q_seed_distance(spark, sf_dir):
     return bfs_distances(edges, [0, 1, 2], max_hops=6)
 
 
+def q_cell_quantiles(spark, sf_dir):
+    """Per-cell quantile surface ("p50/p90 dwell per area"): the
+    q_sketches mergeable percentile_approx plan GROUPED by 10-degree
+    cell — one partial+final combining agg per cell, no global sort;
+    rank-exact at gate accuracy (> 2n per cell), so the oracle is the
+    per-cell exact order statistic at 1-indexed rank ceil(p * n) (the
+    _sql_sketches convention, partitioned)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "value",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"))
+    return (_cell10(ev)
+            .groupBy("i", "j")
+            .agg(F.count("*").alias("n_events"),
+                 F.percentile_approx("value", F.lit(0.5),
+                                     F.lit(_SKETCH_ACC)).alias("q50"),
+                 F.percentile_approx("value", F.lit(0.9),
+                                     F.lit(_SKETCH_ACC)).alias("q90")))
+
+
 def q_shortest_paths(spark, sf_dir):
     """Weighted multi-source shortest paths (operators/graph.
     shortest_paths): distributed Bellman-Ford over the shared doc link
@@ -4173,11 +4193,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # additions appended after the rotated block in queries() (transform_laea,
 # transform_ps, readability, zipf_fit, heaps_law, retention_cohorts,
 # bearing_rose, hard_negatives, ann_recall, speed_outliers, cell_entropy,
-# peak_hours, shortest_paths): 77 keys. Rebuild this list at the start of
-# round 4 with that tail at the front; 77 > 50 driver slots, so ~27 keys
-# will still be ungraded going into round 5 — rotate those to the front
-# then. The authoritative recipe is to diff queries() against the union
-# of green rows in CORRECTNESS_r0*.json.
+# peak_hours, shortest_paths, cell_quantiles): 78 keys. Rebuild this list
+# at the start of round 4 with that tail at the front; 78 > 50 driver
+# slots, so ~28 keys will still be ungraded going into round 5 — rotate
+# those to the front then. The authoritative recipe is to diff queries()
+# against the union of green rows in CORRECTNESS_r0*.json.
 _NEVER_GRADED_R3 = [
     "minhash_pairs", "simhash_pairs", "lsh_ann", "ivf_ann", "sketches",
     "geoparse_pages", "store_bbox", "store_stbox", "store_xz2", "store_s2",
@@ -4418,6 +4438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_entropy": q_cell_entropy,
         "peak_hours": q_peak_hours,
         "shortest_paths": q_shortest_paths,
+        "cell_quantiles": q_cell_quantiles,
     })
 
 
@@ -7157,6 +7178,33 @@ def oracle_sql() -> dict[str, str]:
               FROM r JOIN eg ON eg.s = r.node WHERE r.d < 6)
             SELECT node, CAST(min(d) AS INTEGER) AS hops
             FROM r GROUP BY 1
+        """,
+        "cell_quantiles": f"""
+            WITH e AS (SELECT value,
+                              {tg.sql_point_lon('event_id', _e['mlon'], _e['olon'])} AS lon,
+                              {tg.sql_point_lat('event_id', _e['mlat'], _e['olat'])} AS lat
+                       FROM events),
+            c AS (SELECT CAST(least(floor((lon - (-180.0)) / 10.0), 35)
+                              AS INTEGER) AS i,
+                         CAST(least(floor((lat - (-90.0)) / 10.0), 17)
+                              AS INTEGER) AS j,
+                         value
+                  FROM e
+                  WHERE lon >= -180.0 AND lon <= 180.0
+                    AND lat >= -90.0 AND lat <= 90.0),
+            v AS (SELECT i, j, value,
+                         row_number() OVER (PARTITION BY i, j
+                                            ORDER BY value) AS rn,
+                         count(*) OVER (PARTITION BY i, j) AS n
+                  FROM c)
+            SELECT i, j, CAST(min(n) AS BIGINT) AS n_events,
+                   max(CASE WHEN rn = CAST(ceil(CAST(0.5 AS DOUBLE)
+                            * CAST(n AS DOUBLE)) AS BIGINT)
+                            THEN value END) AS q50,
+                   max(CASE WHEN rn = CAST(ceil(CAST(0.9 AS DOUBLE)
+                            * CAST(n AS DOUBLE)) AS BIGINT)
+                            THEN value END) AS q90
+            FROM v GROUP BY i, j
         """,
         "shortest_paths": f"""
             WITH RECURSIVE

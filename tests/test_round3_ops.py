@@ -467,3 +467,28 @@ def test_shortest_paths_parallel_edges_take_cheapest(spark):
     out = {r.node: r.dist
            for r in shortest_paths(df, [0], max_rounds=3).collect()}
     assert out == {0: 0, 1: 2}
+
+
+# ---------------------------------------------------------------------------
+# haversine_col (shared spelling) vs the numpy kernel
+
+def test_haversine_col_matches_numpy_kernel(spark):
+    from pyspark.sql import functions as F
+    from geomesa_spark.geom.measures import haversine_col, haversine_m
+
+    rng = np.random.default_rng(7)
+    n = 1000
+    lon1 = rng.uniform(-180, 180, n)
+    lat1 = rng.uniform(-90, 90, n)
+    lon2 = rng.uniform(-180, 180, n)
+    lat2 = rng.uniform(-90, 90, n)
+    df = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(d))
+         for a, b, c, d in zip(lon1, lat1, lon2, lat2)],
+        "lon1 double, lat1 double, lon2 double, lat2 double")
+    got = np.array([r.d for r in df.select(
+        haversine_col(F.col("lon1"), F.col("lat1"),
+                      F.col("lon2"), F.col("lat2")).alias("d")).collect()])
+    exp = haversine_m(lon1, lat1, lon2, lat2)
+    # JVM vs numpy libm: identical chains, allow last-ulp slack
+    assert np.allclose(got, exp, rtol=1e-12, atol=1e-6)
