@@ -553,9 +553,11 @@ def q_zone_paths(spark, sf_dir):
 
 def _cell10(ev):
     """10-degree grid binning + bounds filter — ONE spelling shared by
-    _event_cube / cell_entropy / peak_hours (their DuckDB mirrors all
-    replay this exact least/floor chain): adds (i, j) int columns,
-    drops out-of-bounds rows, keeps every other column."""
+    every 10-degree-cell query (_event_cube / cell_entropy / peak_hours
+    / cell_quantiles; their DuckDB mirrors all replay this exact
+    least/floor chain — grep `(lon - (-180.0)) / 10.0` in oracle_sql()
+    for the full mirror list before changing it): adds (i, j) int
+    columns, drops out-of-bounds rows, keeps every other column."""
     i = F.least(F.floor((F.col("lon") - (-180.0)) / 10.0), F.lit(35)).cast("int")
     j = F.least(F.floor((F.col("lat") - (-90.0)) / 10.0), F.lit(17)).cast("int")
     return (ev.filter((F.col("lon") >= -180.0) & (F.col("lon") <= 180.0)
