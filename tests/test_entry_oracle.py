@@ -69,6 +69,13 @@ def test_oracle_match(spark, duck, name):
 ROWS_ONLY = sorted(set(_QUERIES) - set(_ORACLES))
 
 
+def test_every_query_has_an_oracle():
+    """The rows-only fallback list is EMPTY — every queries() entry has
+    a DuckDB oracle (the driver's strongest check). If this fires, a
+    new query landed without an oracle_sql() entry."""
+    assert ROWS_ONLY == []
+
+
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(spark, name):
     df = _QUERIES[name](spark, SF_DIR)
