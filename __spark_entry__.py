@@ -5267,17 +5267,20 @@ def _sql_k_core(k: int = 4, peels: int | None = None) -> str:
 def _sql_geo_search(terms: list[str], qlon: float, qlat: float, k: int,
                     half_m: float, k1: float = 1.2, b: float = 0.75) -> str:
     """DuckDB mirror of text.geo_search: the _sql_bm25 scoring CTEs
-    composed with the dwithin_sphere haversine spelling (radians as
-    x / 180.0 * pi()), the decayed_density pow -> REAL convention, and
-    rank-by-float32 with an id tie-break."""
-    qla = f"(CAST({qlat!r} AS DOUBLE) / 180.0 * pi())"
-    qlo = f"(CAST({qlon!r} AS DOUBLE) / 180.0 * pi())"
+    composed with the dwithin_sphere haversine spelling (DuckDB
+    ``radians(x)`` — bit-equal to Spark's F.radians, probe-verified;
+    the former ``x / 180.0 * pi()`` spelling carried a 1-ulp spread on
+    ~27% of inputs that only the float32 outputs absorbed), the
+    decayed_density pow -> REAL convention, and rank-by-float32 with an
+    id tie-break."""
+    qla = f"radians(CAST({qlat!r} AS DOUBLE))"
+    qlo = f"radians(CAST({qlon!r} AS DOUBLE))"
     return f"""
         WITH {_bm25_ctes(terms, k1, b)},
         sc AS (SELECT doc_id, dl, score32 FROM s WHERE score32 > 0),
         p AS (SELECT doc_id,
-                     ({tg.sql_point_lon('doc_id')}) / 180.0 * pi() AS lo2,
-                     ({tg.sql_point_lat('doc_id')}) / 180.0 * pi() AS la2
+                     radians({tg.sql_point_lon('doc_id')}) AS lo2,
+                     radians({tg.sql_point_lat('doc_id')}) AS la2
               FROM documents),
         dd AS (SELECT sc.doc_id, sc.dl, sc.score32,
                       2.0 * 6371008.7714 * asin(sqrt(
@@ -7320,12 +7323,16 @@ def oracle_sql() -> dict[str, str]:
                               ORDER BY ts, event_id) AS line
             FROM e GROUP BY user_id
         """,
-        # radians spelled as x / 180.0 * pi() to mirror Java Math.toRadians
+        # radians spelled as DuckDB radians(x): bit-equal to Spark's
+        # F.radians / numpy np.radians (probe-verified on this
+        # container; the former x / 180.0 * pi() spelling differed in
+        # the last ulp on ~27% of inputs — absorbed by the threshold /
+        # float32 outputs, but radians() makes the mirror exact)
         "dwithin_sphere": f"""
             WITH c AS ({_CUST_SQL}), s AS ({_SUPP_SQL}),
             r AS (SELECT c.c_custkey, s.s_suppkey,
-                         c.lat / 180.0 * pi() AS la1, s.lat / 180.0 * pi() AS la2,
-                         c.lon / 180.0 * pi() AS lo1, s.lon / 180.0 * pi() AS lo2
+                         radians(c.lat) AS la1, radians(s.lat) AS la2,
+                         radians(c.lon) AS lo1, radians(s.lon) AS lo2
                   FROM c, s)
             SELECT c_custkey, s_suppkey FROM r
             WHERE 2.0 * 6371008.7714 * asin(sqrt(
@@ -7388,8 +7395,8 @@ def oracle_sql() -> dict[str, str]:
                               CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events),
             t AS (SELECT lon, lat, secs FROM e WHERE user_id = 0),
             r AS (SELECT d.event_id,
-                         d.lat / 180.0 * pi() AS la1, t.lat / 180.0 * pi() AS la2,
-                         d.lon / 180.0 * pi() AS lo1, t.lon / 180.0 * pi() AS lo2,
+                         radians(d.lat) AS la1, radians(t.lat) AS la2,
+                         radians(d.lon) AS lo1, radians(t.lon) AS lo2,
                          abs(d.secs - t.secs) AS dt
                   FROM e d, t)
             SELECT DISTINCT event_id FROM r
@@ -7416,8 +7423,8 @@ def oracle_sql() -> dict[str, str]:
         "knn_sphere": f"""
             WITH q AS ({_QPTS_SQL}), c AS ({_CUST_SQL}),
             r AS (SELECT qid, c_custkey,
-                         qy / 180.0 * pi() AS la1, lat / 180.0 * pi() AS la2,
-                         qx / 180.0 * pi() AS lo1, lon / 180.0 * pi() AS lo2
+                         radians(qy) AS la1, radians(lat) AS la2,
+                         radians(qx) AS lo1, radians(lon) AS lo2
                   FROM q, c)
             SELECT qid, c_custkey, CAST(row_number() OVER (PARTITION BY qid
                 ORDER BY 2.0 * 6371008.7714 * asin(sqrt(
@@ -7596,15 +7603,15 @@ def oracle_sql() -> dict[str, str]:
                                          ORDER BY ts ASC, event_id ASC)),
             d AS (SELECT user_id AS track, o1, o2, dt,
                          2.0 * 6371008.7714 * asin(sqrt(
-                           sin((nlat / 180.0 * pi() - lat / 180.0 * pi()) / 2)
-                             * sin((nlat / 180.0 * pi()
-                                    - lat / 180.0 * pi()) / 2)
-                           + cos(lat / 180.0 * pi())
-                             * cos(nlat / 180.0 * pi())
-                             * sin((nlon / 180.0 * pi()
-                                    - lon / 180.0 * pi()) / 2)
-                             * sin((nlon / 180.0 * pi()
-                                    - lon / 180.0 * pi()) / 2)
+                           sin((radians(nlat) - radians(lat)) / 2)
+                             * sin((radians(nlat)
+                                    - radians(lat)) / 2)
+                           + cos(radians(lat))
+                             * cos(radians(nlat))
+                             * sin((radians(nlon)
+                                    - radians(lon)) / 2)
+                             * sin((radians(nlon)
+                                    - radians(lon)) / 2)
                          )) AS dist
                   FROM legs WHERE o2 IS NOT NULL)
             SELECT track, o1, o2,

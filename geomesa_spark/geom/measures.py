@@ -42,9 +42,10 @@ def haversine_col(lon1, lat1, lon2, lat2):
     """The engine-exact haversine Column chain (meters on the spatial4j
     mean sphere) — ONE spelling shared by the dwithin sphere join, kNN
     sphere metric, geo_search and speed_outliers, so the single DuckDB
-    mirror spelling (``x / 180.0 * pi()`` radians, ``(la2-la1)/2``
-    half-angles, ``2R * asin(sqrt(a))``) can never drift from any
-    caller. Args are pyspark Columns (lon/lat degrees).
+    mirror spelling (``radians(x)`` — probe-verified bit-equal to
+    Spark's F.radians; ``(la2-la1)/2`` half-angles,
+    ``2R * asin(sqrt(a))``) can never drift from any caller. Args are
+    pyspark Columns (lon/lat degrees).
     """
     from pyspark.sql import functions as F
 

@@ -492,3 +492,20 @@ def test_haversine_col_matches_numpy_kernel(spark):
     exp = haversine_m(lon1, lat1, lon2, lat2)
     # JVM vs numpy libm: identical chains, allow last-ulp slack
     assert np.allclose(got, exp, rtol=1e-12, atol=1e-6)
+
+
+def test_duckdb_radians_bit_equals_numpy():
+    """Pins the migrated oracle convention: DuckDB ``radians(x)`` is
+    bit-equal to ``np.radians`` (which test_haversine_col... shows is
+    bit-equal to Spark's F.radians). The former ``x / 180.0 * pi()``
+    oracle spelling differed in the last ulp on ~27% of inputs."""
+    import duckdb
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    xs = rng.uniform(-180, 180, 5000)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": xs}))
+    d = con.sql("SELECT radians(x) AS r FROM t").df()["r"].to_numpy(np.float64)
+    exp = np.radians(xs)
+    assert (d.view(np.int64) == exp.view(np.int64)).all()
