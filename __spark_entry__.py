@@ -1285,6 +1285,18 @@ def q_seed_distance(spark, sf_dir):
     return bfs_distances(edges, [0, 1, 2], max_hops=6)
 
 
+def q_gini_hosts(spark, sf_dir):
+    """Domain-concentration governance gate (operators/corpus.
+    gini_concentration): exact-integer Gini ppm of pages-per-host over
+    the synthetic 997-host assignment (the capture_churn convention) —
+    the pack_sequences two-phase distributed rank, no global window."""
+    from geomesa_spark.operators.corpus import gini_concentration
+
+    docs = _docs(spark, sf_dir).select(
+        (F.col("doc_id") % 997).alias("host"))
+    return gini_concentration(docs, "host")
+
+
 def q_cell_quantiles(spark, sf_dir):
     """Per-cell quantile surface ("p50/p90 dwell per area"): the
     q_sketches mergeable percentile_approx plan GROUPED by 10-degree
@@ -4195,11 +4207,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # additions appended after the rotated block in queries() (transform_laea,
 # transform_ps, readability, zipf_fit, heaps_law, retention_cohorts,
 # bearing_rose, hard_negatives, ann_recall, speed_outliers, cell_entropy,
-# peak_hours, shortest_paths, cell_quantiles): 78 keys. Rebuild this list
-# at the start of round 4 with that tail at the front; 78 > 50 driver
-# slots, so ~28 keys will still be ungraded going into round 5 — rotate
-# those to the front then. The authoritative recipe is to diff queries()
-# against the union of green rows in CORRECTNESS_r0*.json.
+# peak_hours, shortest_paths, cell_quantiles, gini_hosts): 79 keys.
+# Rebuild this list at the start of round 4 with that tail at the front;
+# 79 > 50 driver slots, so ~29 keys will still be ungraded going into
+# round 5 — rotate those to the front then. The authoritative recipe is
+# to diff queries() against the union of green rows in
+# CORRECTNESS_r0*.json.
 _NEVER_GRADED_R3 = [
     "minhash_pairs", "simhash_pairs", "lsh_ann", "ivf_ann", "sketches",
     "geoparse_pages", "store_bbox", "store_stbox", "store_xz2", "store_s2",
@@ -4441,6 +4454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "peak_hours": q_peak_hours,
         "shortest_paths": q_shortest_paths,
         "cell_quantiles": q_cell_quantiles,
+        "gini_hosts": q_gini_hosts,
     })
 
 
@@ -7183,6 +7197,22 @@ def oracle_sql() -> dict[str, str]:
               FROM r JOIN eg ON eg.s = r.node WHERE r.d < 6)
             SELECT node, CAST(min(d) AS INTEGER) AS hops
             FROM r GROUP BY 1
+        """,
+        "gini_hosts": """
+            WITH h AS (SELECT doc_id % 997 AS host,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM documents GROUP BY 1),
+            r AS (SELECT cnt,
+                         row_number() OVER (ORDER BY cnt, host) AS i
+                  FROM h),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(cnt) AS BIGINT) AS t,
+                         CAST(sum(i * cnt) AS BIGINT) AS s2
+                  FROM r)
+            SELECT n AS n_keys, t AS total_rows,
+                   CAST(1000000 * (2 * s2 - (n + 1) * t) // (n * t)
+                        AS BIGINT) AS gini_ppm
+            FROM s
         """,
         "cell_quantiles": f"""
             WITH e AS (SELECT value,

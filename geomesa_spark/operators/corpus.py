@@ -51,7 +51,7 @@ __all__ = [
     "mixing_stats", "word_ngrams", "tfidf_topk_terms", "unigram_logprob",
     "normalize_url", "write_shards", "duplicated_ngram_fraction",
     "bigram_logprob", "collocations", "dsir_weights",
-    "zipf_fit", "heaps_law",
+    "zipf_fit", "heaps_law", "gini_concentration",
     "pack_sequences", "redact_pii", "pii_stats", "incremental_dedup",
     "gopher_quality", "chunk_text", "quality_classifier",
     "extract_html_text", "extract_main_content", "html_escape", "wrap_html",
@@ -2257,3 +2257,68 @@ def trending_terms(docs: DataFrame, text_col: str, bucket_col: str,
                .select("token", "bucket", "n_in_bucket", "n_total",
                        "lift32", "rank"))
     return _attach_cached(out, ctb)
+
+
+def gini_concentration(df: DataFrame, key_col: str,
+                       num_partitions: int | None = None) -> DataFrame:
+    """Gini coefficient of row concentration over ``key_col`` — the
+    domain-diversity governance gate of a web corpus ("is the crawl
+    10% example.com?"): 0 = rows spread evenly over keys, -> 1 = one
+    key owns everything. Standard exact form over per-key counts x
+    sorted ascending with 1-based global rank i::
+
+        G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x))
+
+    reported as exact-integer ``gini_ppm`` (the tfidf/transition ppm
+    convention — no float division to defend across engines). Returns
+    one row (n_keys, total_rows, gini_ppm).
+
+    Scale shape: one combining count per key (map-side partials absorb
+    hot keys), then the global ascending rank via the pack_sequences
+    two-phase distributed prefix: range-repartition of the narrow
+    (cnt, key) frame, per-partition ROW subtotals to the driver
+    (#partitions integers), broadcast base offsets, map-only local
+    ranks — no global window, no single-task sort. The rank-weighted
+    sums are exact int64 at any realistic key cardinality times corpus
+    size below ~2^63 ppm-scaled (a 10^8-host, 10^12-page corpus needs
+    the same plan with DECIMAL(38) sums — one cast, shape unchanged).
+    """
+    spark = df.sparkSession
+    k = num_partitions or spark.sparkContext.defaultParallelism
+    cnt = (df.groupBy(F.col(key_col).alias("__k__"))
+             .agg(F.count("*").alias("__c__")))
+    ranged = (cnt.repartitionByRange(k, "__c__", "__k__")
+                 .sortWithinPartitions("__c__", "__k__")
+                 .withColumn("__pid__", F.spark_partition_id())
+                 .persist())
+    rows = {r["__pid__"]: r["n"] for r in
+            ranged.groupBy("__pid__").agg(F.count("*").alias("n"))
+                  .collect()}
+    base, offsets = 0, {}
+    for pid in range(k):
+        offsets[pid] = base
+        base += int(rows.get(pid, 0) or 0)
+
+    def _rank(batches):
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = offsets[int(pdf["__pid__"].iloc[0])]
+            n = len(pdf)
+            yield pd.DataFrame({
+                "__c__": pdf["__c__"],
+                "__i__": np.arange(run + 1, run + n + 1, dtype=np.int64)})
+            run += n
+
+    ranked = ranged.mapInPandas(_rank, schema="__c__ long, __i__ long")
+    agg = ranked.agg(F.count("*").alias("n"),
+                     F.sum("__c__").alias("t"),
+                     F.sum(F.col("__i__") * F.col("__c__")).alias("s2"))
+    out = agg.select(
+        F.col("n").alias("n_keys"),
+        F.col("t").alias("total_rows"),
+        F.expr("CAST(1000000 * (2 * s2 - (n + 1) * t) DIV (n * t) "
+               "AS BIGINT)").alias("gini_ppm"))
+    return _attach_cached(out, ranged)

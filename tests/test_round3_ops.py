@@ -509,3 +509,45 @@ def test_duckdb_radians_bit_equals_numpy():
     d = con.sql("SELECT radians(x) AS r FROM t").df()["r"].to_numpy(np.float64)
     exp = np.radians(xs)
     assert (d.view(np.int64) == exp.view(np.int64)).all()
+
+
+# ---------------------------------------------------------------------------
+# gini_concentration
+
+def _gini_ref(counts):
+    x = np.sort(np.array(counts, dtype=np.int64))
+    n, t = len(x), x.sum()
+    i = np.arange(1, n + 1)
+    return (2 * (i * x).sum() - (n + 1) * t) * 1_000_000 // (n * t)
+
+
+def test_gini_concentration_brute_force(spark):
+    from geomesa_spark.operators.corpus import gini_concentration
+    from geomesa_spark.operators import cache
+
+    # skewed: host 0 x 60, host 1 x 30, hosts 2..11 x 1
+    rows = [(0,)] * 60 + [(1,)] * 30 + [(h,) for h in range(2, 12)]
+    df = spark.createDataFrame(rows, "host long")
+    out = gini_concentration(df, "host")
+    r = out.collect()[0]
+    counts = [60, 30] + [1] * 10
+    assert (r.n_keys, r.total_rows) == (12, 100)
+    assert r.gini_ppm == _gini_ref(counts)
+    assert r.gini_ppm > 600_000          # visibly concentrated
+    cache.release(out)
+
+
+def test_gini_concentration_uniform_is_zero(spark):
+    from geomesa_spark.operators.corpus import gini_concentration
+    from geomesa_spark.operators import cache
+
+    df = spark.createDataFrame([(h,) for h in range(8)] * 5, "host long")
+    out = gini_concentration(df, "host")
+    r = out.collect()[0]
+    assert (r.n_keys, r.total_rows, r.gini_ppm) == (8, 40, 0)
+    cache.release(out)
+
+    single = spark.createDataFrame([(1,), (1,)], "host long")
+    out2 = gini_concentration(single, "host")
+    assert out2.collect()[0].gini_ppm == 0   # one key: no inequality
+    cache.release(out2)
