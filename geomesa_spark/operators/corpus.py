@@ -1920,6 +1920,29 @@ def quality_classifier(docs: DataFrame, id_col: str, text_col: str,
         (score >= F.lit(float(threshold))).alias("keep"))
 
 
+
+def _two_phase_offsets(df, k: int, order_cols: list, measure):
+    """The shared scaffold of the two-phase distributed prefix
+    (pack_sequences offsets, gini_concentration ranks): range-partition
+    ``df`` into ``k`` total-order partitions by ``order_cols``, bring
+    ONE ``measure`` subtotal per partition to the driver, and return
+    ``(ranged, offsets)`` — the persisted ordered frame (with a
+    ``__pid__`` column) and the exclusive-prefix base per partition.
+    Callers add partition-local running values to their base inside a
+    map-only pass; no global window, no single-task sort."""
+    ranged = (df.repartitionByRange(k, *order_cols)
+                .sortWithinPartitions(*order_cols)
+                .withColumn("__pid__", F.spark_partition_id())
+                .persist())
+    totals = {r["__pid__"]: r["s"] for r in
+              ranged.groupBy("__pid__").agg(measure.alias("s")).collect()}
+    base, offsets = 0, {}
+    for pid in range(int(k)):
+        offsets[pid] = base
+        base += int(totals.get(pid, 0) or 0)
+    return ranged, offsets
+
+
 def pack_sequences(docs: DataFrame, id_col: str, text_col: str,
                    seq_len: int, seed: int = 42,
                    num_partitions: int | None = None) -> DataFrame:
@@ -1967,18 +1990,9 @@ def pack_sequences(docs: DataFrame, id_col: str, text_col: str,
                 # ^ filter AFTER the cast: a string id the cast nulls
                 # must not reach the int64 mix UDF
                 .withColumn("__key__", _mixkey(F.col("__id__"))))
-    ranged = (slim.repartitionByRange(k, "__key__", "__id__")
-                  .sortWithinPartitions("__key__", "__id__")
-                  .withColumn("__pid__", F.spark_partition_id())
-                  .persist())
     # partition subtotals -> driver (k rows) -> exclusive prefix
-    totals = {r["__pid__"]: r["s"] for r in
-              ranged.groupBy("__pid__").agg(F.sum("__nt__").alias("s"))
-                    .collect()}
-    base, offsets = 0, {}
-    for pid in range(k):
-        offsets[pid] = base
-        base += int(totals.get(pid, 0) or 0)
+    ranged, offsets = _two_phase_offsets(
+        slim, k, ["__key__", "__id__"], F.sum("__nt__"))
 
     def _scan(batches):
         run = None
@@ -2271,7 +2285,8 @@ def gini_concentration(df: DataFrame, key_col: str,
 
     reported as exact-integer ``gini_ppm`` (the tfidf/transition ppm
     convention — no float division to defend across engines). Returns
-    one row (n_keys, total_rows, gini_ppm).
+    one row (n_keys, total_rows, gini_ppm); an empty input yields the
+    defined (0, 0, 0) row so threshold gates fail closed.
 
     Scale shape: one combining count per key (map-side partials absorb
     hot keys), then the global ascending rank via the pack_sequences
@@ -2287,17 +2302,8 @@ def gini_concentration(df: DataFrame, key_col: str,
     k = num_partitions or spark.sparkContext.defaultParallelism
     cnt = (df.groupBy(F.col(key_col).alias("__k__"))
              .agg(F.count("*").alias("__c__")))
-    ranged = (cnt.repartitionByRange(k, "__c__", "__k__")
-                 .sortWithinPartitions("__c__", "__k__")
-                 .withColumn("__pid__", F.spark_partition_id())
-                 .persist())
-    rows = {r["__pid__"]: r["n"] for r in
-            ranged.groupBy("__pid__").agg(F.count("*").alias("n"))
-                  .collect()}
-    base, offsets = 0, {}
-    for pid in range(k):
-        offsets[pid] = base
-        base += int(rows.get(pid, 0) or 0)
+    ranged, offsets = _two_phase_offsets(
+        cnt, k, ["__c__", "__k__"], F.count("*"))
 
     def _rank(batches):
         run = None
@@ -2316,9 +2322,13 @@ def gini_concentration(df: DataFrame, key_col: str,
     agg = ranked.agg(F.count("*").alias("n"),
                      F.sum("__c__").alias("t"),
                      F.sum(F.col("__i__") * F.col("__c__")).alias("s2"))
+    # empty input: a defined (0, 0, 0) row, not NULLs — a governance
+    # gate applied as `gini_ppm > threshold` must FAIL-CLOSED on a
+    # degenerate slice, never vanish through a NULL comparison
     out = agg.select(
         F.col("n").alias("n_keys"),
-        F.col("t").alias("total_rows"),
-        F.expr("CAST(1000000 * (2 * s2 - (n + 1) * t) DIV (n * t) "
-               "AS BIGINT)").alias("gini_ppm"))
+        F.coalesce(F.col("t"), F.lit(0)).alias("total_rows"),
+        F.when(F.col("n") == 0, F.lit(0).cast("long"))
+         .otherwise(F.expr("CAST(1000000 * (2 * s2 - (n + 1) * t) "
+                           "DIV (n * t) AS BIGINT)")).alias("gini_ppm"))
     return _attach_cached(out, ranged)

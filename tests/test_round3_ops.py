@@ -551,3 +551,14 @@ def test_gini_concentration_uniform_is_zero(spark):
     out2 = gini_concentration(single, "host")
     assert out2.collect()[0].gini_ppm == 0   # one key: no inequality
     cache.release(out2)
+
+
+def test_gini_concentration_empty_is_zero_row(spark):
+    from geomesa_spark.operators.corpus import gini_concentration
+    from geomesa_spark.operators import cache
+
+    empty = spark.createDataFrame([], "host long")
+    out = gini_concentration(empty, "host")
+    r = out.collect()[0]
+    assert (r.n_keys, r.total_rows, r.gini_ppm) == (0, 0, 0)
+    cache.release(out)
