@@ -1285,6 +1285,28 @@ def q_seed_distance(spark, sf_dir):
     return bfs_distances(edges, [0, 1, 2], max_hops=6)
 
 
+def q_knn_classify(spark, sf_dir):
+    """Spatial kNN classification (operators/knn.knn_classify): each
+    nation query point takes the majority c_mktsegment among its 5
+    nearest customers — geo-imputation by labeled neighbors; vote is
+    one combining count + one combining struct-max (no window)."""
+    from geomesa_spark.operators.knn import knn_classify
+
+    q = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("qid"),
+        tg.point_lon("n_nationkey", _q["mlon"], _q["olon"]).alias("qx"),
+        tg.point_lat("n_nationkey", _q["mlat"], _q["olat"]).alias("qy"))
+    d = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment",
+        tg.point_lon("c_custkey").alias("lon"),
+        tg.point_lat("c_custkey").alias("lat"))
+    return knn_classify(q, d, k=5, label_col="c_mktsegment",
+                        query_id="qid", qx="qx", qy="qy",
+                        dx="lon", dy="lat", data_id="c_custkey",
+                        metric="degrees", initial_radius=20.0,
+                        max_radius=90.0, max_rounds=4)
+
+
 def q_gini_hosts(spark, sf_dir):
     """Domain-concentration governance gate (operators/corpus.
     gini_concentration): exact-integer Gini ppm of pages-per-host over
@@ -4207,9 +4229,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # additions appended after the rotated block in queries() (transform_laea,
 # transform_ps, readability, zipf_fit, heaps_law, retention_cohorts,
 # bearing_rose, hard_negatives, ann_recall, speed_outliers, cell_entropy,
-# peak_hours, shortest_paths, cell_quantiles, gini_hosts): 79 keys.
+# peak_hours, shortest_paths, cell_quantiles, gini_hosts, knn_classify):
+# 80 keys.
 # Rebuild this list at the start of round 4 with that tail at the front;
-# 79 > 50 driver slots, so ~29 keys will still be ungraded going into
+# 80 > 50 driver slots, so ~30 keys will still be ungraded going into
 # round 5 — rotate those to the front then. The authoritative recipe is
 # to diff queries() against the union of green rows in
 # CORRECTNESS_r0*.json.
@@ -4455,6 +4478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shortest_paths": q_shortest_paths,
         "cell_quantiles": q_cell_quantiles,
         "gini_hosts": q_gini_hosts,
+        "knn_classify": q_knn_classify,
     })
 
 
@@ -7197,6 +7221,22 @@ def oracle_sql() -> dict[str, str]:
               FROM r JOIN eg ON eg.s = r.node WHERE r.d < 6)
             SELECT node, CAST(min(d) AS INTEGER) AS hops
             FROM r GROUP BY 1
+        """,
+        "knn_classify": f"""
+            WITH q AS ({_QPTS_SQL}), c AS ({_CUST_SQL}),
+            nn AS (SELECT qid, p.c_custkey,
+                          CAST(row_number() OVER (PARTITION BY qid
+                               ORDER BY sqrt((qx - lon) * (qx - lon)
+                                             + (qy - lat) * (qy - lat)) ASC,
+                                        p.c_custkey ASC) AS INTEGER) AS rank
+                   FROM q, c p QUALIFY rank <= 5),
+            votes AS (SELECT nn.qid, cu.c_mktsegment AS label,
+                             CAST(count(*) AS BIGINT) AS n_votes
+                      FROM nn JOIN customer cu USING (c_custkey)
+                      GROUP BY nn.qid, cu.c_mktsegment)
+            SELECT qid, label, n_votes FROM votes
+            QUALIFY row_number() OVER (PARTITION BY qid
+                ORDER BY n_votes DESC, label DESC) = 1
         """,
         "gini_hosts": """
             WITH h AS (SELECT doc_id % 997 AS host,

@@ -258,3 +258,33 @@ def all_knn_join(
                 .filter(F.col("rank") <= k)
                 .drop("__r__"))
     return attach_cached(out, *cached)
+
+
+def knn_classify(queries: DataFrame, data: DataFrame, k: int,
+                 label_col: str, **knn_kwargs) -> DataFrame:
+    """Spatial kNN classification / geo-imputation: each query point
+    takes the MAJORITY label among its k nearest data points — assign
+    a region/market/landuse class to an unlabeled location from its
+    labeled neighbors (the supervised companion of :func:`knn_join`;
+    reference analog: the KNearestNeighborSearchProcess feeding a
+    client-side vote).
+
+    Scale shape: knn_join's expanding-radius candidate machinery does
+    all the heavy lifting; the vote adds one combining (query, label)
+    count and ONE combining struct-max per query (the peak_bucket
+    argmax-without-a-window shape). Ties break on the LARGER label
+    under binary string order — deterministic in any engine. Returns
+    (query_id, label, n_votes).
+    """
+    if k < 1:
+        raise ValueError(f"knn_classify needs k >= 1, got {k}")
+    query_id = knn_kwargs.get("query_id", "qid")
+    nn = knn_join(queries, data, k=k, **knn_kwargs)
+    votes = (nn.groupBy(F.col(query_id), F.col(label_col).alias("__lbl__"))
+               .agg(F.count("*").alias("__n__")))
+    best = F.max(F.struct(F.col("__n__"), F.col("__lbl__")))
+    out = (votes.groupBy(query_id).agg(best.alias("__best__"))
+                .select(F.col(query_id),
+                        F.col("__best__.__lbl__").alias("label"),
+                        F.col("__best__.__n__").alias("n_votes")))
+    return attach_cached(out, *getattr(nn, "_geomesa_cached", []))

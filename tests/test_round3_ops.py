@@ -562,3 +562,35 @@ def test_gini_concentration_empty_is_zero_row(spark):
     r = out.collect()[0]
     assert (r.n_keys, r.total_rows, r.gini_ppm) == (0, 0, 0)
     cache.release(out)
+
+
+# ---------------------------------------------------------------------------
+# knn_classify
+
+def test_knn_classify_majority_and_ties(spark):
+    from geomesa_spark.operators.knn import knn_classify
+    from geomesa_spark.operators import cache
+
+    # query at origin; 3 nearest labeled A/A/B -> majority A;
+    # second query: nearest 2 split A/B (k=2) -> tie -> larger label B
+    data = spark.createDataFrame(
+        [(1, 0.1, 0.0, "A"), (2, 0.0, 0.1, "A"), (3, 0.2, 0.0, "B"),
+         (4, 5.0, 5.0, "B"),
+         (5, 10.0, 0.1, "A"), (6, 10.0, -0.1, "B"), (7, 30.0, 0.0, "A")],
+        "did long, lon double, lat double, lbl string")
+    q = spark.createDataFrame([(100, 0.0, 0.0), (200, 10.0, 0.0)],
+                              "qid long, qx double, qy double")
+    out1 = knn_classify(q.filter("qid = 100"), data, k=3, label_col="lbl",
+                        initial_radius=1.0, max_radius=50.0)
+    r1 = out1.collect()[0]
+    assert (r1.qid, r1.label, r1.n_votes) == (100, "A", 2)
+    cache.release(out1)
+
+    out2 = knn_classify(q.filter("qid = 200"), data, k=2, label_col="lbl",
+                        initial_radius=1.0, max_radius=50.0)
+    r2 = out2.collect()[0]
+    assert (r2.qid, r2.label, r2.n_votes) == (200, "B", 1)
+    cache.release(out2)
+
+    with pytest.raises(ValueError):
+        knn_classify(q, data, k=0, label_col="lbl")
