@@ -211,6 +211,24 @@ def q_dwithin_deg(spark, sf_dir):
     return out.select("c_custkey", "s_suppkey")
 
 
+def q_dwithin_rects(spark, sf_dir):
+    """Point x extended-geometry DWITHIN join (operators/spatial_join.
+    dwithin_join_rects — CQL DWITHIN against non-point geometries,
+    GeometryProcessing.scala:143-146): customers within 8 degrees of
+    each nation rect via the radius-expanded-envelope cell prefilter +
+    the closed-form point-to-rect distance refine (four greatest + one
+    sqrt, whole-stage codegen; sqrt is bit-equal across engines so the
+    dist column compares exactly)."""
+    from geomesa_spark.operators.spatial_join import dwithin_join_rects
+
+    pts = _cust_points(spark, sf_dir)
+    rects = _nation_rects(spark, sf_dir, with_wkb=False)
+    out = dwithin_join_rects(pts, rects, 8.0, "lon", "lat",
+                             "xmin", "ymin", "xmax", "ymax",
+                             broadcast_rects=True)
+    return out.select("c_custkey", "n_nationkey", "dist")
+
+
 def q_knn(spark, sf_dir):
     from geomesa_spark.operators.knn import knn_join
 
@@ -219,9 +237,13 @@ def q_knn(spark, sf_dir):
         tg.point_lon("n_nationkey", _q["mlon"], _q["olon"]).alias("qx"),
         tg.point_lat("n_nationkey", _q["mlat"], _q["olat"]).alias("qy"))
     d = _cust_points(spark, sf_dir)
+    # max_radius spans the degrees-domain diagonal so knn_join's
+    # completeness fallback makes the top-5 exact at ANY density
+    # (matching the unbounded oracle) — the fallback round never fires
+    # when the 4 growth rounds already find k=5
     out = knn_join(q, d, k=5, query_id="qid", qx="qx", qy="qy",
                    dx="lon", dy="lat", data_id="c_custkey",
-                   metric="degrees", initial_radius=20.0, max_radius=90.0,
+                   metric="degrees", initial_radius=20.0, max_radius=405.0,
                    max_rounds=4)
     return out.select("qid", "c_custkey", "rank")
 
@@ -1300,11 +1322,16 @@ def q_knn_classify(spark, sf_dir):
         "c_custkey", "c_mktsegment",
         tg.point_lon("c_custkey").alias("lon"),
         tg.point_lat("c_custkey").alias("lat"))
+    # max_radius=405 spans the lon/lat domain diagonal (~402.5 deg), so
+    # knn_join's completeness fallback makes the vote EXACT over the
+    # unbounded top-5 — matching the oracle at any SF/density, not just
+    # dense ones (the fallback round only ever fires for queries still
+    # short of k=5 after the 4 Liu/Lim/Ng growth rounds)
     return knn_classify(q, d, k=5, label_col="c_mktsegment",
                         query_id="qid", qx="qx", qy="qy",
                         dx="lon", dy="lat", data_id="c_custkey",
                         metric="degrees", initial_radius=20.0,
-                        max_radius=90.0, max_rounds=4)
+                        max_radius=405.0, max_rounds=4)
 
 
 def q_gini_hosts(spark, sf_dir):
@@ -1923,10 +1950,13 @@ def q_knn_sphere(spark, sf_dir):
         tg.point_lon("n_nationkey", _q["mlon"], _q["olon"]).alias("qx"),
         tg.point_lat("n_nationkey", _q["mlat"], _q["olat"]).alias("qy"))
     d = _cust_points(spark, sf_dir)
+    # max_radius > pi*R (antipodal bound ~20,015 km) — with the
+    # completeness fallback this makes the sphere-metric top-3 exact at
+    # any density, matching the unbounded oracle
     out = knn_join(q, d, k=3, query_id="qid", qx="qx", qy="qy",
                    dx="lon", dy="lat", data_id="c_custkey",
                    metric="sphere", initial_radius=2_000_000.0,
-                   max_radius=9_000_000.0, max_rounds=4)
+                   max_radius=20_100_000.0, max_rounds=4)
     return out.select("qid", "c_custkey", "rank")
 
 
@@ -2636,14 +2666,24 @@ def _sql_tile_place_stats(n: int = 4000) -> str:
 
 
 def _store_tmp(sf_dir: str, kind: str) -> str:
-    """Deterministic scratch path for store round-trip queries (keyed by
-    sf_dir so sf0.001/sf0.01 runs never read each other's store)."""
+    """Scratch path for store round-trip queries, keyed by sf_dir (so
+    sf0.001/sf0.01 runs never read each other's store) AND by pid, with
+    any pre-existing directory removed before the path is handed out.
+    The pid key + rmtree make every invocation collision-proof against
+    stale on-disk state: a crashed partial overwrite from an EARLIER
+    process (or an earlier code state in a reused container) can never
+    leak rows into this run's read-back. Every caller writes the store
+    immediately after calling this, so the rmtree costs nothing."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
-    return os.path.join(tempfile.gettempdir(), f"gm_store_{kind}_{tag}")
+    path = os.path.join(tempfile.gettempdir(),
+                        f"gm_store_{kind}_{tag}_{os.getpid()}")
+    shutil.rmtree(path, ignore_errors=True)
+    return path
 
 
 _STORE_BBOX = (-20.0, -10.0, 35.0, 40.0)
@@ -2790,6 +2830,121 @@ def q_store_xz2(spark, sf_dir):
     return out.select("c_custkey", "bx0", "by0", "bx1", "by1")
 
 
+def q_store_plan(spark, sf_dir):
+    """Multi-index strategy decider round trip (plans/planner — the
+    reference StrategyDecider.scala:40-120: several indexes over one
+    feature type, cheapest supporting index wins): the SAME event
+    points are written to a z2 store, a z3 store and an attribute
+    store; a bbox+interval+attr-equality query must rank the attribute
+    index cheapest (1/256 bucket x z2-tier prefix fraction, far below
+    the z3 bin-prefix fraction) and the planner's row set must equal
+    the plain triple filter regardless of the index chosen — the query
+    RAISES if the decider picks anything but the attr index, so a
+    cost-model regression is a driver FAIL. Oracle = the plain
+    bbox+time+equality filter."""
+    import os
+
+    from geomesa_spark.plans.planner import planned_query
+    from geomesa_spark.plans.store import (write_indexed, write_indexed_attr,
+                                           write_indexed_z3)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"),
+        F.unix_timestamp("ts").alias("secs"))
+    base = _store_tmp(sf_dir, "plan")
+    stores = {k: os.path.join(base, k) for k in ("z2", "z3", "attr")}
+    write_indexed(ev, stores["z2"])
+    write_indexed_z3(ev, stores["z3"])
+    write_indexed_attr(ev, stores["attr"], "event_type")
+    x0, y0, x1, y1, t0, t1 = _STBOX
+    plan, df = planned_query(
+        spark, stores, bbox=(x0, y0, x1, y1), interval=(t0, t1),
+        attr_eq=("event_type", "click"))
+    if plan["chosen"] != "attr":
+        raise AssertionError(f"strategy decider regression: {plan}")
+    return df.select("event_id", "lon", "lat", "secs")
+
+
+def q_ingest_resume(spark, sf_dir):
+    """Checkpointed two-stage ingest with idempotent RESUME
+    (plans/checkpoint.run_stage — the north-rule resumability
+    contract; reference analog: geomesa-fs FileSystemStorage's atomic
+    metadata commits): stage 1 derives event points + a 5-degree grid
+    cell and checkpoints with a cell histogram + per-partition lineage
+    manifest; stage 2 aggregates per-cell counts/time-mass chained on
+    stage 1's fingerprint. The WHOLE pipeline then runs a SECOND time
+    — both stages must no-op off their manifests (fingerprint match)
+    and return byte-identical data; the query RAISES if either stage
+    re-ran or row counts drifted, so a broken resume path is a driver
+    FAIL, not a silent rebuild. Oracle = the plain per-cell rollup."""
+    import os
+
+    from geomesa_spark.plans.checkpoint import run_stage
+
+    base = _store_tmp(sf_dir, "ckpt")
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"),
+        F.unix_timestamp("ts").alias("secs"))
+    cell = (F.floor((F.col("lon") + 180.0) / 5.0) * 100
+            + F.floor((F.col("lat") + 90.0) / 5.0))
+
+    def run_once():
+        r1 = run_stage(spark, "points", os.path.join(base, "points"),
+                       lambda: ev.withColumn("cell", cell),
+                       params={"grid_deg": 5}, cell_col="cell")
+        r2 = run_stage(spark, "cell_rollup", os.path.join(base, "agg"),
+                       lambda: (r1.df.groupBy("cell")
+                                .agg(F.count("*").alias("n_events"),
+                                     F.sum("secs").alias("sum_secs"))),
+                       inputs=[r1], params={}, cell_col="cell")
+        return r1, r2
+
+    a1, a2 = run_once()
+    b1, b2 = run_once()   # resume pass
+    if not (b1.skipped and b2.skipped):
+        raise AssertionError("checkpoint resume re-ran a completed stage")
+    if (b1.manifest["row_count"] != a1.manifest["row_count"]
+            or b2.manifest["row_count"] != a2.manifest["row_count"]):
+        raise AssertionError("checkpoint resume changed row counts")
+    return b2.df.select("cell", "n_events", "sum_secs")
+
+
+# spatio-temporal box for the XZ3 store: same envelope window as the XZ2
+# round trip, with a time slice that STRADDLES week-bin boundaries (days
+# 5..17 of Jan 2024) so the per-bin interval decomposition — partial bin,
+# full bin, partial bin — is actually exercised, not just a single bin.
+_XZ3_STBOX = (-10.0, -20.0, 25.0, 15.0,
+              1704067200 + 5 * 86400, 1704067200 + 17 * 86400)
+
+
+def q_store_xz3(spark, sf_dir):
+    """XZ3 spatio-temporal extended-geometry store round trip
+    (plans/store.write_indexed_xz3 -> stbox_query_xz3): WKB rects keyed
+    by (xz3_bin, xz3_p) hive partitions — week-binned XZ3 keys, the
+    reference XZ3IndexKeySpace.scala:48-80 key layout — scanned with
+    per-bin prefix pruning + envelope/interval sidecar predicates. Each
+    customer rect carries a deterministic dtg spread over 4 weeks
+    ((c_custkey%28) days + (c_custkey%7) hours past Jan 1 2024). Oracle
+    = the plain envelope-overlap + half-open time filter over the same
+    derived rects; equality proves the per-bin XZ3 prefix cover loses
+    no rows for extended geometries."""
+    from geomesa_spark.plans.store import stbox_query_xz3, write_indexed_xz3
+
+    secs = (F.lit(1704067200).cast("long")
+            + (F.col("c_custkey") % 28).cast("long") * 86400
+            + (F.col("c_custkey") % 7).cast("long") * 3600)
+    rects = _cust_rects(spark, sf_dir).withColumn("secs", secs)
+    path = _store_tmp(sf_dir, "xz3")
+    write_indexed_xz3(rects, path)
+    x0, y0, x1, y1, t0, t1 = _XZ3_STBOX
+    out = stbox_query_xz3(spark, path, x0, y0, x1, y1, t0, t1)
+    return out.select("c_custkey", "bx0", "by0", "bx1", "by1", "secs")
+
+
 _S2_BOX = (5.0, -25.0, 75.0, 30.0)
 
 
@@ -2926,9 +3081,9 @@ def q_index_phrase(spark, sf_dir):
     """Exact phrase search served FROM the inverted-index store
     (plans/text_index.phrase_query): pruned posting fetch for the
     phrase terms + per-doc position-list adjacency fold — no document
-    text is ever read. Shares the store q_term_index builds (same
-    deterministic path; rebuilt if absent). Oracle computes the same
-    starts by direct adjacent-token scan over the raw text."""
+    text is ever read. Builds its own store (collision-proof scratch
+    path, see _store_tmp). Oracle computes the same starts by direct
+    adjacent-token scan over the raw text."""
     from geomesa_spark.plans.text_index import (phrase_query,
                                                 write_inverted_index)
 
@@ -3364,6 +3519,19 @@ def q_bigram_lp(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     return bigram_logprob(docs, "doc_id", "text")
+
+
+def q_kn_bigram(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram model (operators/corpus.
+    kneser_ney_bigrams, Chen & Goodman 1999 eq. 4.25): absolute
+    discount D=0.75, continuation probabilities from distinct-history
+    counts, top-500 bigrams by count. Oracle replays the identical
+    +,-,*,/ chain over the same count tables — bit-exact, no
+    transcendental in the formula."""
+    from geomesa_spark.operators.corpus import kneser_ney_bigrams
+
+    docs = _docs(spark, sf_dir)
+    return kneser_ney_bigrams(docs, "text", discount=0.75, k=500)
 
 
 def q_collocations(spark, sf_dir):
@@ -4223,55 +4391,48 @@ def entry(spark: SparkSession) -> DataFrame:
 # code behind every key is unchanged and mirror-green via
 # tests/test_entry_oracle.py — this only controls which rows the driver grades).
 #
-# ROUND-4 ROTATION NOTE: assuming r03 grades the first 50 of this list, the
-# still-never-graded set going into round 4 is the TAIL of this list from
-# position 51 ("store_s3") onward — 64 keys — PLUS the round-3 session
-# additions appended after the rotated block in queries() (transform_laea,
-# transform_ps, readability, zipf_fit, heaps_law, retention_cohorts,
-# bearing_rose, hard_negatives, ann_recall, speed_outliers, cell_entropy,
-# peak_hours, shortest_paths, cell_quantiles, gini_hosts, knn_classify):
-# 80 keys.
-# Rebuild this list at the start of round 4 with that tail at the front;
-# 80 > 50 driver slots, so ~30 keys will still be ungraded going into
-# round 5 — rotate those to the front then. The authoritative recipe is
-# to diff queries() against the union of green rows in
-# CORRECTNESS_r0*.json.
-_NEVER_GRADED_R3 = [
-    "minhash_pairs", "simhash_pairs", "lsh_ann", "ivf_ann", "sketches",
-    "geoparse_pages", "store_bbox", "store_stbox", "store_xz2", "store_s2",
-    "store_cql", "route_search", "transform_3857", "cosine_dedup",
-    "semantic_dedup", "dedup_clusters", "dbscan", "rep_stats",
-    "asof_enrich", "interval_join", "funnel", "transitions", "zone_paths",
-    "skyline", "areal_interp", "cell_anomaly", "decayed_density",
-    "sessions", "disjoint_join", "intersection_area", "stat_dsl",
-    "line_dedup", "decontam", "stratified_sample", "corpus_dedup",
-    "mixing_stats", "quantized_ann", "tfidf_terms", "bigram_lp",
-    "collocations", "url_normalize", "shard_stats", "dup_ngrams",
-    "pack_seqs", "pii_redact", "html_extract", "incr_dedup",
-    "gopher_quality", "anchor_text", "latest_capture", "store_s3",
-    "unigram_lp", "dup_spans", "cut_spans", "chunk_text",
-    "quality_classifier", "fixedwidth_parse", "xml_parse", "url_filter",
-    "shp_read", "bpe_train", "bpe_tokenize", "communities", "arrow_export",
-    "store_attr", "unicode_norm", "warc_read",
-    "avro_read", "image_feats", "audio_feats", "video_frames",
-    "bloom_probe", "main_content", "robots", "wet_export", "fetch_slots",
-    "sitemap", "exact_sample", "score_buckets", "dsir_select",
-    "weighted_sample", "pq_ann", "surt_keys", "cdx_index", "ivfadc",
-    "tile_place_stats", "winnow_fps", "cidr_asn", "phrase_search",
-    "containment", "edit_pairs", "pipeline_clean", "host_boilerplate",
-    "canonical_dedup", "redirects", "co_citation", "capture_churn",
-    "geo_search", "crawl_diff", "script_mix", "alias_clusters",
-    "trending_terms", "wat_export", "pagerank_pers", "store_ageoff",
-    "degree_dist", "emb_outliers", "term_index", "index_phrase",
-    "index_bm25", "index_append", "cube_stats", "k_core",
-    "store_compact",
+# ROUND-4 ROTATION (authoritative recipe: diff queries() against the union of
+# rows in CORRECTNESS_r0{1,2,3}.json — 122 graded, 121 green). Front 50 =
+# shard_stats (the one red row, regraded after the _store_tmp hardening) + 49
+# of the 80 never-graded keys, machinery-heavy subsystems first (text-index
+# store, BPE, PQ/IVFADC ANN, ExactSubstr spans, S3/attr stores, WARC/Avro
+# readers, graph algorithms). Positions 51+ = the remaining 31 never-graded
+# keys plus this round's new queries — ALL of those must rotate to the front
+# in round 5 (they fit: 31 + new <= 50 driver slots).
+_NEVER_GRADED_R4 = [
+    # -- front 50: regrade + round-4 driver slots --
+    "shard_stats",
+    "term_index", "index_phrase", "index_bm25", "index_append",
+    "bpe_train", "bpe_tokenize", "pq_ann", "ivfadc", "ann_recall",
+    "dup_spans", "cut_spans", "store_s3", "store_attr", "warc_read",
+    "avro_read", "k_core", "communities", "pagerank_pers",
+    "shortest_paths", "store_ageoff", "store_compact", "transform_laea",
+    "transform_ps", "wat_export", "wet_export", "arrow_export",
+    "main_content", "robots", "sitemap", "cdx_index", "surt_keys",
+    "canonical_dedup", "redirects", "alias_clusters", "crawl_diff",
+    "capture_churn", "co_citation", "trending_terms", "geo_search",
+    "winnow_fps", "containment", "edit_pairs", "phrase_search",
+    "quality_classifier", "chunk_text", "unigram_lp", "degree_dist",
+    "emb_outliers", "knn_classify",
+    # -- tail: never-graded remainder, round-5 front-runners --
+    "fixedwidth_parse", "xml_parse", "url_filter", "shp_read",
+    "unicode_norm", "image_feats", "audio_feats", "video_frames",
+    "bloom_probe", "fetch_slots", "exact_sample", "score_buckets",
+    "dsir_select", "weighted_sample", "tile_place_stats", "cidr_asn",
+    "pipeline_clean", "host_boilerplate", "script_mix", "cube_stats",
+    "readability", "zipf_fit", "heaps_law", "retention_cohorts",
+    "bearing_rose", "hard_negatives", "speed_outliers", "cell_entropy",
+    "peak_hours", "cell_quantiles", "gini_hosts",
+    # -- round-4 session additions (never graded; r5 front-runners) --
+    "store_xz3", "ingest_resume", "store_plan",
+    "kn_bigram", "dwithin_rects",
 ]
 
 
 def _reorder(d: dict) -> dict:
     """Rotate the never-driver-graded keys to the front, keep the rest in
     their existing order, and never drop or invent a key."""
-    front = [k for k in _NEVER_GRADED_R3 if k in d]
+    front = [k for k in _NEVER_GRADED_R4 if k in d]
     return {k: d[k] for k in front + [k for k in d if k not in set(front)]}
 
 
@@ -4281,6 +4442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_intersects": q_pip_intersects,
         "rect_intersects": q_rect_intersects,
         "dwithin_deg": q_dwithin_deg,
+        "dwithin_rects": q_dwithin_rects,
         "knn": q_knn,
         "all_knn": q_all_knn,
         "z2_cells": q_z2_cells,
@@ -4383,6 +4545,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_attr": q_store_attr,
         "store_stbox": q_store_stbox,
         "store_xz2": q_store_xz2,
+        "store_xz3": q_store_xz3,
+        "ingest_resume": q_ingest_resume,
+        "store_plan": q_store_plan,
         "store_s2": q_store_s2,
         "store_s3": q_store_s3,
         "store_cql": q_store_cql,
@@ -4415,6 +4580,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_terms": q_tfidf_terms,
         "unigram_lp": q_unigram_lp,
         "bigram_lp": q_bigram_lp,
+        "kn_bigram": q_kn_bigram,
         "collocations": q_collocations,
         "url_normalize": q_url_normalize,
         "shard_stats": q_shard_stats,
@@ -6369,6 +6535,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.c_custkey, s.s_suppkey FROM c, s
             WHERE sqrt((c.lon - s.lon) * (c.lon - s.lon) + (c.lat - s.lat) * (c.lat - s.lat)) < 2.0
         """,
+        # dwithin_rects: identical closed-form point-to-rect distance
+        # (greatest + sqrt are bit-equal across engines)
+        "dwithin_rects": f"""
+            WITH c AS ({_CUST_SQL}), n AS ({_NATION_SQL}),
+            d AS (SELECT c.c_custkey, n.n_nationkey,
+                         sqrt(greatest(CAST(0.0 AS DOUBLE), n.xmin - c.lon,
+                                       c.lon - n.xmax)
+                              * greatest(CAST(0.0 AS DOUBLE), n.xmin - c.lon,
+                                         c.lon - n.xmax)
+                              + greatest(CAST(0.0 AS DOUBLE), n.ymin - c.lat,
+                                         c.lat - n.ymax)
+                                * greatest(CAST(0.0 AS DOUBLE), n.ymin - c.lat,
+                                           c.lat - n.ymax)) AS dist
+                  FROM c, n)
+            SELECT c_custkey, n_nationkey, dist FROM d WHERE dist < 8.0
+        """,
         "knn": f"""
             WITH q AS ({_QPTS_SQL}), c AS ({_CUST_SQL})
             SELECT qid, c_custkey, CAST(row_number() OVER (PARTITION BY qid
@@ -7590,6 +7772,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE bx0 <= {_XZ2_BOX[2]} AND bx1 >= {_XZ2_BOX[0]}
               AND by0 <= {_XZ2_BOX[3]} AND by1 >= {_XZ2_BOX[1]}
         """,
+        # store_plan: plain bbox+time+attr-equality filter — the
+        # strategy-decider scan (whichever index it picks) must return
+        # exactly this row set.
+        "store_plan": f"""
+            WITH e AS (SELECT event_id, event_type,
+                              {tg.sql_point_lon('event_id', _e['mlon'], _e['olon'])} AS lon,
+                              {tg.sql_point_lat('event_id', _e['mlat'], _e['olat'])} AS lat,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events)
+            SELECT event_id, lon, lat, secs FROM e
+            WHERE lon >= {_STBOX[0]} AND lon <= {_STBOX[2]}
+              AND lat >= {_STBOX[1]} AND lat <= {_STBOX[3]}
+              AND secs >= {_STBOX[4]} AND secs < {_STBOX[5]}
+              AND event_type = 'click'
+        """,
+        # ingest_resume: plain per-cell rollup of the derived event
+        # points — the checkpointed two-stage pipeline (run twice, the
+        # second pass resuming off manifests) must return exactly this.
+        "ingest_resume": f"""
+            WITH e AS (SELECT event_id,
+                              {tg.sql_point_lon('event_id', _e['mlon'], _e['olon'])} AS lon,
+                              {tg.sql_point_lat('event_id', _e['mlat'], _e['olat'])} AS lat,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events)
+            SELECT CAST(floor((lon + 180.0) / 5.0) AS BIGINT) * 100
+                   + CAST(floor((lat + 90.0) / 5.0) AS BIGINT) AS cell,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(secs) AS BIGINT) AS sum_secs
+            FROM e GROUP BY 1
+        """,
+        # store_xz3: plain envelope-overlap + half-open time filter over
+        # the same derived rects + derived dtg — the pruned per-bin XZ3
+        # scan must return exactly this row set.
+        "store_xz3": f"""
+            WITH r AS (SELECT c_custkey,
+                              {tg.sql_rect_exprs('c_custkey')[0]} AS bx0,
+                              {tg.sql_rect_exprs('c_custkey')[1]} AS by0,
+                              {tg.sql_rect_exprs('c_custkey')[2]} AS bx1,
+                              {tg.sql_rect_exprs('c_custkey')[3]} AS by1,
+                              CAST(1704067200 + (c_custkey % 28) * 86400
+                                   + (c_custkey % 7) * 3600 AS BIGINT) AS secs
+                       FROM customer)
+            SELECT c_custkey, bx0, by0, bx1, by1, secs FROM r
+            WHERE bx0 <= {_XZ3_STBOX[2]} AND bx1 >= {_XZ3_STBOX[0]}
+              AND by0 <= {_XZ3_STBOX[3]} AND by1 >= {_XZ3_STBOX[1]}
+              AND secs >= {_XZ3_STBOX[4]} AND secs < {_XZ3_STBOX[5]}
+        """,
         "store_s2": f"""
             WITH c AS ({_CUST_SQL})
             SELECT c_custkey, lon, lat FROM c
@@ -8289,6 +8516,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_bigrams,
                    CAST(s / n_bigrams AS REAL) AS logprob_mean32
             FROM fold
+        """,
+        # Kneser-Ney mirror: same bigram type table, same prefix /
+        # continuation / type-count aggs, the IDENTICAL +,-,*,/ tree
+        # (doubles; every literal CAST — bare 0.75 parses as DECIMAL)
+        "kn_bigram": r"""
+            WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws
+                       FROM documents),
+            bg AS (SELECT split_part(u.b, chr(31), 1) AS w1,
+                          split_part(u.b, chr(31), 2) AS w2
+                   FROM (SELECT list_transform(range(1, len(ws)),
+                                i -> ws[i] || chr(31) || ws[i + 1]) AS bs
+                         FROM w WHERE len(ws) >= 2) t,
+                        unnest(t.bs) AS u(b)),
+            tab AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+                    FROM bg GROUP BY 1, 2),
+            pre AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                           CAST(count(*) AS BIGINT) AS n1
+                    FROM tab GROUP BY 1),
+            cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n2
+                     FROM tab GROUP BY 1),
+            ttc AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM tab)
+            SELECT t.w1, t.w2, t.c12,
+                   greatest(CAST(t.c12 AS DOUBLE) - CAST(0.75 AS DOUBLE),
+                            CAST(0.0 AS DOUBLE)) / CAST(p.c1 AS DOUBLE)
+                   + CAST(0.75 AS DOUBLE) * CAST(p.n1 AS DOUBLE)
+                     / CAST(p.c1 AS DOUBLE)
+                     * (CAST(c.n2 AS DOUBLE)
+                        / CAST((SELECT tt FROM ttc) AS DOUBLE)) AS p_kn
+            FROM tab t JOIN pre p USING (w1) JOIN cont c USING (w2)
+            ORDER BY t.c12 DESC, t.w1 ASC, t.w2 ASC
+            LIMIT 500
         """,
         # collocation mirror: same pair construction, same exact-integer
         # ratio cast to REAL before ranking (tie-safe), same tie-break

@@ -959,8 +959,12 @@ def recall_at_k(approx: DataFrame, exact: DataFrame,
     counts + a query-keyed join. Exactness: integer counts and one
     exact small-integer division, float32 out.
     """
-    ex = exact.select(F.col(query_col), F.col(id_col))
-    ap = approx.select(F.col(query_col), F.col(id_col))
+    # set semantics: a duplicate (query, id) row in either input must
+    # not double-count a hit (recall could exceed 1.0 otherwise)
+    ex = exact.select(F.col(query_col), F.col(id_col)).dropDuplicates(
+        [query_col, id_col])
+    ap = approx.select(F.col(query_col), F.col(id_col)).dropDuplicates(
+        [query_col, id_col])
     base = ex.groupBy(query_col).agg(F.count("*").alias("__k__"))
     hits = (ex.join(ap, [query_col, id_col])
               .groupBy(query_col).agg(F.count("*").alias("__h__")))

@@ -846,6 +846,64 @@ def bigram_logprob(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
              .alias("logprob_mean32")), bigr)
 
 
+def kneser_ney_bigrams(docs: DataFrame, text_col: str,
+                       discount: float = 0.75, k: int = 500) -> DataFrame:
+    """Interpolated Kneser-Ney smoothed bigram model (Kneser & Ney
+    1995; Chen & Goodman 1999 eq. 4.25, absolute discount, bigram
+    order) over the corpus — the classical n-gram LM that perplexity
+    gates (CCNet-style quality filtering) actually train:
+
+        P(w2|w1) = max(c(w1 w2) - D, 0) / c(w1·)
+                   + (D * N1+(w1,·) / c(w1·)) * (N1+(·,w2) / T)
+
+    where c(w1·) is w1's bigram-prefix token count, N1+(w1,·) its
+    distinct continuations, N1+(·,w2) the distinct histories of w2 (the
+    continuation probability's numerator — the KN insight: "Francisco"
+    is frequent but follows only "San"), and T the number of distinct
+    bigram types. Returns the top-``k`` bigrams by count —
+    (w1, w2, c12, p_kn), tie-broken on (w1, w2) so the cutoff is total.
+
+    Exactness: every input is an exact integer < 2^53 and the smoothing
+    chain is pure +,-,*,/ — correctly-rounded IEEE ops any engine
+    replays bit-for-bit given the same expression tree (no
+    transcendental, so no float32 absorption needed).
+
+    Scale shape: one explode to bigram rows, ONE combining count to the
+    Zipf-bounded (w1, w2, c12) type table, two combining re-aggs of
+    that table (prefix stats, continuation counts), one single-row type
+    count broadcast back, joins keyed by word strings, and a global
+    top-k via orderBy().limit(k) = TakeOrderedAndProject. The corpus is
+    touched once; everything after the first agg is type-table-sized.
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.struct(F.element_at(words, i).alias("w1"),
+                           F.element_at(words, i + 1).alias("w2")))
+    tab = (docs.filter(F.size(words) >= 2)
+               .select(F.explode(pairs).alias("p"))
+               .select("p.w1", "p.w2")
+               .groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+               .persist())
+    pre = tab.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                                F.count("*").alias("n1"))
+    cont = tab.groupBy("w2").agg(F.count("*").alias("n2"))
+    types = tab.agg(F.count("*").alias("tt"))
+    d = F.lit(float(discount))
+    p_kn = (F.greatest(F.col("c12").cast("double") - d, F.lit(0.0))
+            / F.col("c1").cast("double")
+            + d * F.col("n1").cast("double") / F.col("c1").cast("double")
+            * (F.col("n2").cast("double") / F.col("tt").cast("double")))
+    out = (tab.join(pre, "w1").join(cont, "w2")
+              .crossJoin(F.broadcast(types))
+              .select("w1", "w2", F.col("c12").cast("long").alias("c12"),
+                      p_kn.alias("p_kn"))
+              .orderBy(F.col("c12").desc(), F.col("w1").asc(),
+                       F.col("w2").asc())
+              .limit(int(k)))
+    return _attach_cached(out, tab)
+
+
 def collocations(docs: DataFrame, id_col: str, text_col: str,
                  k: int = 50, min_count: int = 2) -> DataFrame:
     """Top-k PMI collocations: adjacent word pairs occurring together
@@ -2328,6 +2386,13 @@ def gini_concentration(df: DataFrame, key_col: str,
     out = agg.select(
         F.col("n").alias("n_keys"),
         F.coalesce(F.col("t"), F.lit(0)).alias("total_rows"),
+        # Spark DIV truncates toward zero; DuckDB // floors. They agree
+        # here ONLY because the numerator 2*s2 - (n+1)*t is provably
+        # non-negative for ascending ranks i=1..n with non-negative
+        # counts (rearrangement inequality: sum(i*c_i) >= (n+1)/2 *
+        # sum(c_i) when c is sorted ascending by rank order). Any
+        # respelling that can go negative (signed measures, descending
+        # ranks) must switch to an explicit floor on both engines.
         F.when(F.col("n") == 0, F.lit(0).cast("long"))
          .otherwise(F.expr("CAST(1000000 * (2 * s2 - (n + 1) * t) "
                            "DIV (n * t) AS BIGINT)")).alias("gini_ppm"))

@@ -15,7 +15,10 @@ iterative DataFrame rounds:
   square query window), i.e. ``2r * sqrt(k/(pi*n))`` — always > r for
   n < k; capped at ``max_radius``. The re-join re-queries the whole disk
   and dedupes on (query, neighbor) — equivalent row set to the
-  reference's ring-shaped re-query (Envelope.minus:498-520).
+  reference's ring-shaped re-query (Envelope.minus:498-520). Queries
+  that exhaust ``max_rounds`` still short of k re-query once at exactly
+  ``max_radius`` (broadcast nested-loop + salted two-phase top-k), so
+  the result is exact whenever ``max_radius`` spans the domain.
 - Final: exact top-k per query via window ``row_number() over (partition
   by qid order by dist, neighbor id)`` — the reference's fixed-k
   farthest-replacement array (:314-399) as a declarative window.
@@ -102,6 +105,7 @@ def knn_join(
     live = queries.withColumn("__r__", F.lit(float(initial_radius)))
     all_cand = None
     cached = []
+    need = None
     for rnd in range(max_rounds):
         qc = _query_cells(live, qx, qy, "__r__", level, metric)
         qe = qc.withColumn("__cell__", F.explode("__cells__")).drop("__cells__")
@@ -118,9 +122,8 @@ def knn_join(
         cand = cand.persist()
         cached.append(cand)
         all_cand = cand if all_cand is None else all_cand.unionByName(cand)
-        if rnd == max_rounds - 1:
-            break
-        # which queries still need expansion?
+        # which queries still need expansion? counted in EVERY round —
+        # the final round's survivors feed the completeness fallback below
         counts = cand.groupBy(query_id).agg(F.count("*").alias("__n__"))
         need = (live.join(counts, on=query_id, how="left")
                     .fillna({"__n__": 0})
@@ -131,6 +134,9 @@ def knn_join(
                             # pure waste — retire the query with what it has
                             & (F.col("__r__") < float(max_radius))))
         if need.isEmpty():
+            need = None
+            break
+        if rnd == max_rounds - 1:
             break
         # Liu/Lim/Ng radius update (KNearestNeighborSearchProcess.scala:
         # 292-302): density estimated over the SQUARE window (2r)^2, so
@@ -141,6 +147,37 @@ def knn_join(
             * F.sqrt(F.lit(float(k)) / (F.lit(math.pi) * F.col("__n__"))))
         live = (need.withColumn("__r__", F.least(new_r, F.lit(float(max_radius))))
                     .drop("__n__"))
+
+    if need is not None:
+        # Completeness fallback: the Liu/Lim/Ng growth is slow for
+        # 1 <= n < k (~1.26x/round at n=k-1), so a query can exhaust
+        # max_rounds with < k in-radius neighbors and a radius far below
+        # max_radius — its vote/top-k would then silently use a smaller
+        # neighbor set than the exact unbounded answer. Stragglers
+        # re-query ONCE at exactly max_radius against the FULL data side:
+        # no cell cover (a domain-wide window at `level` would explode to
+        # 4^level cells per query) — the straggler set is tiny by
+        # construction, so a broadcast nested-loop streams the data side
+        # map-only. A salted two-phase top-k bounds what reaches the
+        # final per-query window to <= 32*k rows per straggler even when
+        # the in-radius candidate set is the whole table, so no single
+        # (query) partition ever sees unbounded fan-in. With max_radius
+        # covering the metric's domain diameter (405 degrees / pi*R
+        # meters) the join is EXACT for every query.
+        strag = need.drop("__n__").withColumn(
+            "__r__", F.lit(float(max_radius)))
+        dist = _dist_expr(F.col(qx), F.col(qy), F.col(dx), F.col(dy), metric)
+        w1 = Window.partitionBy(query_id, "__salt__").orderBy(
+            F.col("dist").asc(), F.col(data_id).asc())
+        fcand = (data.crossJoin(F.broadcast(strag))
+                     .withColumn("dist", dist)
+                     .filter(F.col("dist") <= F.col("__r__"))
+                     .withColumn("__salt__",
+                                 F.pmod(F.hash(F.col(data_id)), F.lit(32)))
+                     .withColumn("__rk__", F.row_number().over(w1))
+                     .filter(F.col("__rk__") <= k)
+                     .drop("__salt__", "__rk__"))
+        all_cand = all_cand.unionByName(fcand)
 
     dedup = all_cand.dropDuplicates([query_id, data_id])
     win = Window.partitionBy(query_id).orderBy(F.col("dist").asc(), F.col(data_id).asc())

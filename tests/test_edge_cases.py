@@ -57,6 +57,25 @@ def test_knn_fewer_points_than_k(spark):
     assert out.count() == 2   # returns what exists, ranked
 
 
+def test_knn_completeness_fallback_sparse_data(spark):
+    """A query whose Liu/Lim/Ng growth can't reach k neighbors inside
+    max_rounds must still return the EXACT top-k via the final
+    max_radius fallback round (neighbors at 1, 150 and 200 degrees with
+    a 0.5-degree seed: growth at n=1 is ~1.4x/round, so 3 rounds end
+    near 1.4 degrees — only the fallback can see the far two)."""
+    from geomesa_spark.operators.knn import knn_join
+
+    q = spark.createDataFrame([(0, 0.0, 0.0)], "qid long, qx double, qy double")
+    d = spark.createDataFrame(
+        [(1, 1.0, 0.0), (2, 150.0, 0.0), (3, -160.0, 40.0)],
+        "did long, lon double, lat double")
+    out = knn_join(q, d, k=3, query_id="qid", qx="qx", qy="qy",
+                   dx="lon", dy="lat", data_id="did",
+                   initial_radius=0.5, max_radius=405.0, max_rounds=3)
+    got = {(r["did"], r["rank"]) for r in out.collect()}
+    assert got == {(1, 1), (2, 2), (3, 3)}
+
+
 def test_dedup_empty_and_trivial_docs(spark):
     from geomesa_spark.operators.dedup import minhash_dedup_pairs, simhash_dedup_pairs
 

@@ -1,0 +1,104 @@
+"""Multi-index strategy decider (plans/planner): selection + row-set
+invariance across strategies.
+
+Reference shape: StrategyDecider.scala — each index reports support +
+cost, cheapest wins, full scan is the fallback. Here cost == estimated
+scanned-partition fraction, so the assertions below pin the ORDERING a
+sound cost model must produce, and the row-set test pins the planner's
+core contract: the chosen strategy never changes the answer.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from geomesa_spark.plans.planner import choose_strategy, planned_query  # noqa: E402
+from geomesa_spark.plans.store import (  # noqa: E402
+    write_indexed, write_indexed_attr, write_indexed_z3)
+
+BBOX = (-60.0, -30.0, 60.0, 45.0)
+T0, T1 = 1704672000, 1705881600  # Jan 8 - Jan 22 2024 (2 of ~5 weeks)
+
+
+def _points(spark, n=4000):
+    return (spark.range(n).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+        (F.lit(1704067200) + (F.col("id") * 977) % (35 * 86400)).alias("secs"),
+        F.concat(F.lit("k"), (F.col("id") % 7).cast("string")).alias("kind")))
+
+
+def _stores(spark, tmp_path):
+    pts = _points(spark)
+    stores = {k: str(tmp_path / k) for k in ("z2", "z3", "attr")}
+    write_indexed(pts, stores["z2"])
+    write_indexed_z3(pts, stores["z3"])
+    write_indexed_attr(pts, stores["attr"], "kind")
+    return pts, stores
+
+
+def test_strategy_ordering(spark, tmp_path):
+    _, stores = _stores(spark, tmp_path)
+
+    # attr equality present -> attr index wins (1/256 bucket fraction)
+    p = choose_strategy(stores, bbox=BBOX, interval=(T0, T1),
+                        attr_eq=("kind", "k3"))
+    assert p["chosen"] == "attr"
+    assert p["costs"]["attr"] < p["costs"]["z3"] <= 1.0
+
+    # bbox+interval, no attr -> z3 beats z2 (bin pruning multiplies the
+    # spatial fraction by the covered-bin fraction)
+    p = choose_strategy(stores, bbox=BBOX, interval=(T0, T1))
+    assert p["chosen"] == "z3"
+    assert p["costs"]["z3"] < p["costs"]["z2"]
+
+    # interval-only -> only z3 supports it
+    p = choose_strategy(stores, interval=(T0, T1))
+    assert p["chosen"] == "z3" and "z2" not in p["costs"]
+
+    # bbox-only -> a spatial index, never the attr store
+    p = choose_strategy(stores, bbox=BBOX)
+    assert p["chosen"] in ("z2", "z3") and "attr" not in p["costs"]
+
+    # no predicate at all -> explicit full-scan fallback at cost 1.0
+    p = choose_strategy(stores)
+    assert p["chosen"].startswith("full:") and 1.0 in p["costs"].values()
+
+    # empty interval -> z3 reports cost 0 (provably-empty scan)
+    p = choose_strategy(stores, bbox=BBOX, interval=(T1, T0))
+    assert p["costs"]["z3"] == 0.0
+
+
+def test_row_set_invariant_across_strategies(spark, tmp_path):
+    """Every strategy — forced by restricting the offered stores — must
+    return the identical row set for the same predicates."""
+    pts, stores = _stores(spark, tmp_path)
+    want = {r["pid"] for r in pts.filter(
+        (F.col("lon") >= BBOX[0]) & (F.col("lon") <= BBOX[2])
+        & (F.col("lat") >= BBOX[1]) & (F.col("lat") <= BBOX[3])
+        & (F.col("secs") >= T0) & (F.col("secs") < T1)
+        & (F.col("kind") == "k3")).collect()}
+    assert want  # non-trivial scenario
+    for offer in (stores,                       # decider picks attr
+                  {"z3": stores["z3"]},         # forced z3
+                  {"z2": stores["z2"]},         # forced z2
+                  ):
+        plan, df = planned_query(spark, offer, bbox=BBOX,
+                                 interval=(T0, T1), attr_eq=("kind", "k3"),
+                                 secs="secs")
+        got = {r["pid"] for r in df.collect()}
+        assert got == want, plan
+
+
+def test_full_scan_fallback_rows(spark, tmp_path):
+    pts, stores = _stores(spark, tmp_path)
+    plan, df = planned_query(spark, {"z2": stores["z2"]},
+                             attr_eq=("kind", "k1"))
+    assert plan["chosen"] == "full:z2"
+    assert df.count() == pts.filter(F.col("kind") == "k1").count()
