@@ -2867,6 +2867,70 @@ def q_store_plan(spark, sf_dir):
     return df.select("event_id", "lon", "lat", "secs")
 
 
+def q_store_plan_st(spark, sf_dir):
+    """The strategy decider's SPATIO-TEMPORAL branch (plans/planner):
+    same three stores as q_store_plan, but the query carries only
+    bbox+interval — no attribute equality — so the decider must rank
+    the z3 index cheapest (covered (bin, prefix) fraction with bin
+    pruning beats the z2 prefix fraction; the attr index does not
+    support the filter at all). Raises unless z3 is chosen AND the attr
+    index was never even costed; oracle = plain bbox+time filter."""
+    import os
+
+    from geomesa_spark.plans.planner import planned_query
+    from geomesa_spark.plans.store import (write_indexed, write_indexed_attr,
+                                           write_indexed_z3)
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"),
+        F.unix_timestamp("ts").alias("secs"))
+    base = _store_tmp(sf_dir, "planst")
+    stores = {k: os.path.join(base, k) for k in ("z2", "z3", "attr")}
+    write_indexed(ev, stores["z2"])
+    write_indexed_z3(ev, stores["z3"])
+    write_indexed_attr(ev, stores["attr"], "event_type")
+    x0, y0, x1, y1, t0, t1 = _STBOX
+    plan, df = planned_query(
+        spark, stores, bbox=(x0, y0, x1, y1), interval=(t0, t1))
+    if plan["chosen"] != "z3" or "attr" in plan["costs"]:
+        raise AssertionError(f"strategy decider regression: {plan}")
+    return df.select("event_id", "lon", "lat", "secs")
+
+
+def q_store_plan_xz(spark, sf_dir):
+    """The strategy decider's EXTENDED-GEOMETRY branch (plans/planner
+    xz2/xz3 costs): the customer WKB rects + derived dtg are written to
+    an XZ2 store and an XZ3 store; the _XZ3_STBOX bbox+interval query
+    must rank XZ3 cheapest (week-bin pruning: the interval covers 2 of
+    the ~5 store bins, and the measured per-bin XZ prefix fraction
+    0.0859 < the XZ2 fraction 0.0938 for this box) — raises otherwise.
+    Oracle = the plain envelope-overlap + time filter (the store_xz3
+    shape), so equality also re-proves the pruned XZ3 scan through the
+    decider path."""
+    import os
+
+    from geomesa_spark.plans.planner import planned_query
+    from geomesa_spark.plans.store import (write_indexed_xz2,
+                                           write_indexed_xz3)
+
+    secs = (F.lit(1704067200).cast("long")
+            + (F.col("c_custkey") % 28).cast("long") * 86400
+            + (F.col("c_custkey") % 7).cast("long") * 3600)
+    rects = _cust_rects(spark, sf_dir).withColumn("secs", secs)
+    base = _store_tmp(sf_dir, "planxz")
+    stores = {k: os.path.join(base, k) for k in ("xz2", "xz3")}
+    write_indexed_xz2(rects, stores["xz2"])
+    write_indexed_xz3(rects, stores["xz3"])
+    x0, y0, x1, y1, t0, t1 = _XZ3_STBOX
+    plan, df = planned_query(
+        spark, stores, bbox=(x0, y0, x1, y1), interval=(t0, t1))
+    if plan["chosen"] != "xz3":
+        raise AssertionError(f"strategy decider regression: {plan}")
+    return df.select("c_custkey", "bx0", "by0", "bx1", "by1", "secs")
+
+
 def q_ingest_resume(spark, sf_dir):
     """Checkpointed two-stage ingest with idempotent RESUME
     (plans/checkpoint.run_stage — the north-rule resumability
@@ -4424,8 +4488,8 @@ _NEVER_GRADED_R4 = [
     "bearing_rose", "hard_negatives", "speed_outliers", "cell_entropy",
     "peak_hours", "cell_quantiles", "gini_hosts",
     # -- round-4 session additions (never graded; r5 front-runners) --
-    "store_xz3", "ingest_resume", "store_plan",
-    "kn_bigram", "dwithin_rects",
+    "store_xz3", "ingest_resume", "store_plan", "store_plan_st",
+    "store_plan_xz", "kn_bigram", "dwithin_rects",
 ]
 
 
@@ -4548,6 +4612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_xz3": q_store_xz3,
         "ingest_resume": q_ingest_resume,
         "store_plan": q_store_plan,
+        "store_plan_st": q_store_plan_st,
+        "store_plan_xz": q_store_plan_xz,
         "store_s2": q_store_s2,
         "store_s3": q_store_s3,
         "store_cql": q_store_cql,
@@ -7785,6 +7851,35 @@ def oracle_sql() -> dict[str, str]:
               AND lat >= {_STBOX[1]} AND lat <= {_STBOX[3]}
               AND secs >= {_STBOX[4]} AND secs < {_STBOX[5]}
               AND event_type = 'click'
+        """,
+        # store_plan_st: plain bbox+time filter — the z3-branch decider
+        # scan must return exactly this row set.
+        "store_plan_st": f"""
+            WITH e AS (SELECT event_id,
+                              {tg.sql_point_lon('event_id', _e['mlon'], _e['olon'])} AS lon,
+                              {tg.sql_point_lat('event_id', _e['mlat'], _e['olat'])} AS lat,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events)
+            SELECT event_id, lon, lat, secs FROM e
+            WHERE lon >= {_STBOX[0]} AND lon <= {_STBOX[2]}
+              AND lat >= {_STBOX[1]} AND lat <= {_STBOX[3]}
+              AND secs >= {_STBOX[4]} AND secs < {_STBOX[5]}
+        """,
+        # store_plan_xz: plain envelope-overlap + time filter — the
+        # extended-geometry decider scan (xz3 branch) must return
+        # exactly this row set (the store_xz3 oracle shape).
+        "store_plan_xz": f"""
+            WITH r AS (SELECT c_custkey,
+                              {tg.sql_rect_exprs('c_custkey')[0]} AS bx0,
+                              {tg.sql_rect_exprs('c_custkey')[1]} AS by0,
+                              {tg.sql_rect_exprs('c_custkey')[2]} AS bx1,
+                              {tg.sql_rect_exprs('c_custkey')[3]} AS by1,
+                              CAST(1704067200 + (c_custkey % 28) * 86400
+                                   + (c_custkey % 7) * 3600 AS BIGINT) AS secs
+                       FROM customer)
+            SELECT c_custkey, bx0, by0, bx1, by1, secs FROM r
+            WHERE bx0 <= {_XZ3_STBOX[2]} AND bx1 >= {_XZ3_STBOX[0]}
+              AND by0 <= {_XZ3_STBOX[3]} AND by1 >= {_XZ3_STBOX[1]}
+              AND secs >= {_XZ3_STBOX[4]} AND secs < {_XZ3_STBOX[5]}
         """,
         # ingest_resume: plain per-cell rollup of the derived event
         # points — the checkpointed two-stage pipeline (run twice, the

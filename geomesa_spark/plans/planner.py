@@ -23,6 +23,10 @@ hive partitions the pruned scan must open:
 - ``z2``: covered z2 prefixes / 16^digits. Spatial only — a temporal
   predicate becomes a residual row filter, so z3 beats it whenever an
   interval actually prunes.
+- ``xz2`` / ``xz3``: the extended-geometry siblings — identical cost
+  shapes with the XZ prefix planners (XZSFC ranges over the
+  radius-enlarged elements), so the decider covers the whole index
+  family the reference's StrategyDecider ranks.
 - ``full``: cost 1.0 over any available store — the guaranteed-support
   fallback (the reference's full-table scan strategy).
 
@@ -44,7 +48,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from .store import (
     _WEEK_S, attr_query, bbox_partition_prefixes, bbox_query,
-    stbox_query_z3, z3_partition_prefixes,
+    bbox_query_xz2, stbox_query_xz3, stbox_query_z3,
+    xz2_partition_prefixes, xz3_partition_prefixes, z3_partition_prefixes,
 )
 
 __all__ = ["choose_strategy", "planned_query"]
@@ -61,11 +66,14 @@ def _list_partition_values(path: str, key: str) -> list[str]:
     return sorted(n[len(pre):] for n in names if n.startswith(pre))
 
 
-def _z3_cost(path: str, bbox, interval, digits: int) -> float | None:
-    """Scanned-partition fraction for the z3 store, or None if the
-    store can't help (no predicate at all would mean a full scan —
-    report that honestly as 1.0 via the caller's fallback)."""
-    bins = _list_partition_values(path, "z3_bin")
+def _binned_cost(path: str, bin_key: str, prefix_fn, bbox, interval,
+                 digits: int) -> float | None:
+    """Scanned-partition fraction for a week-binned spatio-temporal
+    store (z3 or xz3 — ``prefix_fn`` is the per-bin offset-window
+    prefix planner), or None if the store can't help (no predicate at
+    all would mean a full scan — reported honestly as 1.0 via the
+    caller's fallback)."""
+    bins = _list_partition_values(path, bin_key)
     if not bins:
         return None
     n_bins = len(bins)
@@ -86,8 +94,18 @@ def _z3_cost(path: str, bbox, interval, digits: int) -> float | None:
             off1 = min(interval[1] - 1 - b * _WEEK_S, _WEEK_S - 1)
         else:
             off0, off1 = 0, _WEEK_S - 1
-        covered += len(z3_partition_prefixes(x0, y0, x1, y1, off0, off1, digits))
+        covered += len(prefix_fn(x0, y0, x1, y1, off0, off1, digits))
     return covered / float(n_bins * per_bin_total)
+
+
+def _z3_cost(path: str, bbox, interval, digits: int) -> float | None:
+    return _binned_cost(path, "z3_bin", z3_partition_prefixes,
+                        bbox, interval, digits)
+
+
+def _xz3_cost(path: str, bbox, interval, digits: int) -> float | None:
+    return _binned_cost(path, "xz3_bin", xz3_partition_prefixes,
+                        bbox, interval, digits)
 
 
 def choose_strategy(stores: dict[str, str], *, bbox=None, interval=None,
@@ -96,8 +114,10 @@ def choose_strategy(stores: dict[str, str], *, bbox=None, interval=None,
     """Rank every supporting index by estimated scanned-partition
     fraction and return ``{"chosen": name, "costs": {name: cost}}``.
 
-    ``stores`` maps index names (any of ``z2``, ``z3``, ``attr``) to
-    store paths; ``bbox=(x0, y0, x1, y1)``, ``interval=(t0, t1)`` epoch
+    ``stores`` maps index names (any of ``z2``, ``z3``, ``attr`` for
+    point stores; ``xz2``, ``xz3`` for extended-geometry stores — offer
+    one family per call, they index different row types) to store
+    paths; ``bbox=(x0, y0, x1, y1)``, ``interval=(t0, t1)`` epoch
     seconds half-open, ``attr_eq=(column, value)``.
     """
     costs: dict[str, float] = {}
@@ -111,9 +131,16 @@ def choose_strategy(stores: dict[str, str], *, bbox=None, interval=None,
         c = _z3_cost(stores["z3"], bbox, interval, z3_digits)
         if c is not None:
             costs["z3"] = c
+    if "xz3" in stores and (bbox is not None or interval is not None):
+        c = _xz3_cost(stores["xz3"], bbox, interval, z3_digits)
+        if c is not None:
+            costs["xz3"] = c
     if bbox is not None and "z2" in stores:
         pfx = bbox_partition_prefixes(*bbox, z2_digits)
         costs["z2"] = len(pfx) / float(16 ** z2_digits)
+    if bbox is not None and "xz2" in stores:
+        pfx = xz2_partition_prefixes(*bbox, z2_digits)
+        costs["xz2"] = len(pfx) / float(16 ** z2_digits)
     if not costs:
         # no index supports the filter: full scan of any store
         # (the reference's full-table fallback strategy)
@@ -133,34 +160,49 @@ def planned_query(spark, stores: dict[str, str], *, bbox=None,
     predicate as an exact residual — the row set is independent of the
     strategy (only the scanned fraction differs). Returns
     ``(plan, DataFrame)`` with ``plan`` from :func:`choose_strategy`.
+
+    Point stores (z2/z3/attr) filter the point columns ``x``/``y``;
+    extended-geometry stores (xz2/xz3) filter the envelope sidecar
+    columns (bbox residual = envelope OVERLAP, the reference's
+    extended-geometry semantics).
     """
     plan = choose_strategy(stores, bbox=bbox, interval=interval,
                            attr_eq=attr_eq, z2_digits=z2_digits,
                            z3_digits=z3_digits, attr_digits=attr_digits,
                            max_buckets=max_buckets)
     chosen = plan["chosen"]
+    extended = chosen in ("xz2", "xz3")
+    wx0, wy0, wx1, wy1 = bbox if bbox is not None else (-180.0, -90.0,
+                                                        180.0, 90.0)
+    t0, t1 = interval if interval is not None else (0, 1 << 40)
     if chosen == "attr":
         col, val = attr_eq
         df = attr_query(spark, stores["attr"], col, val, bbox=bbox,
                         digits=attr_digits, max_buckets=max_buckets,
                         x=x, y=y)
     elif chosen == "z3":
-        x0, y0, x1, y1 = bbox if bbox is not None else (-180.0, -90.0,
-                                                        180.0, 90.0)
-        t0, t1 = interval if interval is not None else (0, 1 << 40)
-        df = stbox_query_z3(spark, stores["z3"], x0, y0, x1, y1, t0, t1,
-                            digits=z3_digits, x=x, y=y, secs=secs)
+        df = stbox_query_z3(spark, stores["z3"], wx0, wy0, wx1, wy1,
+                            t0, t1, digits=z3_digits, x=x, y=y, secs=secs)
+    elif chosen == "xz3":
+        df = stbox_query_xz3(spark, stores["xz3"], wx0, wy0, wx1, wy1,
+                             t0, t1, digits=z3_digits, secs=secs)
     elif chosen == "z2":
         df = bbox_query(spark, stores["z2"], *bbox, digits=z2_digits,
                         x=x, y=y)
+    elif chosen == "xz2":
+        df = bbox_query_xz2(spark, stores["xz2"], *bbox, digits=z2_digits)
     else:  # full:<name>
         df = spark.read.parquet(stores[chosen.split(":", 1)[1]])
+        extended = "bx0" in df.columns
     # residuals: re-apply everything (cheap row predicates; pushed to
     # the parquet scan by Catalyst) so no strategy can under-filter
     if bbox is not None:
-        x0, y0, x1, y1 = bbox
-        df = df.filter((F.col(x) >= x0) & (F.col(x) <= x1)
-                       & (F.col(y) >= y0) & (F.col(y) <= y1))
+        if extended:
+            df = df.filter((F.col("bx0") <= wx1) & (F.col("bx1") >= wx0)
+                           & (F.col("by0") <= wy1) & (F.col("by1") >= wy0))
+        else:
+            df = df.filter((F.col(x) >= wx0) & (F.col(x) <= wx1)
+                           & (F.col(y) >= wy0) & (F.col(y) <= wy1))
     if interval is not None:
         df = df.filter((F.col(secs) >= interval[0])
                        & (F.col(secs) < interval[1]))

@@ -133,10 +133,11 @@ def test_sketches_rank_exact_spine(spark):
 
 
 def test_queries_reorder_preserves_contract():
-    """_reorder keeps all 124 keys, puts the never-driver-graded 52
-    first, and oracle_sql order tracks queries order."""
+    """_reorder keeps every key, puts the never-driver-graded rotation
+    list first (round-4: shard_stats regrade + the never-graded tail),
+    and oracle_sql order tracks queries order."""
     q, o = entry_mod.queries(), entry_mod.oracle_sql()
-    assert len(q) >= 124 and set(o) <= set(q)
-    assert list(q)[:len(entry_mod._NEVER_GRADED_R3)] == entry_mod._NEVER_GRADED_R3
-    front = [k for k in entry_mod._NEVER_GRADED_R3 if k in o]
+    assert len(q) >= 200 and set(o) <= set(q)
+    assert list(q)[:len(entry_mod._NEVER_GRADED_R4)] == entry_mod._NEVER_GRADED_R4
+    front = [k for k in entry_mod._NEVER_GRADED_R4 if k in o]
     assert list(o)[:len(front)] == front

@@ -96,6 +96,52 @@ def test_row_set_invariant_across_strategies(spark, tmp_path):
         assert got == want, plan
 
 
+def test_extended_family_ordering_and_rows(spark, tmp_path):
+    """xz2/xz3 branch: bbox+interval ranks xz3 over xz2 (bin pruning),
+    bbox-only offers only... both (xz3 degrades to all bins); row set
+    equals the plain envelope+time filter whichever index runs."""
+    from geomesa_spark.geom.wkb import Polygon, wkb_write
+    from geomesa_spark.plans.store import write_indexed_xz2, write_indexed_xz3
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = 1704067200
+    rows = []
+    for i in range(600):
+        cx, cy = rng.uniform(-160, 160), rng.uniform(-70, 70)
+        w, h = rng.uniform(0.2, 5.0), rng.uniform(0.2, 5.0)
+        t = int(base + rng.randint(0, 30 * 86400))
+        ring = np.array([[cx - w, cy - h], [cx - w, cy + h],
+                         [cx + w, cy + h], [cx + w, cy - h],
+                         [cx - w, cy - h]])
+        rows.append((i, bytes(wkb_write(Polygon(ring))), t,
+                     cx - w, cy - h, cx + w, cy + h))
+    df = spark.createDataFrame([(r[0], r[1], r[2]) for r in rows],
+                               "gid long, geom binary, secs long")
+    stores = {"xz2": str(tmp_path / "xz2"), "xz3": str(tmp_path / "xz3")}
+    write_indexed_xz2(df, stores["xz2"])
+    write_indexed_xz3(df, stores["xz3"])
+
+    bbox = (-30.0, -25.0, 30.0, 25.0)
+    t0, t1 = base + 4 * 86400, base + 16 * 86400
+    p = choose_strategy(stores, bbox=bbox, interval=(t0, t1))
+    assert p["chosen"] == "xz3"
+    assert p["costs"]["xz3"] < p["costs"]["xz2"]
+
+    plan, out = planned_query(spark, stores, bbox=bbox, interval=(t0, t1))
+    got = {r["gid"] for r in out.collect()}
+    want = {r[0] for r in rows
+            if r[3] <= bbox[2] and r[5] >= bbox[0]
+            and r[4] <= bbox[3] and r[6] >= bbox[1] and t0 <= r[2] < t1}
+    assert got == want and got
+
+    # forced xz2: identical row set through the other index
+    plan2, out2 = planned_query(spark, {"xz2": stores["xz2"]},
+                                bbox=bbox, interval=(t0, t1))
+    assert plan2["chosen"] == "xz2"
+    assert {r["gid"] for r in out2.collect()} == want
+
+
 def test_full_scan_fallback_rows(spark, tmp_path):
     pts, stores = _stores(spark, tmp_path)
     plan, df = planned_query(spark, {"z2": stores["z2"]},
