@@ -78,14 +78,19 @@ def _binned_cost(path: str, bin_key: str, prefix_fn, bbox, interval,
         return None
     n_bins = len(bins)
     per_bin_total = 16 ** digits
+    # a null dtg writes __HIVE_DEFAULT_PARTITION__; such rows can never
+    # match a temporal predicate, so they don't contribute scan cost
+    ib = [int(v) for v in bins if v.lstrip("-").isdigit()]
+    if not ib:
+        return None
     if interval is not None:
         t0, t1 = interval
         if t1 <= t0:
             return 0.0
         b0, b1 = t0 // _WEEK_S, (t1 - 1) // _WEEK_S
-        q_bins = [b for b in (int(v) for v in bins) if b0 <= b <= b1]
+        q_bins = [b for b in ib if b0 <= b <= b1]
     else:
-        q_bins = [int(v) for v in bins]
+        q_bins = ib
     x0, y0, x1, y1 = bbox if bbox is not None else (-180.0, -90.0, 180.0, 90.0)
     covered = 0
     for b in q_bins:

@@ -142,6 +142,20 @@ def test_extended_family_ordering_and_rows(spark, tmp_path):
     assert {r["gid"] for r in out2.collect()} == want
 
 
+def test_binned_cost_ignores_hive_default_partition(tmp_path):
+    """A __HIVE_DEFAULT_PARTITION__ bin dir (null dtg rows) must not
+    crash the cost model; a store with ONLY that dir can't help."""
+    from geomesa_spark.plans.planner import _z3_cost
+
+    p = tmp_path / "z3null"
+    (p / "z3_bin=__HIVE_DEFAULT_PARTITION__").mkdir(parents=True)
+    assert _z3_cost(str(p), (-10.0, -10.0, 10.0, 10.0),
+                    (0, 604800), 2) is None
+    (p / "z3_bin=0").mkdir()
+    c = _z3_cost(str(p), (-10.0, -10.0, 10.0, 10.0), (0, 604800), 2)
+    assert c is not None and 0 < c <= 1.0
+
+
 def test_full_scan_fallback_rows(spark, tmp_path):
     pts, stores = _stores(spark, tmp_path)
     plan, df = planned_query(spark, {"z2": stores["z2"]},
