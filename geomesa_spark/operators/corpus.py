@@ -904,6 +904,63 @@ def kneser_ney_bigrams(docs: DataFrame, text_col: str,
     return _attach_cached(out, tab)
 
 
+def kn_perplexity(docs: DataFrame, id_col: str, text_col: str,
+                  discount: float = 0.75) -> DataFrame:
+    """Per-document perplexity under the corpus-trained interpolated
+    Kneser-Ney bigram model (:func:`kneser_ney_bigrams`) — the actual
+    CCNet-style LM quality gate: documents whose word sequences the
+    corpus LM finds surprising (boilerplate soup, shuffled scrapes,
+    wrong-language fragments) score high and get filtered/bucketed.
+    ppl(d) = exp(-mean ln P_KN(w2|w1)) over d's bigrams. Returns
+    (id, n_bigrams, ppl32); docs with < 2 words have no bigram and are
+    absent (the bigram_logprob convention). Scoring the training
+    corpus itself every bigram is seen, so P_KN > 0 by construction
+    and the discount mass only redistributes — no floor needed.
+
+    Scale shape: one explode to per-doc bigram rows (persisted — feeds
+    the model counts AND the join back, so the corpus is tokenized
+    once), the three Zipf-bounded model re-aggs of kneser_ney_bigrams,
+    model joins keyed by word strings, then a per-doc fold sorted by
+    (w1, w2, lp) for a defined float addition order; float32 out
+    absorbs the <=1-ulp ln/exp engine differences (the unigram_logprob
+    convention).
+    """
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(words) - 1),
+        lambda i: F.struct(F.element_at(words, i).alias("w1"),
+                           F.element_at(words, i + 1).alias("w2")))
+    bigr = (docs.filter(F.size(words) >= 2)
+                .select(F.col(id_col), F.explode(pairs).alias("p"))
+                .select(id_col, "p.w1", "p.w2")
+                .persist())
+    tab = bigr.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    pre = tab.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                                F.count("*").alias("n1"))
+    cont = tab.groupBy("w2").agg(F.count("*").alias("n2"))
+    types = tab.agg(F.count("*").alias("tt"))
+    d = F.lit(float(discount))
+    p_kn = (F.greatest(F.col("c12").cast("double") - d, F.lit(0.0))
+            / F.col("c1").cast("double")
+            + d * F.col("n1").cast("double") / F.col("c1").cast("double")
+            * (F.col("n2").cast("double") / F.col("tt").cast("double")))
+    scored = (bigr.join(tab, ["w1", "w2"]).join(pre, "w1").join(cont, "w2")
+                  .crossJoin(F.broadcast(types))
+                  .withColumn("__lp__", F.log(p_kn)))
+    folded = (scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.aggregate(
+            F.array_sort(F.collect_list(
+                F.struct(F.col("w1"), F.col("w2"), F.col("__lp__")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["__lp__"]).alias("__sum__")))
+    return _attach_cached(
+        folded.select(
+            id_col, "n_bigrams",
+            F.exp(-(F.col("__sum__") / F.col("n_bigrams")))
+             .cast("float").alias("ppl32")), bigr)
+
+
 def collocations(docs: DataFrame, id_col: str, text_col: str,
                  k: int = 50, min_count: int = 2) -> DataFrame:
     """Top-k PMI collocations: adjacent word pairs occurring together

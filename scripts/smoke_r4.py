@@ -13,7 +13,7 @@ from geomesa_spark import get_spark
 from geomesa_spark.functions import register_functions
 
 KEYS = ["store_xz3", "store_plan", "store_plan_st", "store_plan_xz",
-        "ingest_resume", "kn_bigram", "dwithin_rects"]
+        "ingest_resume", "kn_bigram", "kn_ppl", "dwithin_rects"]
 
 if __name__ == "__main__":
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

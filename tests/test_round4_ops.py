@@ -58,6 +58,24 @@ def test_kneser_ney_topk_cutoff(spark):
     assert {(r["w1"], r["w2"]) for r in out} == {("x", "y"), ("y", "z")}
 
 
+def test_kn_perplexity_hand_computed(spark):
+    """Same tiny corpus as the KN test: doc1 'a b a b' has bigrams
+    (a,b) (b,a) (a,b) with P = .875, .5, .875 -> ppl =
+    (.875^2 * .5)^(-1/3); doc2 'c b' -> ppl = 1/P(b|c) = 1/0.75."""
+    from geomesa_spark.operators.corpus import kn_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "c b"), (3, "single")],
+        "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in
+            kn_perplexity(docs, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2}  # one-word doc has no bigram
+    assert rows[1]["n_bigrams"] == 3
+    assert rows[1]["ppl32"] == pytest.approx(
+        (0.875 ** 2 * 0.5) ** (-1 / 3), rel=1e-6)
+    assert rows[2]["ppl32"] == pytest.approx(1 / 0.75, rel=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # dwithin_join_rects
 
