@@ -58,6 +58,46 @@ def test_kneser_ney_topk_cutoff(spark):
     assert {(r["w1"], r["w2"]) for r in out} == {("x", "y"), ("y", "z")}
 
 
+def test_kneser_ney_is_a_distribution(spark):
+    """Interpolated KN over a seen vocabulary is a proper conditional
+    distribution: for EVERY prefix w1, sum over all seen continuations
+    w2 of P(w2|w1) must equal 1 (discount mass exactly redistributed
+    through the continuation model). Random corpus, all prefixes."""
+    import numpy as np
+    from geomesa_spark.operators.corpus import kneser_ney_bigrams
+
+    rng = np.random.RandomState(3)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [(i, " ".join(rng.choice(vocab, size=rng.randint(2, 30))))
+            for i in range(40)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = kneser_ney_bigrams(df, "text", k=100000).collect()
+    # P(w2|w1) sums to 1 only over the FULL continuation vocabulary
+    # (every w2 seen as a continuation anywhere), with unseen (w1, w2)
+    # pairs contributing their backoff-only mass lambda(w1)*Pcont(w2).
+    by = {}
+    for r in rows:
+        by.setdefault(r["w1"], {})[r["w2"]] = r["p_kn"]
+    # reconstruct the model tables from the returned rows
+    c12 = {(r["w1"], r["w2"]): r["c12"] for r in rows}
+    c1 = {}
+    n1 = {}
+    for (w1, _), c in c12.items():
+        c1[w1] = c1.get(w1, 0) + c
+        n1[w1] = n1.get(w1, 0) + 1
+    n2 = {}
+    for (_, w2) in c12:
+        n2[w2] = n2.get(w2, 0) + 1
+    tt = len(c12)
+    for w1 in c1:
+        lam = 0.75 * n1[w1] / c1[w1]
+        total = 0.0
+        for w2, nn in n2.items():
+            seen = by.get(w1, {}).get(w2)
+            total += seen if seen is not None else lam * (nn / tt)
+        assert abs(total - 1.0) < 1e-9, (w1, total)
+
+
 def test_kn_perplexity_hand_computed(spark):
     """Same tiny corpus as the KN test: doc1 'a b a b' has bigrams
     (a,b) (b,a) (a,b) with P = .875, .5, .875 -> ppl =
