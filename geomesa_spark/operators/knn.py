@@ -166,6 +166,23 @@ def knn_join(
         # meters) the join is EXACT for every query.
         strag = need.drop("__n__").withColumn(
             "__r__", F.lit(float(max_radius)))
+        # Guard: the fallback broadcasts the stragglers and streams the
+        # FULL data side against them, which is only cheap while the
+        # straggler set is tiny (the normal case — a few sparse-region
+        # queries). A mis-parameterized call (k far above the local
+        # density everywhere, max_rounds too small) could route a large
+        # query fraction here and degrade into a near-cartesian job —
+        # make that visible instead of silent. The count is one cheap
+        # job over the already-persisted round frames.
+        n_strag = strag.count()
+        if n_strag > 10_000:
+            import logging
+            logging.getLogger(__name__).warning(
+                "knn_join completeness fallback engaged for %d queries "
+                "(> 10000): the broadcast nested-loop re-query scans the "
+                "full data side per straggler batch. Consider raising "
+                "max_rounds or the initial radius, or lowering k.",
+                n_strag)
         dist = _dist_expr(F.col(qx), F.col(qy), F.col(dx), F.col(dy), metric)
         w1 = Window.partitionBy(query_id, "__salt__").orderBy(
             F.col("dist").asc(), F.col(data_id).asc())

@@ -18,8 +18,13 @@ hive partitions the pruned scan must open:
 - ``z3``: covered (bin, prefix) pairs over total (bin, prefix) pairs;
   total bins come from a driver-side partition LISTING of the store
   (hive dir names — metadata only, the same LIST an object store
-  serves; never a data read). Supports bbox+interval, interval-only
-  (whole-world prefix set), and bbox-only degrades to every bin.
+  serves; never a data read). Supports bbox+interval and interval-only
+  (whole-world prefix set). Binned stores are NOT costed for a query
+  with no temporal predicate: a bbox-only scan of a binned store would
+  have to open every bin AND the null-dtg partition (whose rows a z2
+  scan returns but a ``secs``-bounded z3 scan would drop), so the
+  planner routes bbox-only queries to z2/xz2 or the full-scan
+  fallback — preserving row-set invariance across strategies.
 - ``z2``: covered z2 prefixes / 16^digits. Spatial only — a temporal
   predicate becomes a residual row filter, so z3 beats it whenever an
   interval actually prunes.
@@ -70,37 +75,33 @@ def _binned_cost(path: str, bin_key: str, prefix_fn, bbox, interval,
                  digits: int) -> float | None:
     """Scanned-partition fraction for a week-binned spatio-temporal
     store (z3 or xz3 — ``prefix_fn`` is the per-bin offset-window
-    prefix planner), or None if the store can't help (no predicate at
-    all would mean a full scan — reported honestly as 1.0 via the
-    caller's fallback)."""
+    prefix planner), or None if the store can't help (absent store, or
+    no temporal predicate — a binned scan without an interval would
+    both open every bin and drop null-dtg rows, see module doc)."""
+    if interval is None:
+        return None
     bins = _list_partition_values(path, bin_key)
     if not bins:
         return None
-    n_bins = len(bins)
     per_bin_total = 16 ** digits
     # a null dtg writes __HIVE_DEFAULT_PARTITION__; such rows can never
-    # match a temporal predicate, so they don't contribute scan cost
+    # match a temporal predicate, so they neither contribute scan cost
+    # nor count toward the store's prunable-bin denominator
     ib = [int(v) for v in bins if v.lstrip("-").isdigit()]
     if not ib:
         return None
-    if interval is not None:
-        t0, t1 = interval
-        if t1 <= t0:
-            return 0.0
-        b0, b1 = t0 // _WEEK_S, (t1 - 1) // _WEEK_S
-        q_bins = [b for b in ib if b0 <= b <= b1]
-    else:
-        q_bins = ib
+    t0, t1 = interval
+    if t1 <= t0:
+        return 0.0
+    b0, b1 = t0 // _WEEK_S, (t1 - 1) // _WEEK_S
+    q_bins = [b for b in ib if b0 <= b <= b1]
     x0, y0, x1, y1 = bbox if bbox is not None else (-180.0, -90.0, 180.0, 90.0)
     covered = 0
     for b in q_bins:
-        if interval is not None:
-            off0 = max(interval[0] - b * _WEEK_S, 0)
-            off1 = min(interval[1] - 1 - b * _WEEK_S, _WEEK_S - 1)
-        else:
-            off0, off1 = 0, _WEEK_S - 1
+        off0 = max(t0 - b * _WEEK_S, 0)
+        off1 = min(t1 - 1 - b * _WEEK_S, _WEEK_S - 1)
         covered += len(prefix_fn(x0, y0, x1, y1, off0, off1, digits))
-    return covered / float(n_bins * per_bin_total)
+    return covered / float(len(ib) * per_bin_total)
 
 
 def _z3_cost(path: str, bbox, interval, digits: int) -> float | None:
@@ -132,11 +133,11 @@ def choose_strategy(stores: dict[str, str], *, bbox=None, interval=None,
             pfx = bbox_partition_prefixes(*bbox, attr_digits)
             c *= len(pfx) / float(16 ** attr_digits)
         costs["attr"] = c
-    if "z3" in stores and (bbox is not None or interval is not None):
+    if "z3" in stores and interval is not None:
         c = _z3_cost(stores["z3"], bbox, interval, z3_digits)
         if c is not None:
             costs["z3"] = c
-    if "xz3" in stores and (bbox is not None or interval is not None):
+    if "xz3" in stores and interval is not None:
         c = _xz3_cost(stores["xz3"], bbox, interval, z3_digits)
         if c is not None:
             costs["xz3"] = c

@@ -62,9 +62,12 @@ def test_strategy_ordering(spark, tmp_path):
     p = choose_strategy(stores, interval=(T0, T1))
     assert p["chosen"] == "z3" and "z2" not in p["costs"]
 
-    # bbox-only -> a spatial index, never the attr store
+    # bbox-only -> the UNBINNED spatial index; binned stores are never
+    # costed without a temporal predicate (a z3 scan would open every
+    # bin and drop null-dtg rows — row-set invariance would break)
     p = choose_strategy(stores, bbox=BBOX)
-    assert p["chosen"] in ("z2", "z3") and "attr" not in p["costs"]
+    assert p["chosen"] == "z2"
+    assert "attr" not in p["costs"] and "z3" not in p["costs"]
 
     # no predicate at all -> explicit full-scan fallback at cost 1.0
     p = choose_strategy(stores)
@@ -97,9 +100,9 @@ def test_row_set_invariant_across_strategies(spark, tmp_path):
 
 
 def test_extended_family_ordering_and_rows(spark, tmp_path):
-    """xz2/xz3 branch: bbox+interval ranks xz3 over xz2 (bin pruning),
-    bbox-only offers only... both (xz3 degrades to all bins); row set
-    equals the plain envelope+time filter whichever index runs."""
+    """xz2/xz3 branch: bbox+interval ranks xz3 over xz2 (bin pruning);
+    row set equals the plain envelope+time filter whichever index
+    runs (bbox-only never costs xz3 — see the bbox-only tests)."""
     from geomesa_spark.geom.wkb import Polygon, wkb_write
     from geomesa_spark.plans.store import write_indexed_xz2, write_indexed_xz3
     import numpy as np
@@ -162,3 +165,49 @@ def test_full_scan_fallback_rows(spark, tmp_path):
                              attr_eq=("kind", "k1"))
     assert plan["chosen"] == "full:z2"
     assert df.count() == pts.filter(F.col("kind") == "k1").count()
+
+
+def test_bbox_only_on_binned_store_full_scans_and_keeps_null_dtg(
+        spark, tmp_path):
+    """A bbox-only query offered ONLY a binned (z3) store must take the
+    full-scan fallback — never a synthetic-interval binned scan, which
+    would loop over millions of week bins and silently drop null-dtg
+    rows (__HIVE_DEFAULT_PARTITION__).  Row set must equal the z2
+    answer including the null-dtg rows."""
+    pts = _points(spark, 2000)
+    # null out dtg for every 5th row: these land in the store's
+    # __HIVE_DEFAULT_PARTITION__ bin and have no temporal identity
+    pts = pts.withColumn(
+        "secs", F.when(F.col("pid") % 5 == 0, F.lit(None)).otherwise(
+            F.col("secs")))
+    z3p = str(tmp_path / "z3n")
+    write_indexed_z3(pts, z3p)
+
+    p = choose_strategy({"z3": z3p}, bbox=BBOX)
+    assert p["chosen"] == "full:z3" and p["costs"] == {"full:z3": 1.0}
+
+    plan, df = planned_query(spark, {"z3": z3p}, bbox=BBOX, secs="secs")
+    got = {r["pid"] for r in df.collect()}
+    want = {r["pid"] for r in pts.filter(
+        (F.col("lon") >= BBOX[0]) & (F.col("lon") <= BBOX[2])
+        & (F.col("lat") >= BBOX[1]) & (F.col("lat") <= BBOX[3])).collect()}
+    assert got == want
+    # the scenario is non-trivial: some matching rows have null dtg
+    assert any(pid % 5 == 0 for pid in want)
+
+
+def test_binned_cost_denominator_excludes_null_bin(tmp_path):
+    """The null-dtg partition dir must not inflate the prunable-bin
+    denominator: a store with one integer bin + the null dir prices a
+    full-week interval exactly like a store with the bin alone."""
+    from geomesa_spark.plans.planner import _z3_cost
+
+    a = tmp_path / "plain"
+    (a / "z3_bin=0").mkdir(parents=True)
+    b = tmp_path / "withnull"
+    (b / "z3_bin=0").mkdir(parents=True)
+    (b / "z3_bin=__HIVE_DEFAULT_PARTITION__").mkdir()
+    bbox = (-10.0, -10.0, 10.0, 10.0)
+    ca = _z3_cost(str(a), bbox, (0, 604800), 2)
+    cb = _z3_cost(str(b), bbox, (0, 604800), 2)
+    assert ca is not None and ca == cb
