@@ -2673,15 +2673,37 @@ def _store_tmp(sf_dir: str, kind: str) -> str:
     stale on-disk state: a crashed partial overwrite from an EARLIER
     process (or an earlier code state in a reused container) can never
     leak rows into this run's read-back. Every caller writes the store
-    immediately after calling this, so the rmtree costs nothing."""
+    immediately after calling this, so the rmtree costs nothing.
+
+    Dead-pid housekeeping: pid-keyed paths from EXITED processes would
+    otherwise accumulate forever in a long-lived container (each sf0.1
+    store run is GBs), so stale ``gm_store_{kind}_{tag}_*`` siblings
+    whose pid no longer runs are removed here too — live siblings (a
+    concurrent pytest worker) are never touched."""
     import hashlib
     import os
     import shutil
     import tempfile
 
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:10]
-    path = os.path.join(tempfile.gettempdir(),
-                        f"gm_store_{kind}_{tag}_{os.getpid()}")
+    tmp = tempfile.gettempdir()
+    stem = f"gm_store_{kind}_{tag}_"
+    try:
+        for name in os.listdir(tmp):
+            if not name.startswith(stem):
+                continue
+            pid_s = name[len(stem):]
+            if pid_s.isdigit() and int(pid_s) != os.getpid():
+                try:
+                    os.kill(int(pid_s), 0)  # raises if the pid is dead
+                except ProcessLookupError:
+                    shutil.rmtree(os.path.join(tmp, name),
+                                  ignore_errors=True)
+                except OSError:
+                    pass  # alive but not ours (EPERM) — leave it
+    except OSError:
+        pass
+    path = os.path.join(tmp, stem + str(os.getpid()))
     shutil.rmtree(path, ignore_errors=True)
     return path
 
@@ -2931,6 +2953,38 @@ def q_store_plan_xz(spark, sf_dir):
     return df.select("c_custkey", "bx0", "by0", "bx1", "by1", "secs")
 
 
+def q_store_plan_full(spark, sf_dir):
+    """The strategy decider's FULL-SCAN fallback branch (plans/planner;
+    reference StrategyDecider.scala:101-152 full-table fallback): a
+    bbox-only query offered ONLY a week-binned z3 store. Binned stores
+    are never costed without a temporal predicate (a synthetic-interval
+    scan would open every bin and drop null-dtg rows), so the decider
+    must fall back to a cost-1.0 full scan — and that scan must KEEP
+    the null-dtg rows (__HIVE_DEFAULT_PARTITION__ bin; every 5th event
+    here has its dtg nulled) that a secs-bounded z3 scan would lose.
+    Raises unless full:z3 at cost exactly 1.0 is chosen; oracle = the
+    plain bbox filter over the same derived points, nulls and all."""
+    import os
+
+    from geomesa_spark.plans.planner import planned_query
+    from geomesa_spark.plans.store import write_indexed_z3
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"),
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("long"))
+         .otherwise(F.unix_timestamp("ts")).alias("secs"))
+    base = _store_tmp(sf_dir, "planfull")
+    stores = {"z3": os.path.join(base, "z3")}
+    write_indexed_z3(ev, stores["z3"])
+    x0, y0, x1, y1 = _STBOX[:4]
+    plan, df = planned_query(spark, stores, bbox=(x0, y0, x1, y1))
+    if plan["chosen"] != "full:z3" or plan["costs"] != {"full:z3": 1.0}:
+        raise AssertionError(f"strategy decider regression: {plan}")
+    return df.select("event_id", "lon", "lat", "secs")
+
+
 def q_ingest_resume(spark, sf_dir):
     """Checkpointed two-stage ingest with idempotent RESUME
     (plans/checkpoint.run_stage — the north-rule resumability
@@ -3138,7 +3192,13 @@ def q_term_index(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     path = _store_tmp(sf_dir, "tidx")
     write_inverted_index(docs, path)
-    return term_query(spark, path, ["hash", "join", "vector"])
+    res = term_query(spark, path, ["hash", "join", "vector"])
+    # The driver canonicalizes results via pandas sort_values/factorize,
+    # which cannot hash list cells — present the position list as a
+    # comma-joined string (the store API keeps the raw array).
+    return res.withColumn(
+        "positions",
+        F.array_join(F.col("positions").cast("array<string>"), ","))
 
 
 def q_index_phrase(spark, sf_dir):
@@ -4466,48 +4526,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # code behind every key is unchanged and mirror-green via
 # tests/test_entry_oracle.py — this only controls which rows the driver grades).
 #
-# ROUND-4 ROTATION (authoritative recipe: diff queries() against the union of
-# rows in CORRECTNESS_r0{1,2,3}.json — 122 graded, 121 green). Front 50 =
-# shard_stats (the one red row, regraded after the _store_tmp hardening) + 49
-# of the 80 never-graded keys, machinery-heavy subsystems first (text-index
-# store, BPE, PQ/IVFADC ANN, ExactSubstr spans, S3/attr stores, WARC/Avro
-# readers, graph algorithms). Positions 51+ = the remaining 31 never-graded
-# keys plus this round's new queries — ALL of those must rotate to the front
-# in round 5 (they fit: 31 + new <= 50 driver slots).
-_NEVER_GRADED_R4 = [
-    # -- front 50: regrade + round-4 driver slots --
-    "shard_stats",
-    "term_index", "index_phrase", "index_bm25", "index_append",
-    "bpe_train", "bpe_tokenize", "pq_ann", "ivfadc", "ann_recall",
-    "dup_spans", "cut_spans", "store_s3", "store_attr", "warc_read",
-    "avro_read", "k_core", "communities", "pagerank_pers",
-    "shortest_paths", "store_ageoff", "store_compact", "transform_laea",
-    "transform_ps", "wat_export", "wet_export", "arrow_export",
-    "main_content", "robots", "sitemap", "cdx_index", "surt_keys",
-    "canonical_dedup", "redirects", "alias_clusters", "crawl_diff",
-    "capture_churn", "co_citation", "trending_terms", "geo_search",
-    "winnow_fps", "containment", "edit_pairs", "phrase_search",
-    "quality_classifier", "chunk_text", "unigram_lp", "degree_dist",
-    "emb_outliers", "knn_classify",
-    # -- tail: never-graded remainder, round-5 front-runners --
+# ROUND-5 ROTATION (authoritative recipe: diff queries() against the union of
+# rows in CORRECTNESS_r0{1,2,3,4}.json — 171 graded, 169 ever-green).  Front =
+# the two r4 red rows regraded after their judge-root-caused contract fixes
+# (shard_stats: oracle HUGEINT shard column now CAST to BIGINT; term_index:
+# positions array now projected as a joined string on BOTH sides), then the
+# real-codec multimodal trio early (judge request — certifies the whole
+# PNG/WAV/AVI byte-format stack), then the remaining 36 never-graded keys,
+# then this round's new store_plan_full.  42 keys <= 50 driver slots: after
+# this round every one of the 211 queries has a driver row.
+_NEVER_GRADED_R5 = [
+    # -- regrades (r3/r4 red: oracle/result-presentation bugs, fixed) --
+    "shard_stats", "term_index",
+    # -- real-codec multimodal stack, early per VERDICT item 7 --
+    "image_feats", "audio_feats", "video_frames",
+    # -- never-graded legacy tail --
     "fixedwidth_parse", "xml_parse", "url_filter", "shp_read",
-    "unicode_norm", "image_feats", "audio_feats", "video_frames",
+    "unicode_norm",
     "bloom_probe", "fetch_slots", "exact_sample", "score_buckets",
     "dsir_select", "weighted_sample", "tile_place_stats", "cidr_asn",
     "pipeline_clean", "host_boilerplate", "script_mix", "cube_stats",
     "readability", "zipf_fit", "heaps_law", "retention_cohorts",
     "bearing_rose", "hard_negatives", "speed_outliers", "cell_entropy",
     "peak_hours", "cell_quantiles", "gini_hosts",
-    # -- round-4 session additions (never graded; r5 front-runners) --
+    # -- round-4 session additions, never graded --
     "store_xz3", "ingest_resume", "store_plan", "store_plan_st",
     "store_plan_xz", "kn_bigram", "kn_ppl", "dwithin_rects",
+    # -- round-5 additions --
+    "store_plan_full",
 ]
 
 
 def _reorder(d: dict) -> dict:
     """Rotate the never-driver-graded keys to the front, keep the rest in
     their existing order, and never drop or invent a key."""
-    front = [k for k in _NEVER_GRADED_R4 if k in d]
+    front = [k for k in _NEVER_GRADED_R5 if k in d]
     return {k: d[k] for k in front + [k for k in d if k not in set(front)]}
 
 
@@ -4625,6 +4678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_plan": q_store_plan,
         "store_plan_st": q_store_plan_st,
         "store_plan_xz": q_store_plan_xz,
+        "store_plan_full": q_store_plan_full,
         "store_s2": q_store_s2,
         "store_s3": q_store_s3,
         "store_cql": q_store_cql,
@@ -7893,6 +7947,21 @@ def oracle_sql() -> dict[str, str]:
               AND by0 <= {_XZ3_STBOX[3]} AND by1 >= {_XZ3_STBOX[1]}
               AND secs >= {_XZ3_STBOX[4]} AND secs < {_XZ3_STBOX[5]}
         """,
+        # store_plan_full: plain bbox-only filter with every 5th event's
+        # secs nulled — the decider's full-scan fallback must return
+        # exactly this row set INCLUDING the null-dtg rows a binned scan
+        # would drop.
+        "store_plan_full": f"""
+            WITH e AS (SELECT event_id,
+                              {tg.sql_point_lon('event_id', _e['mlon'], _e['olon'])} AS lon,
+                              {tg.sql_point_lat('event_id', _e['mlat'], _e['olat'])} AS lat,
+                              CASE WHEN event_id % 5 = 0 THEN NULL
+                                   ELSE CAST(floor(epoch(ts)) AS BIGINT)
+                              END AS secs FROM events)
+            SELECT event_id, lon, lat, secs FROM e
+            WHERE lon >= {_STBOX[0]} AND lon <= {_STBOX[2]}
+              AND lat >= {_STBOX[1]} AND lat <= {_STBOX[3]}
+        """,
         # ingest_resume: plain per-cell rollup of the derived event
         # points — the checkpointed two-stage pipeline (run twice, the
         # second pass resuming off manifests) must return exactly this.
@@ -8216,7 +8285,8 @@ def oracle_sql() -> dict[str, str]:
                                      i -> d.toks[i + 1] = t.term) AS positions
                   FROM d, t)
             SELECT term, doc_id, CAST(len(positions) AS BIGINT) AS tf,
-                   CAST(positions[1] AS BIGINT) AS first_pos, positions
+                   CAST(positions[1] AS BIGINT) AS first_pos,
+                   array_to_string(positions, ',') AS positions
             FROM m WHERE len(positions) > 0
         """,
         # zero-norm vectors excluded (cosine vs them is NaN; DuckDB sorts
@@ -8797,7 +8867,7 @@ def oracle_sql() -> dict[str, str]:
         "shard_stats": (lambda mix_cte, mix_col: f"""
             WITH mx0 AS (SELECT doc_id, n_chars FROM documents),
             {mix_cte}
-            SELECT ({mix_col}) % 8 AS shard,
+            SELECT CAST(({mix_col}) % 8 AS BIGINT) AS shard,
                    count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM mxf GROUP BY 1
