@@ -2985,6 +2985,37 @@ def q_store_plan_full(spark, sf_dir):
     return df.select("event_id", "lon", "lat", "secs")
 
 
+def q_store_plan_t(spark, sf_dir):
+    """The strategy decider's INTERVAL-ONLY branch (plans/planner): z2
+    and z3 stores over the same event points, a pure temporal query —
+    no bbox, no attribute. The z2 index cannot support it (spatial
+    only: it would scan everything and still need the full residual),
+    so the decider must never even cost z2 and must price z3 via the
+    whole-world per-bin prefix cover with week-bin pruning. Raises
+    unless z3 is chosen with z2 absent from the cost table; oracle =
+    the plain time filter (row-set invariance through the
+    interval-only scan path of stbox_query_z3)."""
+    import os
+
+    from geomesa_spark.plans.planner import planned_query
+    from geomesa_spark.plans.store import write_indexed, write_indexed_z3
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"),
+        F.unix_timestamp("ts").alias("secs"))
+    base = _store_tmp(sf_dir, "plant")
+    stores = {k: os.path.join(base, k) for k in ("z2", "z3")}
+    write_indexed(ev, stores["z2"])
+    write_indexed_z3(ev, stores["z3"])
+    t0, t1 = _STBOX[4], _STBOX[5]
+    plan, df = planned_query(spark, stores, interval=(t0, t1))
+    if plan["chosen"] != "z3" or "z2" in plan["costs"]:
+        raise AssertionError(f"strategy decider regression: {plan}")
+    return df.select("event_id", "lon", "lat", "secs")
+
+
 def q_ingest_resume(spark, sf_dir):
     """Checkpointed two-stage ingest with idempotent RESUME
     (plans/checkpoint.run_stage — the north-rule resumability
@@ -4512,6 +4543,30 @@ def q_transform_ps(spark, sf_dir):
     """)
 
 
+def q_idl_contains(spark, sf_dir):
+    """Antimeridian-safe containment end-to-end (functions/registry
+    st_idlSafeGeom — reference SpatialRelationFunctions'
+    st_antimeridianSafeGeom semantics): a query polygon spanning the
+    dateline (lon 170..190) is split into the two-piece MULTIPOLYGON
+    at +-180 and st_contains selects the customer points inside either
+    piece. Contains is strict-interior (boundary points excluded), so
+    the oracle is the strict two-sided longitude band + strict
+    latitude band — equality certifies both the IDL split arithmetic
+    and the DE-9IM boundary semantics on a wrapped window."""
+    from geomesa_spark.functions import register_functions
+
+    register_functions(spark)
+    _cust_points(spark, sf_dir).createOrReplaceTempView("__ptsidl__")
+    return spark.sql("""
+        SELECT c_custkey, lon, lat
+        FROM __ptsidl__
+        WHERE st_contains(
+            st_idlSafeGeom(st_geomFromWKT(
+              'POLYGON((170 -30, 190 -30, 190 30, 170 30, 170 -30))')),
+            st_makePoint(lon, lat))
+    """)
+
+
 # ---------------------------------------------------------------------------
 # driver contract
 
@@ -4533,8 +4588,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # positions array now projected as a joined string on BOTH sides), then the
 # real-codec multimodal trio early (judge request — certifies the whole
 # PNG/WAV/AVI byte-format stack), then the remaining 36 never-graded keys,
-# then this round's new store_plan_full.  42 keys <= 50 driver slots: after
-# this round every one of the 211 queries has a driver row.
+# then this round's three new queries (store_plan_full, store_plan_t,
+# idl_contains).  44 keys <= 50 driver slots: after this round every one of
+# the 213 queries has a driver row.
 _NEVER_GRADED_R5 = [
     # -- regrades (r3/r4 red: oracle/result-presentation bugs, fixed) --
     "shard_stats", "term_index",
@@ -4553,7 +4609,7 @@ _NEVER_GRADED_R5 = [
     "store_xz3", "ingest_resume", "store_plan", "store_plan_st",
     "store_plan_xz", "kn_bigram", "kn_ppl", "dwithin_rects",
     # -- round-5 additions --
-    "store_plan_full",
+    "store_plan_full", "store_plan_t", "idl_contains",
 ]
 
 
@@ -4679,6 +4735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_plan_st": q_store_plan_st,
         "store_plan_xz": q_store_plan_xz,
         "store_plan_full": q_store_plan_full,
+        "store_plan_t": q_store_plan_t,
         "store_s2": q_store_s2,
         "store_s3": q_store_s3,
         "store_cql": q_store_cql,
@@ -4763,6 +4820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_compact": q_store_compact,
         "transform_laea": q_transform_laea,
         "transform_ps": q_transform_ps,
+        "idl_contains": q_idl_contains,
         "readability": q_readability,
         "zipf_fit": q_zipf_fit,
         "heaps_law": q_heaps_law,
@@ -7962,6 +8020,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE lon >= {_STBOX[0]} AND lon <= {_STBOX[2]}
               AND lat >= {_STBOX[1]} AND lat <= {_STBOX[3]}
         """,
+        # store_plan_t: plain time filter — the interval-only z3-branch
+        # decider scan must return exactly this row set.
+        "store_plan_t": f"""
+            WITH e AS (SELECT event_id,
+                              {tg.sql_point_lon('event_id', _e['mlon'], _e['olon'])} AS lon,
+                              {tg.sql_point_lat('event_id', _e['mlat'], _e['olat'])} AS lat,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events)
+            SELECT event_id, lon, lat, secs FROM e
+            WHERE secs >= {_STBOX[4]} AND secs < {_STBOX[5]}
+        """,
         # ingest_resume: plain per-cell rollup of the derived event
         # points — the checkpointed two-stage pipeline (run twice, the
         # second pass resuming off manifests) must return exactly this.
@@ -8020,6 +8088,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "transform_laea": _sql_transform_laea(),
         "transform_ps": _sql_transform_ps(),
+        # idl_contains: the IDL-split MULTIPOLYGON's strict interior is
+        # exactly the two-sided open longitude band + open latitude
+        # band (st_contains excludes the boundary, including the +-180
+        # seam edges of both split pieces).
+        "idl_contains": f"""
+            WITH p AS ({_CUST_SQL})
+            SELECT c_custkey, lon, lat FROM p
+            WHERE ((lon > 170 AND lon < 180) OR (lon > -180 AND lon < -170))
+              AND lat > -30 AND lat < 30
+        """,
         "retention_cohorts": """
             WITH uw AS (SELECT DISTINCT user_id,
                                CAST(floor(epoch_us(ts) / 604800000000.0)
