@@ -3016,6 +3016,237 @@ def q_store_plan_t(spark, sf_dir):
     return df.select("event_id", "lon", "lat", "secs")
 
 
+def q_stream_upsert(spark, sf_dir):
+    """Streaming upsert feature cache driven to completion
+    (streaming/upsert.upsert_cache — the reference KafkaFeatureCache's
+    latest-wins + event-time-ordering live view, KafkaFeatureCache.scala
+    :24-31): event points become a two-micro-batch file stream (even
+    event_ids arrive first, odd second; ts = event_id so every event
+    time is unique), upsert_cache folds each batch by the pinned seq
+    order, and the memory-sink change feed is returned once every input
+    row has been processed. Deterministic contract: batch-1 rows all
+    advance state ('upsert'); a batch-2 row advances iff its ts exceeds
+    the id's batch-1 maximum, else it is 'reject_stale' — exactly the
+    oracle's windowed max over the even-parity rows. Certifies the
+    stateful applyInPandasWithState path end-to-end (state carry across
+    micro-batches included), not just its unit tests."""
+    import glob
+    import os
+    import shutil
+    import time
+    import uuid
+
+    from geomesa_spark.streaming.upsert import upsert_cache
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("f"), (F.col("event_id") % 50).cast("string"))
+         .alias("feature_id"),
+        F.col("event_id").cast("long").alias("ts"),
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"),
+        (F.col("event_id") % 2).alias("par"))
+    n_in = ev.count()
+    base = _store_tmp(sf_dir, "stream")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i in (0, 1):
+        tmp = os.path.join(base, f"w{i}")
+        (ev.filter(F.col("par") == i).drop("par")
+           .coalesce(1).write.mode("overwrite").json(tmp))
+        part = glob.glob(os.path.join(tmp, "part-*.json"))[0]
+        dst = os.path.join(src, f"b{i}.json")
+        shutil.copyfile(part, dst)
+        # file-stream batch order follows modification time: pin it
+        os.utime(dst, (1_700_000_000 + i * 3600,) * 2)
+    stream = (spark.readStream
+                   .schema("feature_id string, ts long, lon double, "
+                           "lat double")
+                   .option("maxFilesPerTrigger", 1).json(src))
+    # seq pins the within-batch fold order (the json file may split
+    # across partitions; arrival order after the group shuffle is
+    # otherwise arbitrary)
+    out = upsert_cache(stream.withColumn("seq", F.col("ts")),
+                       order_col="seq")
+    name = f"upserts_{uuid.uuid4().hex[:12]}"
+    q = (out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start())
+    # stateful availableNow never self-terminates: wait for the change
+    # feed to reach one-output-per-input, then stop
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        try:
+            if spark.table(name).count() >= n_in:
+                break
+        except Exception:
+            pass  # sink table not registered yet
+        time.sleep(0.5)
+    q.stop()
+    res = spark.table(name)
+    if res.count() != n_in:
+        raise AssertionError(
+            f"stream_upsert: {res.count()} of {n_in} rows emitted")
+    return res
+
+
+def q_stream_density(spark, sf_dir):
+    """Watermarked streaming tile density driven to completion
+    (streaming/upsert.windowed_density — tumbling event-time windows +
+    late-data watermark, the streaming twin of the batch heatmap): the
+    event points arrive as two micro-batches split by event_id parity,
+    so batch 2 delivers genuinely late rows (earlier event times than
+    batch 1's maximum). Deterministic contract, pinned by probe on this
+    Spark version: state eviction lags one batch, so in a two-batch
+    availableNow run every row aggregates (late rows land in still-live
+    windows — the reference's late-data tolerance), and the final
+    flush emits exactly the windows whose end <= global max event time
+    minus the 2 h watermark delay (inclusive boundary, probed). The
+    oracle replays that in exact integer microseconds; the withheld
+    tail (windows newer than the final watermark) is absent from BOTH
+    sides."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from geomesa_spark.streaming.upsert import windowed_density
+
+    # event times travel as exact epoch-micros longs (the JSON
+    # timestamp format truncates to milliseconds)
+    ev = _t(spark, sf_dir, "events").select(
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("et_us"),
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"),
+        (F.col("event_id") % 2).alias("par"))
+    base = _store_tmp(sf_dir, "sdens")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i in (0, 1):
+        tmp = os.path.join(base, f"w{i}")
+        (ev.filter(F.col("par") == i).drop("par")
+           .coalesce(1).write.mode("overwrite").json(tmp))
+        part = glob.glob(os.path.join(tmp, "part-*.json"))[0]
+        dst = os.path.join(src, f"b{i}.json")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 3600,) * 2)
+    stream = (spark.readStream
+                   .schema("et_us long, lon double, lat double")
+                   .option("maxFilesPerTrigger", 1).json(src)
+                   .withColumn("event_time", F.timestamp_micros("et_us")))
+    out = windowed_density(stream, window="1 hour", watermark="2 hours")
+    name = f"sdens_{uuid.uuid4().hex[:12]}"
+    q = (out.select(F.unix_timestamp("win.start").alias("w0"),
+                    F.unix_timestamp("win.end").alias("w1"),
+                    "i", "j", "weight")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+def q_stream_sessions(spark, sf_dir):
+    """Streaming gap sessionization driven to completion
+    (streaming/upsert.streaming_sessions — Spark's native
+    session_window + watermark, the streaming twin of
+    temporal.sessionize): events arrive as two micro-batches split by
+    event_id parity, so batch 2 contains genuinely late rows that must
+    MERGE into batch-1 sessions (probed: state eviction lags one batch,
+    so in a two-batch availableNow run every row lands in a live
+    session). Emitted = sessions whose end (last event + 45 min gap) <=
+    global max event time minus the 2 h watermark (inclusive, same
+    eviction rule probed for windows). Oracle = batch gaps-and-islands
+    in exact integer microseconds (session break at diff >= gap — the
+    half-open [ts, ts+gap) merge rule; sf0.01 has zero exact-boundary
+    pairs, duckdb-checked) filtered to the closed sessions."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from geomesa_spark.streaming.upsert import streaming_sessions
+
+    # event times travel as exact epoch-micros longs (the JSON
+    # timestamp format truncates to milliseconds)
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("et_us"),
+        (F.col("event_id") % 2).alias("par"))
+    base = _store_tmp(sf_dir, "ssess")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i in (0, 1):
+        tmp = os.path.join(base, f"w{i}")
+        (ev.filter(F.col("par") == i).drop("par")
+           .coalesce(1).write.mode("overwrite").json(tmp))
+        part = glob.glob(os.path.join(tmp, "part-*.json"))[0]
+        dst = os.path.join(src, f"b{i}.json")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 3600,) * 2)
+    stream = (spark.readStream
+                   .schema("user_id long, et_us long")
+                   .option("maxFilesPerTrigger", 1).json(src)
+                   .withColumn("event_time", F.timestamp_micros("et_us")))
+    out = streaming_sessions(stream, key_col="user_id",
+                             gap="45 minutes", watermark="2 hours")
+    name = f"ssess_{uuid.uuid4().hex[:12]}"
+    q = (out.select("user_id",
+                    F.unix_micros("t_start").alias("s0"),
+                    F.unix_micros("t_end").alias("s1"),
+                    "n_events")
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
+def q_stream_dedup(spark, sf_dir):
+    """Ingest-time streaming exact dedup driven to completion
+    (streaming/dedup.stream_dedup — dropDuplicatesWithinWatermark keyed
+    by the shared sha256 content digest): events collapse to 700
+    digest groups whose rows are BYTE-IDENTICAL on every output column
+    (content and event time both derived from the group id), so the
+    first-arrival-wins choice is value-deterministic whichever physical
+    row survives. Two parity micro-batches; batch-2 re-arrivals of
+    batch-1 digests are suppressed (state eviction lags one batch, so
+    no digest is ever forgotten mid-run — probed). Result = exactly one
+    row per distinct digest; oracle = plain DISTINCT."""
+    import glob
+    import os
+    import shutil
+    import uuid
+
+    from geomesa_spark.streaming.dedup import stream_dedup
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("c"), (F.col("event_id") % 700).cast("string"))
+         .alias("content"),
+        F.timestamp_seconds(F.lit(1704067200).cast("long")
+                            + (F.col("event_id") % 700) * 60).alias("ts"),
+        (F.col("event_id") % 2).alias("par"))
+    base = _store_tmp(sf_dir, "sdedup")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i in (0, 1):
+        tmp = os.path.join(base, f"w{i}")
+        (ev.filter(F.col("par") == i).drop("par")
+           .coalesce(1).write.mode("overwrite").json(tmp))
+        part = glob.glob(os.path.join(tmp, "part-*.json"))[0]
+        dst = os.path.join(src, f"b{i}.json")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 3600,) * 2)
+    stream = (spark.readStream.schema("content string, ts timestamp")
+                   .option("maxFilesPerTrigger", 1).json(src))
+    out = stream_dedup(stream, ["content"], ts_col="ts",
+                       delay="10 minutes")
+    name = f"sdedup_{uuid.uuid4().hex[:12]}"
+    q = (out.select("content", F.unix_micros("ts").alias("ts_us"))
+            .writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name)
+
+
 def q_ingest_resume(spark, sf_dir):
     """Checkpointed two-stage ingest with idempotent RESUME
     (plans/checkpoint.run_stage — the north-rule resumability
@@ -4588,9 +4819,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # positions array now projected as a joined string on BOTH sides), then the
 # real-codec multimodal trio early (judge request — certifies the whole
 # PNG/WAV/AVI byte-format stack), then the remaining 36 never-graded keys,
-# then this round's three new queries (store_plan_full, store_plan_t,
-# idl_contains).  44 keys <= 50 driver slots: after this round every one of
-# the 213 queries has a driver row.
+# then this round's new queries (store_plan_full, store_plan_t,
+# idl_contains, and the four streaming round-trips stream_upsert /
+# stream_density / stream_sessions / stream_dedup).  48 keys <= 50
+# driver slots: after this round every one of the 217 queries has a
+# driver row.
 _NEVER_GRADED_R5 = [
     # -- regrades (r3/r4 red: oracle/result-presentation bugs, fixed) --
     "shard_stats", "term_index",
@@ -4609,7 +4842,8 @@ _NEVER_GRADED_R5 = [
     "store_xz3", "ingest_resume", "store_plan", "store_plan_st",
     "store_plan_xz", "kn_bigram", "kn_ppl", "dwithin_rects",
     # -- round-5 additions --
-    "store_plan_full", "store_plan_t", "idl_contains",
+    "store_plan_full", "store_plan_t", "idl_contains", "stream_upsert",
+    "stream_density", "stream_sessions", "stream_dedup",
 ]
 
 
@@ -4736,6 +4970,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "store_plan_xz": q_store_plan_xz,
         "store_plan_full": q_store_plan_full,
         "store_plan_t": q_store_plan_t,
+        "stream_upsert": q_stream_upsert,
+        "stream_density": q_stream_density,
+        "stream_sessions": q_stream_sessions,
+        "stream_dedup": q_stream_dedup,
         "store_s2": q_store_s2,
         "store_s3": q_store_s3,
         "store_cql": q_store_cql,
@@ -8029,6 +8267,79 @@ def oracle_sql() -> dict[str, str]:
                               CAST(floor(epoch(ts)) AS BIGINT) AS secs FROM events)
             SELECT event_id, lon, lat, secs FROM e
             WHERE secs >= {_STBOX[4]} AND secs < {_STBOX[5]}
+        """,
+        # stream_upsert: the deterministic change feed of the two-batch
+        # upsert-cache run — even-parity rows (batch 1, unique ascending
+        # ts) all upsert; an odd-parity row (batch 2) upserts iff its ts
+        # beats the id's batch-1 max, else reject_stale.
+        "stream_upsert": f"""
+            WITH e AS (SELECT 'f' || CAST(event_id % 50 AS VARCHAR)
+                                AS feature_id,
+                              CAST(event_id AS BIGINT) AS ts,
+                              {tg.sql_point_lon('event_id', _e['mlon'], _e['olon'])} AS lon,
+                              {tg.sql_point_lat('event_id', _e['mlat'], _e['olat'])} AS lat,
+                              event_id % 2 AS par
+                       FROM events),
+            m AS (SELECT feature_id, max(ts) AS mx FROM e
+                  WHERE par = 0 GROUP BY 1)
+            SELECT e.feature_id, e.ts, e.lon, e.lat,
+                   CASE WHEN e.par = 0 THEN 'upsert'
+                        WHEN e.ts > coalesce(m.mx, -1) THEN 'upsert'
+                        ELSE 'reject_stale' END AS op
+            FROM e LEFT JOIN m USING (feature_id)
+        """,
+        # stream_density: every row aggregates (state eviction lags one
+        # batch, so batch-2 late rows land in live windows); emitted =
+        # windows with end <= global max event time - 2 h, inclusive.
+        # Exact integer-microsecond replay of Spark's event-time math.
+        "stream_density": f"""
+            WITH e AS (SELECT ts AS et,
+                              {tg.sql_point_lon('event_id', _e['mlon'], _e['olon'])} AS lon,
+                              {tg.sql_point_lat('event_id', _e['mlat'], _e['olat'])} AS lat
+                       FROM events),
+            mx AS (SELECT max(epoch_us(et)) AS mus FROM e),
+            w AS (SELECT (epoch_us(et) // 3600000000) * 3600 AS w0,
+                         CAST(LEAST(floor(lon + 180.0), 359) AS INT) AS i,
+                         CAST(LEAST(floor(lat + 90.0), 179) AS INT) AS j
+                  FROM e)
+            SELECT w0, w0 + 3600 AS w1, i, j,
+                   CAST(count(*) AS BIGINT) AS weight
+            FROM w
+            WHERE (w0 + 3600 + 7200) * 1000000 <= (SELECT mus FROM mx)
+            GROUP BY 1, 3, 4
+        """,
+        # stream_sessions: batch gaps-and-islands in exact integer
+        # microseconds (break at diff >= 45 min; half-open session
+        # merge), filtered to sessions closed by the final watermark
+        # (end <= global max - 2 h, inclusive).
+        "stream_sessions": """
+            WITH mx AS (SELECT max(epoch_us(ts)) AS mus FROM events),
+            o AS (SELECT user_id, epoch_us(ts) AS us,
+                         lag(epoch_us(ts)) OVER
+                             (PARTITION BY user_id ORDER BY ts) AS prev
+                  FROM events),
+            g AS (SELECT user_id, us,
+                         sum(CASE WHEN prev IS NULL
+                                       OR us - prev >= 2700000000
+                                  THEN 1 ELSE 0 END)
+                             OVER (PARTITION BY user_id ORDER BY us
+                                   ROWS UNBOUNDED PRECEDING) AS grp
+                  FROM o),
+            s AS (SELECT user_id, min(us) AS s0,
+                         max(us) + 2700000000 AS s1,
+                         CAST(count(*) AS BIGINT) AS n_events
+                  FROM g GROUP BY user_id, grp)
+            SELECT user_id, s0, s1, n_events FROM s, mx
+            WHERE s1 <= mus - 7200000000
+        """,
+        # stream_dedup: one row per distinct content digest; the group
+        # id determines every output column, so DISTINCT is exact.
+        "stream_dedup": """
+            SELECT DISTINCT
+                   'c' || CAST(event_id % 700 AS VARCHAR) AS content,
+                   (1704067200 + (event_id % 700) * 60) * 1000000
+                       AS ts_us
+            FROM events
         """,
         # ingest_resume: plain per-cell rollup of the derived event
         # points — the checkpointed two-stage pipeline (run twice, the
