@@ -3247,6 +3247,55 @@ def q_stream_dedup(spark, sf_dir):
     return spark.table(name)
 
 
+def q_stream_ingest(spark, sf_dir):
+    """Streaming ingest INTO the z2 store, then a pruned query over the
+    live store (streaming/ingest.stream_ingest_indexed — the Lambda
+    persistence tier: geomesa-lambda TransientStore.scala persists
+    expired entries to the durable store; here foreachBatch appends
+    each micro-batch under the exact write_indexed hive layout with
+    idempotent batch manifests): event points arrive as two parity
+    micro-batches, the availableNow run appends both, and bbox_query
+    prunes the STILL-LIVE store exactly as a batch-written one. Oracle
+    = the plain bbox filter over the derived points — equality proves
+    the streaming write path and the batch write path share one key /
+    partition convention (the two can never drift) and that the
+    pruned scan loses no rows across micro-batch file boundaries."""
+    import glob
+    import os
+    import shutil
+
+    from geomesa_spark.plans.store import bbox_query
+    from geomesa_spark.streaming.ingest import stream_ingest_indexed
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        tg.point_lon("event_id", _e["mlon"], _e["olon"]).alias("lon"),
+        tg.point_lat("event_id", _e["mlat"], _e["olat"]).alias("lat"),
+        (F.col("event_id") % 2).alias("par"))
+    base = _store_tmp(sf_dir, "sing")
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    for i in (0, 1):
+        tmp = os.path.join(base, f"w{i}")
+        (ev.filter(F.col("par") == i).drop("par")
+           .coalesce(1).write.mode("overwrite").json(tmp))
+        part = glob.glob(os.path.join(tmp, "part-*.json"))[0]
+        dst = os.path.join(src, f"b{i}.json")
+        shutil.copyfile(part, dst)
+        os.utime(dst, (1_700_000_000 + i * 3600,) * 2)
+    store = os.path.join(base, "store")
+    q = stream_ingest_indexed(
+        spark.readStream.schema("event_id long, lon double, lat double")
+             .option("maxFilesPerTrigger", 1).json(src),
+        store, checkpoint=os.path.join(base, "ckpt"),
+        trigger={"availableNow": True})
+    q.awaitTermination(300)
+    q.stop()
+    x0, y0, x1, y1 = _STBOX[:4]
+    return (bbox_query(spark, store, x0, y0, x1, y1)
+            .select("event_id", "lon", "lat"))
+
+
 def q_ingest_resume(spark, sf_dir):
     """Checkpointed two-stage ingest with idempotent RESUME
     (plans/checkpoint.run_stage — the north-rule resumability
@@ -4820,10 +4869,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # real-codec multimodal trio early (judge request — certifies the whole
 # PNG/WAV/AVI byte-format stack), then the remaining 36 never-graded keys,
 # then this round's new queries (store_plan_full, store_plan_t,
-# idl_contains, and the four streaming round-trips stream_upsert /
-# stream_density / stream_sessions / stream_dedup).  48 keys <= 50
-# driver slots: after this round every one of the 217 queries has a
-# driver row.
+# idl_contains, and the five streaming round-trips stream_upsert /
+# stream_density / stream_sessions / stream_dedup / stream_ingest).
+# 49 keys <= 50 driver slots: after this round every one of the 218
+# queries has a driver row.
 _NEVER_GRADED_R5 = [
     # -- regrades (r3/r4 red: oracle/result-presentation bugs, fixed) --
     "shard_stats", "term_index",
@@ -4843,7 +4892,7 @@ _NEVER_GRADED_R5 = [
     "store_plan_xz", "kn_bigram", "kn_ppl", "dwithin_rects",
     # -- round-5 additions --
     "store_plan_full", "store_plan_t", "idl_contains", "stream_upsert",
-    "stream_density", "stream_sessions", "stream_dedup",
+    "stream_density", "stream_sessions", "stream_dedup", "stream_ingest",
 ]
 
 
@@ -4974,6 +5023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_density": q_stream_density,
         "stream_sessions": q_stream_sessions,
         "stream_dedup": q_stream_dedup,
+        "stream_ingest": q_stream_ingest,
         "store_s2": q_store_s2,
         "store_s3": q_store_s3,
         "store_cql": q_store_cql,
@@ -8340,6 +8390,17 @@ def oracle_sql() -> dict[str, str]:
                    (1704067200 + (event_id % 700) * 60) * 1000000
                        AS ts_us
             FROM events
+        """,
+        # stream_ingest: plain bbox filter — the pruned scan over the
+        # stream-fed live store must return exactly this row set.
+        "stream_ingest": f"""
+            WITH e AS (SELECT event_id,
+                              {tg.sql_point_lon('event_id', _e['mlon'], _e['olon'])} AS lon,
+                              {tg.sql_point_lat('event_id', _e['mlat'], _e['olat'])} AS lat
+                       FROM events)
+            SELECT event_id, lon, lat FROM e
+            WHERE lon >= {_STBOX[0]} AND lon <= {_STBOX[2]}
+              AND lat >= {_STBOX[1]} AND lat <= {_STBOX[3]}
         """,
         # ingest_resume: plain per-cell rollup of the derived event
         # points — the checkpointed two-stage pipeline (run twice, the
